@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Named table loaders over the driver-generated parquet fixtures.
+  *
+  * Mirrors the reference's named source-DB pool (dungbeetle
+  * `internal/dbpool/dbpool.go:14-130`): a source is a *name* that resolves to a
+  * scan; here each fixture table resolves to a parquet read rooted at a
+  * scale-factor directory. Reads are lazy DataFrames so Catalyst can push
+  * filters/prune columns into the parquet scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    if (table == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects; read it as a raw long and truncate to microsecond
+      // TimestampType. `ts div 1000` stays in integer arithmetic (a double
+      // division would lose precision: epoch-nanos > 2^53).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$table.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$sfDir/$table.parquet")
+  }
+
+  /** Register every fixture table as a temp view so task SQL can refer to
+    * tables by name, the way reference task SQL refers to source-DB tables. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { t => load(spark, sfDir, t).createOrReplaceTempView(t) }
+}

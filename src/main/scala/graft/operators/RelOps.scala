@@ -1,0 +1,441 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** The relational operator surface of the reference (SURVEY.md §2B).
+  *
+  * dungbeetle executes arbitrary SQL verbatim against its source DBs
+  * (`internal/core/core.go:496`); here Spark is the executor, so each operator
+  * class the reference's delegated SQL exercises becomes one named, oracle
+  * checked DataFrame query over the shared parquet fixtures.
+  *
+  * Determinism rules (so the DuckDB oracle hash-compare is exact):
+  *   - every query ends with a total ORDER BY over a unique key;
+  *   - float aggregations go through DECIMAL(18,6) (exact, associative, so
+  *     partial-aggregation order doesn't matter) and are cast back to DOUBLE;
+  *   - no raw nanosecond timestamps are emitted (events.ts is normalized to
+  *     microseconds on the Spark side, `date_trunc('microseconds', …)` on the
+  *     DuckDB side).
+  *
+  * Scale notes are inline per operator: all aggregations are partial
+  * (map-side combine), joins are keyed equi-joins that AQE can re-plan, small
+  * dimensions are broadcast explicitly, and nothing collects to the driver.
+  */
+object RelOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+  /** Exact decimal image of a double column: sums become order-insensitive. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+  private def sumd(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  // ---------------------------------------------------------------- scans
+  /** Full-table scan (reference `sql/pg/test.postgres.sql:14-17`). Parquet
+    * columnar scan; at 100 TB this is bounded by IO, no shuffle until sort. */
+  val scanFull: Q = (s, d) =>
+    t(s, d, "lineitem").orderBy($"l_orderkey", $"l_linenumber")
+
+  /** Projection + computed column (`test.postgres.sql:12`). Column pruning
+    * reaches the parquet scan (ReadSchema carries only 4 columns). */
+  val project: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .select($"l_orderkey", $"l_linenumber",
+        (dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).cast(DoubleType).as("net"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+
+  /** Equality predicate (`WHERE user_id = $1`, `test.postgres.sql:12,17`);
+    * pushed to the parquet reader (PushedFilters). */
+  val filterEq: Q = (s, d) =>
+    t(s, d, "customer").filter($"c_mktsegment" === "BUILDING").orderBy($"c_custkey")
+
+  /** Range predicate on a timestamp (`test.postgres.sql:19-21`). */
+  val filterRange: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType) &&
+              $"l_shipdate" <  lit("1998-01-01").cast(TimestampType))
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate".cast(DateType).as("ship_day"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+
+  // ----------------------------------------------------------- aggregates
+  /** GROUP BY + SUM (the reference's `get_profit_summary` class,
+    * `test.postgres.sql:8-12`). Partial + final HashAggregate; only the
+    * 5-group final result shuffles. */
+  val aggGroupSum: Q = (s, d) =>
+    t(s, d, "lineitem").groupBy($"l_returnflag")
+      .agg(sumd($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag")
+
+  /** Multiple aggregates per group (README "reports" class). */
+  val aggMulti: Q = (s, d) =>
+    t(s, d, "lineitem").groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sumd($"l_quantity").as("sum_qty"),
+        sumd($"l_extendedprice").as("sum_price"),
+        (sum(dec($"l_extendedprice")).cast(DoubleType) / count(lit(1))).as("avg_price"),
+        min($"l_discount").as("min_disc"),
+        max($"l_extendedprice").as("max_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  /** Exact distinct aggregate (expand + two-phase agg in Spark). */
+  val aggCountDistinct: Q = (s, d) =>
+    t(s, d, "orders").groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("n_cust"), count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+
+  /** Approximate distinct (HyperLogLog++) — the 100 TB-scale variant of the
+    * above: one pass, fixed memory, no expand. No SQL oracle (DuckDB's HLL
+    * differs); driver records rows-only. */
+  val aggApproxDistinct: Q = (s, d) =>
+    t(s, d, "orders").groupBy($"o_orderpriority")
+      .agg(approx_count_distinct($"o_custkey", 0.02).as("approx_cust"))
+      .orderBy($"o_orderpriority")
+
+  /** ROLLUP grouping sets (delegated-SQL class; PG/ClickHouse support). */
+  val aggRollup: Q = (s, d) =>
+    t(s, d, "lineitem").rollup($"l_returnflag", $"l_linestatus")
+      .agg(sumd($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+
+  // ---------------------------------------------------------------- joins
+  /** Fact⋈dim equi join (README "Usecase": entries ⋈ users). customer is
+    * small → AQE turns this into a broadcast join automatically. */
+  val joinInner: Q = (s, d) =>
+    t(s, d, "orders").join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_name", $"o_totalprice")
+      .orderBy($"o_orderkey")
+
+  /** Left outer join + aggregate (per-customer order rollup incl. zero-order
+    * customers). */
+  val joinLeft: Q = (s, d) =>
+    t(s, d, "customer").join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"),
+        coalesce(sum(dec($"o_totalprice")), lit(0)).cast(DoubleType).as("total_spent"))
+      .orderBy($"c_custkey")
+
+  /** Semi join (EXISTS). */
+  val joinSemi: Q = (s, d) =>
+    t(s, d, "customer").join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name").orderBy($"c_custkey")
+
+  /** Anti join (NOT EXISTS). */
+  val joinAnti: Q = (s, d) =>
+    t(s, d, "customer").join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name").orderBy($"c_custkey")
+
+  /** Explicit broadcast of a small dimension: no shuffle of the fact side at
+    * all — the 100 TB plan (part is O(100k) rows even at scale). */
+  val joinBroadcast: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").filter($"p_type" === "PROMO")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(sumd($"l_quantity").as("promo_qty"), count(lit(1)).as("n"))
+      .orderBy($"p_brand")
+
+  /** Equi + range join (ts ≥ bound residual). The equi key keeps it a hash
+    * join at scale; the range term is a post-join filter, never a
+    * BroadcastNestedLoop over the fact table. */
+  val joinRange: Q = (s, d) =>
+    t(s, d, "events").join(t(s, d, "orders"),
+        $"user_id" === $"o_custkey" && $"ts" >= $"o_orderdate")
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy($"o_orderkey")
+
+  // ------------------------------------------------------- sort / window
+  /** ORDER BY + LIMIT → TakeOrderedAndProject (top-k per partition, then
+    * k-merge on the driver — no global sort). */
+  val sortLimit: Q = (s, d) =>
+    t(s, d, "orders")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+
+  /** Ranking window (latest-N per key; reference class: per-user latest
+    * report rows). One shuffle on the partition key. */
+  val windowRank: Q = (s, d) => {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".desc, $"o_orderkey")
+    t(s, d, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"rn")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** Running aggregate (the zerodha running-P&L use-case). Decimal sum keeps
+    * the prefix sums exact. */
+  val windowRunning: Q = (s, d) => {
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .select($"user_id", $"event_id",
+        sum(dec($"value")).over(w).cast(DoubleType).as("running"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** lag/lead analytic delta. */
+  val windowLag: Q = (s, d) => {
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    t(s, d, "events")
+      .select($"user_id", $"event_id",
+        ($"value" - lag($"value", 1).over(w)).as("delta"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  // --------------------------------------------------------- set algebra
+  val setUnion: Q = (s, d) =>
+    t(s, d, "customer").select($"c_nationkey".as("nk"))
+      .unionAll(t(s, d, "supplier").select($"s_nationkey".as("nk")))
+      .groupBy($"nk").agg(count(lit(1)).as("n"))
+      .orderBy($"nk")
+
+  val setIntersect: Q = (s, d) =>
+    t(s, d, "customer").select($"c_nationkey".as("nk"))
+      .intersect(t(s, d, "supplier").select($"s_nationkey".as("nk")))
+      .orderBy($"nk")
+
+  val setExcept: Q = (s, d) =>
+    t(s, d, "customer").select($"c_nationkey".as("nk"))
+      .except(t(s, d, "supplier").select($"s_nationkey".as("nk")))
+      .orderBy($"nk")
+
+  val distinctRows: Q = (s, d) =>
+    t(s, d, "lineitem").select($"l_returnflag", $"l_linestatus").distinct()
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  // ------------------------------------------------------- scalar exprs
+  val scalarString: Q = (s, d) =>
+    t(s, d, "customer").select(
+        $"c_custkey",
+        upper($"c_name").as("uname"),
+        substring($"c_name", 1, 8).as("pre"),
+        concat_ws("-", $"c_mktsegment", $"c_name").as("tagged"),
+        $"c_name".like("%5%").as("has5"))
+      .orderBy($"c_custkey")
+
+  val scalarDate: Q = (s, d) =>
+    t(s, d, "orders").select(
+        $"o_orderkey",
+        date_trunc("month", $"o_orderdate").cast(DateType).as("mon"),
+        year($"o_orderdate").cast(LongType).as("yr"),
+        datediff(lit("2002-01-01").cast(DateType), $"o_orderdate".cast(DateType))
+          .cast(LongType).as("days_to_2002"))
+      .orderBy($"o_orderkey")
+
+  val scalarMath: Q = (s, d) =>
+    t(s, d, "lineitem").select(
+        $"l_orderkey", $"l_linenumber",
+        round(dec($"l_extendedprice") * dec($"l_tax"), 2).cast(DoubleType).as("tax_amt"),
+        abs($"l_discount" - 0.05).as("disc_dev"),
+        ($"l_quantity" * 2.0 + 1.0).as("q21"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+
+  val scalarCase: Q = (s, d) =>
+    t(s, d, "orders").select(
+        when($"o_totalprice" < 100000, "small")
+          .when($"o_totalprice" < 300000, "mid")
+          .otherwise("big").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .orderBy($"bucket")
+
+  /** JSON text passthrough + extraction (the reference's JSON/JSONB class,
+    * `sqldb.go:267-272`; `events.props`). */
+  val jsonExtract: Q = (s, d) =>
+    t(s, d, "events").select(
+        $"event_id",
+        get_json_object($"props", "$.k").cast(LongType).as("k"))
+      .orderBy($"event_id")
+
+  /** Array-column handling (the reference's PG-array passthrough class,
+    * `sqldb.go:273-276`; `embeddings.embedding`). */
+  val arrayOps: Q = (s, d) =>
+    t(s, d, "embeddings").select(
+        $"vec_id",
+        size($"embedding").cast(LongType).as("dim"),
+        element_at($"embedding", 1).cast(DoubleType).as("first_val"),
+        $"label")
+      .orderBy($"vec_id")
+
+  /** LIMIT/OFFSET pagination over an ordered result (README: follow-up
+    * queries against the results cache). */
+  val limitPage: Q = (s, d) =>
+    t(s, d, "orders")
+      .orderBy($"o_orderkey").offset(100).limit(50)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+
+  // $"..." interpolator without a per-query implicits import
+  private implicit class Str(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+
+  /** All §2B queries, keyed as in SURVEY.md §2B. */
+  val queries: Map[String, Q] = Map(
+    "scan_full" -> scanFull,
+    "project" -> project,
+    "filter_eq" -> filterEq,
+    "filter_range" -> filterRange,
+    "agg_group_sum" -> aggGroupSum,
+    "agg_multi" -> aggMulti,
+    "agg_count_distinct" -> aggCountDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_rollup" -> aggRollup,
+    "join_inner" -> joinInner,
+    "join_left" -> joinLeft,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_broadcast" -> joinBroadcast,
+    "join_range" -> joinRange,
+    "sort_limit" -> sortLimit,
+    "window_rank" -> windowRank,
+    "window_running" -> windowRunning,
+    "window_lag" -> windowLag,
+    "set_union" -> setUnion,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept,
+    "distinct_rows" -> distinctRows,
+    "scalar_string" -> scalarString,
+    "scalar_date" -> scalarDate,
+    "scalar_math" -> scalarMath,
+    "scalar_case" -> scalarCase,
+    "json_extract" -> jsonExtract,
+    "array_ops" -> arrayOps,
+    "limit_page" -> limitPage,
+  )
+
+  /** DuckDB oracle SQL per query (same column names, same total order, same
+    * exact-decimal arithmetic). */
+  val oracle: Map[String, String] = Map(
+    "scan_full" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "project" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS net
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "filter_eq" ->
+      "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey",
+    "filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, CAST(l_shipdate AS DATE) AS ship_day
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         ORDER BY l_orderkey, l_linenumber""",
+    "agg_group_sum" ->
+      """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_multi" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+         MIN(l_discount) AS min_disc,
+         MAX(l_extendedprice) AS max_price,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "agg_count_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "join_inner" ->
+      """SELECT o_orderkey, c_name, o_totalprice FROM orders
+         JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""",
+    "join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE) AS total_spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "join_broadcast" ->
+      """SELECT p_brand, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS promo_qty, COUNT(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_type = 'PROMO' GROUP BY p_brand ORDER BY p_brand""",
+    "join_range" ->
+      """SELECT o_orderkey, COUNT(*) AS n_events
+         FROM events e JOIN orders o
+           ON e.user_id = o.o_custkey AND date_trunc('microseconds', e.ts) >= o.o_orderdate
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
+    "sort_limit" ->
+      """SELECT * FROM (SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+         ORDER BY o_totalprice DESC, o_orderkey""",
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "window_running" ->
+      """SELECT user_id, event_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+         FROM events ORDER BY user_id, event_id""",
+    "window_lag" ->
+      """SELECT user_id, event_id,
+         value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+         FROM events ORDER BY user_id, event_id""",
+    "set_union" ->
+      """SELECT nk, COUNT(*) AS n FROM (
+           SELECT c_nationkey AS nk FROM customer
+           UNION ALL SELECT s_nationkey FROM supplier)
+         GROUP BY nk ORDER BY nk""",
+    "set_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+         INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""",
+    "set_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+         EXCEPT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""",
+    "distinct_rows" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "scalar_string" ->
+      """SELECT c_custkey, UPPER(c_name) AS uname, SUBSTRING(c_name, 1, 8) AS pre,
+         CONCAT_WS('-', c_mktsegment, c_name) AS tagged,
+         (c_name LIKE '%5%') AS has5
+         FROM customer ORDER BY c_custkey""",
+    "scalar_date" ->
+      """SELECT o_orderkey,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002
+         FROM orders ORDER BY o_orderkey""",
+    "scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_tax AS DECIMAL(18,6)), 2) AS DOUBLE) AS tax_amt,
+         ABS(l_discount - 0.05) AS disc_dev,
+         l_quantity * 2.0 + 1.0 AS q21
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "scalar_case" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                     WHEN o_totalprice < 300000 THEN 'mid'
+                     ELSE 'big' END AS bucket, COUNT(*) AS n
+         FROM orders GROUP BY 1 ORDER BY bucket""",
+    "json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+    "array_ops" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+         CAST(embedding[1] AS DOUBLE) AS first_val, label
+         FROM embeddings ORDER BY vec_id""",
+    "limit_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_orderkey LIMIT 50 OFFSET 100""",
+  )
+}

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs each oracle SQL from oracle_sql.json in DuckDB over the same parquet
+tables and compares against the Spark-written parquet in outDir, column-name
+sorted, exact-value equality. Usage:
+    python3 tools/check.py <sfDir> <outDir>
+(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+names = sorted([os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
+                if os.path.isdir(p)])
+fails = []
+for name in names:
+    spark_df = con.execute(
+        f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+    if name not in oracle:
+        print(f"{name:24s} rows-only: {len(spark_df)} rows "
+              f"{'OK' if len(spark_df) >= 0 else ''}")
+        continue
+    try:
+        ora_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"{name:24s} ORACLE SQL ERROR: {e}")
+        fails.append(name); continue
+    a = spark_df[sorted(spark_df.columns)]
+    b = ora_df[sorted(ora_df.columns)]
+    status = []
+    if list(a.columns) != list(b.columns):
+        status.append(f"COLS spark={list(a.columns)} oracle={list(b.columns)}")
+    elif len(a) != len(b):
+        status.append(f"ROWS spark={len(a)} oracle={len(b)}")
+    else:
+        for c in a.columns:
+            av, bv = a[c].values, b[c].values
+            try:
+                if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
+                    af = av.astype(float); bf = bv.astype(float)
+                    nan_ok = np.array_equal(np.isnan(af), np.isnan(bf))
+                    eq = nan_ok and np.array_equal(af[~np.isnan(af)], bf[~np.isnan(bf)])
+                    if not eq:
+                        d = np.nanmax(np.abs(af - bf)) if nan_ok else float('nan')
+                        status.append(f"VAL {c} maxdiff={d}")
+                else:
+                    if not np.array_equal(pd.Series(av).astype(str).values,
+                                          pd.Series(bv).astype(str).values):
+                        i = np.argmax(pd.Series(av).astype(str).values !=
+                                      pd.Series(bv).astype(str).values)
+                        status.append(f"VAL {c} row{i}: spark={av[i]!r} oracle={bv[i]!r}")
+            except Exception as e:
+                status.append(f"CMPERR {c}: {e}")
+    if status:
+        print(f"{name:24s} FAIL  " + "; ".join(status)[:300])
+        fails.append(name)
+    else:
+        print(f"{name:24s} ok    ({len(a)} rows)")
+
+missing = sorted(set(oracle) - set(names))
+if missing:
+    print("oracle keys with no output:", missing)
+print(f"\n{len(names)-len(fails)}/{len(names)} pass" +
+      (f"  FAILURES: {fails}" if fails else ""))
+sys.exit(1 if fails else 0)
