@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.util.Random
+
+/** Single-job execution: the port of `execJob` + `writeResults`
+  * (`internal/core/core.go:450-572`).
+  *
+  * A job runs inside its own Spark *session* (shared SparkContext, isolated
+  * temp-view catalog) so concurrent jobs against different named sources
+  * can't see each other's table registrations. The executing thread tags all
+  * Spark jobs with the job ID as the job group with `interruptOnCancel=true`
+  * — `sparkContext.cancelJobGroup(jobId)` is then the 1:1 port of the
+  * reference's per-job `context.CancelFunc` (`core.go:457-468`), and strictly
+  * stronger: it kills every stage of the plan, not just the driver-side wait.
+  *
+  * Materialization (`writeResults`, core.go:511-572): pick a random result
+  * backend, cast the result to the canonical 6-type schema (§1.2), and write
+  * `results_<jobID>` parquet with overwrite — the atomic per-directory commit
+  * replaces the reference's DROP TABLE + CREATE + tx (`sqldb.go:159-217`).
+  * The returned row count is stored as the job result (`core.go:436`).
+  */
+object Executor {
+
+  final case class ExecResult(count: Long, resultDir: String, sourceName: String)
+
+  def resultDir(backendDir: String, jobId: String): String =
+    s"$backendDir/results_$jobId"
+
+  /** Build the job's DataFrame without materializing (shared by run()). */
+  def buildFrame(session: SparkSession, sourceDir: String, task: Task, args: Seq[String]): DataFrame = {
+    Tables.registerAll(session, sourceDir)
+    session.sql(ArgBinder.bind(task.raw, args))
+  }
+
+  /** Execute one job end-to-end on the calling thread. */
+  def run(spark: SparkSession, job: Job, task: Task, rnd: Random = Random): ExecResult = {
+    val session = spark.newSession()
+    val sc = session.sparkContext
+    sc.setJobGroup(job.id, s"graft task=${task.name} job=${job.id}", interruptOnCancel = true)
+    try {
+      // named DB else random pick (core.go:483-492)
+      val (srcName, srcDir) = job.db match {
+        case Some(name) => (name, task.dbs.get(name))
+        case None       => task.dbs.getRandom(rnd)
+      }
+      val (_, backendDir) = task.resultBackends.getRandom(rnd) // core.go:515
+      val df = buildFrame(session, srcDir, task, job.args)
+      val out = CanonicalTypes.castToCanonical(df)
+      val dest = resultDir(backendDir, job.id)
+      out.write.mode("overwrite").parquet(dest)
+      // count from the committed files' footers (metadata-only, no rescan)
+      val count = session.read.parquet(dest).count()
+      ExecResult(count, dest, srcName)
+    } finally sc.clearJobGroup()
+  }
+}

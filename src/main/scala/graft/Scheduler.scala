@@ -1,0 +1,174 @@
+package graft
+
+import java.time.{Duration, LocalDateTime}
+import java.util.concurrent._
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+
+/** In-process job queue + workers — the port of the reference's
+  * tasqueue/Redis broker usage (`internal/core/core.go:406-447` worker
+  * registration, `core.go:68-78` worker loop) onto plain JVM executors and
+  * Spark's own scheduler.
+  *
+  * Semantics preserved:
+  *   - one worker pool per queue; a queue's concurrency is fixed by the
+  *     first task that names it (the reference documents exactly this in
+  *     sql/test.sql comments);
+  *   - ETA = delayed start (`core.go:359-367`);
+  *   - retries = N re-runs with state RETRY between attempts
+  *     (`core.go:389-394`);
+  *   - TTL = max runtime; enforced by a scheduled `cancelJobGroup`
+  *     (`core.go:354-357`);
+  *   - pending listing returns the backlog newest-first (`core.go:156-159`);
+  *   - cancel refuses completed jobs unless purge, kills the in-flight query,
+  *     and deletes from the store (`core.go:244-271`).
+  */
+final class Scheduler(spark: SparkSession, store: StatusStore) {
+  private val pools = new ConcurrentHashMap[String, ThreadPoolExecutor]()
+  private val pending = new ConcurrentHashMap[String, ConcurrentLinkedDeque[String]]()
+  private val running = new ConcurrentHashMap[String, Thread]()
+  private val timers = Executors.newScheduledThreadPool(2, daemonFactory("graft-timer"))
+  @volatile private var closed = false
+
+  private def daemonFactory(prefix: String): ThreadFactory = new ThreadFactory {
+    private val n = new java.util.concurrent.atomic.AtomicInteger
+    def newThread(r: Runnable): Thread = {
+      val t = new Thread(r, s"$prefix-${n.incrementAndGet()}")
+      t.setDaemon(true); t
+    }
+  }
+
+  /** Queue pool; size pinned at first sight of the queue. */
+  private def pool(queue: String, conc: Int): ThreadPoolExecutor =
+    pools.computeIfAbsent(queue, _ => new ThreadPoolExecutor(
+      conc, conc, 60L, TimeUnit.SECONDS, new LinkedBlockingQueue[Runnable](),
+      daemonFactory(s"graft-q-$queue")))
+
+  private def backlog(queue: String): ConcurrentLinkedDeque[String] =
+    pending.computeIfAbsent(queue, _ => new ConcurrentLinkedDeque[String]())
+
+  /** Enqueue a validated job (NewJob, core.go:86-105). Returns false if the
+    * same ID is already queued/running (core.go:332-339). */
+  def submit(job: Job, task: Task): Boolean = {
+    require(!closed, "scheduler stopped")
+    if (!store.tryAdmit(job.id)) return false
+    backlog(job.queue).addLast(job.id)
+    val delayMs = job.eta
+      .map(e => Duration.between(LocalDateTime.now, e).toMillis.max(0L))
+      .getOrElse(0L)
+    val runnable: Runnable = () => runWithRetries(job, task)
+    if (delayMs > 0)
+      timers.schedule(
+        (() => pool(job.queue, task.conc).execute(runnable)): Runnable,
+        delayMs, TimeUnit.MILLISECONDS)
+    else pool(job.queue, task.conc).execute(runnable)
+    true
+  }
+
+  private def runWithRetries(job: Job, task: Task): Unit = {
+    backlog(job.queue).remove(job.id)
+    // canceled-while-pending guard (execJob's not-canceled check,
+    // core.go:452-454): cancellation removes the ID from the store.
+    if (store.get(job.id).isEmpty) return
+    var attempt = 0
+    var done = false
+    running.put(job.id, Thread.currentThread())
+    try {
+      while (!done) {
+        attempt += 1
+        store.set(job.id, JobState.Started)
+        // TTL watchdog: cancel the whole job group at t+ttl (core.go:354-357)
+        val ttlTimer = timers.schedule(
+          (() => spark.sparkContext.cancelJobGroup(job.id)): Runnable,
+          job.ttlSec.toLong, TimeUnit.SECONDS)
+        try {
+          val res = graft.Executor.run(spark, job, task)
+          ttlTimer.cancel(false)
+          // only record success if not canceled meanwhile
+          if (store.get(job.id).nonEmpty) store.set(job.id, JobState.Success, res.count)
+          done = true
+        } catch {
+          case e: Throwable =>
+            ttlTimer.cancel(false)
+            if (store.get(job.id).isEmpty) {
+              // canceled: kill any stages that slipped in after the canceler's
+              // cancelJobGroup (e.g. cancel landed during planning), then stop.
+              Thread.interrupted() // clear the canceler's interrupt
+              spark.sparkContext.cancelJobGroup(job.id)
+              done = true
+            }
+            else if (attempt <= job.retries) store.set(job.id, JobState.Retry)
+            else { store.set(job.id, JobState.Failure, -1, safeMsg(e)); done = true }
+        }
+      }
+    } finally running.remove(job.id)
+  }
+
+  private def safeMsg(e: Throwable): String =
+    Option(e.getMessage).getOrElse(e.getClass.getSimpleName).linesIterator.take(3).mkString(" ")
+
+  /** Pending backlog for a queue, newest-first (core.go:150-162). */
+  def pendingJobs(queue: String): Seq[String] =
+    Option(pending.get(queue)).map(_.iterator().asScala.toSeq.reverse).getOrElse(Nil)
+
+  /** CancelJob (core.go:244-271). */
+  def cancel(jobId: String, purge: Boolean, backends: SourcePool): Unit = {
+    store.get(jobId) match {
+      case None => throw new NoSuchElementException(s"unknown job: $jobId")
+      case Some(st) =>
+        val completed = st.state == JobState.Success || st.state == JobState.Failure
+        if (completed && !purge)
+          throw new IllegalStateException("can't cancel a completed job without purge")
+        store.remove(jobId) // before interrupt: the worker's catch keys off absence
+        spark.sparkContext.cancelJobGroup(jobId)
+        // the in-flight query may still be in planning (no Spark jobs tagged
+        // yet) — interrupt the worker thread so the driver-side wait aborts;
+        // the worker then re-fires cancelJobGroup for late-submitted stages.
+        Option(running.get(jobId)).foreach(_.interrupt())
+        if (purge)
+          backends.sources.values.foreach { dir =>
+            deleteRecursive(new java.io.File(graft.Executor.resultDir(dir, jobId)))
+          }
+    }
+  }
+
+  /** CancelJobGroup (core.go:274-322): per-member cancel with the
+    * completed-group guard. */
+  def cancelGroup(groupId: String, purge: Boolean, backends: SourcePool): Unit = {
+    val ids = store.groupJobIds(groupId)
+      .getOrElse(throw new NoSuchElementException(s"unknown group: $groupId"))
+    val statuses = ids.flatMap(store.get)
+    val allDone = statuses.nonEmpty && statuses.forall(s =>
+      s.state == JobState.Success || s.state == JobState.Failure)
+    if (allDone && !purge)
+      throw new IllegalStateException("can't cancel a completed group without purge")
+    ids.foreach { id => if (store.get(id).nonEmpty) cancel(id, purge, backends) }
+    store.removeGroup(groupId)
+  }
+
+  private def deleteRecursive(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursive))
+    f.delete(): Unit
+  }
+
+  /** Block until all queues drain (test/CLI helper; the reference's worker
+    * loop blocks forever instead, core.go:68-78). */
+  def awaitQuiescence(timeoutMs: Long = 120000): Boolean = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (System.currentTimeMillis < deadline) {
+      val busy = pools.values().asScala.exists(p => p.getActiveCount > 0 || !p.getQueue.isEmpty) ||
+        pending.values().asScala.exists(!_.isEmpty) ||
+        store.snapshot.values.exists(s => s.state == JobState.Pending ||
+          s.state == JobState.Started || s.state == JobState.Retry)
+      if (!busy) return true
+      Thread.sleep(25)
+    }
+    false
+  }
+
+  def shutdown(): Unit = {
+    closed = true
+    pools.values().asScala.foreach(_.shutdown())
+    timers.shutdown()
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Prop, Test => SCTest}
+
+class ArgBinderSpec extends AnyFunSuite {
+
+  test("sniffs literal types long → double → timestamp → date → string") {
+    assert(ArgBinder.literal("42") == "42")
+    assert(ArgBinder.literal("-7") == "-7")
+    assert(ArgBinder.literal("3.14") == "3.14")
+    assert(ArgBinder.literal("1e6") == "1e6")
+    assert(ArgBinder.literal("2024-01-02 03:04:05") == "TIMESTAMP '2024-01-02 03:04:05'")
+    assert(ArgBinder.literal("2024-01-02") == "DATE '2024-01-02'")
+    assert(ArgBinder.literal("abc") == "'abc'")
+  }
+
+  test("binds $N positionally and repeatably (PG style, test.postgres.sql:12)") {
+    val sql = "SELECT * FROM t WHERE a = $1 AND b > $2 AND c = $1"
+    assert(ArgBinder.bind(sql, Seq("u1", "5")) ==
+      "SELECT * FROM t WHERE a = 'u1' AND b > 5 AND c = 'u1'")
+  }
+
+  test("binds ? in order of appearance (MySQL style, test.sql.sample)") {
+    assert(ArgBinder.bind("SELECT ? + ?", Seq("1", "x")) == "SELECT 1 + 'x'")
+  }
+
+  test("leaves placeholders inside quotes and comments untouched") {
+    assert(ArgBinder.bind("SELECT '$1?', a FROM t WHERE b = $1", Seq("9")) ==
+      "SELECT '$1?', a FROM t WHERE b = 9")
+    assert(ArgBinder.bind("SELECT 1 -- what about $1?\n , $1", Seq("2")) ==
+      "SELECT 1 -- what about $1?\n , 2")
+  }
+
+  test("missing args are an error (driver would reject too)") {
+    intercept[IllegalArgumentException](ArgBinder.bind("SELECT $2", Seq("a")))
+    intercept[IllegalArgumentException](ArgBinder.bind("SELECT ?, ?", Seq("a")))
+  }
+
+  test("string args can never escape their quotes (injection guard)") {
+    val prop = Prop.forAll { (s: String) =>
+      val lit = ArgBinder.literal(s)
+      // a quoted literal's interior must contain no lone quote
+      !lit.startsWith("'") || {
+        val interior = lit.substring(1, lit.length - 1)
+        !interior.replace("''", "").contains("'")
+      }
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
+  test("validationForm yields parse-able SQL for both placeholder styles") {
+    val spark = TestSpark.spark
+    spark.sessionState.sqlParser.parsePlan(
+      ArgBinder.validationForm("SELECT * FROM t WHERE a = $1 AND b < ?"))
+  }
+}

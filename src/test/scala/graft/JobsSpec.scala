@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class JobsSpec extends AnyFunSuite {
+  private val task = Task("t", "q1", 2, "SELECT 1",
+    SourcePool(Map("db" -> "/tmp")), SourcePool(Map("res" -> "/tmp")), isRaw = false)
+
+  test("generates job_<uuid> IDs when none supplied (core.go:345-352)") {
+    val j = JobFactory.make(JobReq("t"), task)
+    assert(j.id.startsWith("job_") && j.id.length > 10)
+  }
+
+  test("enforces the job-ID alphabet ^[a-z0-9-_:]+$ (http.go:14)") {
+    assert(JobFactory.make(JobReq("t", jobId = "My-Job:1_2"), task).id == "My-Job:1_2")
+    intercept[IllegalArgumentException](JobFactory.make(JobReq("t", jobId = "bad id!"), task))
+  }
+
+  test("queue resolution: request → task tag (core.go:369-373)") {
+    assert(JobFactory.make(JobReq("t"), task).queue == "q1")
+    assert(JobFactory.make(JobReq("t", queue = "prio"), task).queue == "prio")
+  }
+
+  test("ETA parses the reference format (core.go:359-367)") {
+    val j = JobFactory.make(JobReq("t", eta = Some("2031-05-06 07:08:09")), task)
+    assert(j.eta.get.getYear == 2031)
+    intercept[IllegalArgumentException](
+      JobFactory.make(JobReq("t", eta = Some("tomorrow")), task))
+  }
+
+  test("TTL defaults to 60s (config.toml.sample:3)") {
+    assert(JobFactory.make(JobReq("t"), task).ttlSec == 60)
+    assert(JobFactory.make(JobReq("t", ttlSec = 5), task).ttlSec == 5)
+  }
+
+  test("same-ID admission gate is atomic and state-aware (core.go:332-339)") {
+    val st = new StatusStore
+    assert(st.tryAdmit("j1"))
+    assert(!st.tryAdmit("j1")) // pending
+    st.set("j1", JobState.Started)
+    assert(!st.tryAdmit("j1")) // running
+    st.set("j1", JobState.Success, 10)
+    assert(st.tryAdmit("j1")) // completed → re-runnable, result overwritten by design
+  }
+
+  test("group state reduction lattice (core.go:230-241)") {
+    val st = new StatusStore
+    st.putGroup("g", Seq("a", "b"))
+    st.set("a", JobState.Success, 1); st.set("b", JobState.Started)
+    assert(st.groupStatus("g").get.state == JobState.Started)
+    st.set("b", JobState.Success, 2)
+    assert(st.groupStatus("g").get.state == JobState.Success)
+    st.set("b", JobState.Failure, -1, "boom")
+    assert(st.groupStatus("g").get.state == JobState.Failure)
+    st.set("b", JobState.Pending)
+    assert(st.groupStatus("g").get.state == JobState.Pending)
+  }
+}
