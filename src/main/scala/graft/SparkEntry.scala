@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.RelOps
+import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,10 +13,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelOps.queries
+    RelOps.queries ++ TextOps.queries ++ DedupOps.queries ++
+      SimilarityOps.queries ++ MultimodalOps.queries ++ MaterializeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelOps.oracle
+    RelOps.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
+      SimilarityOps.oracle ++ MultimodalOps.oracle ++ MaterializeOps.oracle
 }

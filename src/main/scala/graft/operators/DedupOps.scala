@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Deduplication operators for LLM-data pipelines (SURVEY.md §2C) over the
+  * `documents` / `embeddings` fixtures.
+  *
+  * The 100 TB shape of every near-dup variant here is the same three-stage
+  * pipeline: (1) per-row signature, computed in one codegen'd pass;
+  * (2) candidate generation by *bucket join on the signature* — never an
+  * all-pairs cross join; (3) exact verification on the candidate pairs only.
+  * Bucket skew is the real-world failure mode at scale, so candidate buckets
+  * are capped (`maxBucket`) the way production MinHash dedup pipelines cap
+  * band buckets; the cap only drops pathological buckets (e.g. the empty
+  * string) that exact verification would reject pairwise anyway — at a cost
+  * quadratic in the bucket size.
+  */
+object DedupOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
+
+  /** Candidate-bucket size cap (see class doc). */
+  val maxBucket = 64
+
+  // ---------------------------------------------------------------- exact
+  /** Exact dedup: hash-groupBy on a content digest. One shuffle of
+    * (digest, doc_id) pairs — the minimum possible data movement; the text
+    * itself never shuffles. */
+  val dedupExact: Q = (s, d) =>
+    docs(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  // -------------------------------------------------------------- shingles
+  /** Word 3-gram shingles (distinct), with a whole-text fallback for short
+    * docs. */
+  private[operators] def shingles(text: Column, k: Int = 3): Column = {
+    val ws = split(text, " ")
+    when(size(ws) >= k,
+      array_distinct(transform(sequence(lit(0), size(ws) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(ws, (i + j + 1).cast(IntegerType))): _*))))
+      .otherwise(array(text))
+  }
+
+  /** Seeded hash family over shingles: h_s(x) = xxhash64(x, s). */
+  private def minhashSig(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(sh, x => xxhash64(x, seed))))
+
+  private def candidatePairs(buckets: DataFrame): DataFrame = {
+    // buckets: (bucket_key..., doc_id); emit distinct (a < b) pairs per bucket
+    val grouped = buckets.groupBy(col("bucket"))
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(sort_array(col("ids")).as("ids"))
+    grouped
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
+  /** Exact word-shingle Jaccard between two doc_ids, given the docs frame. */
+  private def verifyJaccard(s: SparkSession, d: String, pairs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docs(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("a"), col("b"))
+  }
+
+  // -------------------------------------------------------------- minhash
+  /** MinHash + LSH banding near-dup: 16 hashes, 4 bands × 4 rows (catches
+    * J≥~0.5 with high probability), bucket-join candidates, exact-Jaccard
+    * verify. The only shuffle of note is the band-bucket exchange of
+    * (band_hash, doc_id) — signatures are 16 longs per doc regardless of
+    * document size. */
+  val dedupMinhash: Q = (s, d) => {
+    val numHashes = 16
+    val bands = 4
+    val rows = numHashes / bands
+    val sig = docs(s, d).select(col("doc_id"),
+      minhashSig(shingles(col("text")), numHashes).as("sig"))
+    val banded = sig.select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, ${bands - 1}), b ->
+                struct(b AS band,
+                       xxhash64(cast(slice(sig, b * $rows + 1, $rows) AS string), b) AS h))"""))
+          .as("bk"))
+      .select(struct(col("bk.band"), col("bk.h")).as("bucket"), col("doc_id"))
+    verifyJaccard(s, d, candidatePairs(banded), 0.5)
+  }
+
+  // -------------------------------------------------------------- simhash
+  /** 64-bit SimHash: per word-hash bit votes, sign-aggregated into one long;
+    * candidates = pairs sharing ≥1 of 4 16-bit chunks (pigeonhole: any pair
+    * within Hamming distance 3 must agree on a full chunk); verified on true
+    * Hamming distance via bit_count(xor). */
+  val dedupSimhash: Q = (s, d) => {
+    // per-bit net vote: sum over words of (bit j set ? +1 : -1); the Scala
+    // shift functions need literal bit counts, so the lambda-indexed shifts
+    // are SQL exprs.
+    val sigs = docs(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 63), 0L, (acc, j) -> acc |
+             if(aggregate(ws, 0L,
+                  (a, w) -> a + if((shiftright(xxhash64(w), j) & 1) = 1, 1L, -1L)) > 0,
+                shiftleft(1L, j), 0L))""").as("sim"))
+    val chunked = sigs.select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(0, 3), c ->
+               struct(c AS chunk, shiftright(sim, c * 16) & 65535 AS h))""")).as("ck"))
+      .select(struct(col("ck.chunk"), col("ck.h")).as("bucket"), col("doc_id"))
+    val pairs = candidatePairs(chunked)
+    val sa = sigs.select(col("doc_id").as("a"), col("sim").as("sim_a"))
+    val sb = sigs.select(col("doc_id").as("b"), col("sim").as("sim_b"))
+    pairs.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("a"), col("b"))
+  }
+
+  // ------------------------------------------------- n-gram Jaccard (exact)
+  /** Exact n-gram Jaccard dedup via inverted index: explode shingles, join on
+    * shingle to count intersections, derive Jaccard from set sizes. Exact
+    * (no LSH false negatives) at the cost of shuffling the posting list —
+    * the right tool below ~10 shared-shingle fanout; MinHash above it. */
+  val dedupNgramJaccard: Q = (s, d) => {
+    val sh = docs(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val inter = posting.as("x").join(posting.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("a"), col("b"))
+  }
+
+  // --------------------------------------------- embedding cosine near-dup
+  /** Near-dup by embedding cosine ≥ 0.95: random-hyperplane LSH (16 planes,
+    * seeded, driver-generated constants) buckets sign patterns; exact cosine
+    * verifies candidates. At 100 TB the bucket join touches only same-bucket
+    * pairs; the 16×64 plane matrix broadcasts as literals inside codegen. */
+  val dedupEmbedding: Q = (s, d) => {
+    val dim = 64
+    val planes = 16
+    val rnd = new scala.util.Random(42)
+    val hp: Array[Array[Double]] = Array.fill(planes, dim)(rnd.nextGaussian())
+    val emb = Tables.load(s, d, "embeddings")
+    def dot(v: Column, plane: Array[Double]): Column =
+      aggregate(zip_with(v, typedLit(plane.toSeq), (x, w) => x * w), lit(0.0), (a, x) => a + x)
+    val bucketBits = (0 until planes).map(p =>
+      when(dot(col("embedding").cast(ArrayType(DoubleType)), hp(p)) >= 0, 1L << p).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val bucketed = emb.select(col("vec_id").as("doc_id"), bucketBits.as("bucket"))
+    val pairs = candidatePairs(bucketed)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    def cosine(a: Column, b: Column): Column = {
+      val dotp = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s1, x) => s1 + x)
+      val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s1, x) => s1 + x))
+      val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s1, x) => s1 + x))
+      dotp / (na * nb)
+    }
+    pairs
+      .join(vecs.select(col("vec_id").as("a"), col("v").as("va")), "a")
+      .join(vecs.select(col("vec_id").as("b"), col("v").as("vb")), "b")
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.95)
+      .orderBy(col("a"), col("b"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_embedding" -> dedupEmbedding,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    // dedup_minhash / dedup_simhash / dedup_embedding: signature pipelines on
+    // xxhash64 / seeded hyperplanes — not expressible in DuckDB SQL; their
+    // correctness is covered by DedupOpsSpec (planted near-duplicates must be
+    // found, random docs must not pair). dedup_ngram_jaccard IS expressible:
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             CASE WHEN len(string_split(text,' ')) >= 3 THEN
+               list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+                              FOR i IN range(1, len(string_split(text,' ')) - 1)])
+             ELSE [text] END AS s
+           FROM documents),
+         posting AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         inter AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+           FROM posting x JOIN posting y
+             ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY x.doc_id, y.doc_id)
+         SELECT a, b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+         FROM inter JOIN sizes na ON inter.a = na.doc_id
+                    JOIN sizes nb ON inter.b = nb.doc_id
+         WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+         ORDER BY a, b""",
+  )
+}

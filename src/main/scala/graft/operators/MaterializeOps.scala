@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft._
+
+/** The reference's flagship end-to-end path as a checkable query:
+  * task SQL + bound arg → execute → canonical cast → materialize
+  * `results_<jobID>` → read the materialized table back
+  * (`core.go:450-572` + README "results cache" reads). The returned frame is
+  * the *re-read* of the result directory, so the oracle also certifies the
+  * canonical-type write path (DOUBLE total, DATE entry_date — the
+  * server_test.go.bak:261-286 assertion, value-checked).
+  */
+object MaterializeOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val taskSql: String =
+    """SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+      |       CAST(ts AS DATE) AS entry_date
+      |FROM events WHERE user_id = $1 GROUP BY CAST(ts AS DATE)""".stripMargin
+
+  val resultMaterialize: Q = (s, d) => {
+    val outRoot = java.nio.file.Files.createTempDirectory("graft-mat").toString
+    val task = Task("get_profit_summary", "default", 1, taskSql,
+      SourcePool.single("src", d), SourcePool.single("res", outRoot), isRaw = false)
+    val job = Job("mat-job", task.name, task.queue, None, 0, 60, Seq("1"), None)
+    val res = Executor.run(s, job, task)
+    require(res.count >= 0)
+    s.read.parquet(res.resultDir).orderBy(col("entry_date"))
+  }
+
+  val queries: Map[String, Q] = Map("result_materialize" -> resultMaterialize)
+
+  val oracle: Map[String, String] = Map(
+    "result_materialize" ->
+      """SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+         CAST(date_trunc('day', ts) AS DATE) AS entry_date
+         FROM events WHERE user_id = 1 GROUP BY CAST(date_trunc('day', ts) AS DATE)
+         ORDER BY entry_date""",
+  )
+}

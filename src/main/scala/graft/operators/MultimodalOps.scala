@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal-column handling (SURVEY.md §2C): media as opaque `binary`
+  * columns + typed metadata, with decode/feature-extraction as partition-wise
+  * batch functions.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic stub (`StubDecode`); everything around it —
+  * the binary column, the metadata struct schema, the `mapPartitions` batch
+  * shape (the Scala analog of `mapInPandas`: one iterator in, one iterator
+  * out, schema declared up front), and the partitioning story — is real and
+  * is exactly what a production pipeline swaps a JNI/FFI decoder into.
+  */
+object MultimodalOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic stand-in for an image decoder. A real pipeline replaces
+    * this body with the codec call; signature and batch shape stay the same.
+    */
+  object StubDecode {
+    final case class Decoded(width: Int, height: Int, nChannels: Int, feature: Array[Float])
+    def apply(payload: Array[Byte]): Decoded = {
+      // ??? <- real decoder goes here; deterministic fake derived from bytes:
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+      val w = 64 + math.floorMod(h, 1024).toInt
+      val ht = 64 + math.floorMod(h >> 10, 1024).toInt
+      val feat = Array.tabulate(8)(j => math.floorMod(h >> (j * 7), 997).toFloat / 997f)
+      Decoded(w, ht, 3, feat)
+    }
+  }
+
+  /** Binary payload + metadata projection, no decode: the pure column-level
+    * layer (what the reference's BYTEA/BLOB passthrough class becomes in
+    * Spark). Oracle-checkable: byte length must equal DuckDB's octet_length
+    * of the same utf-8 payload. */
+  val mmMeta: Q = (s, d) =>
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("source"), col("lang"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).cast(LongType).as("n_bytes"),
+        struct(col("source"), col("lang")).as("meta"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("meta.source").as("source"), col("meta.lang").as("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Partition-wise batch decode + feature extraction over the binary
+    * payload: the mapInPandas-shaped path. Schema is declared up front;
+    * each partition streams rows through the (stub) decoder — no collect,
+    * no per-row JVM↔driver hops; at 100 TB this is embarrassingly parallel
+    * and bounded by decode CPU. No SQL oracle (decoder is not SQL);
+    * MultimodalOpsSpec pins determinism + schema. */
+  val mmDecodeFeatures: Q = (s, d) => {
+    val in = Tables.load(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_channels", IntegerType, nullable = false),
+      StructField("feature", ArrayType(FloatType), nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val dec = StubDecode(r.getAs[Array[Byte]](1))
+        Row(id, dec.width, dec.height, dec.nChannels, dec.feature.toSeq)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mm_meta" -> mmMeta,
+    "mm_decode_features" -> mmDecodeFeatures,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         source, lang
+         FROM documents ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Approximate-nearest-neighbor / similarity search over the `embeddings`
+  * fixture (SURVEY.md §2C). The embedding column is `array<float>`; all math
+  * is done in double via higher-order functions (`zip_with` + `aggregate`),
+  * which fold sequentially — deterministic, codegen-friendly, no UDFs.
+  */
+object SimilarityOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def emb(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "embeddings")
+  private def asD(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against a query vector (the embedding of
+    * vec_id 0), k=10. The query row broadcasts; the scan side never
+    * shuffles — Spark's TakeOrderedAndProject does per-partition top-k then
+    * a k-merge, so this is THE exact-search baseline at any scale. */
+  val simSearchTopK: Q = (s, d) => {
+    val k = 10
+    val q = emb(s, d).filter(col("vec_id") === 0)
+      .select(asD(col("embedding")).as("qv"))
+    emb(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        cosine(asD(col("embedding")), col("qv")).as("score_raw"))
+      .orderBy(col("score_raw").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("score_raw"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest of 16 deterministic
+    * centroids (the embeddings of vec_id 0..15 — a stand-in for k-means
+    * training), then probe only the 4 centroid lists nearest the query.
+    * The scale path: cluster assignment is one broadcast pass, the probe
+    * touches nprobe/nlist of the data (partition pruning if the table is
+    * written partitioned by cluster_id), and only candidate lists are
+    * scored. Results are approximate by design → no SQL oracle; the spec
+    * asserts recall against the brute-force baseline. */
+  val simSearchIvf: Q = (s, d) => {
+    val nlist = 16
+    val nprobe = 4
+    val k = 10
+    val e = emb(s, d)
+    val cents = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), asD(col("embedding")).as("cv"))
+    // assignment pass: nearest centroid per vector (broadcast the centroids)
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"),
+        dot(asD(col("embedding")), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
+    // probe list: nprobe centroids nearest the query vector
+    val q = e.filter(col("vec_id") === 0).select(asD(col("embedding")).as("qv"))
+    val probes = cents.crossJoin(broadcast(q))
+      .orderBy(dot(col("cv"), col("qv")).desc, col("cent_id"))
+      .limit(nprobe)
+      .select(col("cent_id"))
+    assigned
+      .join(broadcast(probes), "cent_id") // prune to probed lists
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        cosine(asD(col("embedding")), col("qv")).as("score_raw"))
+      .orderBy(col("score_raw").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("score_raw"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_search_topk" -> simSearchTopK,
+    "sim_search_ivf" -> simSearchIvf,
+  )
+
+  /** Oracle for the exact variant; DuckDB computes the same double-precision
+    * dot/norm via UNNEST + per-index products summed in index order. */
+  val oracle: Map[String, String] = Map(
+    "sim_search_topk" ->
+      """WITH q AS (
+           SELECT u.val AS qv, u.i AS i FROM (
+             SELECT unnest(embedding) AS val,
+                    generate_subscripts(embedding, 1) AS i
+             FROM embeddings WHERE vec_id = 0) u),
+         flat AS (
+           SELECT vec_id, label, unnest(embedding) AS val,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id <> 0),
+         scored AS (
+           SELECT f.vec_id, f.label,
+             SUM(CAST(f.val AS DOUBLE) * CAST(q.qv AS DOUBLE)) /
+             (SQRT(SUM(CAST(f.val AS DOUBLE) * CAST(f.val AS DOUBLE))) *
+              SQRT(SUM(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE)))) AS score_raw
+           FROM flat f JOIN q ON f.i = q.i
+           GROUP BY f.vec_id, f.label)
+         SELECT vec_id, label, ROUND(score_raw, 6) AS score
+         FROM (SELECT * FROM scored ORDER BY score_raw DESC, vec_id LIMIT 10)
+         ORDER BY score DESC, vec_id""",
+  )
+}

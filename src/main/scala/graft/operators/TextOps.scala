@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY.md §2C) over the
+  * `documents` fixture. All are single-pass, codegen-friendly column
+  * expressions — no UDFs, no shuffles beyond the final aggregate/sort — so
+  * they stream over 100 TB of parquet at IO speed.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
+
+  private val stopwords = Seq("the", "a")
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Corpus stats: language distribution + char-count moments (exact integer
+    * sums; the avg divides two exact values so it is order-insensitive). */
+  val textStats: Q = (s, d) =>
+    docs(s, d).groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  /** Per-document quality signals: token count, mean word length, stopword
+    * ratio, and a composite score — the length/punct/stopword heuristics of
+    * C4/Gopher-style quality filtering, as pure column arithmetic. */
+  val textQuality: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("ws", words(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast(LongType).as("n_words"),
+        (col("n_chars").cast(DoubleType) / size(col("ws"))).as("avg_word_len"),
+        (size(filter(col("ws"), w => w.isin(stopwords.map(x => x: Any): _*)))
+          .cast(DoubleType) / size(col("ws"))).as("stop_ratio"))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_words").cast(DoubleType) / 100) * (lit(1.0) - col("stop_ratio")), 6))
+      .orderBy(col("doc_id"))
+
+  /** BPE-ish token counting: alpha runs, digit runs, and lone symbols each
+    * count as one token (whitespace is not a token). */
+  val textTokenCount: Q = (s, d) =>
+    docs(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast(LongType).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Marker-word language ID: count hits from tiny per-language marker sets,
+    * argmax with a fixed tie order (en > de > es > fr > zh). A real system
+    * would use char-trigram profiles; the *shape* — one pass, per-row column
+    * arithmetic, argmax over a fixed family — is identical and that is what
+    * scales. */
+  val textLangId: Q = (s, d) => {
+    val markers = Seq(
+      "en" -> Seq("the", "a", "of"),
+      "de" -> Seq("der", "die", "und"),
+      "es" -> Seq("el", "los", "que"),
+      "fr" -> Seq("le", "les", "et"),
+      "zh" -> Seq("de", "shi", "bu"))
+    val base = docs(s, d).withColumn("ws", words(col("text")))
+    val withCounts = markers.foldLeft(base) { case (df, (lang, ms)) =>
+      df.withColumn(s"c_$lang",
+        size(filter(col("ws"), w => w.isin(ms.map(x => x: Any): _*))))
+    }
+    val Seq(en, de, es, fr, zh) = markers.map { case (l, _) => col(s"c_$l") }
+    withCounts.select(
+        col("doc_id"),
+        when(en >= de && en >= es && en >= fr && en >= zh, "en")
+          .when(de >= es && de >= fr && de >= zh, "de")
+          .when(es >= fr && es >= zh, "es")
+          .when(fr >= zh, "fr")
+          .otherwise("zh").as("pred_lang"),
+        col("lang").as("true_lang"))
+      .withColumn("is_match", col("pred_lang") === col("true_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: order-sensitive rolling polynomial hash over the
+    * word sequence (Karp–Rabin style; xxhash64 per word, ×31 rolling, modulo
+    * a 2^55-scale prime so ANSI-mode arithmetic can't overflow).
+    * No SQL oracle: DuckDB lacks xxhash64. */
+  val textFingerprint: Q = (s, d) => {
+    val p = 36028797018963913L // prime < 2^55: 31*p + p < 2^63, overflow-free
+    docs(s, d).select(
+        col("doc_id"),
+        aggregate(words(col("text")), lit(0L),
+          (acc, w) => pmod(acc * lit(31L) + pmod(xxhash64(w), lit(p)), lit(p)))
+          .as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_stats" -> textStats,
+    "text_quality" -> textQuality,
+    "text_token_count" -> textTokenCount,
+    "text_lang_id" -> textLangId,
+    "text_fingerprint" -> textFingerprint,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+         MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "text_quality" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
+         CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100)
+           * (1.0 - CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+           / len(string_split(text, ' '))), 6) AS quality
+         FROM documents ORDER BY doc_id""",
+    "text_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "text_lang_id" ->
+      """WITH c AS (
+           SELECT doc_id, lang AS true_lang,
+             len(list_filter(string_split(text,' '), w -> w IN ('the','a','of'))) AS c_en,
+             len(list_filter(string_split(text,' '), w -> w IN ('der','die','und'))) AS c_de,
+             len(list_filter(string_split(text,' '), w -> w IN ('el','los','que'))) AS c_es,
+             len(list_filter(string_split(text,' '), w -> w IN ('le','les','et'))) AS c_fr,
+             len(list_filter(string_split(text,' '), w -> w IN ('de','shi','bu'))) AS c_zh
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                WHEN c_fr >= c_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang,
+           true_lang,
+           (CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                WHEN c_fr >= c_zh THEN 'fr'
+                ELSE 'zh' END = true_lang) AS is_match
+         FROM c ORDER BY doc_id""",
+  )
+}

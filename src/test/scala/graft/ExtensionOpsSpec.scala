@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Correctness of the §2C pipelines on *planted* duplicates/neighbors —
+  * the oracle can't check the hash-based ops (no xxhash64 in DuckDB), so
+  * these specs pin their semantics: planted near-dups MUST be found,
+  * unrelated rows MUST NOT pair.
+  */
+class ExtensionOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Fixture dir with planted documents + embeddings. */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-ext").toString
+    val base = (0 until 40).map(i => s"w${(i * 7) % 13} t${(i * 3) % 11} q$i").mkString(" ")
+    val nearDup = base.replace("q7", "qX") // one token differs
+    val other = (0 until 40).map(i => s"z$i y${i % 5}").mkString(" ")
+    val docs = Seq(
+      (0L, base, "en", "s0", base.length.toLong),
+      (1L, base, "en", "s1", base.length.toLong),      // exact dup of 0
+      (2L, nearDup, "en", "s2", nearDup.length.toLong), // near dup of 0
+      (3L, other, "de", "s3", other.length.toLong),     // unrelated
+      (4L, "tiny doc", "fr", "s4", 8L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.parquet(s"$d/documents.parquet")
+    val v0 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val v0near = v0.clone(); v0near(0) = v0(0) + 0.001f
+    val v1 = Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)
+    val v2 = Array.tabulate(64)(i => (if (i % 2 == 0) 1f else -1f) * (i + 1))
+    val embs = Seq(
+      (0L, v0.toSeq, 1), (1L, v0near.toSeq, 1), // near-identical pair
+      (2L, v1.toSeq, 2), (3L, v2.toSeq, 3))
+    embs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("dedup_exact groups identical texts, keeps min doc_id") {
+    val rows = DedupOps.dedupExact(spark, dir).collect()
+    assert(rows.length == 4) // 5 docs, one exact-dup pair
+    val dup = rows.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("dedup_minhash finds planted near-dups, not unrelated docs") {
+    val pairs = DedupOps.dedupMinhash(spark, dir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair missed")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)), "near-dup pair missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
+  }
+
+  test("dedup_simhash: near-identical docs within hamming 3, unrelated not paired") {
+    val rows = DedupOps.dedupSimhash(spark, dir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(rows.contains((0L, 1L)))
+    assert(!rows.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("dedup_ngram_jaccard matches hand-computed Jaccard") {
+    val rows = DedupOps.dedupNgramJaccard(spark, dir).collect()
+    val exact = rows.find(r => r.getAs[Long]("a") == 0L && r.getAs[Long]("b") == 1L).get
+    assert(exact.getAs[Double]("jaccard") == 1.0)
+    // near dup: 120 words → 118 distinct shingles; the one changed token
+    // appears in 3 windows → |∩| = 115, |∪| = 121
+    val near = rows.find(r => r.getAs[Long]("a") == 0L && r.getAs[Long]("b") == 2L).get
+    assert(math.abs(near.getAs[Double]("jaccard") - 115.0 / 121.0) < 1e-9)
+    assert(!rows.exists(r => r.getAs[Long]("a") == 3L || r.getAs[Long]("b") == 3L))
+  }
+
+  test("dedup_embedding pairs only the near-identical vectors") {
+    val rows = DedupOps.dedupEmbedding(spark, dir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(rows == Set((0L, 1L)))
+  }
+
+  test("sim_search_topk ranks the near-identical vector first") {
+    val rows = SimilarityOps.simSearchTopK(spark, dir).collect()
+    assert(rows.head.getAs[Long]("vec_id") == 1L)
+    assert(rows.head.getAs[Double]("score") > 0.999)
+  }
+
+  test("sim_search_ivf returns k results with sane recall on the real fixture") {
+    val sf = TestSpark.sf0001
+    val exact = SimilarityOps.simSearchTopK(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = SimilarityOps.simSearchIvf(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    assert(approx.size == 10)
+    assert((exact & approx).nonEmpty, "IVF probe missed every true neighbor")
+  }
+
+  test("text_fingerprint is order-sensitive and deterministic") {
+    val fp = TextOps.textFingerprint(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(1L), "identical texts must collide")
+    assert(fp(0L) != fp(2L), "different texts must differ")
+    val fp2 = TextOps.textFingerprint(spark, dir).as[(Long, Long)].collect().toMap
+    assert(fp == fp2, "fingerprint must be run-deterministic")
+  }
+
+  test("mm_decode_features: declared schema, deterministic stub decode") {
+    val out = MultimodalOps.mmDecodeFeatures(spark, dir)
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("doc_id", "width", "height", "n_channels", "feature"))
+    assert(out.schema("feature").dataType == ArrayType(FloatType))
+    val r1 = out.collect()
+    val r2 = MultimodalOps.mmDecodeFeatures(spark, dir).collect()
+    assert(r1.sameElements(r2))
+    assert(r1.forall(_.getAs[Seq[Float]]("feature").length == 8))
+    // identical payloads decode identically
+    val byId = r1.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("width")).toMap
+    assert(byId(0L) == byId(1L))
+  }
+
+  test("streaming-shape guard: extension queries collect nothing to the driver") {
+    // plans must be fully distributed: no LocalRelation of the input data
+    val plans = Seq(
+      DedupOps.dedupMinhash(spark, dir),
+      SimilarityOps.simSearchTopK(spark, dir),
+      MultimodalOps.mmDecodeFeatures(spark, dir))
+    plans.foreach { df =>
+      val plan = df.queryExecution.optimizedPlan.toString()
+      assert(!plan.contains("LocalRelation"), s"driver-side data found:\n$plan")
+    }
+  }
+}
