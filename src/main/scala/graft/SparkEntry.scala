@@ -14,11 +14,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelOps.queries ++ TextOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ MultimodalOps.queries ++ MaterializeOps.queries
+      SimilarityOps.queries ++ MultimodalOps.queries ++ MaterializeOps.queries ++
+      AsOfOps.queries ++ graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelOps.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
-      SimilarityOps.oracle ++ MultimodalOps.oracle ++ MaterializeOps.oracle
+      SimilarityOps.oracle ++ MultimodalOps.oracle ++ MaterializeOps.oracle ++
+      AsOfOps.oracle ++ graft.streaming.StreamOps.oracle
 }

@@ -1,0 +1,58 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (point-in-time lookup): for each left row, the latest right row
+  * with the same key and `rightTime <= leftTime`.
+  *
+  * Spark has no built-in as-of join; per the preference order (compose
+  * built-ins > custom Expression > custom SparkPlan) this composes exactly
+  * two primitives: a union of both sides and one window pass — the
+  * "union + last_value(ignoreNulls)" formulation.
+  *
+  * Scale shape: ONE shuffle of (key, time)-tagged rows and a per-key sort —
+  * identical movement to the sort-merge join Spark would do anyway, with no
+  * range-explosion: each left row matches exactly once, so the operator never
+  * produces more than |left| rows, unlike an inequality join + argmax
+  * (which materializes every candidate pair first). Skewed keys behave like
+  * any window partition (AQE-sized); time-ordering within a key is the sort
+  * Spark already does for the window.
+  */
+object AsOfJoin {
+
+  /** @param payload right-side columns to carry onto matched left rows */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      payload: Seq[(Column, String)]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val pNames = payload.map(_._2)
+
+    val l = left.select(
+      (leftCols.map(c => left(c).as(c)) :+
+        leftKey.as("__k") :+ leftTime.as("__t") :+ lit(1).as("__is_left")) ++
+        pNames.map(n => lit(null).cast(right.select(payload.find(_._2 == n).get._1).schema.head.dataType).as(s"__p_$n")): _*)
+    val r = right.select(
+      (leftCols.map(c => lit(null).cast(left.select(left(c)).schema.head.dataType).as(c)) :+
+        rightKey.as("__k") :+ rightTime.as("__t") :+ lit(0).as("__is_left")) ++
+        payload.map { case (c, n) => c.as(s"__p_$n") }: _*)
+
+    // right rows sort before left rows at equal time → `<=` match semantics
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matchedCols = pNames.map(n =>
+      last(col(s"__p_$n"), ignoreNulls = true).over(w).as(n))
+
+    l.unionByName(r)
+      .select((leftCols.map(col) :+ col("__is_left")) ++ matchedCols: _*)
+      .filter(col("__is_left") === 1)
+      .select(leftCols.map(col) ++ pNames.map(col): _*)
+  }
+}

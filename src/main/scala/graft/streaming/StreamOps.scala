@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table (SURVEY.md §7 stretch: the
+  * reference has no streaming — its only time machinery is job ETA — so this
+  * is a Spark-native extension, not parity work).
+  *
+  * The batch fixtures drive the streams with `Trigger.AvailableNow`: the
+  * parquet directory is treated as a file stream, processed to completion,
+  * and the result is returned as a normal DataFrame — which makes the
+  * streaming path oracle-checkable against the equivalent batch SQL (the
+  * exactly-once contract: a correct streaming aggregation over a finite
+  * input must equal the batch aggregation).
+  */
+object StreamOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events.ts is parquet TIMESTAMP(NANOS); declare it long and convert,
+    * exactly like the batch-side Tables.load. */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private[streaming] def eventStreamPublic(s: SparkSession, d: String): DataFrame =
+    eventStream(s, d)
+
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the fixture is a single file and the file stream source only accepts
+    // directories: stream the parent dir with a glob filter instead
+    s.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def runToCompletion(s: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Tumbling-window streaming aggregation: hourly event counts + exact
+    * decimal value sums per event_type, with a 10-minute watermark (no-op on
+    * a finite replay, load-bearing on an unbounded one: it bounds state by
+    * letting the store evict windows older than the watermark). */
+  val streamTumbling: Q = (s, d) => {
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+    runToCompletion(s, agg, s"graft_stream_tumbling_${System.nanoTime()}")
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /** Sliding-window streaming aggregation (1h window, 30m slide): each event
+    * lands in 2 windows; state is 2× the tumbling case, still bounded by the
+    * watermark. */
+  val streamSliding: Q = (s, d) => {
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    runToCompletion(s, agg, s"graft_stream_sliding_${System.nanoTime()}")
+      .select(col("window.start").as("win_start"), col("n"))
+      .orderBy(col("win_start"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> streamTumbling,
+    "stream_sliding" -> streamSliding,
+  )
+
+  /** Batch equivalents: hourly tumbling = date_trunc; sliding = union of the
+    * two half-hour-offset tumbling grids. ts is truncated to microseconds on
+    * the DuckDB side to match the stream's nanos→micros conversion. */
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "stream_sliding" ->
+      """WITH f AS (
+           SELECT time_bucket(INTERVAL 30 MINUTES,
+                              CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS f30
+           FROM events),
+         g AS (
+           SELECT f30 AS win_start FROM f
+           UNION ALL
+           SELECT f30 - INTERVAL 30 MINUTES AS win_start FROM f)
+         SELECT win_start, COUNT(*) AS n FROM g GROUP BY win_start ORDER BY win_start""",
+  )
+}
