@@ -38,19 +38,21 @@ object DedupOps {
 
   // -------------------------------------------------------------- shingles
   /** Word 3-gram shingles (distinct), with a whole-text fallback for short
-    * docs. */
-  private[operators] def shingles(text: Column, k: Int = 3): Column = {
-    val ws = split(text, " ")
-    when(size(ws) >= k,
-      array_distinct(transform(sequence(lit(0), size(ws) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(ws, (i + j + 1).cast(IntegerType))): _*))))
-      .otherwise(array(text))
-  }
+    * docs. Native expression — see [[graft.functions.WordShingles]]. */
+  private[operators] def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.WordShingles.word_shingles(text, k)
 
-  /** Seeded hash family over shingles: h_s(x) = xxhash64(x, s). */
-  private def minhashSig(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(sh, x => xxhash64(x, seed))))
+  /** MinHash signatures via explode + one codegen'd hash aggregate: 16
+    * `min(xxhash64(shingle, seed))` columns in a single partial+final
+    * HashAggregate pass. ~10× the throughput of the equivalent
+    * `transform(...array_min...)` higher-order-function chain, which
+    * evaluates interpreted per row outside whole-stage codegen. */
+  private def minhashSigs(docsF: DataFrame, numHashes: Int): DataFrame = {
+    val exploded = docsF.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
 
   private def candidatePairs(buckets: DataFrame): DataFrame = {
     // buckets: (bucket_key..., doc_id); emit distinct (a < b) pairs per bucket
@@ -89,8 +91,7 @@ object DedupOps {
     val numHashes = 16
     val bands = 4
     val rows = numHashes / bands
-    val sig = docs(s, d).select(col("doc_id"),
-      minhashSig(shingles(col("text")), numHashes).as("sig"))
+    val sig = minhashSigs(docs(s, d), numHashes)
     val banded = sig.select(col("doc_id"),
         explode(expr(
           s"""transform(sequence(0, ${bands - 1}), b ->
@@ -107,16 +108,20 @@ object DedupOps {
     * within Hamming distance 3 must agree on a full chunk); verified on true
     * Hamming distance via bit_count(xor). */
   val dedupSimhash: Q = (s, d) => {
-    // per-bit net vote: sum over words of (bit j set ? +1 : -1); the Scala
-    // shift functions need literal bit counts, so the lambda-indexed shifts
-    // are SQL exprs.
-    val sigs = docs(s, d)
-      .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 63), 0L, (acc, j) -> acc |
-             if(aggregate(ws, 0L,
-                  (a, w) -> a + if((shiftright(xxhash64(w), j) & 1) = 1, 1L, -1L)) > 0,
-                shiftleft(1L, j), 0L))""").as("sim"))
+    // per-bit net vote: sum over words of (bit j set ? +1 : -1), computed as
+    // explode + 64 codegen'd sum() columns (one HashAggregate pass; the
+    // nested-HOF formulation runs interpreted and ~8× slower), then the sign
+    // bits recombine into one long.
+    val wordHashes = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val voteAggs = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j"))
+    val sigs = wordHashes.groupBy(col("doc_id"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sim"))
     val chunked = sigs.select(col("doc_id"),
         explode(expr(
           """transform(sequence(0, 3), c ->

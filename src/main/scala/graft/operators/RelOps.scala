@@ -123,9 +123,13 @@ object RelOps {
     t(s, d, "customer").join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
       .select($"c_custkey", $"c_name").orderBy($"c_custkey")
 
-  /** Anti join (NOT EXISTS). */
+  /** Anti join (NOT EXISTS): customers with no high-value order. The right
+    * side is filtered (o_totalprice > 400k) so the result is non-trivial on
+    * the fixtures — every customer has *some* order. */
   val joinAnti: Q = (s, d) =>
-    t(s, d, "customer").join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+    t(s, d, "customer")
+      .join(t(s, d, "orders").filter($"o_totalprice" > 400000),
+        $"c_custkey" === $"o_custkey", "left_anti")
       .select($"c_custkey", $"c_name").orderBy($"c_custkey")
 
   /** Explicit broadcast of a small dimension: no shuffle of the fact side at
@@ -201,9 +205,11 @@ object RelOps {
       .intersect(t(s, d, "supplier").select($"s_nationkey".as("nk")))
       .orderBy($"nk")
 
+  /** EXCEPT over filtered key sets (suppliers span every nation, so the
+    * unfiltered difference would be empty). */
   val setExcept: Q = (s, d) =>
     t(s, d, "customer").select($"c_nationkey".as("nk"))
-      .except(t(s, d, "supplier").select($"s_nationkey".as("nk")))
+      .except(t(s, d, "supplier").filter($"s_acctbal" > 5000).select($"s_nationkey".as("nk")))
       .orderBy($"nk")
 
   val distinctRows: Q = (s, d) =>
@@ -360,7 +366,8 @@ object RelOps {
          ORDER BY c_custkey""",
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer c
-         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
          ORDER BY c_custkey""",
     "join_broadcast" ->
       """SELECT p_brand, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS promo_qty, COUNT(*) AS n
@@ -401,7 +408,8 @@ object RelOps {
          INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""",
     "set_except" ->
       """SELECT c_nationkey AS nk FROM customer
-         EXCEPT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""",
+         EXCEPT SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 5000
+         ORDER BY nk""",
     "distinct_rows" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
          ORDER BY l_returnflag, l_linestatus""",

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.RelOps
+
+/** Physical-plan hygiene: the properties that decide whether these operators
+  * survive a 100 TB scale-up. Asserting them here keeps a refactor from
+  * silently regressing pushdown/pruning/broadcast/codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("filter_eq pushes the predicate into the parquet scan") {
+    val plan = formatted("filter_eq")
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+  }
+
+  test("filter_range pushes both range bounds down") {
+    val plan = formatted("filter_range")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_shipdate"), plan)
+  }
+
+  test("project prunes the scan to exactly the referenced columns") {
+    val plan = formatted("project")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_partkey"),
+      s"scan reads more than projected: $readSchema")
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin (no fact-side shuffle)") {
+    val plan = formatted("join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("agg_group_sum is a two-phase hash aggregate (map-side partial)") {
+    val plan = formatted("agg_group_sum")
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("partial_sum") || plan.contains("Partial"), plan)
+  }
+
+  test("sort_limit plans TakeOrderedAndProject, not a global sort") {
+    val plan = formatted("sort_limit")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("hot-path queries stay inside WholeStageCodegen") {
+    // AQE's formatted mode hides codegen markers pre-execution; CodegenMode
+    // reports the generated subtrees directly.
+    for (q <- Seq("project", "agg_group_sum", "agg_multi", "join_inner")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
+      assert(plan.contains("WholeStageCodegen"), s"$q fell out of codegen:\n$plan")
+    }
+  }
+
+  test("join_range keeps the equi key (hash join, range as residual)") {
+    val plan = formatted("join_range")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to nested loop:\n$plan")
+  }
+
+  test("semi/anti joins plan as real semi/anti, not inner+distinct") {
+    assert(formatted("join_semi").contains("LeftSemi"))
+    assert(formatted("join_anti").contains("LeftAnti"))
+  }
+}
