@@ -101,6 +101,24 @@ object RelOps {
       .agg(sumd($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
 
+  /** CUBE: all 2^k grouping combinations. */
+  val aggCube: Q = (s, d) =>
+    t(s, d, "lineitem").cube($"l_returnflag", $"l_linestatus")
+      .agg(sumd($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+
+  /** Explicit GROUPING SETS via SQL (arbitrary set lists). */
+  val aggGroupingSets: Q = (s, d) => {
+    Tables.load(s, d, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  }
+
   // ---------------------------------------------------------------- joins
   /** Fact⋈dim equi join (README "Usecase": entries ⋈ users). customer is
     * small → AQE turns this into a broadcast join automatically. */
@@ -293,6 +311,8 @@ object RelOps {
     "agg_count_distinct" -> aggCountDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
     "join_inner" -> joinInner,
     "join_left" -> joinLeft,
     "join_semi" -> joinSemi,
@@ -351,6 +371,16 @@ object RelOps {
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "join_inner" ->
       """SELECT o_orderkey, c_name, o_totalprice FROM orders

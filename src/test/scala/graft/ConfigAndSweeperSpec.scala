@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConfigAndSweeperSpec extends AnyFunSuite {
+
+  test("TOML-lite config parses the reference's structure (cmd/init.go:53-90)") {
+    val cfg = GraftConfig.fromString(
+      """# comment
+        |[app]
+        |default_job_ttl = "90s"   # trailing comment
+        |default_queue = "reports"
+        |task_dirs = ["sql", "more_sql"]
+        |
+        |[db.my_db]
+        |dir = "/data/a"
+        |[db.ch_db]
+        |dir = "/data/b"
+        |
+        |[results.my_results]
+        |dir = "/data/out"
+        |""".stripMargin, env = Map.empty)
+    assert(cfg.defaultTtlSec == 90)
+    assert(cfg.defaultQueue == "reports")
+    assert(cfg.taskDirs == Seq("sql", "more_sql"))
+    assert(cfg.sources == Map("my_db" -> "/data/a", "ch_db" -> "/data/b"))
+    assert(cfg.resultBackends == Map("my_results" -> "/data/out"))
+  }
+
+  test("env overlay overrides file values (main.go:45-50 DUNGBEETLE_* analog)") {
+    val cfg = GraftConfig.fromString(
+      "[app]\ndefault_queue = \"x\"\n[db.my_db]\ndir = \"/a\"\n[results.r]\ndir = \"/r\"\n",
+      env = Map("GRAFT_APP__DEFAULT_QUEUE" -> "overridden",
+                "GRAFT_DB__MY_DB__DIR" -> "/env-dir"))
+    assert(cfg.defaultQueue == "overridden")
+    assert(cfg.sources("my_db") == "/env-dir")
+  }
+
+  test("durations parse Go-style (60s / 5m / 1h)") {
+    assert(GraftConfig.parseDuration("60s") == 60)
+    assert(GraftConfig.parseDuration("5m") == 300)
+    assert(GraftConfig.parseDuration("1h") == 3600)
+    assert(GraftConfig.parseDuration("\"45s\"") == 45)
+  }
+
+  test("config boots a working core end-to-end") {
+    val taskDir = Files.createTempDirectory("cfg-tasks")
+    Files.writeString(taskDir.resolve("t.sql"),
+      "-- name: n_events\nSELECT COUNT(*) AS n FROM events;\n")
+    val out = Files.createTempDirectory("cfg-out").toString
+    val cfg = GraftConfig.fromString(
+      s"""[app]
+         |task_dirs = ["$taskDir"]
+         |[db.main]
+         |dir = "${TestSpark.sf0001}"
+         |[results.main]
+         |dir = "$out"
+         |""".stripMargin, env = Map.empty)
+    val core = cfg.boot(TestSpark.spark)
+    val job = core.postJob(JobReq("n_events"))
+    val deadline = System.currentTimeMillis + 60000
+    while (core.store.get(job.id).exists(s => s.state != JobState.Success &&
+             s.state != JobState.Failure) && System.currentTimeMillis < deadline)
+      Thread.sleep(25)
+    assert(core.getJobStatus(job.id).state == JobState.Success)
+    assert(core.results(job.id).head.getLong(0) == 1000L)
+    core.shutdown()
+  }
+
+  test("result sweeper deletes only expired results_ dirs") {
+    val root = Files.createTempDirectory("sweep").toString
+    def mk(name: String, ageSec: Long): java.io.File = {
+      val f = new java.io.File(root, name)
+      f.mkdirs()
+      f.setLastModified(System.currentTimeMillis - ageSec * 1000)
+      f
+    }
+    val old = mk("results_old", 120)
+    val fresh = mk("results_fresh", 10)
+    val other = mk("not_a_result", 999)
+    val sweeper = new ResultSweeper(SourcePool.single("b", root), retentionSec = 60)
+    val deleted = sweeper.sweepOnce()
+    assert(deleted == Seq("results_old"))
+    assert(!old.exists() && fresh.exists() && other.exists())
+  }
+}
