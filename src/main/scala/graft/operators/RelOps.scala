@@ -160,6 +160,23 @@ object RelOps {
       .agg(sumd($"l_quantity").as("promo_qty"), count(lit(1)).as("n"))
       .orderBy($"p_brand")
 
+  /** Co-located (bucketed) join: both sides pre-bucketed on the join key →
+    * the join itself plans with no Exchange and no Sort (asserted in
+    * PlanSpec). The write is the one-time shuffle; the fixtures are rewritten
+    * bucketed into a temp dir to keep the query self-contained. */
+  val joinBucketed: Q = (s, d) => {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    graft.plans.BucketedJoin.writeBucketed(
+      t(s, d, "orders"), "graft_bk_orders", "o_custkey", 8, s"$wh/orders")
+    graft.plans.BucketedJoin.writeBucketed(
+      t(s, d, "customer"), "graft_bk_customer", "c_custkey", 8, s"$wh/customer")
+    graft.plans.BucketedJoin.join(s, "graft_bk_orders", "graft_bk_customer",
+        "o_custkey", "c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), sumd($"o_totalprice").as("total"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Equi + range join (ts ≥ bound residual). The equi key keeps it a hash
     * join at scale; the range term is a post-join filter, never a
     * BroadcastNestedLoop over the fact table. */
@@ -318,6 +335,7 @@ object RelOps {
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
     "join_broadcast" -> joinBroadcast,
+    "join_bucketed" -> joinBucketed,
     "join_range" -> joinRange,
     "sort_limit" -> sortLimit,
     "window_rank" -> windowRank,
@@ -403,6 +421,11 @@ object RelOps {
       """SELECT p_brand, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS promo_qty, COUNT(*) AS n
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_type = 'PROMO' GROUP BY p_brand ORDER BY p_brand""",
+    "join_bucketed" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "join_range" ->
       """SELECT o_orderkey, COUNT(*) AS n_events
          FROM events e JOIN orders o

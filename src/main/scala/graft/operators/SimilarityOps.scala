@@ -82,15 +82,34 @@ object SimilarityOps {
       .orderBy(col("score").desc, col("vec_id"))
   }
 
+  /** Same search as [[simSearchTopK]] but scored by the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression: one fused loop per row
+    * instead of five interpreted array passes. Results are bitwise-identical
+    * (same ops, same order) — same oracle. */
+  val simSearchTopKNative: Q = (s, d) => {
+    import graft.functions.CosineSimilarity.cosine_similarity
+    val k = 10
+    val q = emb(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    emb(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        cosine_similarity(col("embedding"), col("qv")).as("score_raw"))
+      .orderBy(col("score_raw").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("score_raw"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_search_topk" -> simSearchTopK,
+    "sim_search_topk_native" -> simSearchTopKNative,
     "sim_search_ivf" -> simSearchIvf,
   )
 
   /** Oracle for the exact variant; DuckDB computes the same double-precision
     * dot/norm via UNNEST + per-index products summed in index order. */
-  val oracle: Map[String, String] = Map(
-    "sim_search_topk" ->
+  private val topkOracle: String =
       """WITH q AS (
            SELECT u.val AS qv, u.i AS i FROM (
              SELECT unnest(embedding) AS val,
@@ -109,6 +128,10 @@ object SimilarityOps {
            GROUP BY f.vec_id, f.label)
          SELECT vec_id, label, ROUND(score_raw, 6) AS score
          FROM (SELECT * FROM scored ORDER BY score_raw DESC, vec_id LIMIT 10)
-         ORDER BY score DESC, vec_id""",
+         ORDER BY score DESC, vec_id"""
+
+  val oracle: Map[String, String] = Map(
+    "sim_search_topk" -> topkOracle,
+    "sim_search_topk_native" -> topkOracle,
   )
 }

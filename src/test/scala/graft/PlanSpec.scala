@@ -75,4 +75,31 @@ class PlanSpec extends AnyFunSuite {
     assert(formatted("join_semi").contains("LeftSemi"))
     assert(formatted("join_anti").contains("LeftAnti"))
   }
+
+  test("bucketed join is exchange-free (co-located sort-merge)") {
+    val df = SparkEntry.queries("join_bucketed")(spark, sf)
+    // tree prints parent-first: everything after the SortMergeJoin line is
+    // the join subtree (the agg/orderBy exchanges above it print earlier)
+    val plan = df.queryExecution.executedPlan.toString
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, plan)
+    val subtree = plan.substring(joinIdx)
+    assert(subtree.contains("Bucketed: true"), subtree)
+    assert(!subtree.contains("Exchange"), s"bucketed join still shuffles:\n$subtree")
+  }
+
+  test("native cosine expression matches the composed HOF formulation bitwise") {
+    val a = SparkEntry.queries("sim_search_topk")(spark, sf).collect()
+    val b = SparkEntry.queries("sim_search_topk_native")(spark, sf).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("native cosine participates in whole-stage codegen") {
+    val df = SparkEntry.queries("sim_search_topk_native")(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(plan.contains("WholeStageCodegen"), plan)
+    assert(!plan.contains("CodegenFallback") || !plan.contains("cosine_similarity"),
+      "cosine fell back to interpreted eval")
+  }
 }
