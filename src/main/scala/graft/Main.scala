@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Server entry point — the analog of the reference's binary
+  * (`cmd/main.go:34-83`): load config, build the core (task registry, pools,
+  * scheduler), start the HTTP API and the result sweeper, block.
+  *
+  * Usage: `runMain graft.Main --config config.toml [--port 6060]`
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val configPath = opts.getOrElse("--config",
+      sys.error("usage: graft.Main --config <config.toml> [--port N]"))
+    val port = opts.getOrElse("--port", "6060").toInt
+
+    val cfg = GraftConfig.fromFile(configPath)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.scheduler.mode", "FAIR") // queue isolation across jobs
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val core = cfg.boot(spark)
+    val api = new HttpApi(core, port).start()
+    val sweeper = new ResultSweeper(core.resultBackends, cfg.defaultTtlSec.toLong * 60)
+    sweeper.start()
+    println(s"graft listening on :${api.boundPort} " +
+      s"(tasks=${core.tasks.size}, sources=${core.sources.names.mkString(",")})")
+    sys.addShutdownHook { api.stop(); sweeper.stop(); core.shutdown() }
+    Thread.currentThread.join() // block like the reference's worker loop
+  }
+}
