@@ -119,6 +119,39 @@ object RelOps {
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
   }
 
+  /** Exact interpolated percentiles per group (delegated-SQL class:
+    * PG percentile_cont / ClickHouse quantile). */
+  val aggPercentile: Q = (s, d) =>
+    t(s, d, "lineitem").groupBy($"l_returnflag")
+      .agg(expr(
+        "transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D)), x -> round(x, 6))")
+        .as("price_quartiles"))
+      .orderBy($"l_returnflag")
+
+  /** Ordered string aggregation (PG string_agg / MySQL group_concat class);
+    * sorted so the result is order-insensitive to partitioning. */
+  val aggCollectSorted: Q = (s, d) =>
+    t(s, d, "customer").filter($"c_nationkey" < 3)
+      .groupBy($"c_nationkey")
+      .agg(array_join(sort_array(collect_list($"c_name")), ",").as("names"),
+        count(lit(1)).as("n"))
+      .orderBy($"c_nationkey")
+
+  /** Partition pruning: the events table rewritten partitioned by
+    * event_type, then queried with a partition predicate — the scan touches
+    * 1 of 5 directories (PartitionFilters asserted in PlanSpec). At 100 TB
+    * this is the difference between reading 20 TB and reading 100 TB. */
+  val scanPartitionPrune: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.load(s, d, "events")
+      .write.partitionBy("event_type").mode("overwrite").parquet(root)
+    s.read.parquet(root)
+      .filter($"event_type" === "purchase")
+      .groupBy($"ts".cast(DateType).as("day"))
+      .agg(count(lit(1)).as("n"), sumd($"value").as("total"))
+      .orderBy($"day")
+  }
+
   // ---------------------------------------------------------------- joins
   /** Fact⋈dim equi join (README "Usecase": entries ⋈ users). customer is
     * small → AQE turns this into a broadcast join automatically. */
@@ -330,6 +363,9 @@ object RelOps {
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
+    "agg_percentile" -> aggPercentile,
+    "agg_collect_sorted" -> aggCollectSorted,
+    "scan_partition_prune" -> scanPartitionPrune,
     "join_inner" -> joinInner,
     "join_left" -> joinLeft,
     "join_semi" -> joinSemi,
@@ -400,6 +436,21 @@ object RelOps {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
          FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+         list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+                        x -> round(x, 6)) AS price_quartiles
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_collect_sorted" ->
+      """SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names,
+         COUNT(*) AS n
+         FROM customer WHERE c_nationkey < 3
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "scan_partition_prune" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY day""",
     "join_inner" ->
       """SELECT o_orderkey, c_name, o_totalprice FROM orders
          JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""",

@@ -94,6 +94,13 @@ class PlanSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("scan_partition_prune reads only the filtered partition") {
+    val df = SparkEntry.queries("scan_partition_prune")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"no partition filter reached the scan:\n$plan")
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val df = SparkEntry.queries("sim_search_topk_native")(spark, sf)
     val plan = df.queryExecution.explainString(
