@@ -30,6 +30,7 @@ object Executor {
   /** Build the job's DataFrame without materializing (shared by run()). */
   def buildFrame(session: SparkSession, sourceDir: String, task: Task, args: Seq[String]): DataFrame = {
     Tables.registerAll(session, sourceDir)
+    graft.functions.GraftFunctions.registerAll(session) // custom fns for task SQL
     session.sql(ArgBinder.bind(task.raw, args))
   }
 

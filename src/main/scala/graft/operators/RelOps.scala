@@ -261,6 +261,18 @@ object RelOps {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** ntile + explicit-frame first/last_value (analytic frame class). */
+  val windowNtile: Q = (s, d) => {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "orders").select(
+        $"o_custkey", $"o_orderkey",
+        ntile(4).over(w).as("quartile"),
+        first($"o_totalprice").over(full).as("min_price"),
+        last($"o_totalprice").over(full).as("max_price"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   // --------------------------------------------------------- set algebra
   val setUnion: Q = (s, d) =>
     t(s, d, "customer").select($"c_nationkey".as("nk"))
@@ -377,6 +389,7 @@ object RelOps {
     "window_rank" -> windowRank,
     "window_running" -> windowRunning,
     "window_lag" -> windowLag,
+    "window_ntile" -> windowNtile,
     "set_union" -> setUnion,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
@@ -502,6 +515,14 @@ object RelOps {
       """SELECT user_id, event_id,
          value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
          FROM events ORDER BY user_id, event_id""",
+    "window_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+         NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile,
+         FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS min_price,
+         LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS max_price
+         FROM orders ORDER BY o_custkey, o_orderkey""",
     "set_union" ->
       """SELECT nk, COUNT(*) AS n FROM (
            SELECT c_nationkey AS nk FROM customer
