@@ -200,9 +200,11 @@ object RelOps {
   val joinBucketed: Q = (s, d) => {
     val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
     graft.plans.BucketedJoin.writeBucketed(
-      t(s, d, "orders"), "graft_bk_orders", "o_custkey", 8, s"$wh/orders")
+      t(s, d, "orders").select($"o_custkey", $"o_totalprice"),
+      "graft_bk_orders", "o_custkey", 8, s"$wh/orders")
     graft.plans.BucketedJoin.writeBucketed(
-      t(s, d, "customer"), "graft_bk_customer", "c_custkey", 8, s"$wh/customer")
+      t(s, d, "customer").select($"c_custkey", $"c_mktsegment"),
+      "graft_bk_customer", "c_custkey", 8, s"$wh/customer")
     graft.plans.BucketedJoin.join(s, "graft_bk_orders", "graft_bk_customer",
         "o_custkey", "c_custkey")
       .groupBy($"c_mktsegment")

@@ -44,14 +44,22 @@ object StreamOps {
   }
 
   private def runToCompletion(s: SparkSession, agg: DataFrame, name: String): DataFrame = {
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    // Right-size the state store count for the replay: the shuffle-partition
+    // setting at first batch fixes the number of state stores, and a few
+    // thousand windows don't need 32 of them (each costs checkpoint + commit
+    // I/O per batch). A real deployment sizes this to state volume.
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", math.min(old.toInt, 8).toString)
+    try {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    } finally s.conf.set("spark.sql.shuffle.partitions", old)
   }
 
   /** Tumbling-window streaming aggregation: hourly event counts + exact
