@@ -27,11 +27,35 @@ object Executor {
   def resultDir(backendDir: String, jobId: String): String =
     s"$backendDir/results_$jobId"
 
-  /** Build the job's DataFrame without materializing (shared by run()). */
+  /** Build the job's DataFrame without materializing (shared by run()).
+    *
+    * A source is either a parquet directory or a `jdbc:` URL — the latter is
+    * the direct analog of the reference's external source databases
+    * (`dbpool.go`): each table the task SQL references becomes a
+    * `spark.read.jdbc` relation, and Catalyst pushes filters + column
+    * pruning down into the remote DB exactly the way the reference delegates
+    * whole queries to it.
+    */
   def buildFrame(session: SparkSession, sourceDir: String, task: Task, args: Seq[String]): DataFrame = {
-    Tables.registerAll(session, sourceDir)
+    val sql = ArgBinder.bind(task.raw, args)
+    if (sourceDir.startsWith("jdbc:")) registerJdbcTables(session, sourceDir, sql)
+    else Tables.registerAll(session, sourceDir)
     graft.functions.GraftFunctions.registerAll(session) // custom fns for task SQL
-    session.sql(ArgBinder.bind(task.raw, args))
+    session.sql(sql)
+  }
+
+  /** Register a JDBC relation for every table the statement references. */
+  private def registerJdbcTables(session: SparkSession, url: String, sql: String): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    val plan = session.sessionState.sqlParser.parsePlan(sql)
+    val tables = plan.collect { case r: UnresolvedRelation => r.tableName }.distinct
+    tables.foreach { t =>
+      session.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", t)
+        .load()
+        .createOrReplaceTempView(t)
+    }
   }
 
   /** Execute one job end-to-end on the calling thread. */
