@@ -27,6 +27,13 @@ object Executor {
   def resultDir(backendDir: String, jobId: String): String =
     s"$backendDir/results_$jobId"
 
+  /** `results_%s` table-name template (sqldb.go:77-81). */
+  def resultTable(jobId: String): String = s"results_$jobId"
+
+  /** ANSI-quoted form for use as a JDBC dbtable (job IDs may contain `-`;
+    * the reference quotes with the backend's dialect, sqldb.go:307-314). */
+  def quotedResultTable(jobId: String): String = "\"" + resultTable(jobId) + "\""
+
   /** Build the job's DataFrame without materializing (shared by run()).
     *
     * A source is either a parquet directory or a `jdbc:` URL — the latter is
@@ -72,11 +79,21 @@ object Executor {
       val (_, backendDir) = task.resultBackends.getRandom(rnd) // core.go:515
       val df = buildFrame(session, srcDir, task, job.args)
       val out = CanonicalTypes.castToCanonical(df)
-      val dest = resultDir(backendDir, job.id)
-      out.write.mode("overwrite").parquet(dest)
-      // count from the committed files' footers (metadata-only, no rescan)
-      val count = session.read.parquet(dest).count()
-      ExecResult(count, dest, srcName)
+      if (backendDir.startsWith("jdbc:")) {
+        // external result DB, like the reference's MySQL/PG backends:
+        // overwrite = DROP TABLE IF EXISTS + CREATE (sqldb.go:159-188)
+        val table = quotedResultTable(job.id)
+        out.write.mode("overwrite")
+          .jdbc(backendDir, table, new java.util.Properties)
+        val count = session.read.jdbc(backendDir, table, new java.util.Properties).count()
+        ExecResult(count, s"$backendDir#${resultTable(job.id)}", srcName)
+      } else {
+        val dest = resultDir(backendDir, job.id)
+        out.write.mode("overwrite").parquet(dest)
+        // count from the committed files' footers (metadata-only, no rescan)
+        val count = session.read.parquet(dest).count()
+        ExecResult(count, dest, srcName)
+      }
     } finally sc.clearJobGroup()
   }
 }

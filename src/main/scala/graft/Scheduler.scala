@@ -126,8 +126,15 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
         // the worker then re-fires cancelJobGroup for late-submitted stages.
         Option(running.get(jobId)).foreach(_.interrupt())
         if (purge)
-          backends.sources.values.foreach { dir =>
-            deleteRecursive(new java.io.File(graft.Executor.resultDir(dir, jobId)))
+          backends.sources.values.foreach {
+            case url if url.startsWith("jdbc:") =>
+              // DROP TABLE IF EXISTS analog (sqldb.go:298)
+              val conn = java.sql.DriverManager.getConnection(url)
+              try conn.createStatement().execute(
+                s"""DROP TABLE "${graft.Executor.resultTable(jobId)}"""")
+              catch { case _: Exception => () } finally conn.close()
+            case dir =>
+              deleteRecursive(new java.io.File(graft.Executor.resultDir(dir, jobId)))
           }
     }
   }

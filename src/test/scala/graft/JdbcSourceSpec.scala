@@ -71,6 +71,45 @@ class JdbcSourceSpec extends AnyFunSuite {
     core.shutdown()
   }
 
+  test("results materialize into a JDBC backend (results_<id> table, DROP on purge)") {
+    val tasksDir = Files.createTempDirectory("jdbcres-tasks")
+    Files.writeString(tasksDir.resolve("t.sql"),
+      """-- name: daily
+        |SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |       CAST(ts AS DATE) AS entry_date
+        |FROM events GROUP BY CAST(ts AS DATE);
+        |""".stripMargin)
+    val core = GraftCore(spark, Seq(tasksDir.toString),
+      sources = Map("db" -> TestSpark.sf0001),
+      resultBackends = Map("derby_res" -> url))
+    val job = core.postJob(JobReq("daily", jobId = "jdbc-res-1"))
+    val deadline = System.currentTimeMillis + 60000
+    while (core.store.get(job.id).exists(s => s.state != JobState.Success &&
+             s.state != JobState.Failure) && System.currentTimeMillis < deadline)
+      Thread.sleep(25)
+    val st = core.getJobStatus(job.id)
+    assert(st.state == JobState.Success, st.toString)
+    assert(st.count == 30) // 30 distinct days in sf0.001 events
+    // the table is really in the external DB
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery("""SELECT COUNT(*) FROM "results_jdbc-res-1"""")
+      rs.next()
+      assert(rs.getLong(1) == 30)
+    } finally conn.close()
+    // read-back through the facade, then purge drops the table
+    assert(core.results(job.id).count() == 30)
+    core.deleteJob(job.id, purge = true)
+    val conn2 = DriverManager.getConnection(url)
+    try {
+      intercept[java.sql.SQLException] {
+        conn2.createStatement().executeQuery("""SELECT 1 FROM "results_jdbc-res-1"""")
+      }
+    } finally conn2.close()
+    core.shutdown()
+  }
+
   test("filters push down into the JDBC source (delegation, like the reference)") {
     setupEntries()
     val task = Task("t", "default", 1,
