@@ -359,6 +359,46 @@ object RelOps {
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
       .orderBy($"o_orderkey")
 
+  /** Pivot (delegated-SQL class: PG crosstab / ClickHouse pivot idiom):
+    * order counts per priority pivoted by orderstatus. */
+  val pivotTable: Q = (s, d) =>
+    t(s, d, "orders").groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"o_orderpriority")
+
+  /** LATERAL explode: flatten an array column with ordinality. */
+  val explodeLateral: Q = (s, d) =>
+    t(s, d, "embeddings").filter($"vec_id" < 3)
+      .select($"vec_id", posexplode($"embedding"))
+      .select($"vec_id", ($"pos" + 1).cast(LongType).as("i"),
+        round($"col".cast(DoubleType), 6).as("v"))
+      .orderBy($"vec_id", $"i")
+
+  /** Regex scalar class: extract + global replace + match test. */
+  val scalarRegex: Q = (s, d) =>
+    t(s, d, "part").select(
+        $"p_partkey",
+        regexp_extract($"p_brand", "Brand#(\\d+)", 1).cast(LongType).as("brand_num"),
+        regexp_replace($"p_name", "[aeiou]", "_").as("devoweled"),
+        $"p_type".rlike("^(PROMO|ECONOMY)").as("is_cheap_class"))
+      .orderBy($"p_partkey")
+
+  /** NULL-handling scalar class over real outer-join nulls. */
+  val scalarNull: Q = (s, d) =>
+    t(s, d, "customer")
+      .join(t(s, d, "orders").filter($"o_totalprice" > 450000),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(max($"o_totalprice").as("max_big"))
+      .select(
+        $"c_custkey",
+        coalesce($"max_big", lit(-1.0)).as("max_or_default"),
+        $"max_big".isNull.as("has_none"),
+        nullif(coalesce($"max_big", lit(0.0)), lit(0.0)).as("nullified"))
+      .orderBy($"c_custkey")
+
   // $"..." interpolator without a per-query implicits import
   private implicit class Str(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
@@ -403,6 +443,10 @@ object RelOps {
     "json_extract" -> jsonExtract,
     "array_ops" -> arrayOps,
     "limit_page" -> limitPage,
+    "pivot_table" -> pivotTable,
+    "explode_lateral" -> explodeLateral,
+    "scalar_regex" -> scalarRegex,
+    "scalar_null" -> scalarNull,
   )
 
   /** DuckDB oracle SQL per query (same column names, same total order, same
@@ -572,5 +616,33 @@ object RelOps {
     "limit_page" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_orderkey LIMIT 50 OFFSET 100""",
+    "pivot_table" ->
+      """SELECT o_orderpriority,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+         COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+         COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "explode_lateral" ->
+      """SELECT vec_id, CAST(i AS BIGINT) AS i, ROUND(CAST(val AS DOUBLE), 6) AS v
+         FROM (SELECT vec_id, unnest(embedding) AS val,
+                      generate_subscripts(embedding, 1) AS i
+               FROM embeddings WHERE vec_id < 3)
+         ORDER BY vec_id, i""",
+    "scalar_regex" ->
+      """SELECT p_partkey,
+         CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT) AS brand_num,
+         regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+         regexp_matches(p_type, '^(PROMO|ECONOMY)') AS is_cheap_class
+         FROM part ORDER BY p_partkey""",
+    "scalar_null" ->
+      """SELECT c_custkey,
+         COALESCE(max_big, -1.0) AS max_or_default,
+         (max_big IS NULL) AS has_none,
+         NULLIF(COALESCE(max_big, 0.0), 0.0) AS nullified
+         FROM (SELECT c_custkey, MAX(o_totalprice) AS max_big
+               FROM customer LEFT JOIN orders
+                 ON c_custkey = o_custkey AND o_totalprice > 450000
+               GROUP BY c_custkey)
+         ORDER BY c_custkey""",
   )
 }
