@@ -91,9 +91,24 @@ object StreamOps {
       .orderBy(col("win_start"))
   }
 
+  /** Streaming deduplication: state-backed `dropDuplicates` over the stream
+    * (the training-pipeline shape: dedup documents *as they arrive* instead
+    * of re-scanning the corpus). The watermark bounds the dedup state to the
+    * lateness horizon; on a finite replay the result equals batch DISTINCT. */
+  val streamDedup: Q = (s, d) => {
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct_users"))
+    runToCompletion(s, agg, s"graft_stream_dedup_${System.nanoTime()}")
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
+    "stream_dedup" -> streamDedup,
   )
 
   /** Batch equivalents: hourly tumbling = date_trunc; sliding = union of the
@@ -115,5 +130,8 @@ object StreamOps {
            UNION ALL
            SELECT f30 - INTERVAL 30 MINUTES AS win_start FROM f)
          SELECT win_start, COUNT(*) AS n FROM g GROUP BY win_start ORDER BY win_start""",
+    "stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }
