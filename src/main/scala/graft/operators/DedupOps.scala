@@ -192,8 +192,49 @@ object DedupOps {
       .orderBy(col("a"), col("b"))
   }
 
+  // --------------------------------------------- cluster resolution (CC)
+  /** Duplicate-cluster resolution: connected components over the near-dup
+    * pair graph via min-label propagation, yielding one canonical keeper per
+    * cluster (transitive closure — pairwise output alone can't decide
+    * A~B, B~C ⇒ keep one of {A,B,C}).
+    *
+    * Iterative Spark done right: each round is one join + one aggregate;
+    * labels converge in O(log n) rounds (checked with a count, driver loops
+    * control flow only — never data); `localCheckpoint` truncates lineage
+    * every round, the classic guard against iterative-plan blowup. Built on
+    * the exact-Jaccard pairs so the whole pipeline — pairs AND clustering —
+    * is DuckDB-oracle-checkable (recursive CTE).
+    */
+  val dedupClusters: Q = (s, d) => {
+    val pairs = dedupNgramJaccard(s, d).select(col("a"), col("b"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = docs(s, d).select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      iter += 1
+      val neighborMin = edges
+        .join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst"))
+        .agg(min(col("lbl")).as("nmin"))
+      val next = labels
+        .join(neighborMin, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = next
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"),
+        (col("doc_id") === col("lbl")).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_clusters" -> dedupClusters,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -204,6 +245,38 @@ object DedupOps {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "dedup_clusters" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             CASE WHEN len(string_split(text,' ')) >= 3 THEN
+               list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+                              FOR i IN range(1, len(string_split(text,' ')) - 1)])
+             ELSE [text] END AS s
+           FROM documents),
+         posting AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         inter AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+           FROM posting x JOIN posting y
+             ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY x.doc_id, y.doc_id),
+         pairs AS (
+           SELECT a, b FROM inter
+           JOIN sizes na ON inter.a = na.doc_id
+           JOIN sizes nb ON inter.b = nb.doc_id
+           WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5),
+         edges AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION ALL SELECT b, a FROM pairs),
+         cc AS (
+           WITH RECURSIVE walk(doc, lbl) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.doc = e.src
+           )
+           SELECT doc, MIN(lbl) AS cluster_id FROM walk GROUP BY doc)
+         SELECT d.doc_id, cc.cluster_id, (d.doc_id = cc.cluster_id) AS is_kept
+         FROM documents d JOIN cc ON d.doc_id = cc.doc
+         ORDER BY d.doc_id""",
     // dedup_minhash / dedup_simhash / dedup_embedding: signature pipelines on
     // xxhash64 / seeded hyperplanes — not expressible in DuckDB SQL; their
     // correctness is covered by DedupOpsSpec (planted near-duplicates must be

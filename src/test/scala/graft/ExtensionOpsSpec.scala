@@ -79,6 +79,32 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(rows == Set((0L, 1L)))
   }
 
+  test("dedup_clusters resolves transitive chains A~B~C into one cluster") {
+    // chain: doc1 differs from doc0 by 10 tokens, doc2 from doc1 by 10 OTHER
+    // tokens → adjacent Jaccard ≈ 0.59 (≥0.5), end-to-end ≈ 0.33 (<0.5):
+    // only transitivity links 0 and 2
+    val tmp = Files.createTempDirectory("graft-chain").toString
+    val words0 = (0 until 40).flatMap(i => Seq(s"w${i % 13}", s"t${i % 11}", s"q$i"))
+    def mutate(ws: Seq[String], range: Range): Seq[String] =
+      ws.map(w => if (w.matches("q\\d+") && range.contains(w.drop(1).toInt)) w + "x" else w)
+    val texts = Seq(
+      words0.mkString(" "),
+      mutate(words0, 0 until 10).mkString(" "),
+      mutate(mutate(words0, 0 until 10), 10 until 20).mkString(" "),
+      (0 until 40).map(i => s"z$i").mkString(" "))
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = DedupOps.dedupClusters(spark, tmp).collect()
+    val cluster = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(cluster(0L) == 0L && cluster(1L) == 0L && cluster(2L) == 0L,
+      s"chain not merged: $cluster")
+    assert(cluster(3L) == 3L)
+    val kept = rows.filter(_.getAs[Boolean]("is_kept")).map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(0L, 3L))
+  }
+
   test("sim_search_topk ranks the near-identical vector first") {
     val rows = SimilarityOps.simSearchTopK(spark, dir).collect()
     assert(rows.head.getAs[Long]("vec_id") == 1L)
