@@ -23,6 +23,9 @@ object Main {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.scheduler.mode", "FAIR") // queue isolation across jobs
+      // split sizing for large scans: 256 MB splits keep task count sane at
+      // 100 TB (400k tasks) while staying well under executor memory
+      .config("spark.sql.files.maxPartitionBytes", "256m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

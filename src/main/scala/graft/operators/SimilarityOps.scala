@@ -101,10 +101,23 @@ object SimilarityOps {
       .orderBy(col("score").desc, col("vec_id"))
   }
 
+  /** Persistent-index variant of [[simSearchIvf]]: build the partitioned IVF
+    * index once, then search with partition pruning (see
+    * [[graft.plans.IvfIndex]]). Same centroids/nprobe → same results as the
+    * ad-hoc query (asserted in spec). */
+  val simSearchIvfIndexed: Q = (s, d) => {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    graft.plans.IvfIndex.build(emb(s, d), nlist = 16, path)
+    val q = emb(s, d).filter(col("vec_id") === 0)
+      .select(asD(col("embedding")).as("qv"))
+    graft.plans.IvfIndex.search(s, path, q, nprobe = 4, k = 10, excludeVecId = 0)
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_search_topk" -> simSearchTopK,
     "sim_search_topk_native" -> simSearchTopKNative,
     "sim_search_ivf" -> simSearchIvf,
+    "sim_search_ivf_indexed" -> simSearchIvfIndexed,
   )
 
   /** Oracle for the exact variant; DuckDB computes the same double-precision

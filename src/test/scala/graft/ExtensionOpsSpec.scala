@@ -121,6 +121,16 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert((exact & approx).nonEmpty, "IVF probe missed every true neighbor")
   }
 
+  test("indexed IVF search equals the ad-hoc IVF query and prunes partitions") {
+    val sf = TestSpark.sf0001
+    val adhoc = SimilarityOps.simSearchIvf(spark, sf).collect()
+    val indexed = SimilarityOps.simSearchIvfIndexed(spark, sf)
+    assert(indexed.collect().sameElements(adhoc))
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"IVF probe did not prune partitions:\n$plan")
+  }
+
   test("text_fingerprint is order-sensitive and deterministic") {
     val fp = TextOps.textFingerprint(spark, dir)
       .as[(Long, Long)].collect().toMap
