@@ -82,14 +82,15 @@ object DedupOps {
   }
 
   // -------------------------------------------------------------- minhash
-  /** MinHash + LSH banding near-dup: 16 hashes, 4 bands × 4 rows (catches
-    * J≥~0.5 with high probability), bucket-join candidates, exact-Jaccard
-    * verify. The only shuffle of note is the band-bucket exchange of
-    * (band_hash, doc_id) — signatures are 16 longs per doc regardless of
-    * document size. */
+  /** MinHash + LSH banding near-dup: 32 hashes, 8 bands × 4 rows — candidate
+    * recall ≈ 67% at J=0.6, 89% at J=0.7, 99% at J≥0.8 (1-(1-J^4)^8); misses
+    * below that are the LSH trade-off and more hashes buy more recall.
+    * Bucket-join candidates, exact-Jaccard verify. The only shuffle of note
+    * is the band-bucket exchange of (band_hash, doc_id) — signatures are 32
+    * longs per doc regardless of document size. */
   val dedupMinhash: Q = (s, d) => {
-    val numHashes = 16
-    val bands = 4
+    val numHashes = 32
+    val bands = 8
     val rows = numHashes / bands
     val sig = minhashSigs(docs(s, d), numHashes)
     val banded = sig.select(col("doc_id"),
