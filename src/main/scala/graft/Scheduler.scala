@@ -27,6 +27,9 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
   private val pools = new ConcurrentHashMap[String, ThreadPoolExecutor]()
   private val pending = new ConcurrentHashMap[String, ConcurrentLinkedDeque[String]]()
   private val running = new ConcurrentHashMap[String, Thread]()
+  // per-task concurrency limit (tasqueue registers task.Conc workers per
+  // task, core.go:437-440); fixed at first sight like queue concurrency
+  private val taskSlots = new ConcurrentHashMap[String, java.util.concurrent.Semaphore]()
   private val timers = Executors.newScheduledThreadPool(2, daemonFactory("graft-timer"))
   @volatile private var closed = false
 
@@ -70,6 +73,15 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
     // canceled-while-pending guard (execJob's not-canceled check,
     // core.go:452-454): cancellation removes the ID from the store.
     if (store.get(job.id).isEmpty) return
+    val slot = taskSlots.computeIfAbsent(task.name,
+      _ => new java.util.concurrent.Semaphore(math.max(task.conc, 1), true))
+    try slot.acquire()
+    catch { case _: InterruptedException => Thread.interrupted(); return }
+    try runWithRetriesLocked(job, task) finally slot.release()
+  }
+
+  private def runWithRetriesLocked(job: Job, task: Task): Unit = {
+    if (store.get(job.id).isEmpty) return // canceled while waiting for a slot
     var attempt = 0
     var done = false
     running.put(job.id, Thread.currentThread())

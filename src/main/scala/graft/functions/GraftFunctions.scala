@@ -34,5 +34,8 @@ object GraftFunctions {
       case _ => throw new IllegalArgumentException(
         "cosine_similarity(a, b) takes 2 arguments")
     }, "scala_udf")
+    // pg_sleep/SLEEP analog (the reference's own test tasks use it,
+    // sql/pg/test.postgres.sql:23-26) — for exercising slow queries
+    spark.udf.register("graft_sleep", (ms: Int) => { Thread.sleep(ms.toLong); true })
   }
 }

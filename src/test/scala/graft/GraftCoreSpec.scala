@@ -162,6 +162,36 @@ class GraftCoreSpec extends AnyFunSuite {
     core.shutdown()
   }
 
+  test("per-task concurrency limits tasks, not the queue (core.go:437-440)") {
+    val tasksDir = Files.createTempDirectory("conc-tasks")
+    Files.writeString(tasksDir.resolve("t.sql"),
+      """-- name: quick
+        |-- queue: mixed
+        |SELECT 1 AS ok;
+        |
+        |-- name: slow_serial
+        |-- queue: mixed
+        |-- conc: 1
+        |SELECT graft_sleep(1200) AS ok;
+        |""".stripMargin)
+    val out = Files.createTempDirectory("conc-out").toString
+    val core = GraftCore(spark, Seq(tasksDir.toString),
+      Map("db" -> TestSpark.sf0001), Map("res" -> out))
+    val t0 = System.currentTimeMillis
+    // pin the 'mixed' queue pool with the quick task first (conc 10)
+    core.postJob(JobReq("quick", jobId = "q0"))
+    core.postJob(JobReq("slow_serial", jobId = "s1", ttlSec = 60))
+    core.postJob(JobReq("slow_serial", jobId = "s2", ttlSec = 60))
+    core.postJob(JobReq("quick", jobId = "q1"))
+    await(core, "q1", 30000) // quick task flows while slow ones hold slots
+    assert(System.currentTimeMillis - t0 < 20000)
+    await(core, "s1"); await(core, "s2")
+    // two conc-1 jobs of 1.2s each must have serialized
+    assert(System.currentTimeMillis - t0 >= 2400,
+      s"slow_serial jobs overlapped: ${System.currentTimeMillis - t0}ms")
+    core.shutdown()
+  }
+
   test("ETA delays execution (core.go:359-367)") {
     val core = newCore()
     val eta = java.time.LocalDateTime.now.plusSeconds(2)
