@@ -263,6 +263,21 @@ object RelOps {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Per-group top-k via the bounded-memory typed Aggregator
+    * ([[graft.functions.TopKAggregator]]) instead of a window sort: O(k)
+    * state per key, map-side partials — same rows as window_rank's top-3
+    * (the oracle is the window formulation). */
+  val windowTopKAgg: Q = (s, d) => {
+    graft.functions.TopKAggregator.register(s, "top3_ids", 3)
+    t(s, d, "orders")
+      .groupBy($"o_custkey")
+      .agg(expr("top3_ids(cast(unix_millis(cast(o_orderdate as timestamp)) as double), o_orderkey)")
+        .as("ids"))
+      .select($"o_custkey", posexplode($"ids"))
+      .select($"o_custkey", ($"pos" + 1).cast(LongType).as("rn"), $"col".as("o_orderkey"))
+      .orderBy($"o_custkey", $"rn")
+  }
+
   /** ntile + explicit-frame first/last_value (analytic frame class). */
   val windowNtile: Q = (s, d) => {
     val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
@@ -432,6 +447,7 @@ object RelOps {
     "window_running" -> windowRunning,
     "window_lag" -> windowLag,
     "window_ntile" -> windowNtile,
+    "window_topk_agg" -> windowTopKAgg,
     "set_union" -> setUnion,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
@@ -561,6 +577,13 @@ object RelOps {
       """SELECT user_id, event_id,
          value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
          FROM events ORDER BY user_id, event_id""",
+    "window_topk_agg" ->
+      """SELECT o_custkey, rn, o_orderkey FROM (
+           SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "window_ntile" ->
       """SELECT o_custkey, o_orderkey,
          NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile,
