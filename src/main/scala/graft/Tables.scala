@@ -17,7 +17,7 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    if (table == "events") {
+    if (table == "events" && exists(sfDir, table, "parquet")) {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects; read it as a raw long and truncate to microsecond
       // TimestampType. `ts div 1000` stays in integer arithmetic (a double
@@ -25,11 +25,33 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$table.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$sfDir/$table.parquet")
+    } else if (exists(sfDir, table, "parquet")) {
+      spark.read.parquet(s"$sfDir/$table.parquet")
+    } else if (exists(sfDir, table, "csv")) {
+      // header + schema inference: the schema-on-read posture of the
+      // reference (it never knows result schemas ahead of time either)
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(s"$sfDir/$table.csv")
+    } else if (exists(sfDir, table, "json")) {
+      spark.read.json(s"$sfDir/$table.json")
+    } else if (exists(sfDir, table, "orc")) {
+      spark.read.orc(s"$sfDir/$table.orc")
+    } else {
+      throw new IllegalArgumentException(
+        s"no $table.{parquet,csv,json,orc} under $sfDir")
+    }
   }
 
-  /** Register every fixture table as a temp view so task SQL can refer to
-    * tables by name, the way reference task SQL refers to source-DB tables. */
+  private def exists(dir: String, table: String, ext: String): Boolean =
+    new java.io.File(s"$dir/$table.$ext").exists()
+
+  /** Register every *available* table as a temp view so task SQL can refer
+    * to tables by name, the way reference task SQL refers to source-DB
+    * tables. A source dir may carry any subset of the tables in any
+    * supported format. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach { t => load(spark, sfDir, t).createOrReplaceTempView(t) }
+    names.foreach { t =>
+      if (Seq("parquet", "csv", "json", "orc").exists(exists(sfDir, t, _)))
+        load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
 }
