@@ -290,6 +290,24 @@ object RelOps {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Relative-rank analytics: percent_rank + cume_dist. */
+  val windowPercentRank: Q = (s, d) => {
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
+    t(s, d, "orders").select(
+        $"o_orderpriority", $"o_orderkey",
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
+  /** Edit-distance scalar (fuzzy-match class; feeds dedup candidate scoring). */
+  val scalarLevenshtein: Q = (s, d) =>
+    t(s, d, "part").select(
+        $"p_partkey",
+        levenshtein($"p_brand", lit("Brand#10")).cast(LongType).as("brand_dist"),
+        levenshtein($"p_type", $"p_brand").cast(LongType).as("type_brand_dist"))
+      .orderBy($"p_partkey")
+
   // --------------------------------------------------------- set algebra
   val setUnion: Q = (s, d) =>
     t(s, d, "customer").select($"c_nationkey".as("nk"))
@@ -448,6 +466,8 @@ object RelOps {
     "window_lag" -> windowLag,
     "window_ntile" -> windowNtile,
     "window_topk_agg" -> windowTopKAgg,
+    "window_percent_rank" -> windowPercentRank,
+    "scalar_levenshtein" -> scalarLevenshtein,
     "set_union" -> setUnion,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
@@ -577,6 +597,18 @@ object RelOps {
       """SELECT user_id, event_id,
          value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
          FROM events ORDER BY user_id, event_id""",
+    "window_percent_rank" ->
+      """SELECT o_orderpriority, o_orderkey,
+         PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+         CUME_DIST() OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey) AS cume
+         FROM orders ORDER BY o_orderpriority, o_orderkey""",
+    "scalar_levenshtein" ->
+      """SELECT p_partkey,
+         CAST(levenshtein(p_brand, 'Brand#10') AS BIGINT) AS brand_dist,
+         CAST(levenshtein(p_type, p_brand) AS BIGINT) AS type_brand_dist
+         FROM part ORDER BY p_partkey""",
     "window_topk_agg" ->
       """SELECT o_custkey, rn, o_orderkey FROM (
            SELECT o_custkey, o_orderkey,
