@@ -55,17 +55,26 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
   def submit(job: Job, task: Task): Boolean = {
     require(!closed, "scheduler stopped")
     if (!store.tryAdmit(job.id)) return false
-    backlog(job.queue).addLast(job.id)
-    val delayMs = job.eta
-      .map(e => Duration.between(LocalDateTime.now, e).toMillis.max(0L))
-      .getOrElse(0L)
-    val runnable: Runnable = () => runWithRetries(job, task)
-    if (delayMs > 0)
-      timers.schedule(
-        (() => pool(job.queue, task.conc).execute(runnable)): Runnable,
-        delayMs, TimeUnit.MILLISECONDS)
-    else pool(job.queue, task.conc).execute(runnable)
-    true
+    try {
+      backlog(job.queue).addLast(job.id)
+      val delayMs = job.eta
+        .map(e => Duration.between(LocalDateTime.now, e).toMillis.max(0L))
+        .getOrElse(0L)
+      val runnable: Runnable = () => runWithRetries(job, task)
+      if (delayMs > 0)
+        timers.schedule(
+          (() => pool(job.queue, task.conc).execute(runnable)): Runnable,
+          delayMs, TimeUnit.MILLISECONDS)
+      else pool(job.queue, task.conc).execute(runnable)
+      true
+    } catch {
+      case e: Throwable =>
+        // failed enqueue must not leave a Pending admission that would block
+        // this job ID forever (core.go's enqueue failures surface the same way)
+        backlog(job.queue).remove(job.id)
+        store.remove(job.id)
+        throw e
+    }
   }
 
   private def runWithRetries(job: Job, task: Task): Unit = {
