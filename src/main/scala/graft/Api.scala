@@ -84,7 +84,7 @@ final class GraftCore(
       case Some(d) => spark.read.parquet(d)
       case None =>
         val jdbcHit = jdbcUrls.flatMap { url =>
-          try Some(spark.read.jdbc(url, Executor.quotedResultTable(jobId), new java.util.Properties))
+          try Some(spark.read.jdbc(url, Executor.quotedResultTable(url, jobId), new java.util.Properties))
           catch { case _: Exception => None }
         }.headOption
         jdbcHit.getOrElse(

@@ -35,7 +35,8 @@ object ArgBinder {
     var i = 0
     var qIdx = 0 // next positional '?' index
     val n = sql.length
-    var state: Char = 'n' // n=normal, s=single-quote, d=double-quote, l=line comment
+    // n=normal, s=single-quote, d=double-quote, l=line comment, b=block comment
+    var state: Char = 'n'
     while (i < n) {
       val c = sql.charAt(i)
       state match {
@@ -43,6 +44,7 @@ object ArgBinder {
           if (c == '\'') { state = 's'; out.append(c); i += 1 }
           else if (c == '"') { state = 'd'; out.append(c); i += 1 }
           else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') { state = 'l'; out.append("--"); i += 2 }
+          else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') { state = 'b'; out.append("/*"); i += 2 }
           else if (c == '?') {
             if (qIdx >= args.size)
               throw new IllegalArgumentException(s"missing argument for placeholder #${qIdx + 1}")
@@ -56,17 +58,28 @@ object ArgBinder {
             out.append(literal(args(k - 1))); i = j
           } else { out.append(c); i += 1 }
         case 's' =>
-          out.append(c)
-          if (c == '\'') state = 'n'
-          i += 1
+          // Spark string literals support backslash escapes (incl. \') and
+          // '' doubling — consume escape pairs so the quote state stays true
+          if (c == '\\' && i + 1 < n) { out.append(c).append(sql.charAt(i + 1)); i += 2 }
+          else {
+            out.append(c)
+            if (c == '\'') state = 'n'
+            i += 1
+          }
         case 'd' =>
-          out.append(c)
-          if (c == '"') state = 'n'
-          i += 1
+          if (c == '\\' && i + 1 < n) { out.append(c).append(sql.charAt(i + 1)); i += 2 }
+          else {
+            out.append(c)
+            if (c == '"') state = 'n'
+            i += 1
+          }
         case 'l' =>
           out.append(c)
           if (c == '\n') state = 'n'
           i += 1
+        case 'b' =>
+          if (c == '*' && i + 1 < n && sql.charAt(i + 1) == '/') { state = 'n'; out.append("*/"); i += 2 }
+          else { out.append(c); i += 1 }
       }
     }
     out.toString

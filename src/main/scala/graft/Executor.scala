@@ -30,9 +30,13 @@ object Executor {
   /** `results_%s` table-name template (sqldb.go:77-81). */
   def resultTable(jobId: String): String = s"results_$jobId"
 
-  /** ANSI-quoted form for use as a JDBC dbtable (job IDs may contain `-`;
-    * the reference quotes with the backend's dialect, sqldb.go:307-314). */
-  def quotedResultTable(jobId: String): String = "\"" + resultTable(jobId) + "\""
+  /** Dialect-quoted form for use as a JDBC dbtable (job IDs may contain `-`;
+    * the reference quotes with the backend's dialect, sqldb.go:307-314:
+    * backticks on MySQL, double quotes elsewhere). */
+  def quotedResultTable(url: String, jobId: String): String = {
+    val q = if (url.startsWith("jdbc:mysql:")) "`" else "\""
+    q + resultTable(jobId) + q
+  }
 
   /** Build the job's DataFrame without materializing (shared by run()).
     *
@@ -51,12 +55,30 @@ object Executor {
     session.sql(sql)
   }
 
-  /** Register a JDBC relation for every table the statement references. */
+  /** Register a JDBC relation for every table the statement references —
+    * excluding CTE-defined names, which are not remote tables. */
   private def registerJdbcTables(session: SparkSession, url: String, sql: String): Unit = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    val plan = session.sessionState.sqlParser.parsePlan(sql)
-    val tables = plan.collect { case r: UnresolvedRelation => r.tableName }.distinct
-    tables.foreach { t =>
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+    // CTE bodies live in UnresolvedWith.cteRelations (inner children, not
+    // traversed by collect) — walk them explicitly so tables referenced
+    // inside a CTE register too, while the CTE names themselves don't.
+    var cteNames = Set.empty[String]
+    var tables = Vector.empty[String]
+    var work = List[LogicalPlan](session.sessionState.sqlParser.parsePlan(sql))
+    while (work.nonEmpty) {
+      val p = work.head
+      work = work.tail
+      p.foreach {
+        case w: UnresolvedWith =>
+          cteNames ++= w.cteRelations.map(_._1.toLowerCase)
+          work = w.cteRelations.map(_._2: LogicalPlan).toList ++ work
+        case r: UnresolvedRelation => tables :+= r.tableName
+        case _ => ()
+      }
+    }
+    val remote = tables.distinct.filterNot(t => cteNames.contains(t.toLowerCase))
+    remote.foreach { t =>
       session.read.format("jdbc")
         .option("url", url)
         .option("dbtable", t)
@@ -82,7 +104,7 @@ object Executor {
       if (backendDir.startsWith("jdbc:")) {
         // external result DB, like the reference's MySQL/PG backends:
         // overwrite = DROP TABLE IF EXISTS + CREATE (sqldb.go:159-188)
-        val table = quotedResultTable(job.id)
+        val table = quotedResultTable(backendDir, job.id)
         out.write.mode("overwrite")
           .jdbc(backendDir, table, new java.util.Properties)
         val count = session.read.jdbc(backendDir, table, new java.util.Properties).count()

@@ -28,6 +28,7 @@ import scala.jdk.CollectionConverters._
 final case class GraftConfig(
     defaultTtlSec: Int,
     defaultQueue: String,
+    resultRetentionSec: Int,
     taskDirs: Seq[String],
     sources: Map[String, String],
     resultBackends: Map[String, String]) {
@@ -68,6 +69,9 @@ object GraftConfig {
     GraftConfig(
       defaultTtlSec = parseDuration(str("app.default_job_ttl", "60s")),
       defaultQueue = str("app.default_queue", TaskRegistry.DefaultQueue),
+      // result lifetime is its own knob (the reference's [job_queue.state]
+      // expiry class), NOT a multiple of the job-runtime TTL
+      resultRetentionSec = parseDuration(str("app.result_retention", "1h")),
       taskDirs = parseArray(kv.getOrElse("app.task_dirs", "[]")),
       sources = sub("db", "dir"),
       resultBackends = sub("results", "dir"))

@@ -104,6 +104,14 @@ final class StatusStore {
   def set(id: String, st: JobState.Value, count: Long = -1, error: String = ""): Unit =
     jobs.put(id, JobStatus(id, st, count, error))
 
+  /** Atomic conditional update: no-op if the entry was removed (canceled) —
+    * a worker finishing concurrently with a cancel must not resurrect the
+    * job as SUCCESS/FAILURE. */
+  def setIfPresent(id: String, st: JobState.Value, count: Long = -1, error: String = ""): Unit = {
+    jobs.computeIfPresent(id, (_, _) => JobStatus(id, st, count, error))
+    ()
+  }
+
   def get(id: String): Option[JobStatus] = Option(jobs.get(id))
 
   /** CancelJob's delete-from-store step (core.go:268). */

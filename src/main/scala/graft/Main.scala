@@ -31,7 +31,7 @@ object Main {
 
     val core = cfg.boot(spark)
     val api = new HttpApi(core, port).start()
-    val sweeper = new ResultSweeper(core.resultBackends, cfg.defaultTtlSec.toLong * 60)
+    val sweeper = new ResultSweeper(core.resultBackends, cfg.resultRetentionSec.toLong)
     sweeper.start()
     println(s"graft listening on :${api.boundPort} " +
       s"(tasks=${core.tasks.size}, sources=${core.sources.names.mkString(",")})")

@@ -93,24 +93,32 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
     if (store.get(job.id).isEmpty) return // canceled while waiting for a slot
     var attempt = 0
     var done = false
-    running.put(job.id, Thread.currentThread())
+    val worker = Thread.currentThread()
+    running.put(job.id, worker)
     try {
       while (!done) {
         attempt += 1
-        store.set(job.id, JobState.Started)
-        // TTL watchdog: cancel the whole job group at t+ttl (core.go:354-357)
-        val ttlTimer = timers.schedule(
-          (() => spark.sparkContext.cancelJobGroup(job.id)): Runnable,
-          job.ttlSec.toLong, TimeUnit.SECONDS)
+        store.setIfPresent(job.id, JobState.Started)
+        // TTL watchdog (core.go:354-357): cancel the job group AND interrupt
+        // the worker — a job stalled driver-side (e.g. a hung JDBC schema
+        // probe) has no tagged stages for cancelJobGroup to kill. The
+        // attemptLive flag keeps a late-firing timer from interrupting
+        // whatever the thread runs next.
+        val attemptLive = new java.util.concurrent.atomic.AtomicBoolean(true)
+        val ttlTimer = timers.schedule((() => {
+          spark.sparkContext.cancelJobGroup(job.id)
+          if (attemptLive.get()) worker.interrupt()
+        }): Runnable, job.ttlSec.toLong, TimeUnit.SECONDS)
         try {
           val res = graft.Executor.run(spark, job, task)
-          ttlTimer.cancel(false)
-          // only record success if not canceled meanwhile
-          if (store.get(job.id).nonEmpty) store.set(job.id, JobState.Success, res.count)
+          attemptLive.set(false); ttlTimer.cancel(false)
+          // conditional update: a concurrent cancel removed the entry and
+          // must not be resurrected as SUCCESS
+          store.setIfPresent(job.id, JobState.Success, res.count)
           done = true
         } catch {
           case e: Throwable =>
-            ttlTimer.cancel(false)
+            attemptLive.set(false); ttlTimer.cancel(false)
             if (store.get(job.id).isEmpty) {
               // canceled: kill any stages that slipped in after the canceler's
               // cancelJobGroup (e.g. cancel landed during planning), then stop.
@@ -118,9 +126,9 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
               spark.sparkContext.cancelJobGroup(job.id)
               done = true
             }
-            else if (attempt <= job.retries) store.set(job.id, JobState.Retry)
-            else { store.set(job.id, JobState.Failure, -1, safeMsg(e)); done = true }
-        }
+            else if (attempt <= job.retries) store.setIfPresent(job.id, JobState.Retry)
+            else { store.setIfPresent(job.id, JobState.Failure, -1, safeMsg(e)); done = true }
+        } finally Thread.interrupted() // drop any stray TTL interrupt
       }
     } finally running.remove(job.id)
   }
@@ -149,10 +157,10 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
         if (purge)
           backends.sources.values.foreach {
             case url if url.startsWith("jdbc:") =>
-              // DROP TABLE IF EXISTS analog (sqldb.go:298)
+              // DROP TABLE IF EXISTS analog (sqldb.go:298), dialect-quoted
               val conn = java.sql.DriverManager.getConnection(url)
               try conn.createStatement().execute(
-                s"""DROP TABLE "${graft.Executor.resultTable(jobId)}"""")
+                s"DROP TABLE ${graft.Executor.quotedResultTable(url, jobId)}")
               catch { case _: Exception => () } finally conn.close()
             case dir =>
               deleteRecursive(new java.io.File(graft.Executor.resultDir(dir, jobId)))
@@ -161,7 +169,9 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
   }
 
   /** CancelJobGroup (core.go:274-322): per-member cancel with the
-    * completed-group guard. */
+    * *group-level* completed guard only — a mixed group (some members done,
+    * some running) cancels the running members and removes the finished
+    * ones, like the reference's per-member delete loop. */
   def cancelGroup(groupId: String, purge: Boolean, backends: SourcePool): Unit = {
     val ids = store.groupJobIds(groupId)
       .getOrElse(throw new NoSuchElementException(s"unknown group: $groupId"))
@@ -170,7 +180,13 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
       s.state == JobState.Success || s.state == JobState.Failure)
     if (allDone && !purge)
       throw new IllegalStateException("can't cancel a completed group without purge")
-    ids.foreach { id => if (store.get(id).nonEmpty) cancel(id, purge, backends) }
+    ids.foreach { id =>
+      store.get(id).foreach { st =>
+        val completed = st.state == JobState.Success || st.state == JobState.Failure
+        if (completed && !purge) store.remove(id) // done: just drop from store
+        else cancel(id, purge, backends)
+      }
+    }
     store.removeGroup(groupId)
   }
 

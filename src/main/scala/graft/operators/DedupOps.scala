@@ -214,7 +214,8 @@ object DedupOps {
     var labels = docs(s, d).select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    val maxIters = 64 // handles components of diameter 64; fail loudly beyond
+    while (!converged && iter < maxIters) {
       iter += 1
       val neighborMin = edges
         .join(labels, col("src") === col("doc_id"))
@@ -228,6 +229,9 @@ object DedupOps {
         .filter(col("lbl") =!= col("old")).isEmpty
       labels = next
     }
+    // wrong clusters are worse than no clusters: never return unconverged
+    // labels silently (a >64-diameter dup chain is pathological input)
+    require(converged, s"dedup_clusters did not converge within $maxIters rounds")
     labels.select(col("doc_id"), col("lbl").as("cluster_id"),
         (col("doc_id") === col("lbl")).as("is_kept"))
       .orderBy(col("doc_id"))

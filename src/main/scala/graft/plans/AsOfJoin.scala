@@ -33,26 +33,30 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val pNames = payload.map(_._2)
 
+    // the payload travels as ONE struct so last(ignoreNulls) picks the
+    // latest right ROW atomically: a matched row whose payload *fields* are
+    // null still matches (the struct itself is non-null), and multi-column
+    // payloads can never mix fields from different right rows
     val l = left.select(
       (leftCols.map(c => left(c).as(c)) :+
-        leftKey.as("__k") :+ leftTime.as("__t") :+ lit(1).as("__is_left")) ++
-        pNames.map(n => lit(null).cast(right.select(payload.find(_._2 == n).get._1).schema.head.dataType).as(s"__p_$n")): _*)
+        leftKey.as("__k") :+ leftTime.as("__t") :+ lit(1).as("__is_left")) :+
+        lit(null).cast(right.select(
+          struct(payload.map { case (c, n) => c.as(n) }: _*).as("__p")
+        ).schema.head.dataType).as("__p"): _*)
     val r = right.select(
       (leftCols.map(c => lit(null).cast(left.select(left(c)).schema.head.dataType).as(c)) :+
-        rightKey.as("__k") :+ rightTime.as("__t") :+ lit(0).as("__is_left")) ++
-        payload.map { case (c, n) => c.as(s"__p_$n") }: _*)
+        rightKey.as("__k") :+ rightTime.as("__t") :+ lit(0).as("__is_left")) :+
+        struct(payload.map { case (c, n) => c.as(n) }: _*).as("__p"): _*)
 
     // right rows sort before left rows at equal time → `<=` match semantics
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matchedCols = pNames.map(n =>
-      last(col(s"__p_$n"), ignoreNulls = true).over(w).as(n))
-
     l.unionByName(r)
-      .select((leftCols.map(col) :+ col("__is_left")) ++ matchedCols: _*)
+      .select((leftCols.map(col) :+ col("__is_left")) :+
+        last(col("__p"), ignoreNulls = true).over(w).as("__m"): _*)
       .filter(col("__is_left") === 1)
-      .select(leftCols.map(col) ++ pNames.map(col): _*)
+      .select(leftCols.map(col) ++ pNames.map(n => col(s"__m.$n").as(n)): _*)
   }
 }

@@ -30,6 +30,13 @@ class ArgBinderSpec extends AnyFunSuite {
       "SELECT '$1?', a FROM t WHERE b = 9")
     assert(ArgBinder.bind("SELECT 1 -- what about $1?\n , $1", Seq("2")) ==
       "SELECT 1 -- what about $1?\n , 2")
+    assert(ArgBinder.bind("SELECT ? AS a /* why? $2 */ FROM t", Seq("1")) ==
+      "SELECT 1 AS a /* why? $2 */ FROM t")
+  }
+
+  test("backslash-escaped quotes inside strings don't desync the scanner") {
+    assert(ArgBinder.bind("""SELECT 'it\'s ?', ? FROM t""", Seq("5")) ==
+      """SELECT 'it\'s ?', 5 FROM t""")
   }
 
   test("missing args are an error (driver would reject too)") {

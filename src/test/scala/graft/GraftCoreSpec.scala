@@ -136,6 +136,20 @@ class GraftCoreSpec extends AnyFunSuite {
     core.shutdown()
   }
 
+  test("cancelling a mixed-state group cancels running members, drops done ones") {
+    val core = newCore()
+    val (gid, _) = core.postJobGroup("grp-mixed", Seq(
+      JobReq("get_profit_entries", jobId = "gm-fast", args = Seq("1")),
+      JobReq("slow_query", jobId = "gm-slow", args = Seq("0"), ttlSec = 300)))
+    await(core, "gm-fast") // fast member completes; slow one keeps running
+    core.deleteGroup(gid)  // must NOT throw on the completed member
+    intercept[NoSuchElementException](core.getJobStatus("gm-fast"))
+    intercept[NoSuchElementException](core.getJobStatus("gm-slow"))
+    intercept[NoSuchElementException](core.getGroupStatus(gid))
+    assert(core.scheduler.awaitQuiescence(60000))
+    core.shutdown()
+  }
+
   test("pending listing is newest-first (core.go:156-159)") {
     val core = newCore()
     // conc=1 'slow' queue: first job occupies the worker, rest stay pending

@@ -110,6 +110,17 @@ class JdbcSourceSpec extends AnyFunSuite {
     core.shutdown()
   }
 
+  test("CTE names in task SQL are not mistaken for remote JDBC tables") {
+    setupEntries()
+    val task = Task("t", "default", 1,
+      """WITH top_users AS (
+           SELECT user_id, SUM(amount) AS s FROM entries GROUP BY user_id)
+         SELECT COUNT(*) AS n FROM top_users WHERE s > 0""",
+      SourcePool.single("db", url), SourcePool.single("res", "/tmp"), isRaw = true)
+    val df = Executor.buildFrame(spark.newSession(), url, task, Nil)
+    assert(df.head.getLong(0) == 3) // u0,u1,u2 all have positive sums
+  }
+
   test("filters push down into the JDBC source (delegation, like the reference)") {
     setupEntries()
     val task = Task("t", "default", 1,
