@@ -99,8 +99,22 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonical text normalization — the preprocessing front of every dedup
+    * pipeline: lowercase, strip non-alphanumerics, collapse whitespace. */
+  val textNormalize: Q = (s, d) =>
+    docs(s, d).select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ").as("norm_text"))
+      .select(col("doc_id"),
+        md5(col("norm_text")).as("norm_hash"),
+        length(col("norm_text")).cast(LongType).as("norm_len"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "text_stats" -> textStats,
+    "text_normalize" -> textNormalize,
     "text_quality" -> textQuality,
     "text_token_count" -> textTokenCount,
     "text_lang_id" -> textLangId,
@@ -108,6 +122,13 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_normalize" ->
+      """SELECT doc_id,
+         md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                            ' +', ' ', 'g')) AS norm_hash,
+         CAST(length(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                    ' +', ' ', 'g')) AS BIGINT) AS norm_len
+         FROM documents ORDER BY doc_id""",
     "text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
          CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
