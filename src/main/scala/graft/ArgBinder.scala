@@ -8,9 +8,10 @@ package graft
   * (`models/models.go:15`) and the source DB coerces them. Spark SQL has no
   * positional-parameter API over raw text, so the port substitutes typed
   * literals: each arg is sniffed long → double → timestamp → date → string
-  * (strings are quoted with `'` doubling, so substitution cannot break out of
-  * the literal). Placeholders inside quoted strings or comments are left
-  * untouched.
+  * (strings are quoted with both backslash-escaping and `'` doubling — the
+  * default Spark parser treats `\` as an escape inside literals, so a bare
+  * trailing backslash in an arg would otherwise swallow the closing quote).
+  * Placeholders inside quoted strings or comments are left untouched.
   */
 object ArgBinder {
   private val Ts = """\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?""".r
@@ -23,7 +24,7 @@ object ArgBinder {
     else if (a.matches("""[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?""")) a
     else if (Ts.matches(a)) s"TIMESTAMP '$a'"
     else if (Dt.matches(a)) s"DATE '$a'"
-    else "'" + a.replace("'", "''") + "'"
+    else "'" + a.replace("\\", "\\\\").replace("'", "''") + "'"
   }
 
   /** Substitute `$N` / `?` placeholders (outside quotes/comments) with typed

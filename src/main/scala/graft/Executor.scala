@@ -49,42 +49,74 @@ object Executor {
     */
   def buildFrame(session: SparkSession, sourceDir: String, task: Task, args: Seq[String]): DataFrame = {
     val sql = ArgBinder.bind(task.raw, args)
-    if (sourceDir.startsWith("jdbc:")) registerJdbcTables(session, sourceDir, sql)
-    else Tables.registerAll(session, sourceDir)
     graft.functions.GraftFunctions.registerAll(session) // custom fns for task SQL
-    session.sql(sql)
+    if (sourceDir.startsWith("jdbc:")) jdbcFrame(session, sourceDir, sql)
+    else { Tables.registerAll(session, sourceDir); session.sql(sql) }
   }
 
-  /** Register a JDBC relation for every table the statement references —
-    * excluding CTE-defined names, which are not remote tables. */
-  private def registerJdbcTables(session: SparkSession, url: String, sql: String): Unit = {
+  /** Build the frame for a jdbc: source: register a JDBC relation for every
+    * table the statement references — excluding CTE-defined names, which are
+    * not remote tables — and rewrite the parsed plan to point at the
+    * registered views. Schema-qualified names (`public.users`) are invalid as
+    * temp-view names, so each goes under a sanitized alias and the plan's
+    * `UnresolvedRelation`s are substituted (the reference delegates such SQL
+    * verbatim to the source DB; here the qualified name travels in `dbtable`).
+    */
+  private def jdbcFrame(session: SparkSession, url: String, sql: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnShim
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
+    val parsed = session.sessionState.sqlParser.parsePlan(sql)
     // CTE bodies live in UnresolvedWith.cteRelations (inner children, not
     // traversed by collect) — walk them explicitly so tables referenced
     // inside a CTE register too, while the CTE names themselves don't.
     var cteNames = Set.empty[String]
-    var tables = Vector.empty[String]
-    var work = List[LogicalPlan](session.sessionState.sqlParser.parsePlan(sql))
+    var tables = Vector.empty[Seq[String]]
+    var work = List[LogicalPlan](parsed)
     while (work.nonEmpty) {
       val p = work.head
       work = work.tail
-      p.foreach {
-        case w: UnresolvedWith =>
-          cteNames ++= w.cteRelations.map(_._1.toLowerCase)
-          work = w.cteRelations.map(_._2: LogicalPlan).toList ++ work
-        case r: UnresolvedRelation => tables :+= r.tableName
-        case _ => ()
+      p.foreach { node =>
+        node.subqueries.foreach(sq => work = sq :: work) // IN/EXISTS/scalar subqueries
+        node match {
+          case w: UnresolvedWith =>
+            cteNames ++= w.cteRelations.map(_._1.toLowerCase)
+            work = w.cteRelations.map(_._2: LogicalPlan).toList ++ work
+          case r: UnresolvedRelation => tables :+= r.multipartIdentifier
+          case _ => ()
+        }
       }
     }
-    val remote = tables.distinct.filterNot(t => cteNames.contains(t.toLowerCase))
-    remote.foreach { t =>
+    def isCte(parts: Seq[String]): Boolean =
+      parts.size == 1 && cteNames.contains(parts.head.toLowerCase)
+    val remote = tables.map(_.map(_.toLowerCase)).distinct.filterNot(isCte)
+    // single-part names keep their own name as the view; qualified names get
+    // a sanitized alias (`public.users` → `graft_jdbc_public_users`)
+    val alias: Map[Seq[String], String] = remote.map { parts =>
+      val v =
+        if (parts.size == 1) parts.head
+        else "graft_jdbc_" + parts.mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
+      parts -> v
+    }.toMap
+    alias.foreach { case (parts, view) =>
       session.read.format("jdbc")
         .option("url", url)
-        .option("dbtable", t)
+        .option("dbtable", parts.mkString("."))
         .load()
-        .createOrReplaceTempView(t)
+        .createOrReplaceTempView(view)
     }
+    def rewrite(p: LogicalPlan): LogicalPlan = p.transformDownWithSubqueries {
+      case w: UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, s, o) =>
+          (n, rewrite(s).asInstanceOf[SubqueryAlias], o)
+        })
+      case r: UnresolvedRelation if r.multipartIdentifier.size > 1 =>
+        alias.get(r.multipartIdentifier.map(_.toLowerCase)) match {
+          case Some(view) => r.copy(multipartIdentifier = Seq(view))
+          case None       => r
+        }
+    }
+    GraftColumnShim.ofRows(session, rewrite(parsed))
   }
 
   /** Execute one job end-to-end on the calling thread. */

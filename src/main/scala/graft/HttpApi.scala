@@ -63,7 +63,7 @@ final class HttpApi(core: GraftCore, port: Int = 0) {
 
   // ----------------------------------------------------------- handlers
   private def handleGetTasks(ex: HttpExchange): Unit = {
-    val withSql = Option(ex.getRequestURI.getQuery).exists(_.contains("sql"))
+    val withSql = boolParam(ex, "sql")
     core.listTasks(withSql) match {
       case Left(names) => ok(ex, strArray(names))
       case Right(full) =>
@@ -147,8 +147,33 @@ final class HttpApi(core: GraftCore, port: Int = 0) {
     a
   }
 
-  private def hasPurge(ex: HttpExchange): Boolean =
-    Option(ex.getRequestURI.getQuery).exists(_.contains("purge"))
+  /** Parse the raw query string into key→value (last occurrence wins),
+    * URL-decoding both sides. A bare key (`?purge`) maps to "". */
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").filter(_.nonEmpty).map { kv =>
+      val (k, v) = kv.indexOf('=') match {
+        case -1 => (kv, "")
+        case i  => (kv.substring(0, i), kv.substring(i + 1))
+      }
+      java.net.URLDecoder.decode(k, StandardCharsets.UTF_8) ->
+        java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+    }.toMap
+
+  /** Boolean query param with Go strconv.ParseBool semantics (cmd/http.go:142):
+    * 1/t/T/true/TRUE/True → true; 0/f/F/false/… → false; absent → false;
+    * a bare `?purge` is treated as true. Malformed values are a 400. */
+  private def boolParam(ex: HttpExchange, key: String): Boolean =
+    queryParams(ex).get(key) match {
+      case None     => false
+      case Some("") => true
+      case Some(v) => v match {
+        case "1" | "t" | "T" | "true" | "TRUE" | "True"    => true
+        case "0" | "f" | "F" | "false" | "FALSE" | "False" => false
+        case other => throw new IllegalArgumentException(s"invalid boolean for '$key': $other")
+      }
+    }
+
+  private def hasPurge(ex: HttpExchange): Boolean = boolParam(ex, "purge")
 
   private def readJson(ex: HttpExchange): JsonNode = {
     val bytes = ex.getRequestBody.readAllBytes()

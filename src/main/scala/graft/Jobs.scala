@@ -122,13 +122,15 @@ final class StatusStore {
   def removeGroup(groupId: String): Unit = groups.remove(groupId)
 
   /** Group state reduction (core.go:230-241): any FAILURE → FAILURE, all
-    * SUCCESS → SUCCESS, any STARTED/RETRY → STARTED, else PENDING. */
+    * SUCCESS → SUCCESS, any STARTED/RETRY → STARTED, else PENDING. Canceled
+    * members (removed from the store) are excluded from the reduction, so a
+    * group whose remaining jobs all succeeded still reports SUCCESS. */
   def groupStatus(groupId: String): Option[GroupStatus] =
     groupJobIds(groupId).map { ids =>
       val sts = ids.flatMap(get)
       val state =
         if (sts.exists(_.state == JobState.Failure)) JobState.Failure
-        else if (sts.nonEmpty && sts.size == ids.size && sts.forall(_.state == JobState.Success)) JobState.Success
+        else if (sts.nonEmpty && sts.forall(_.state == JobState.Success)) JobState.Success
         else if (sts.exists(s => s.state == JobState.Started || s.state == JobState.Retry)) JobState.Started
         else JobState.Pending
       GroupStatus(groupId, state, sts)

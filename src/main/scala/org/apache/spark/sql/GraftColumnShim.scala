@@ -11,4 +11,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Run an unresolved logical plan through a session (Dataset.ofRows is
+    * `private[sql]`). Used by the jdbc: source path, which substitutes remote
+    * relations into the parsed plan instead of rewriting SQL text. */
+  def ofRows(session: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
 }

@@ -47,13 +47,45 @@ class ArgBinderSpec extends AnyFunSuite {
   test("string args can never escape their quotes (injection guard)") {
     val prop = Prop.forAll { (s: String) =>
       val lit = ArgBinder.literal(s)
-      // a quoted literal's interior must contain no lone quote
+      // a quoted literal's interior must contain no lone quote and no odd
+      // backslash run (a trailing `\` would escape the closing quote)
       !lit.startsWith("'") || {
         val interior = lit.substring(1, lit.length - 1)
-        !interior.replace("''", "").contains("'")
+        val residue = interior.replace("\\\\", "").replace("''", "")
+        !residue.contains("'") && !residue.contains("\\")
       }
     }
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
+  test("quoted literals round-trip through the real Spark parser (injection guard)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val parser = TestSpark.spark.sessionState.sqlParser
+    val prop = Prop.forAll { (s: String) =>
+      ArgBinder.literal(s) match {
+        case lit if lit.startsWith("'") =>
+          // literal() trims args before sniffing, so the round-trip target is s.trim
+          parser.parseExpression(lit) match {
+            case Literal(v, _) => (if (v == null) "" else v.toString) == s.trim
+            case other         => false
+          }
+        case _ => true // numeric/date sniffed args are not quote-delimited
+      }
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
+  test("backslash-tail args cannot swallow the closing quote (ADVICE r1)") {
+    // before the fix, arg1 ending in '\' escaped its closing quote and arg2's
+    // content executed as raw SQL
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val args = Seq("x\\", "', 1); DROP TABLE t; --")
+    val bound = ArgBinder.bind("SELECT ? AS a, ? AS b", args)
+    assert(bound.contains("'x\\\\'"))
+    val plan = TestSpark.spark.sessionState.sqlParser.parsePlan(bound)
+    // both args must survive as literal VALUES — nothing leaked into the plan
+    val lits = plan.expressions.flatMap(_.collect { case Literal(v, _) if v != null => v.toString })
+    assert(lits == args)
   }
 
   test("validationForm yields parse-able SQL for both placeholder styles") {

@@ -84,4 +84,29 @@ class ConfigAndSweeperSpec extends AnyFunSuite {
     assert(deleted == Seq("results_old"))
     assert(!old.exists() && fresh.exists() && other.exists())
   }
+
+  test("result sweeper expires results_% tables in jdbc: backends (ADVICE r1)") {
+    val url = "jdbc:derby:memory:sweepdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE "results_swp-1" (v INT)""")
+      st.execute("""CREATE TABLE "keep_me" (v INT)""")
+    } finally conn.close()
+    val sweeper = new ResultSweeper(SourcePool.single("b", url), retentionSec = 60)
+    val t0 = System.currentTimeMillis
+    // first sweep stamps the table (first observation) — nothing dropped yet
+    assert(sweeper.sweepOnce(t0).isEmpty)
+    // within retention: still there
+    assert(sweeper.sweepOnce(t0 + 30 * 1000).isEmpty)
+    // past retention: dropped; non-results tables untouched
+    assert(sweeper.sweepOnce(t0 + 120 * 1000) == Seq("results_swp-1"))
+    val c2 = java.sql.DriverManager.getConnection(url)
+    try {
+      intercept[java.sql.SQLException] {
+        c2.createStatement().executeQuery("""SELECT 1 FROM "results_swp-1"""")
+      }
+      c2.createStatement().executeQuery("""SELECT 1 FROM "keep_me"""")
+    } finally c2.close()
+  }
 }

@@ -97,6 +97,12 @@ class HttpApiSpec extends AnyFunSuite {
   test("DELETE completed job without purge is 409; purge succeeds") {
     val (c1, _) = delete("/jobs/http-1")
     assert(c1 == 409)
+    // purge is a real boolean (strconv.ParseBool semantics, cmd/http.go:142):
+    // false-y values and unrelated params merely containing "purge" must NOT purge
+    assert(delete("/jobs/http-1?purge=false")._1 == 409)
+    assert(delete("/jobs/http-1?purge=0")._1 == 409)
+    assert(delete("/jobs/http-1?reason=purged")._1 == 409)
+    assert(delete("/jobs/http-1?purge=bogus")._1 == 400)
     val (c2, _) = delete("/jobs/http-1?purge=1")
     assert(c2 == 200)
     assert(get("/jobs/http-1")._1 == 404)

@@ -121,6 +121,24 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(df.head.getLong(0) == 3) // u0,u1,u2 all have positive sums
   }
 
+  test("schema-qualified remote tables resolve (public.users shape, ADVICE r1)") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE pub.users") catch { case _: Exception => () }
+      try st.execute("CREATE SCHEMA pub") catch { case _: Exception => () }
+      st.execute("CREATE TABLE pub.users (id INT, name VARCHAR(16))")
+      st.execute("INSERT INTO pub.users VALUES (1, 'ada'), (2, 'bob'), (3, 'eve')")
+    } finally conn.close()
+    val task = Task("t", "default", 1,
+      """WITH grown AS (SELECT id + 10 AS id2, name FROM pub.users)
+         SELECT COUNT(*) AS n FROM grown g JOIN pub.users u ON g.id2 = u.id + 10
+         WHERE u.id >= $1""",
+      SourcePool.single("db", url), SourcePool.single("res", "/tmp"), isRaw = true)
+    val df = Executor.buildFrame(spark.newSession(), url, task, Seq("2"))
+    assert(df.head.getLong(0) == 2)
+  }
+
   test("filters push down into the JDBC source (delegation, like the reference)") {
     setupEntries()
     val task = Task("t", "default", 1,

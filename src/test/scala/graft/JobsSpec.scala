@@ -55,4 +55,19 @@ class JobsSpec extends AnyFunSuite {
     st.set("b", JobState.Pending)
     assert(st.groupStatus("g").get.state == JobState.Pending)
   }
+
+  test("canceled members don't pin a group below SUCCESS (ADVICE r1)") {
+    val st = new StatusStore
+    st.putGroup("g", Seq("a", "b", "c"))
+    st.set("a", JobState.Success, 1)
+    st.set("b", JobState.Success, 2)
+    st.set("c", JobState.Started)
+    st.remove("c") // cancel deletes from the store (core.go:268)
+    val g = st.groupStatus("g").get
+    assert(g.state == JobState.Success)
+    assert(g.jobs.map(_.jobId) == Seq("a", "b")) // canceled member excluded
+    // but a canceled member never masks a failure
+    st.set("b", JobState.Failure, -1, "boom")
+    assert(st.groupStatus("g").get.state == JobState.Failure)
+  }
 }
