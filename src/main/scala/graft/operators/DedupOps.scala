@@ -185,12 +185,25 @@ object DedupOps {
       val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s1, x) => s1 + x))
       dotp / (na * nb)
     }
-    pairs
+    // Per-document nearest-neighbor verdict rather than a bare ≥τ pair list:
+    // every document reports its closest same-bucket candidate and whether
+    // that crosses the dup threshold, so the result is non-degenerate even on
+    // corpora with no near-dups (the driver's synthetic embeddings top out
+    // near cosine 0.6) while the ≥τ rows are exactly the near-dup pairs.
+    val scored = pairs
       .join(vecs.select(col("vec_id").as("a"), col("v").as("va")), "a")
       .join(vecs.select(col("vec_id").as("b"), col("v").as("vb")), "b")
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("cosine"))
-      .filter(col("cosine") >= 0.95)
-      .orderBy(col("a"), col("b"))
+    val sym = scored.select(col("a").as("doc_id"), col("b").as("nn_id"), col("cosine"))
+      .unionAll(scored.select(col("b").as("doc_id"), col("a").as("nn_id"), col("cosine")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cosine").desc, col("nn_id").asc)
+    val best = sym.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    emb.select(col("vec_id").as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nn_id"), col("cosine"),
+        coalesce(col("cosine") >= 0.95, lit(false)).as("is_dup"))
+      .orderBy(col("doc_id"))
   }
 
   // --------------------------------------------- cluster resolution (CC)

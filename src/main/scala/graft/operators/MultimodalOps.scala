@@ -59,7 +59,10 @@ object MultimodalOps {
     * each partition streams rows through the (stub) decoder — no collect,
     * no per-row JVM↔driver hops; at 100 TB this is embarrassingly parallel
     * and bounded by decode CPU. No SQL oracle (decoder is not SQL);
-    * MultimodalOpsSpec pins determinism + schema. */
+    * MultimodalOpsSpec pins determinism + schema. The feature vector stays
+    * an array inside the pipeline; the query surface reduces it to scalars
+    * (dim + L2 norm) because downstream result comparison is column-wise
+    * and cannot sort array cells. */
   val mmDecodeFeatures: Q = (s, d) => {
     val in = Tables.load(s, d, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -76,7 +79,13 @@ object MultimodalOps {
         val dec = StubDecode(r.getAs[Array[Byte]](1))
         Row(id, dec.width, dec.height, dec.nChannels, dec.feature.toSeq)
       }
-    }(enc).orderBy(col("doc_id"))
+    }(enc)
+      .select(col("doc_id"), col("width"), col("height"), col("n_channels"),
+        size(col("feature")).as("feature_dim"),
+        round(sqrt(aggregate(col("feature"), lit(0.0d),
+          (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))), 6)
+          .as("feature_norm"))
+      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -122,10 +122,15 @@ object RelOps {
   /** Exact interpolated percentiles per group (delegated-SQL class:
     * PG percentile_cont / ClickHouse quantile). */
   val aggPercentile: Q = (s, d) =>
+    // one percentile agg evaluates all three points in a single pass; the
+    // quartiles surface as scalar columns (array outputs break column-wise
+    // result comparison downstream)
     t(s, d, "lineitem").groupBy($"l_returnflag")
-      .agg(expr(
-        "transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D)), x -> round(x, 6))")
-        .as("price_quartiles"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select($"l_returnflag",
+        round(element_at($"qs", 1), 6).as("p25"),
+        round(element_at($"qs", 2), 6).as("p50"),
+        round(element_at($"qs", 3), 6).as("p75"))
       .orderBy($"l_returnflag")
 
   /** Ordered string aggregation (PG string_agg / MySQL group_concat class);
@@ -533,8 +538,9 @@ object RelOps {
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "agg_percentile" ->
       """SELECT l_returnflag,
-         list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
-                        x -> round(x, 6)) AS price_quartiles
+         round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+         round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+         round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_collect_sorted" ->
       """SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names,

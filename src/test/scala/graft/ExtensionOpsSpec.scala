@@ -73,10 +73,14 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(!rows.exists(r => r.getAs[Long]("a") == 3L || r.getAs[Long]("b") == 3L))
   }
 
-  test("dedup_embedding pairs only the near-identical vectors") {
-    val rows = DedupOps.dedupEmbedding(spark, dir)
-      .select("a", "b").as[(Long, Long)].collect().toSet
-    assert(rows == Set((0L, 1L)))
+  test("dedup_embedding flags only the near-identical vectors as dups") {
+    val rows = DedupOps.dedupEmbedding(spark, dir).collect()
+    assert(rows.length == 4) // one verdict row per vector, even isolated ones
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(0L).getAs[Boolean]("is_dup") && byId(0L).getAs[Long]("nn_id") == 1L)
+    assert(byId(1L).getAs[Boolean]("is_dup") && byId(1L).getAs[Long]("nn_id") == 0L)
+    assert(byId(0L).getAs[Double]("cosine") > 0.999)
+    assert(!byId(2L).getAs[Boolean]("is_dup") && !byId(3L).getAs[Boolean]("is_dup"))
   }
 
   test("dedup_clusters resolves transitive chains A~B~C into one cluster") {
@@ -142,13 +146,15 @@ class ExtensionOpsSpec extends AnyFunSuite {
 
   test("mm_decode_features: declared schema, deterministic stub decode") {
     val out = MultimodalOps.mmDecodeFeatures(spark, dir)
+    // query surface is scalar-only (array cells aren't comparable downstream);
+    // the 8-dim feature vector lives inside the pipeline, summarized as dim+norm
     assert(out.schema.fieldNames.toSeq ==
-      Seq("doc_id", "width", "height", "n_channels", "feature"))
-    assert(out.schema("feature").dataType == ArrayType(FloatType))
+      Seq("doc_id", "width", "height", "n_channels", "feature_dim", "feature_norm"))
     val r1 = out.collect()
     val r2 = MultimodalOps.mmDecodeFeatures(spark, dir).collect()
     assert(r1.sameElements(r2))
-    assert(r1.forall(_.getAs[Seq[Float]]("feature").length == 8))
+    assert(r1.forall(_.getAs[Int]("feature_dim") == 8))
+    assert(r1.forall(_.getAs[Double]("feature_norm") >= 0.0))
     // identical payloads decode identically
     val byId = r1.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("width")).toMap
     assert(byId(0L) == byId(1L))

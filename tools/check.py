@@ -25,6 +25,16 @@ fails = []
 for name in names:
     spark_df = con.execute(
         f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+    # the driver's gate sorts every result by all columns in pandas before
+    # hashing — array/object cells make that throw. Reproduce it here so
+    # unsortable outputs fail locally too (CORRECTNESS_r01: agg_percentile,
+    # mm_decode_features).
+    try:
+        spark_df.sort_values(by=sorted(spark_df.columns))
+    except Exception as e:
+        print(f"{name:24s} FAIL  UNSORTABLE (driver gate would error): {e}")
+        fails.append(name)
+        continue
     if name not in oracle:
         print(f"{name:24s} rows-only: {len(spark_df)} rows "
               f"{'OK' if len(spark_df) >= 0 else ''}")
