@@ -139,17 +139,32 @@ object DedupOps {
   }
 
   // ------------------------------------------------- n-gram Jaccard (exact)
-  /** Exact n-gram Jaccard dedup via inverted index: explode shingles, join on
-    * shingle to count intersections, derive Jaccard from set sizes. Exact
-    * (no LSH false negatives) at the cost of shuffling the posting list —
-    * the right tool below ~10 shared-shingle fanout; MinHash above it. */
+  /** Exact n-gram Jaccard dedup via inverted index: explode shingles, group
+    * postings by shingle, expand each group's doc list into (a < b) pairs,
+    * count per pair, derive Jaccard from set sizes.
+    *
+    * Two scale choices over the naive posting self-join: (1) group on the
+    * 64-bit `xxhash64` of the shingle, so the wide shuffle moves 8-byte keys
+    * instead of strings (a hash collision needs two distinct shingles of the
+    * corpus to collide in 2⁶⁴ — odds ~n²/2⁶⁴, vanishing, and production
+    * MinHash stacks hash the shingle anyway); (2) one shuffle of the posting
+    * list instead of the self-join's two, with singleton shingles (the vast
+    * majority) dropped before any pair is materialized. The per-doc set-size
+    * joins are left to AQE: locally the sizes side auto-broadcasts; at scale
+    * (a row per document) they become shuffle joins on the already-small
+    * candidate-pair set, not on the posting list. */
   val dedupNgramJaccard: Q = (s, d) => {
     val sh = docs(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val posting = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val inter = posting.as("x").join(posting.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val inter = sh
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
+      .groupBy(col("shash")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
@@ -212,19 +227,25 @@ object DedupOps {
     * cluster (transitive closure — pairwise output alone can't decide
     * A~B, B~C ⇒ keep one of {A,B,C}).
     *
-    * Iterative Spark done right: each round is one join + one aggregate;
-    * labels converge in O(log n) rounds (checked with a count, driver loops
-    * control flow only — never data); `localCheckpoint` truncates lineage
-    * every round, the classic guard against iterative-plan blowup. Built on
-    * the exact-Jaccard pairs so the whole pipeline — pairs AND clustering —
-    * is DuckDB-oracle-checkable (recursive CTE).
+    * Iterative Spark done right: the loop runs only over nodes that appear
+    * in some near-dup pair — isolated documents (the overwhelming majority
+    * at any scale) are their own cluster by definition and never enter an
+    * iteration, so each round's join + aggregate touches O(|edges|) rows,
+    * not O(|corpus|). Labels converge in O(log n) rounds; the driver loops
+    * control flow only — never data. Each round is a single action: a lazy
+    * `localCheckpoint` (lineage truncation, the classic guard against
+    * iterative-plan blowup) materialized by the changed-label count that
+    * doubles as the convergence test. Built on the exact-Jaccard pairs so
+    * the whole pipeline — pairs AND clustering — is DuckDB-oracle-checkable
+    * (recursive CTE).
     */
   val dedupClusters: Q = (s, d) => {
     val pairs = dedupNgramJaccard(s, d).select(col("a"), col("b"))
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
-    var labels = docs(s, d).select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
     var converged = false
     var iter = 0
     val maxIters = 64 // handles components of diameter 64; fail loudly beyond
@@ -236,17 +257,21 @@ object DedupOps {
         .agg(min(col("lbl")).as("nmin"))
       val next = labels
         .join(neighborMin, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .filter(col("lbl") =!= col("old")).isEmpty
-      labels = next
+        .select(col("doc_id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint(eager = false)
+      converged = next.filter(col("lbl") =!= col("old")).count() == 0 // materializes the checkpoint
+      labels = next.select(col("doc_id"), col("lbl"))
     }
     // wrong clusters are worse than no clusters: never return unconverged
     // labels silently (a >64-diameter dup chain is pathological input)
     require(converged, s"dedup_clusters did not converge within $maxIters rounds")
-    labels.select(col("doc_id"), col("lbl").as("cluster_id"),
-        (col("doc_id") === col("lbl")).as("is_kept"))
+    // isolated docs rejoin as their own cluster
+    docs(s, d).select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_kept"))
       .orderBy(col("doc_id"))
   }
 

