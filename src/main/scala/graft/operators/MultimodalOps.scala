@@ -24,16 +24,22 @@ object MultimodalOps {
     * this body with the codec call; signature and batch shape stay the same.
     */
   object StubDecode {
-    final case class Decoded(width: Int, height: Int, nChannels: Int, feature: Array[Float])
+    final case class Decoded(width: Int, height: Int, nChannels: Int,
+        nFrames: Int, feature: Array[Float])
     def apply(payload: Array[Byte]): Decoded = {
       // ??? <- real decoder goes here; deterministic fake derived from bytes:
+      val h = contentHash(payload)
+      val w = 64 + math.floorMod(h, 1024).toInt
+      val ht = 64 + math.floorMod(h >> 10, 1024).toInt
+      val nf = 1 + math.floorMod(h >> 20, 240).toInt // stub "video" length
+      val feat = Array.tabulate(8)(j => math.floorMod(h >> (j * 7), 997).toFloat / 997f)
+      Decoded(w, ht, 3, nf, feat)
+    }
+    def contentHash(payload: Array[Byte]): Long = {
       var h = 1125899906842597L
       var i = 0
       while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-      val w = 64 + math.floorMod(h, 1024).toInt
-      val ht = 64 + math.floorMod(h >> 10, 1024).toInt
-      val feat = Array.tabulate(8)(j => math.floorMod(h >> (j * 7), 997).toFloat / 997f)
-      Decoded(w, ht, 3, feat)
+      h
     }
   }
 
@@ -88,9 +94,62 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Batch resize (stub codec): fit each decoded image inside a 256×256 box
+    * preserving aspect ratio. Same partition-wise batch shape as the decode
+    * path — a real pipeline swaps the stub for the codec's resample call and
+    * emits the resized bytes as a binary column; here the output surfaces
+    * the dimension plan (in/out dims + output byte budget) as scalars. */
+  val mmResize: Q = (s, d) => {
+    val in = Tables.load(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("out_bytes", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val dec = StubDecode(r.getAs[Array[Byte]](1))
+        val scale = math.min(1.0, 256.0 / math.max(dec.width, dec.height))
+        val ow = math.max(1, math.floor(dec.width * scale).toInt)
+        val oh = math.max(1, math.floor(dec.height * scale).toInt)
+        Row(r.getLong(0), dec.width, dec.height, ow, oh, ow.toLong * oh * dec.nChannels)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  /** Frame sampling (stub video): every 10th frame of each payload's decoded
+    * frame count, one output row per sampled frame with a per-frame content
+    * hash — the iterator-flatMap explode shape of a real frame sampler
+    * (rows out ≠ rows in, still fully partition-parallel, no driver hop). */
+  val mmFrameSample: Q = (s, d) => {
+    val in = Tables.load(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_hash", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val dec = StubDecode(payload)
+        val h = StubDecode.contentHash(payload)
+        (0 until dec.nFrames by 10).iterator.map { i =>
+          Row(r.getLong(0), i, 31 * h + i) // stub per-frame hash
+        }
+      }
+    }(enc).orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
     "mm_decode_features" -> mmDecodeFeatures,
+    "mm_resize" -> mmResize,
+    "mm_frame_sample" -> mmFrameSample,
   )
 
   val oracle: Map[String, String] = Map(

@@ -112,6 +112,26 @@ object TextOps {
         length(col("norm_text")).cast(LongType).as("norm_len"))
       .orderBy(col("doc_id"))
 
+  // PII patterns shared verbatim between Spark (Java regex) and the DuckDB
+  // oracle (RE2) — both engines read these exact strings identically.
+  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+
+  /** PII scrubbing — the redaction front of a training-data pipeline:
+    * emails and phone-shaped digit runs are replaced with typed tags, in one
+    * codegen'd pass. The scrubbed text surfaces as a hash (results stay
+    * narrow); per-kind redaction counts make the op auditable. */
+  val textScrubPii: Q = (s, d) =>
+    docs(s, d).select(
+        col("doc_id"),
+        md5(regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]")).as("scrub_hash"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast(LongType).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+          .cast(LongType).as("n_phones"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "text_stats" -> textStats,
     "text_normalize" -> textNormalize,
@@ -119,9 +139,19 @@ object TextOps {
     "text_token_count" -> textTokenCount,
     "text_lang_id" -> textLangId,
     "text_fingerprint" -> textFingerprint,
+    "text_scrub_pii" -> textScrubPii,
   )
 
   val oracle: Map[String, String] = Map(
+    "text_scrub_pii" ->
+      """SELECT doc_id,
+         md5(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\+?\d[\d -]{7,}\d', '[PHONE]', 'g')) AS scrub_hash,
+         CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '\+?\d[\d -]{7,}\d')) AS BIGINT) AS n_phones
+         FROM documents ORDER BY doc_id""",
     "text_normalize" ->
       """SELECT doc_id,
          md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

@@ -160,6 +160,56 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(byId(0L) == byId(1L))
   }
 
+  test("mm_resize fits the 256 box, preserves aspect, never upscales") {
+    val rows = MultimodalOps.mmResize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(ow >= 1 && ow <= 256 && oh >= 1 && oh <= 256)
+      assert(ow <= w && oh <= h) // fit-within never upscales
+      if (math.max(w, h) <= 256) assert(ow == w && oh == h)
+      assert(r.getAs[Long]("out_bytes") == ow.toLong * oh * 3)
+    }
+    val again = MultimodalOps.mmResize(spark, dir).collect()
+    assert(rows.sameElements(again))
+  }
+
+  test("mm_frame_sample emits every 10th frame, deterministically") {
+    val rows = MultimodalOps.mmFrameSample(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("frame_idx") % 10 == 0))
+    // per-doc sampled count = ceil(nFrames / 10) — at least one frame each
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length)
+    assert(perDoc.values.forall(_ >= 1))
+    assert(perDoc.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // identical payloads sample identically (docs 0 and 1 share text)
+    def frames(id: Long) = rows.filter(_.getAs[Long]("doc_id") == id)
+      .map(r => (r.getAs[Int]("frame_idx"), r.getAs[Long]("frame_hash"))).toSeq
+    assert(frames(0L) == frames(1L))
+  }
+
+  test("text_scrub_pii redacts planted emails/phones and counts them") {
+    val tmp = Files.createTempDirectory("graft-pii").toString
+    val texts = Seq(
+      (0L, "contact me at jane.doe@example.com or +1 555 123 4567 thanks"),
+      (1L, "no pii here just words"),
+      (2L, "two mails a@b.io c.d@e.org and digits 12345678901"))
+    texts.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.textScrubPii(spark, tmp).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(0L).getAs[Long]("n_emails") == 1 && byId(0L).getAs[Long]("n_phones") == 1)
+    assert(byId(1L).getAs[Long]("n_emails") == 0 && byId(1L).getAs[Long]("n_phones") == 0)
+    assert(byId(2L).getAs[Long]("n_emails") == 2 && byId(2L).getAs[Long]("n_phones") == 1)
+    // scrubbed hash for the clean doc equals the hash of the raw text
+    import org.apache.spark.sql.functions.md5
+    val clean = spark.createDataset(Seq(texts(1)._2)).select(md5($"value")).head.getString(0)
+    assert(byId(1L).getAs[String]("scrub_hash") == clean)
+    assert(byId(0L).getAs[String]("scrub_hash") != clean)
+  }
+
   test("streaming-shape guard: extension queries collect nothing to the driver") {
     // plans must be fully distributed: no LocalRelation of the input data
     val plans = Seq(
