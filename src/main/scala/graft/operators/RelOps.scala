@@ -226,6 +226,20 @@ object RelOps {
       .orderBy($"c_mktsegment")
   }
 
+  /** Skew-resistant salted join as a first-class query: semantically the
+    * plain equi-join (the oracle is exactly that), physically each hot key
+    * spreads over 8 sub-keys — the explicit fallback for a broadcast-
+    * ineligible hot key AQE's partition splitting can't fix
+    * ([[graft.plans.SaltedJoin]]). */
+  val joinSalted: Q = (s, d) => {
+    val ev = t(s, d, "events").select($"user_id", $"value")
+    val cust = t(s, d, "customer").select($"c_custkey", $"c_mktsegment")
+    graft.plans.SaltedJoin.join(ev, cust, col("user_id"), col("c_custkey"), 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), sumd($"value").as("total_value"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Equi + range join (ts ≥ bound residual). The equi key keeps it a hash
     * join at scale; the range term is a post-join filter, never a
     * BroadcastNestedLoop over the fact table. */
@@ -473,6 +487,7 @@ object RelOps {
     "join_anti" -> joinAnti,
     "join_broadcast" -> joinBroadcast,
     "join_bucketed" -> joinBucketed,
+    "join_salted" -> joinSalted,
     "join_range" -> joinRange,
     "sort_limit" -> sortLimit,
     "window_rank" -> windowRank,
@@ -586,6 +601,11 @@ object RelOps {
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_salted" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "join_range" ->
       """SELECT o_orderkey, COUNT(*) AS n_events
