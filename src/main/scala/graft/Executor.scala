@@ -89,19 +89,28 @@ object Executor {
     }
     def isCte(parts: Seq[String]): Boolean =
       parts.size == 1 && cteNames.contains(parts.head.toLowerCase)
-    val remote = tables.map(_.map(_.toLowerCase)).distinct.filterNot(isCte)
+    // key case-insensitively (Spark resolution default) but keep the
+    // original-case name for `dbtable` — the remote DB may be case-sensitive
+    val remote: Map[Seq[String], Seq[String]] = tables.filterNot(isCte)
+      .map(parts => parts.map(_.toLowerCase) -> parts).toMap
     // single-part names keep their own name as the view; qualified names get
-    // a sanitized alias (`public.users` → `graft_jdbc_public_users`)
-    val alias: Map[Seq[String], String] = remote.map { parts =>
+    // a sanitized alias (`public.users` → `graft_jdbc_public_users_<hash>`;
+    // the hash disambiguates names that sanitize to the same string)
+    val alias: Map[Seq[String], String] = remote.map { case (key, parts) =>
       val v =
         if (parts.size == 1) parts.head
-        else "graft_jdbc_" + parts.mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
-      parts -> v
-    }.toMap
-    alias.foreach { case (parts, view) =>
+        else {
+          val joined = parts.mkString(".")
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+          "graft_jdbc_" + joined.replaceAll("[^A-Za-z0-9_]", "_") + "_" + h
+        }
+      key -> v
+    }
+    alias.foreach { case (key, view) =>
       session.read.format("jdbc")
         .option("url", url)
-        .option("dbtable", parts.mkString("."))
+        .option("dbtable", remote(key).mkString("."))
         .load()
         .createOrReplaceTempView(view)
     }
@@ -139,6 +148,7 @@ object Executor {
         val table = quotedResultTable(backendDir, job.id)
         out.write.mode("overwrite")
           .jdbc(backendDir, table, new java.util.Properties)
+        ResultClock.touch(backendDir, resultTable(job.id)) // refresh sweeper TTL
         val count = session.read.jdbc(backendDir, table, new java.util.Properties).count()
         ExecResult(count, s"$backendDir#${resultTable(job.id)}", srcName)
       } else {

@@ -86,6 +86,10 @@ object JobFactory {
 final class StatusStore {
   private val jobs = new ConcurrentHashMap[String, JobStatus]()
   private val groups = new ConcurrentHashMap[String, Seq[String]]()
+  // IDs removed via cancel — distinguishes "canceled" from "never admitted"
+  // in the group reduction (a member missing because its submit hasn't
+  // happened yet must hold the group at PENDING, not be skipped)
+  private val canceled = ConcurrentHashMap.newKeySet[String]()
 
   /** Atomically admit a job ID for execution. Returns false if the same ID is
     * currently queued/running. */
@@ -96,7 +100,7 @@ final class StatusStore {
         (cur.state == JobState.Pending || cur.state == JobState.Started ||
          cur.state == JobState.Retry)
       if (running) cur
-      else { admitted = true; JobStatus(id, JobState.Pending) }
+      else { admitted = true; canceled.remove(id); JobStatus(id, JobState.Pending) }
     })
     admitted
   }
@@ -115,22 +119,33 @@ final class StatusStore {
   def get(id: String): Option[JobStatus] = Option(jobs.get(id))
 
   /** CancelJob's delete-from-store step (core.go:268). */
-  def remove(id: String): Unit = jobs.remove(id)
+  def remove(id: String): Unit = {
+    canceled.add(id)
+    jobs.remove(id): Unit
+  }
+
+  /** Failed-enqueue rollback: drop the admission WITHOUT marking canceled,
+    * so a group containing the job reads PENDING (visible anomaly), never a
+    * false SUCCESS that skips the member. */
+  def rollback(id: String): Unit = jobs.remove(id): Unit
 
   def putGroup(groupId: String, jobIds: Seq[String]): Unit = groups.put(groupId, jobIds)
   def groupJobIds(groupId: String): Option[Seq[String]] = Option(groups.get(groupId))
   def removeGroup(groupId: String): Unit = groups.remove(groupId)
 
   /** Group state reduction (core.go:230-241): any FAILURE → FAILURE, all
-    * SUCCESS → SUCCESS, any STARTED/RETRY → STARTED, else PENDING. Canceled
-    * members (removed from the store) are excluded from the reduction, so a
-    * group whose remaining jobs all succeeded still reports SUCCESS. */
+    * SUCCESS → SUCCESS, any STARTED/RETRY → STARTED, else PENDING.
+    * Explicitly-canceled members are excluded from the reduction — a group
+    * whose remaining jobs all succeeded reports SUCCESS — but a member that
+    * is simply absent (submit not yet landed, or rolled back) still holds
+    * the group at PENDING, never letting a partial group read as complete. */
   def groupStatus(groupId: String): Option[GroupStatus] =
     groupJobIds(groupId).map { ids =>
       val sts = ids.flatMap(get)
+      val unaccounted = ids.exists(id => !jobs.containsKey(id) && !canceled.contains(id))
       val state =
         if (sts.exists(_.state == JobState.Failure)) JobState.Failure
-        else if (sts.nonEmpty && sts.forall(_.state == JobState.Success)) JobState.Success
+        else if (sts.nonEmpty && !unaccounted && sts.forall(_.state == JobState.Success)) JobState.Success
         else if (sts.exists(s => s.state == JobState.Started || s.state == JobState.Retry)) JobState.Started
         else JobState.Pending
       GroupStatus(groupId, state, sts)

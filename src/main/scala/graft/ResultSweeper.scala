@@ -18,10 +18,11 @@ import scala.util.control.NonFatal
   * re-run of the same job ID rewrites the directory and refreshes its mtime.
   *
   * JDBC backends expose no portable table-creation time, so the sweeper
-  * stamps each `results_%` table when it first observes it and drops it once
-  * the stamp ages past retention. After a process restart the clock starts
-  * over (conservative: a table is never dropped sooner than retention after
-  * first observation).
+  * stamps each `results_%` table when it first observes it — refreshed by
+  * [[ResultClock]] whenever the executor rewrites the table — and drops it
+  * once the stamp ages past retention. After a process restart the clock
+  * starts over (conservative: a table is never dropped sooner than retention
+  * after first observation).
   */
 final class ResultSweeper(backends: SourcePool, retentionSec: Long) {
   private val pool = Executors.newSingleThreadScheduledExecutor(r => {
@@ -39,7 +40,7 @@ final class ResultSweeper(backends: SourcePool, retentionSec: Long) {
         Option(root.listFiles()).getOrElse(Array.empty)
           .filter(f => f.isDirectory && f.getName.startsWith("results_"))
           .filter(f => nowMs - f.lastModified() > retentionSec * 1000)
-          .map { f => deleteRecursive(f); f.getName }
+          .map { f => FsUtil.deleteRecursive(f); f.getName }
           .toSeq
       }
     }.sorted
@@ -50,18 +51,33 @@ final class ResultSweeper(backends: SourcePool, retentionSec: Long) {
       val conn = DriverManager.getConnection(url)
       try {
         val rs = conn.getMetaData.getTables(null, null, "results_%", Array("TABLE"))
-        val present = Iterator.continually(rs).takeWhile(_.next()).map(_.getString("TABLE_NAME")).toVector
-        // stamp new tables at now; forget vanished ones (purged via the API)
-        // so a later same-ID job starts a fresh retention clock
-        val live = present.map { t =>
-          (jdbcSeen.computeIfAbsent((url, t), _ => nowMs): Long, t)
+        // metadata patterns treat '_' as a single-char wildcard, so 'results_%'
+        // also matches e.g. 'resultsXfoo' — post-filter on the literal prefix
+        // (the filesystem branch's exact startsWith) before anything is dropped
+        val present = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (Option(r.getString("TABLE_SCHEM")).filter(_.nonEmpty), r.getString("TABLE_NAME")))
+          .filter(_._2.startsWith("results_"))
+          .toVector
+        // stamp new tables at now; refresh from the executor's write clock on
+        // rewrite; forget vanished ones (purged via the API) so a later
+        // same-ID job starts a fresh retention clock
+        val live = present.map { case (schem, t) =>
+          val seen: Long = jdbcSeen.computeIfAbsent((url, t), _ => nowMs)
+          val basis = math.max(seen, ResultClock.lastWrite(url, t).getOrElse(0L))
+          (basis, schem, t)
         }
-        jdbcSeen.keySet.removeIf(k => k._1 == url && !present.contains(k._2))
-        live.collect { case (seen, t) if nowMs - seen > retentionSec * 1000 =>
-          conn.createStatement().execute(s"DROP TABLE $quote$t$quote")
-          jdbcSeen.remove((url, t))
-          t
-        }
+        jdbcSeen.keySet.removeIf(k => k._1 == url && !present.exists(_._2 == k._2))
+        live.collect { case (basis, schem, t) if nowMs - basis > retentionSec * 1000 =>
+          // per-table guard: one undroppable table (permissions, foreign
+          // schema) must not wedge expiry of the rest of the pass
+          try {
+            val qualified = schem.map(sc => s"$quote$sc$quote.").getOrElse("") + s"$quote$t$quote"
+            conn.createStatement().execute(s"DROP TABLE $qualified")
+            jdbcSeen.remove((url, t))
+            ResultClock.forget(url, t)
+            Some(t)
+          } catch { case NonFatal(_) => None }
+        }.flatten
       } finally conn.close()
     } catch { case NonFatal(_) => Nil } // backend down: retry next sweep
   }
@@ -70,9 +86,18 @@ final class ResultSweeper(backends: SourcePool, retentionSec: Long) {
     pool.scheduleAtFixedRate(() => { sweepOnce(): Unit }, periodSec, periodSec, TimeUnit.SECONDS): Unit
 
   def stop(): Unit = pool.shutdown()
+}
 
-  private def deleteRecursive(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursive))
-    f.delete(): Unit
+/** In-JVM write clock for JDBC result tables: the executor stamps each
+  * `results_<jobID>` table when it (re)writes it, so sweeper retention
+  * measures from the last write — a job re-run refreshes its result's TTL
+  * exactly like the filesystem branch's directory mtime. */
+object ResultClock {
+  private val writes = new ConcurrentHashMap[(String, String), java.lang.Long]()
+  def touch(url: String, table: String, nowMs: Long = System.currentTimeMillis): Unit = {
+    writes.put((url, table), nowMs); ()
   }
+  def lastWrite(url: String, table: String): Option[Long] =
+    Option(writes.get((url, table))).map(_.longValue)
+  def forget(url: String, table: String): Unit = { writes.remove((url, table)); () }
 }

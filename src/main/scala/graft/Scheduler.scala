@@ -70,9 +70,11 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
     } catch {
       case e: Throwable =>
         // failed enqueue must not leave a Pending admission that would block
-        // this job ID forever (core.go's enqueue failures surface the same way)
+        // this job ID forever (core.go's enqueue failures surface the same way);
+        // rollback ≠ cancel: the ID stays unaccounted so a group holding it
+        // reads PENDING rather than skipping the member
         backlog(job.queue).remove(job.id)
-        store.remove(job.id)
+        store.rollback(job.id)
         throw e
     }
   }
@@ -159,11 +161,13 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
             case url if url.startsWith("jdbc:") =>
               // DROP TABLE IF EXISTS analog (sqldb.go:298), dialect-quoted
               val conn = java.sql.DriverManager.getConnection(url)
-              try conn.createStatement().execute(
-                s"DROP TABLE ${graft.Executor.quotedResultTable(url, jobId)}")
-              catch { case _: Exception => () } finally conn.close()
+              try {
+                conn.createStatement().execute(
+                  s"DROP TABLE ${graft.Executor.quotedResultTable(url, jobId)}")
+                ResultClock.forget(url, graft.Executor.resultTable(jobId))
+              } catch { case _: Exception => () } finally conn.close()
             case dir =>
-              deleteRecursive(new java.io.File(graft.Executor.resultDir(dir, jobId)))
+              FsUtil.deleteRecursive(new java.io.File(graft.Executor.resultDir(dir, jobId)))
           }
     }
   }
@@ -188,11 +192,6 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
       }
     }
     store.removeGroup(groupId)
-  }
-
-  private def deleteRecursive(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursive))
-    f.delete(): Unit
   }
 
   /** Block until all queues drain (test/CLI helper; the reference's worker

@@ -45,6 +45,15 @@ object Tables {
   private def exists(dir: String, table: String, ext: String): Boolean =
     new java.io.File(s"$dir/$table.$ext").exists()
 
+  /** The concrete file/dir `load` would read for a table — same resolution
+    * order. Errors like `load` when no format is present (callers such as
+    * the artifact cache must fingerprint real bytes, not a missing path). */
+  def resolve(sfDir: String, table: String): java.io.File =
+    Seq("parquet", "csv", "json", "orc").collectFirst {
+      case ext if exists(sfDir, table, ext) => new java.io.File(s"$sfDir/$table.$ext")
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no $table.{parquet,csv,json,orc} under $sfDir"))
+
   /** Register every *available* table as a temp view so task SQL can refer
     * to tables by name, the way reference task SQL refers to source-DB
     * tables. A source dir may carry any subset of the tables in any

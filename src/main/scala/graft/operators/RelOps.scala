@@ -208,18 +208,24 @@ object RelOps {
     val fp = ArtifactCache.fingerprint(d, Seq("orders", "customer"))
     val (tOrders, tCust) = (s"graft_bk_orders_$fp", s"graft_bk_customer_$fp")
     val wh = ArtifactCache.getOrBuild("bucketed", d, Seq("orders", "customer")) { dir =>
+      // write under throwaway catalog names anchored at the staging dir and
+      // drop them right away (EXTERNAL: the bucket files stay) — the durable
+      // registration below points at the published path
       BucketedJoin.writeBucketed(
         t(s, d, "orders").select($"o_custkey", $"o_totalprice"),
-        tOrders, "o_custkey", 8, s"$dir/orders")
+        s"${tOrders}__build", "o_custkey", 8, s"$dir/orders")
       BucketedJoin.writeBucketed(
         t(s, d, "customer").select($"c_custkey", $"c_mktsegment"),
-        tCust, "c_custkey", 8, s"$dir/customer")
+        s"${tCust}__build", "c_custkey", 8, s"$dir/customer")
+      s.sql(s"DROP TABLE IF EXISTS ${tOrders}__build")
+      s.sql(s"DROP TABLE IF EXISTS ${tCust}__build")
     }
-    // cache hit from another session: catalog entries are metadata-only
+    // register (any session; metadata-only) with the schema read back from
+    // the artifact itself, so the DDL can never drift from the data
     BucketedJoin.registerBucketed(s, tOrders,
-      "o_custkey BIGINT, o_totalprice DOUBLE", "o_custkey", 8, s"$wh/orders")
+      s.read.parquet(s"$wh/orders").schema.toDDL, "o_custkey", 8, s"$wh/orders")
     BucketedJoin.registerBucketed(s, tCust,
-      "c_custkey BIGINT, c_mktsegment STRING", "c_custkey", 8, s"$wh/customer")
+      s.read.parquet(s"$wh/customer").schema.toDDL, "c_custkey", 8, s"$wh/customer")
     BucketedJoin.join(s, tOrders, tCust, "o_custkey", "c_custkey")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), sumd($"o_totalprice").as("total"))

@@ -1,6 +1,7 @@
 package graft.plans
 
 import java.io.File
+import java.nio.file.{Files, StandardCopyOption}
 import java.security.MessageDigest
 
 /** Content-addressed cache for derived physical artifacts (bucketed table
@@ -9,11 +10,15 @@ import java.security.MessageDigest
   * Operators like the bucketed join and the persistent IVF index are
   * pay-once-build, query-many structures: at 100 TB the build is a scheduled
   * pipeline stage, not part of the query. Locally the same contract is kept
-  * by keying the artifact directory on a fingerprint of the source files
-  * (path + length + mtime): the first query builds, subsequent queries — in
-  * any JVM — reuse, and any change to the source data changes the
-  * fingerprint and forces a rebuild. A `_GRAFT_BUILT` marker written after
-  * the build commits guards against reusing a partial build.
+  * by keying the artifact directory on a fingerprint of the *resolved* source
+  * files (path + length + mtime, whatever format `Tables.load` would read):
+  * the first query builds, subsequent queries — in any JVM — reuse, and any
+  * change to the source data changes the fingerprint and forces a rebuild.
+  *
+  * Cross-process safety: builders write into a private temp directory and
+  * publish with an atomic rename. Concurrent builders in other JVMs race
+  * benignly — the loser's rename fails against the winner's directory and
+  * its temp tree is discarded; nobody ever reads a half-written artifact.
   */
 object ArtifactCache {
 
@@ -32,30 +37,31 @@ object ArtifactCache {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.sortBy(_.getName).foreach(feed))
     }
     md.update(new File(sfDir).getCanonicalPath.getBytes("UTF-8"))
-    tables.sorted.foreach(t => feed(new File(sfDir, s"$t.parquet")))
+    tables.sorted.foreach(t => feed(graft.Tables.resolve(sfDir, t)))
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
   /** Return the artifact directory for (kind, sources), building it via
-    * `build(dir)` exactly once per fingerprint. Concurrent builders in one
-    * JVM serialize on the intern'd path; a crashed build leaves no marker
-    * and is redone. */
+    * `build(dir)` exactly once per fingerprint. `build` receives a private
+    * staging directory; the publish is an atomic rename to the final path. */
   def getOrBuild(kind: String, sfDir: String, tables: Seq[String])(build: String => Unit): String = {
     val dir = new File(root, s"${kind}_${fingerprint(sfDir, tables)}")
-    val marker = new File(dir, "_GRAFT_BUILT")
-    dir.getPath.intern.synchronized {
-      if (!marker.exists()) {
-        deleteRecursive(dir) // stale partial build, if any
-        dir.mkdirs()
-        build(dir.getPath)
-        marker.createNewFile()
+    if (dir.isDirectory) return dir.getPath // published artifacts are immutable
+    dir.getPath.intern.synchronized {       // serialize same-JVM builders
+      if (!dir.isDirectory) {
+        val tmp = new File(root,
+          s"${dir.getName}.build-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+        tmp.mkdirs()
+        try {
+          build(tmp.getPath)
+          try Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            // another process published first — its artifact is equivalent
+            case _: java.nio.file.FileSystemException if dir.isDirectory => ()
+          }
+        } finally graft.FsUtil.deleteRecursive(tmp) // no-op if moved
       }
     }
     dir.getPath
-  }
-
-  private def deleteRecursive(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursive))
-    f.delete(): Unit
   }
 }

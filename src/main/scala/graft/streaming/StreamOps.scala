@@ -71,11 +71,7 @@ object StreamOps {
       s.table(name)
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", old)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(ckptRoot)
+      graft.FsUtil.deleteRecursive(ckptRoot)
     }
   }
 

@@ -92,6 +92,9 @@ class ConfigAndSweeperSpec extends AnyFunSuite {
       val st = conn.createStatement()
       st.execute("""CREATE TABLE "results_swp-1" (v INT)""")
       st.execute("""CREATE TABLE "keep_me" (v INT)""")
+      // '_' is a single-char wildcard in metadata patterns: this matches
+      // 'results_%' but is NOT a results table and must never be dropped
+      st.execute("""CREATE TABLE "resultsXfoo" (v INT)""")
     } finally conn.close()
     val sweeper = new ResultSweeper(SourcePool.single("b", url), retentionSec = 60)
     val t0 = System.currentTimeMillis
@@ -107,6 +110,45 @@ class ConfigAndSweeperSpec extends AnyFunSuite {
         c2.createStatement().executeQuery("""SELECT 1 FROM "results_swp-1"""")
       }
       c2.createStatement().executeQuery("""SELECT 1 FROM "keep_me"""")
+      c2.createStatement().executeQuery("""SELECT 1 FROM "resultsXfoo"""")
     } finally c2.close()
+  }
+
+  test("jdbc result TTL is refreshed by a rewrite (ResultClock)") {
+    val url = "jdbc:derby:memory:sweepdb2;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute("""CREATE TABLE "results_rw" (v INT)""")
+    finally conn.close()
+    val sweeper = new ResultSweeper(SourcePool.single("b", url), retentionSec = 60)
+    val t0 = System.currentTimeMillis
+    assert(sweeper.sweepOnce(t0).isEmpty)
+    // the executor rewrites the table at t0+55s → retention restarts there
+    ResultClock.touch(url, "results_rw", t0 + 55 * 1000)
+    assert(sweeper.sweepOnce(t0 + 70 * 1000).isEmpty,
+      "fresh rewrite must not be expired from the first-seen stamp")
+    assert(sweeper.sweepOnce(t0 + 120 * 1000) == Seq("results_rw"))
+  }
+
+  test("artifact cache: reuse on hit, rebuild when the source changes") {
+    val src = Files.createTempDirectory("graft-art-src")
+    Files.writeString(src.resolve("orders.parquet"), "v1")
+    var builds = 0
+    def build(): String = graft.plans.ArtifactCache.getOrBuild(
+      "test", src.toString, Seq("orders")) { dir =>
+      builds += 1
+      Files.writeString(java.nio.file.Path.of(dir, "payload"), s"b$builds")
+    }
+    val p1 = build()
+    val p2 = build()
+    assert(p1 == p2 && builds == 1, "second call must hit the cache")
+    assert(Files.readString(java.nio.file.Path.of(p1, "payload")) == "b1")
+    // change the source bytes (and mtime) → new fingerprint → rebuild
+    Files.writeString(src.resolve("orders.parquet"), "v2-longer")
+    val p3 = build()
+    assert(p3 != p1 && builds == 2, "source change must invalidate")
+    // missing sources are an error, never a data-independent fingerprint
+    intercept[IllegalArgumentException] {
+      graft.plans.ArtifactCache.fingerprint(src.toString, Seq("nope"))
+    }
   }
 }

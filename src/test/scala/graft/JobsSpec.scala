@@ -70,4 +70,21 @@ class JobsSpec extends AnyFunSuite {
     st.set("b", JobState.Failure, -1, "boom")
     assert(st.groupStatus("g").get.state == JobState.Failure)
   }
+
+  test("a not-yet-admitted member holds the group at PENDING (no false SUCCESS)") {
+    val st = new StatusStore
+    // putGroup lands before the submit loop (Api.postJobGroup): member "b"
+    // has no store entry yet and was never canceled
+    st.putGroup("g", Seq("a", "b"))
+    st.set("a", JobState.Success, 1)
+    assert(st.groupStatus("g").get.state == JobState.Pending)
+    // rollback (failed enqueue) also keeps the member unaccounted
+    assert(st.tryAdmit("b"))
+    st.rollback("b")
+    assert(st.groupStatus("g").get.state == JobState.Pending)
+    // an explicit cancel is different: remaining successes complete the group
+    assert(st.tryAdmit("b"))
+    st.remove("b")
+    assert(st.groupStatus("g").get.state == JobState.Success)
+  }
 }
