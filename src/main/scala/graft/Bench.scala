@@ -10,11 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // session warm-up: initialize codegen, parquet reader paths, and the
-    // shuffle machinery once so the first timed query doesn't pay JVM/session
-    // fixed costs (data itself is not pre-cached).
+    // session warm-up: initialize codegen, parquet reader paths, the shuffle
+    // machinery, and the structured-streaming microbatch/state-store classes
+    // once so the first timed query doesn't pay JVM/session fixed costs
+    // (data itself is not pre-cached; the warm-up stream is the 5-row region
+    // table, not a benched input).
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val regionSchema = spark.read.parquet(s"$sfDir/region.parquet").schema
+    val warmStream = spark.readStream.schema(regionSchema)
+      .option("pathGlobFilter", "region.parquet").parquet(sfDir)
+      .groupBy().count()
+      .writeStream.outputMode("complete").format("memory").queryName("graft_warm_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    warmStream.awaitTermination()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

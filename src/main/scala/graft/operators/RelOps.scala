@@ -147,9 +147,12 @@ object RelOps {
     * 1 of 5 directories (PartitionFilters asserted in PlanSpec). At 100 TB
     * this is the difference between reading 20 TB and reading 100 TB. */
   val scanPartitionPrune: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft-part").toString
-    Tables.load(s, d, "events")
-      .write.partitionBy("event_type").mode("overwrite").parquet(root)
+    // the hive-partitioned layout is a pay-once build artifact, cached on
+    // the source fingerprint like the bucketed layout
+    val root = graft.plans.ArtifactCache.getOrBuild("evpart", d, Seq("events")) { dir =>
+      Tables.load(s, d, "events")
+        .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    }
     s.read.parquet(root)
       .filter($"event_type" === "purchase")
       .groupBy($"ts".cast(DateType).as("day"))
