@@ -100,6 +100,10 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
     try {
       while (!done) {
         attempt += 1
+        if (store.get(job.id).isEmpty) { // canceled between attempts
+          spark.sparkContext.cancelJobGroup(job.id)
+          return
+        }
         store.setIfPresent(job.id, JobState.Started)
         // TTL watchdog (core.go:354-357): cancel the job group AND interrupt
         // the worker — a job stalled driver-side (e.g. a hung JDBC schema
@@ -128,7 +132,14 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
               spark.sparkContext.cancelJobGroup(job.id)
               done = true
             }
-            else if (attempt <= job.retries) store.setIfPresent(job.id, JobState.Retry)
+            else if (attempt <= job.retries) {
+              store.setIfPresent(job.id, JobState.Retry)
+              // brief backoff before the next attempt — the reference's retry
+              // path re-enqueues through the broker, so a retried job never
+              // spins hot against a still-broken source
+              try Thread.sleep(250L * attempt)
+              catch { case _: InterruptedException => Thread.interrupted() }
+            }
             else { store.setIfPresent(job.id, JobState.Failure, -1, safeMsg(e)); done = true }
         } finally Thread.interrupted() // drop any stray TTL interrupt
       }

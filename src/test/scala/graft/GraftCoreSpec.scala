@@ -122,6 +122,47 @@ class GraftCoreSpec extends AnyFunSuite {
     core.shutdown()
   }
 
+  test("retries re-attempt a failing job and succeed once the source heals") {
+    // source dir starts without events.parquet: every attempt fails at
+    // analysis until the test drops the file in during a RETRY backoff
+    val srcDir = Files.createTempDirectory("graft-retry-src")
+    Files.copy(java.nio.file.Path.of(TestSpark.sf0001, "region.parquet"),
+      srcDir.resolve("region.parquet"))
+    val tasksDir = Files.createTempDirectory("graft-retry-tasks")
+    Files.writeString(tasksDir.resolve("t.sql"),
+      "-- name: n_events\nSELECT COUNT(*) AS n FROM events;\n")
+    val results = Files.createTempDirectory("graft-retry-res").toString
+    val core = GraftCore(spark, Seq(tasksDir.toString),
+      sources = Map("db" -> srcDir.toString),
+      resultBackends = Map("res" -> results))
+    val job = core.postJob(JobReq("n_events", retries = 8))
+    // wait until at least one failed attempt has been recorded as RETRY
+    val deadline = System.currentTimeMillis + 60000
+    var sawRetry = false
+    while (!sawRetry && System.currentTimeMillis < deadline) {
+      sawRetry = core.store.get(job.id).exists(_.state == JobState.Retry)
+      if (!sawRetry) Thread.sleep(10)
+    }
+    assert(sawRetry, s"never observed RETRY: ${core.store.get(job.id)}")
+    // heal the source mid-backoff; a later attempt must succeed
+    Files.copy(java.nio.file.Path.of(TestSpark.sf0001, "events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val st = await(core, job.id)
+    assert(st.state == JobState.Success, st.toString)
+    assert(st.count == 1L) // one row: the COUNT(*) aggregate
+    assert(core.results(job.id).head.getLong(0) == 1000L)
+    core.shutdown()
+  }
+
+  test("retry exhaustion lands FAILURE after retries+1 attempts") {
+    val core = newCore()
+    val job = core.postJob(JobReq("broken_query", retries = 2))
+    val st = await(core, job.id)
+    assert(st.state == JobState.Failure)
+    assert(st.error.nonEmpty)
+    core.shutdown()
+  }
+
   test("groups fan out and reduce state (core.go:107-147, 207-241)") {
     val core = newCore()
     val (gid, jobs) = core.postJobGroup("grp-1", Seq(
