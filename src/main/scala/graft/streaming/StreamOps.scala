@@ -43,7 +43,8 @@ object StreamOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  private def runToCompletion(s: SparkSession, agg: DataFrame, name: String): DataFrame = {
+  private def runToCompletion(s: SparkSession, agg: DataFrame, name: String,
+      outputMode: String = "complete"): DataFrame = {
     // Right-size the state store count for the replay: the shuffle-partition
     // setting at first batch fixes the number of state stores, and a few
     // thousand windows don't need 32 of them (each costs checkpoint + commit
@@ -61,7 +62,7 @@ object StreamOps {
     }
     try {
       val q = agg.writeStream
-        .outputMode("complete")
+        .outputMode(outputMode)
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", ckptRoot.getPath)
@@ -107,14 +108,21 @@ object StreamOps {
   /** Streaming deduplication: state-backed `dropDuplicates` over the stream
     * (the training-pipeline shape: dedup documents *as they arrive* instead
     * of re-scanning the corpus). The watermark bounds the dedup state to the
-    * lateness horizon; on a finite replay the result equals batch DISTINCT. */
+    * lateness horizon; on a finite replay the result equals batch DISTINCT.
+    *
+    * Only the dedup is a stateful streaming operator — it appends first-seen
+    * keys to the sink; the per-type rollup is a batch aggregate over the
+    * deduped table (the production shape: dedup-on-ingest, analyze
+    * downstream). One stateful stage instead of two ≈ half the state-store
+    * commit cost at any scale. */
   val streamDedup: Q = (s, d) => {
-    val agg = eventStream(s, d)
+    val dd = eventStream(s, d)
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToCompletion(s, dd, s"graft_stream_dedup_${System.nanoTime()}", outputMode = "append")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_distinct_users"))
-    runToCompletion(s, agg, s"graft_stream_dedup_${System.nanoTime()}")
       .orderBy(col("event_type"))
   }
 
