@@ -72,15 +72,8 @@ object Sessionize {
     val sessions: Dataset[Session] = src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
-    val name = s"graft_sessions_${System.nanoTime()}"
-    val q = sessions.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    StreamOps.runToCompletion(spark, sessions.toDF(),
+        s"graft_sessions_${System.nanoTime()}", outputMode = "append")
       .orderBy(col("user_id"), col("session_start"))
   }
 }

@@ -43,7 +43,7 @@ object StreamOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  private def runToCompletion(s: SparkSession, agg: DataFrame, name: String,
+  private[streaming] def runToCompletion(s: SparkSession, agg: DataFrame, name: String,
       outputMode: String = "complete"): DataFrame = {
     // Right-size the state store count for the replay: the shuffle-partition
     // setting at first batch fixes the number of state stores, and a few
@@ -126,10 +126,20 @@ object StreamOps {
       .orderBy(col("event_type"))
   }
 
+  /** Gap-based sessionization ([[Sessionize]]) surfaced as a checked query:
+    * closed sessions only (exactly what an unbounded stream could know), the
+    * exact-count columns — the float session sum stays out of the contract
+    * because streaming accumulates it in arrival order. */
+  val streamSessionize: Q = (s, d) =>
+    Sessionize.sessions(s, d)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_dedup" -> streamDedup,
+    "stream_sessionize" -> streamSessionize,
   )
 
   /** Batch equivalents: hourly tumbling = date_trunc; sliding = union of the
@@ -154,5 +164,32 @@ object StreamOps {
     "stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // classic lag/cumsum gap sessionization over ms-truncated event time
+    // (the stream works in epoch millis); only sessions closed before the
+    // final watermark — end + gap < max event time — are emitted
+    "stream_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, CAST(date_trunc('milliseconds', ts) AS TIMESTAMP) AS ts
+           FROM events),
+         marked AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         sess AS (
+           SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+           FROM marked),
+         agg AS (
+           SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                  COUNT(*) AS n_events
+           FROM sess GROUP BY user_id, sess_id)
+         SELECT user_id, session_start, session_end, n_events
+         FROM agg
+         WHERE epoch_ms(session_end) + 1800000 <
+               (SELECT MAX(epoch_ms(CAST(date_trunc('milliseconds', ts) AS TIMESTAMP))) FROM events)
+         ORDER BY user_id, session_start""",
   )
 }
