@@ -126,6 +126,22 @@ object StreamOps {
       .orderBy(col("event_type"))
   }
 
+  /** Stream-static enrichment join: the arriving event stream joins a
+    * static dimension (customer) — the classic enrich-on-ingest shape. The
+    * static side broadcasts; the join itself is stateless (no watermark
+    * bookkeeping, unlike stream-stream joins), so only the rollup holds
+    * state. */
+  val streamEnrich: Q = (s, d) => {
+    val dim = graft.Tables.load(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventStream(s, d)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToCompletion(s, agg, s"graft_stream_enrich_${System.nanoTime()}")
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   /** Gap-based sessionization ([[Sessionize]]) surfaced as a checked query:
     * closed sessions only (exactly what an unbounded stream could know), the
     * exact-count columns — the float session sum stays out of the contract
@@ -140,6 +156,7 @@ object StreamOps {
     "stream_sliding" -> streamSliding,
     "stream_dedup" -> streamDedup,
     "stream_sessionize" -> streamSessionize,
+    "stream_enrich" -> streamEnrich,
   )
 
   /** Batch equivalents: hourly tumbling = date_trunc; sliding = union of the
@@ -164,6 +181,11 @@ object StreamOps {
     "stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_enrich" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment, event_type
+         ORDER BY c_mktsegment, event_type""",
     // classic lag/cumsum gap sessionization over ms-truncated event time
     // (the stream works in epoch millis); only sessions closed before the
     // final watermark — end + gap < max event time — are emitted
