@@ -68,9 +68,17 @@ object DedupOps {
       .distinct()
   }
 
-  /** Exact word-shingle Jaccard between two doc_ids, given the docs frame. */
-  private def verifyJaccard(s: SparkSession, d: String, pairs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docs(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
+  /** Exact word-shingle Jaccard between two doc_ids, given the docs frame.
+    * Only the docs that appear in a candidate pair are shingled (semi-join
+    * pushdown — at scale the candidate set is a sliver of the corpus), and
+    * the shingle frame is checkpointed once because it feeds both sides of
+    * the pair join. */
+  private def verifyJaccard(s: SparkSession, d: String, pairs0: DataFrame, threshold: Double): DataFrame = {
+    val pairs = pairs0.localCheckpoint() // consumed by ids + the pair join
+    val ids = pairs.select(col("a").as("doc_id"))
+      .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
+    val sh = docs(s, d).join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("text")).as("sh")).localCheckpoint()
     pairs
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
       .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
@@ -118,11 +126,15 @@ object DedupOps {
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
     val voteAggs = (0 until 64).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j"))
+    // localCheckpoint: the signature table (16 B/doc) feeds three consumers
+    // (banding + both verify joins) — materialize the heavy vote aggregation
+    // once instead of recomputing the scan+explode+64-agg per consumer
     val sigs = wordHashes.groupBy(col("doc_id"))
       .agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("sim"))
+      .localCheckpoint()
     val chunked = sigs.select(col("doc_id"),
         explode(expr(
           """transform(sequence(0, 3), c ->
