@@ -166,7 +166,10 @@ object DedupOps {
     * (a row per document) they become shuffle joins on the already-small
     * candidate-pair set, not on the posting list. */
   val dedupNgramJaccard: Q = (s, d) => {
-    val sh = docs(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
+    // one shingling pass serves both consumers (set sizes + posting list) —
+    // the materialized-intermediate pattern a production pipeline writes to
+    // storage between stages
+    val sh = docs(s, d).select(col("doc_id"), shingles(col("text")).as("sh")).localCheckpoint()
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     val inter = sh
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
