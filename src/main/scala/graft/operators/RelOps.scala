@@ -438,6 +438,34 @@ object RelOps {
       .na.fill(0L)
       .orderBy($"o_orderpriority")
 
+  /** FULL OUTER join: customers×events coverage report — customers with no
+    * events and event users with no customer row both survive. Same
+    * shuffle/AQE story as the inner join; null-extension is free. */
+  val joinFull: Q = (s, d) => {
+    val perUser = t(s, d, "events").groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"))
+    t(s, d, "customer").select($"c_custkey", $"c_name")
+      .join(perUser, $"c_custkey" === $"user_id", "full_outer")
+      .select(
+        coalesce($"c_custkey", $"user_id").as("key"),
+        $"c_name",
+        coalesce($"n_events", lit(0L)).as("n_events"))
+      .orderBy($"key")
+  }
+
+  /** UNPIVOT (melt): wide per-row measures → long (row, measure, value) —
+    * the inverse of pivot_table; stack() stays inside codegen, output is
+    * measures× the input rows with no shuffle before the final sort. */
+  val unpivotTable: Q = (s, d) =>
+    t(s, d, "lineitem").filter($"l_orderkey" < 100)
+      .select($"l_orderkey", $"l_linenumber",
+        expr("""stack(3, 'quantity', l_quantity,
+                         'extendedprice', l_extendedprice,
+                         'discount', l_discount) AS (measure, value)"""))
+      .select($"l_orderkey", $"l_linenumber", $"measure",
+        round($"value".cast(DoubleType), 6).as("value"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+
   /** LATERAL explode: flatten an array column with ordinality. */
   val explodeLateral: Q = (s, d) =>
     t(s, d, "embeddings").filter($"vec_id" < 3)
@@ -518,6 +546,8 @@ object RelOps {
     "array_ops" -> arrayOps,
     "limit_page" -> limitPage,
     "pivot_table" -> pivotTable,
+    "unpivot_table" -> unpivotTable,
+    "join_full" -> joinFull,
     "explode_lateral" -> explodeLateral,
     "scalar_regex" -> scalarRegex,
     "scalar_null" -> scalarNull,
@@ -721,6 +751,25 @@ object RelOps {
          COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
          COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "unpivot_table" ->
+      """SELECT l_orderkey, l_linenumber, measure, ROUND(CAST(value AS DOUBLE), 6) AS value
+         FROM (
+           SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+           FROM lineitem WHERE l_orderkey < 100
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+           FROM lineitem WHERE l_orderkey < 100
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'discount', l_discount
+           FROM lineitem WHERE l_orderkey < 100)
+         ORDER BY l_orderkey, l_linenumber, measure""",
+    "join_full" ->
+      """WITH per_user AS (
+           SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+         SELECT COALESCE(c_custkey, user_id) AS key, c_name,
+                COALESCE(n_events, 0) AS n_events
+         FROM customer FULL OUTER JOIN per_user ON c_custkey = user_id
+         ORDER BY key""",
     "explode_lateral" ->
       """SELECT vec_id, CAST(i AS BIGINT) AS i, ROUND(CAST(val AS DOUBLE), 6) AS v
          FROM (SELECT vec_id, unnest(embedding) AS val,
