@@ -79,7 +79,7 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
     }
   }
 
-  private def runWithRetries(job: Job, task: Task): Unit = {
+  private def runWithRetries(job: Job, task: Task, attempt: Int = 1): Unit = {
     backlog(job.queue).remove(job.id)
     // canceled-while-pending guard (execJob's not-canceled check,
     // core.go:452-454): cancellation removes the ID from the store.
@@ -88,61 +88,57 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
       _ => new java.util.concurrent.Semaphore(math.max(task.conc, 1), true))
     try slot.acquire()
     catch { case _: InterruptedException => Thread.interrupted(); return }
-    try runWithRetriesLocked(job, task) finally slot.release()
+    try runAttempt(job, task, attempt) finally slot.release()
   }
 
-  private def runWithRetriesLocked(job: Job, task: Task): Unit = {
-    if (store.get(job.id).isEmpty) return // canceled while waiting for a slot
-    var attempt = 0
-    var done = false
+  /** One attempt; a retryable failure RE-ENQUEUES through the pool after a
+    * capped delay (the reference re-enqueues through its broker) instead of
+    * sleeping on the worker — the thread and the per-task slot free up so a
+    * retrying job never head-of-line blocks its queue. */
+  private def runAttempt(job: Job, task: Task, attempt: Int): Unit = {
+    if (store.get(job.id).isEmpty) { // canceled while waiting for slot/retry
+      spark.sparkContext.cancelJobGroup(job.id)
+      return
+    }
     val worker = Thread.currentThread()
     running.put(job.id, worker)
     try {
-      while (!done) {
-        attempt += 1
-        if (store.get(job.id).isEmpty) { // canceled between attempts
-          spark.sparkContext.cancelJobGroup(job.id)
-          return
-        }
-        store.setIfPresent(job.id, JobState.Started)
-        // TTL watchdog (core.go:354-357): cancel the job group AND interrupt
-        // the worker — a job stalled driver-side (e.g. a hung JDBC schema
-        // probe) has no tagged stages for cancelJobGroup to kill. The
-        // attemptLive flag keeps a late-firing timer from interrupting
-        // whatever the thread runs next.
-        val attemptLive = new java.util.concurrent.atomic.AtomicBoolean(true)
-        val ttlTimer = timers.schedule((() => {
-          spark.sparkContext.cancelJobGroup(job.id)
-          if (attemptLive.get()) worker.interrupt()
-        }): Runnable, job.ttlSec.toLong, TimeUnit.SECONDS)
-        try {
-          val res = graft.Executor.run(spark, job, task)
+      store.setIfPresent(job.id, JobState.Started)
+      // TTL watchdog (core.go:354-357): cancel the job group AND interrupt
+      // the worker — a job stalled driver-side (e.g. a hung JDBC schema
+      // probe) has no tagged stages for cancelJobGroup to kill. The
+      // attemptLive flag keeps a late-firing timer from interrupting
+      // whatever the thread runs next.
+      val attemptLive = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val ttlTimer = timers.schedule((() => {
+        spark.sparkContext.cancelJobGroup(job.id)
+        if (attemptLive.get()) worker.interrupt()
+      }): Runnable, job.ttlSec.toLong, TimeUnit.SECONDS)
+      try {
+        val res = graft.Executor.run(spark, job, task)
+        attemptLive.set(false); ttlTimer.cancel(false)
+        // conditional update: a concurrent cancel removed the entry and
+        // must not be resurrected as SUCCESS
+        store.setIfPresent(job.id, JobState.Success, res.count)
+      } catch {
+        case e: Throwable =>
           attemptLive.set(false); ttlTimer.cancel(false)
-          // conditional update: a concurrent cancel removed the entry and
-          // must not be resurrected as SUCCESS
-          store.setIfPresent(job.id, JobState.Success, res.count)
-          done = true
-        } catch {
-          case e: Throwable =>
-            attemptLive.set(false); ttlTimer.cancel(false)
-            if (store.get(job.id).isEmpty) {
-              // canceled: kill any stages that slipped in after the canceler's
-              // cancelJobGroup (e.g. cancel landed during planning), then stop.
-              Thread.interrupted() // clear the canceler's interrupt
-              spark.sparkContext.cancelJobGroup(job.id)
-              done = true
-            }
-            else if (attempt <= job.retries) {
-              store.setIfPresent(job.id, JobState.Retry)
-              // brief backoff before the next attempt — the reference's retry
-              // path re-enqueues through the broker, so a retried job never
-              // spins hot against a still-broken source
-              try Thread.sleep(250L * attempt)
-              catch { case _: InterruptedException => Thread.interrupted() }
-            }
-            else { store.setIfPresent(job.id, JobState.Failure, -1, safeMsg(e)); done = true }
-        } finally Thread.interrupted() // drop any stray TTL interrupt
-      }
+          if (store.get(job.id).isEmpty) {
+            // canceled: kill any stages that slipped in after the canceler's
+            // cancelJobGroup (e.g. cancel landed during planning), then stop.
+            Thread.interrupted() // clear the canceler's interrupt
+            spark.sparkContext.cancelJobGroup(job.id)
+          }
+          else if (attempt <= job.retries) {
+            store.setIfPresent(job.id, JobState.Retry)
+            val delay = math.min(250L * attempt, 2000L) // capped backoff
+            timers.schedule(
+              (() => pool(job.queue, task.conc).execute(
+                (() => runWithRetries(job, task, attempt + 1)): Runnable)): Runnable,
+              delay, TimeUnit.MILLISECONDS)
+          }
+          else store.setIfPresent(job.id, JobState.Failure, -1, safeMsg(e))
+      } finally Thread.interrupted() // drop any stray TTL interrupt
     } finally running.remove(job.id)
   }
 

@@ -254,15 +254,21 @@ object DedupOps {
     * the whole pipeline — pairs AND clustering — is DuckDB-oracle-checkable
     * (recursive CTE).
     */
+  /** Build-or-reuse the materialized near-dup pair set (pipeline-stage
+    * output; the cache key includes this class's code stamp, so recompiling
+    * the pair logic invalidates cached pairs). */
+  private[graft] def ngramPairsPath(s: SparkSession, d: String): String =
+    graft.plans.ArtifactCache.getOrBuild("ngram_pairs", d, Seq("documents"),
+      DedupOps.getClass) { dir =>
+      dedupNgramJaccard(s, d).select(col("a"), col("b")).write.parquet(s"$dir/pairs")
+    }
+
   val dedupClusters: Q = (s, d) => {
     // the near-dup pair set is the previous pipeline stage's output;
     // production materializes it between the dedup pass and cluster
     // resolution, so it lives in the artifact cache keyed on the corpus
     // fingerprint (first call builds, later calls — any JVM — reuse)
-    val pairsPath = graft.plans.ArtifactCache.getOrBuild("ngram_pairs", d, Seq("documents")) {
-      dir => dedupNgramJaccard(s, d).select(col("a"), col("b")).write.parquet(s"$dir/pairs")
-    }
-    val pairs = s.read.parquet(s"$pairsPath/pairs")
+    val pairs = s.read.parquet(s"${ngramPairsPath(s, d)}/pairs")
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()

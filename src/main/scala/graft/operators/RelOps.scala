@@ -146,13 +146,16 @@ object RelOps {
     * event_type, then queried with a partition predicate — the scan touches
     * 1 of 5 directories (PartitionFilters asserted in PlanSpec). At 100 TB
     * this is the difference between reading 20 TB and reading 100 TB. */
-  val scanPartitionPrune: Q = (s, d) => {
-    // the hive-partitioned layout is a pay-once build artifact, cached on
-    // the source fingerprint like the bucketed layout
-    val root = graft.plans.ArtifactCache.getOrBuild("evpart", d, Seq("events")) { dir =>
+  /** Build-or-reuse the hive-partitioned events layout (pay-once artifact,
+    * like the bucketed layout). */
+  private[graft] def eventsPartLayout(s: SparkSession, d: String): String =
+    graft.plans.ArtifactCache.getOrBuild("evpart", d, Seq("events"), RelOps.getClass) { dir =>
       Tables.load(s, d, "events")
         .write.partitionBy("event_type").mode("overwrite").parquet(dir)
     }
+
+  val scanPartitionPrune: Q = (s, d) => {
+    val root = eventsPartLayout(s, d)
     s.read.parquet(root)
       .filter($"event_type" === "purchase")
       .groupBy($"ts".cast(DateType).as("day"))
@@ -206,11 +209,14 @@ object RelOps {
     * PlanSpec). The write is the one-time shuffle, cached per source
     * fingerprint ([[graft.plans.ArtifactCache]]) exactly like a production
     * bucketed layout: built once, joined every day. */
-  val joinBucketed: Q = (s, d) => {
+  /** Build-or-reuse the bucketed layout + catalog registrations; returns the
+    * two registered table names. Exposed so the bench warm-up can pre-build
+    * (steady-state timing — the build is a pipeline stage, not the query). */
+  private[graft] def bucketedLayout(s: SparkSession, d: String): (String, String) = {
     import graft.plans.{ArtifactCache, BucketedJoin}
-    val fp = ArtifactCache.fingerprint(d, Seq("orders", "customer"))
+    val fp = ArtifactCache.fingerprint(d, Seq("orders", "customer"), RelOps.getClass)
     val (tOrders, tCust) = (s"graft_bk_orders_$fp", s"graft_bk_customer_$fp")
-    val wh = ArtifactCache.getOrBuild("bucketed", d, Seq("orders", "customer")) { dir =>
+    val wh = ArtifactCache.getOrBuild("bucketed", d, Seq("orders", "customer"), RelOps.getClass) { dir =>
       // write under throwaway catalog names anchored at the staging dir and
       // drop them right away (EXTERNAL: the bucket files stay) — the durable
       // registration below points at the published path
@@ -229,7 +235,12 @@ object RelOps {
       s.read.parquet(s"$wh/orders").schema.toDDL, "o_custkey", 8, s"$wh/orders")
     BucketedJoin.registerBucketed(s, tCust,
       s.read.parquet(s"$wh/customer").schema.toDDL, "c_custkey", 8, s"$wh/customer")
-    BucketedJoin.join(s, tOrders, tCust, "o_custkey", "c_custkey")
+    (tOrders, tCust)
+  }
+
+  val joinBucketed: Q = (s, d) => {
+    val (tOrders, tCust) = bucketedLayout(s, d)
+    graft.plans.BucketedJoin.join(s, tOrders, tCust, "o_custkey", "c_custkey")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), sumd($"o_totalprice").as("total"))
       .orderBy($"c_mktsegment")

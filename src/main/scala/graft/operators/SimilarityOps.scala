@@ -105,12 +105,17 @@ object SimilarityOps {
     * index once, then search with partition pruning (see
     * [[graft.plans.IvfIndex]]). Same centroids/nprobe → same results as the
     * ad-hoc query (asserted in spec). */
+  /** Build-or-reuse the persistent IVF index (pay-once artifact). */
+  private[graft] def ivfIndexPath(s: SparkSession, d: String): String =
+    graft.plans.ArtifactCache.getOrBuild("ivf", d, Seq("embeddings"),
+      graft.plans.IvfIndex.getClass) { dir =>
+      graft.plans.IvfIndex.build(emb(s, d), nlist = 16, dir)
+    }
+
   val simSearchIvfIndexed: Q = (s, d) => {
     // index build is pay-once, cached per source fingerprint (ArtifactCache):
     // the query measures the steady-state probe, as in production
-    val path = graft.plans.ArtifactCache.getOrBuild("ivf", d, Seq("embeddings")) { dir =>
-      graft.plans.IvfIndex.build(emb(s, d), nlist = 16, dir)
-    }
+    val path = ivfIndexPath(s, d)
     val q = emb(s, d).filter(col("vec_id") === 0)
       .select(asD(col("embedding")).as("qv"))
     graft.plans.IvfIndex.search(s, path, q, nprobe = 4, k = 10, excludeVecId = 0)

@@ -28,8 +28,24 @@ object ArtifactCache {
     r
   }
 
-  /** Stable fingerprint of a set of source tables under `sfDir`. */
-  def fingerprint(sfDir: String, tables: Seq[String]): String = {
+  /** Identity stamp of the class that encodes the build logic: classfile
+    * location + modification time. A recompile of that class (sbt's zinc is
+    * per-class incremental) changes the stamp, so cached artifacts built by
+    * older logic are never served after the logic changes — at the cost of
+    * one rebuild after any recompile of the owning class. */
+  def codeStamp(cls: Class[_]): String = {
+    val res = cls.getResource(cls.getSimpleName + ".class")
+    if (res == null) cls.getName
+    else {
+      val conn = res.openConnection()
+      try s"${cls.getName}:${conn.getLastModified}"
+      finally scala.util.Try(conn.getInputStream.close())
+    }
+  }
+
+  /** Stable fingerprint of a set of source tables under `sfDir`, plus the
+    * build logic's [[codeStamp]]. */
+  def fingerprint(sfDir: String, tables: Seq[String], logic: Class[_]): String = {
     val md = MessageDigest.getInstance("MD5")
     def feed(f: File): Unit = {
       md.update(f.getPath.getBytes("UTF-8"))
@@ -37,15 +53,19 @@ object ArtifactCache {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.sortBy(_.getName).foreach(feed))
     }
     md.update(new File(sfDir).getCanonicalPath.getBytes("UTF-8"))
+    md.update(codeStamp(logic).getBytes("UTF-8"))
     tables.sorted.foreach(t => feed(graft.Tables.resolve(sfDir, t)))
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
-  /** Return the artifact directory for (kind, sources), building it via
-    * `build(dir)` exactly once per fingerprint. `build` receives a private
-    * staging directory; the publish is an atomic rename to the final path. */
-  def getOrBuild(kind: String, sfDir: String, tables: Seq[String])(build: String => Unit): String = {
-    val dir = new File(root, s"${kind}_${fingerprint(sfDir, tables)}")
+  /** Return the artifact directory for (kind, sources, logic), building it
+    * via `build(dir)` exactly once per fingerprint. `build` receives a
+    * private staging directory; the publish is an atomic rename to the final
+    * path. `logic` is the class whose code defines the artifact's content —
+    * a recompile of it invalidates the cache (stale-logic guard). */
+  def getOrBuild(kind: String, sfDir: String, tables: Seq[String], logic: Class[_])
+      (build: String => Unit): String = {
+    val dir = new File(root, s"${kind}_${fingerprint(sfDir, tables, logic)}")
     if (dir.isDirectory) return dir.getPath // published artifacts are immutable
     dir.getPath.intern.synchronized {       // serialize same-JVM builders
       if (!dir.isDirectory) {

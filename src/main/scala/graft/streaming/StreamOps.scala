@@ -43,8 +43,13 @@ object StreamOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  // Serializes stream replays per JVM: runToCompletion flips the session's
+  // shuffle-partition conf around the run, and two concurrent callers would
+  // otherwise race the set/restore and leave the session mis-sized.
+  private val runLock = new Object
+
   private[streaming] def runToCompletion(s: SparkSession, agg: DataFrame, name: String,
-      outputMode: String = "complete"): DataFrame = {
+      outputMode: String = "complete"): DataFrame = runLock.synchronized {
     // Right-size the state store count for the replay: the shuffle-partition
     // setting at first batch fixes the number of state stores, and a few
     // thousand windows don't need 32 of them (each costs checkpoint + commit
@@ -54,22 +59,42 @@ object StreamOps {
     // Checkpoint + state-store deltas are commit-latency-bound, not
     // volume-bound, on a finite replay: prefer tmpfs when present (a real
     // deployment points this at object storage / local NVMe).
-    val ckptRoot = {
+    val tmpBase = {
       val shm = new java.io.File("/dev/shm")
-      val base = if (shm.isDirectory && shm.canWrite) shm else
-        new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
-      new java.io.File(base, s"graft-ckpt-$name")
+      if (shm.isDirectory && shm.canWrite) shm
+      else new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
     }
+    val ckptRoot = new java.io.File(tmpBase, s"graft-ckpt-$name")
     try {
-      val q = agg.writeStream
-        .outputMode(outputMode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckptRoot.getPath)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(name)
+      if (outputMode == "append") {
+        // Append output goes to a parquet sink (row count is unbounded —
+        // dedup keys, sessions): nothing buffers on the driver, unlike the
+        // memory sink. Complete-mode outputs are small final aggregates and
+        // keep the memory sink. The output dir outlives this call (the
+        // returned frame reads it lazily); it lives in tmp like any run
+        // artifact.
+        val outDir = new java.io.File(
+          System.getProperty("java.io.tmpdir", "/tmp"), s"graft-stream-out-$name")
+        val q = agg.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", outDir.getPath)
+          .option("checkpointLocation", ckptRoot.getPath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(outDir.getPath)
+      } else {
+        val q = agg.writeStream
+          .outputMode(outputMode)
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckptRoot.getPath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      }
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", old)
       graft.FsUtil.deleteRecursive(ckptRoot)
@@ -107,8 +132,17 @@ object StreamOps {
 
   /** Streaming deduplication: state-backed `dropDuplicates` over the stream
     * (the training-pipeline shape: dedup documents *as they arrive* instead
-    * of re-scanning the corpus). The watermark bounds the dedup state to the
-    * lateness horizon; on a finite replay the result equals batch DISTINCT.
+    * of re-scanning the corpus); on a finite replay the result equals batch
+    * DISTINCT.
+    *
+    * State is one entry per distinct key — and because exact all-time
+    * distinct is the contract here, it is NOT evicted by the watermark
+    * (Spark only applies watermark eviction to `dropDuplicates` when the
+    * event-time column is part of the key). That is inherent to the
+    * semantics: state grows with key cardinality, never with event volume.
+    * A deployment that only needs within-horizon dedup bounds it with
+    * `dropDuplicatesWithinWatermark`; one that tolerates approximation uses
+    * HLL sketches.
     *
     * Only the dedup is a stateful streaming operator — it appends first-seen
     * keys to the sink; the per-type rollup is a batch aggregate over the
