@@ -133,6 +133,32 @@ object RelOps {
         round(element_at($"qs", 3), 6).as("p75"))
       .orderBy($"l_returnflag")
 
+  /** Statistical aggregates (stddev, correlation) with *exact* moments:
+    * built-in corr/stddev sum doubles in partition order (non-associative →
+    * partitioning-dependent bits), so the moments Σx, Σx², Σxy accumulate in
+    * DECIMAL — exact and associative under any partitioning — and the
+    * closed-form formulas run on the handful of exact scalars. l_quantity /
+    * l_extendedprice carry ≤2 decimals, so DECIMAL(18,2) products at (37,4)
+    * stay exact in both engines. */
+  val aggStats: Q = (s, d) => {
+    val x = $"l_quantity".cast(DecimalType(18, 2))
+    val y = $"l_extendedprice".cast(DecimalType(18, 2))
+    t(s, d, "lineitem").groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(y).cast(DoubleType).as("sy"),
+        sum(x * x).cast(DoubleType).as("sxx"),
+        sum(y * y).cast(DoubleType).as("syy"),
+        sum(x * y).cast(DoubleType).as("sxy"))
+      .select($"l_returnflag",
+        round(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6).as("stddev_qty"),
+        round((($"n" * $"sxy") - ($"sx" * $"sy")) /
+          sqrt((($"n" * $"sxx") - ($"sx" * $"sx")) * (($"n" * $"syy") - ($"sy" * $"sy"))), 6)
+          .as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Ordered string aggregation (PG string_agg / MySQL group_concat class);
     * sorted so the result is order-insensitive to partitioning. */
   val aggCollectSorted: Q = (s, d) =>
@@ -527,6 +553,7 @@ object RelOps {
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_percentile" -> aggPercentile,
+    "agg_stats" -> aggStats,
     "agg_collect_sorted" -> aggCollectSorted,
     "scan_partition_prune" -> scanPartitionPrune,
     "join_inner" -> joinInner,
@@ -610,6 +637,21 @@ object RelOps {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
          FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "agg_stats" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag,
+           ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+           ROUND(((n * sxy) - (sx * sy)) /
+                 SQRT(((n * sxx) - (sx * sx)) * ((n * syy) - (sy * sy))), 6) AS corr_qty_price
+         FROM m ORDER BY l_returnflag""",
     "agg_percentile" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
