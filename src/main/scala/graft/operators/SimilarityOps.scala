@@ -151,8 +151,55 @@ object SimilarityOps {
          FROM (SELECT * FROM scored ORDER BY score_raw DESC, vec_id LIMIT 10)
          ORDER BY score DESC, vec_id"""
 
+  /** IVF oracle: replays the whole deterministic pipeline in SQL — centroid
+    * assignment (argmax dot, ties to lowest cent_id), nprobe probe selection,
+    * candidate scoring — since nothing in it involves engine-specific
+    * hashing. Selection runs on raw doubles like the Spark side; the ~1e-15
+    * summation-order jitter between engines is far below both the ranking
+    * gaps and the 6-decimal rounding of the output. */
+  private val ivfOracle: String =
+      """WITH qv AS (
+           SELECT u.i, CAST(u.val AS DOUBLE) AS qv FROM (
+             SELECT unnest(embedding) AS val,
+                    generate_subscripts(embedding, 1) AS i
+             FROM embeddings WHERE vec_id = 0) u),
+         flat AS (
+           SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         cents AS (
+           SELECT vec_id AS cent_id, val AS cval, i FROM flat WHERE vec_id < 16),
+         assign_sim AS (
+           SELECT f.vec_id, c.cent_id, SUM(f.val * c.cval) AS sim
+           FROM flat f JOIN cents c ON f.i = c.i
+           GROUP BY f.vec_id, c.cent_id),
+         assigned AS (
+           SELECT vec_id, cent_id FROM (
+             SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+             FROM assign_sim) WHERE rn = 1),
+         probes AS (
+           SELECT c.cent_id FROM cents c JOIN qv q ON c.i = q.i
+           GROUP BY c.cent_id
+           ORDER BY SUM(c.cval * q.qv) DESC, c.cent_id LIMIT 4),
+         scored AS (
+           SELECT f.vec_id, f.label,
+             SUM(f.val * q.qv) /
+             (SQRT(SUM(f.val * f.val)) * SQRT(SUM(q.qv * q.qv))) AS score_raw
+           FROM flat f JOIN qv q ON f.i = q.i
+           WHERE f.vec_id <> 0 AND f.vec_id IN (
+             SELECT a.vec_id FROM assigned a JOIN probes p ON a.cent_id = p.cent_id)
+           GROUP BY f.vec_id, f.label),
+         topk AS (
+           SELECT vec_id, label, score_raw FROM scored
+           ORDER BY score_raw DESC, vec_id LIMIT 10)
+         SELECT vec_id, label, ROUND(score_raw, 6) AS score
+         FROM topk ORDER BY score DESC, vec_id"""
+
   val oracle: Map[String, String] = Map(
     "sim_search_topk" -> topkOracle,
     "sim_search_topk_native" -> topkOracle,
+    "sim_search_ivf" -> ivfOracle,
+    "sim_search_ivf_indexed" -> ivfOracle,
   )
 }
