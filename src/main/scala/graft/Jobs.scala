@@ -90,6 +90,10 @@ final class StatusStore {
   // in the group reduction (a member missing because its submit hasn't
   // happened yet must hold the group at PENDING, not be skipped)
   private val canceled = ConcurrentHashMap.newKeySet[String]()
+  // admission generation per ID: bumped on every successful tryAdmit, so
+  // async continuations (retry timers) can detect that "their" job was
+  // canceled and the ID re-admitted as a NEW job in the meantime
+  private val epochs = new ConcurrentHashMap[String, java.lang.Long]()
 
   /** Atomically admit a job ID for execution. Returns false if the same ID is
     * currently queued/running. */
@@ -102,8 +106,12 @@ final class StatusStore {
       if (running) cur
       else { admitted = true; canceled.remove(id); JobStatus(id, JobState.Pending) }
     })
+    if (admitted) epochs.merge(id, 1L, (a, b) => a + b)
     admitted
   }
+
+  /** Current admission generation for an ID (0 if never admitted). */
+  def epoch(id: String): Long = Option(epochs.get(id)).map(_.longValue).getOrElse(0L)
 
   def set(id: String, st: JobState.Value, count: Long = -1, error: String = ""): Unit =
     jobs.put(id, JobStatus(id, st, count, error))

@@ -132,9 +132,15 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
           else if (attempt <= job.retries) {
             store.setIfPresent(job.id, JobState.Retry)
             val delay = math.min(250L * attempt, 2000L) // capped backoff
+            // capture the admission generation: if the job is canceled and
+            // the same ID re-submitted as a NEW job during the backoff, the
+            // stale timer must not resurrect the old one (it would race the
+            // fresh job and clobber its state/results)
+            val myEpoch = store.epoch(job.id)
             timers.schedule(
-              (() => pool(job.queue, task.conc).execute(
-                (() => runWithRetries(job, task, attempt + 1)): Runnable)): Runnable,
+              (() => pool(job.queue, task.conc).execute((() => {
+                if (store.epoch(job.id) == myEpoch) runWithRetries(job, task, attempt + 1)
+              }): Runnable)): Runnable,
               delay, TimeUnit.MILLISECONDS)
           }
           else store.setIfPresent(job.id, JobState.Failure, -1, safeMsg(e))

@@ -259,7 +259,7 @@ object DedupOps {
     * the pair logic invalidates cached pairs). */
   private[graft] def ngramPairsPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("ngram_pairs", d, Seq("documents"),
-      DedupOps.getClass) { dir =>
+      Seq(DedupOps.getClass, graft.functions.WordShingles.getClass, Tables.getClass)) { dir =>
       dedupNgramJaccard(s, d).select(col("a"), col("b")).write.parquet(s"$dir/pairs")
     }
 

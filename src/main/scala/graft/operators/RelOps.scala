@@ -175,7 +175,8 @@ object RelOps {
   /** Build-or-reuse the hive-partitioned events layout (pay-once artifact,
     * like the bucketed layout). */
   private[graft] def eventsPartLayout(s: SparkSession, d: String): String =
-    graft.plans.ArtifactCache.getOrBuild("evpart", d, Seq("events"), RelOps.getClass) { dir =>
+    graft.plans.ArtifactCache.getOrBuild("evpart", d, Seq("events"),
+      Seq(RelOps.getClass, Tables.getClass)) { dir =>
       Tables.load(s, d, "events")
         .write.partitionBy("event_type").mode("overwrite").parquet(dir)
     }
@@ -240,9 +241,10 @@ object RelOps {
     * (steady-state timing — the build is a pipeline stage, not the query). */
   private[graft] def bucketedLayout(s: SparkSession, d: String): (String, String) = {
     import graft.plans.{ArtifactCache, BucketedJoin}
-    val fp = ArtifactCache.fingerprint(d, Seq("orders", "customer"), RelOps.getClass)
+    val logic = Seq(RelOps.getClass, BucketedJoin.getClass, graft.Tables.getClass)
+    val fp = ArtifactCache.fingerprint(d, Seq("orders", "customer"), logic)
     val (tOrders, tCust) = (s"graft_bk_orders_$fp", s"graft_bk_customer_$fp")
-    val wh = ArtifactCache.getOrBuild("bucketed", d, Seq("orders", "customer"), RelOps.getClass) { dir =>
+    val wh = ArtifactCache.getOrBuild("bucketed", d, Seq("orders", "customer"), logic) { dir =>
       // write under throwaway catalog names anchored at the staging dir and
       // drop them right away (EXTERNAL: the bucket files stay) — the durable
       // registration below points at the published path

@@ -46,8 +46,9 @@ object SimilarityOps {
     * The scale path: cluster assignment is one broadcast pass, the probe
     * touches nprobe/nlist of the data (partition pruning if the table is
     * written partitioned by cluster_id), and only candidate lists are
-    * scored. Results are approximate by design → no SQL oracle; the spec
-    * asserts recall against the brute-force baseline. */
+    * scored. Approximate vs. brute force, but fully deterministic — the
+    * DuckDB oracle ([[ivfOracle]]) replays the exact pipeline in SQL, and
+    * the spec additionally asserts recall against the brute-force baseline. */
   val simSearchIvf: Q = (s, d) => {
     val nlist = 16
     val nprobe = 4
@@ -108,7 +109,7 @@ object SimilarityOps {
   /** Build-or-reuse the persistent IVF index (pay-once artifact). */
   private[graft] def ivfIndexPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("ivf", d, Seq("embeddings"),
-      graft.plans.IvfIndex.getClass) { dir =>
+      Seq(graft.plans.IvfIndex.getClass, SimilarityOps.getClass, Tables.getClass)) { dir =>
       graft.plans.IvfIndex.build(emb(s, d), nlist = 16, dir)
     }
 

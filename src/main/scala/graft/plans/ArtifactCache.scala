@@ -44,8 +44,10 @@ object ArtifactCache {
   }
 
   /** Stable fingerprint of a set of source tables under `sfDir`, plus the
-    * build logic's [[codeStamp]]. */
-  def fingerprint(sfDir: String, tables: Seq[String], logic: Class[_]): String = {
+    * [[codeStamp]] of EVERY class whose code defines the artifact's content
+    * (the owning operator AND its helpers — shingling expressions, writers,
+    * loaders — since an edit to any of them changes what a build produces). */
+  def fingerprint(sfDir: String, tables: Seq[String], logic: Seq[Class[_]]): String = {
     val md = MessageDigest.getInstance("MD5")
     def feed(f: File): Unit = {
       md.update(f.getPath.getBytes("UTF-8"))
@@ -53,7 +55,7 @@ object ArtifactCache {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.sortBy(_.getName).foreach(feed))
     }
     md.update(new File(sfDir).getCanonicalPath.getBytes("UTF-8"))
-    md.update(codeStamp(logic).getBytes("UTF-8"))
+    logic.map(codeStamp).sorted.foreach(st => md.update(st.getBytes("UTF-8")))
     tables.sorted.foreach(t => feed(graft.Tables.resolve(sfDir, t)))
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
@@ -61,9 +63,10 @@ object ArtifactCache {
   /** Return the artifact directory for (kind, sources, logic), building it
     * via `build(dir)` exactly once per fingerprint. `build` receives a
     * private staging directory; the publish is an atomic rename to the final
-    * path. `logic` is the class whose code defines the artifact's content —
-    * a recompile of it invalidates the cache (stale-logic guard). */
-  def getOrBuild(kind: String, sfDir: String, tables: Seq[String], logic: Class[_])
+    * path. `logic` lists the classes whose code defines the artifact's
+    * content — a recompile of any of them invalidates the cache
+    * (stale-logic guard). */
+  def getOrBuild(kind: String, sfDir: String, tables: Seq[String], logic: Seq[Class[_]])
       (build: String => Unit): String = {
     val dir = new File(root, s"${kind}_${fingerprint(sfDir, tables, logic)}")
     if (dir.isDirectory) return dir.getPath // published artifacts are immutable

@@ -75,6 +75,9 @@ object StreamOps {
         // artifact.
         val outDir = new java.io.File(
           System.getProperty("java.io.tmpdir", "/tmp"), s"graft-stream-out-$name")
+        // the returned frame reads outDir lazily, so it can't be deleted
+        // here; reap it at JVM exit instead of leaking across runs
+        sys.addShutdownHook(graft.FsUtil.deleteRecursive(outDir))
         val q = agg.writeStream
           .outputMode("append")
           .format("parquet")
@@ -83,7 +86,12 @@ object StreamOps {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.read.parquet(outDir.getPath)
+        // an empty stream commits no files and parquet can't infer a schema
+        // from none — preserve the memory sink's empty-typed-result behavior
+        val hasData = Option(outDir.listFiles())
+          .exists(_.exists(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")))
+        if (hasData) s.read.parquet(outDir.getPath)
+        else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], agg.schema)
       } else {
         val q = agg.writeStream
           .outputMode(outputMode)

@@ -134,7 +134,7 @@ class ConfigAndSweeperSpec extends AnyFunSuite {
     Files.writeString(src.resolve("orders.parquet"), "v1")
     var builds = 0
     def build(): String = graft.plans.ArtifactCache.getOrBuild(
-      "test", src.toString, Seq("orders"), getClass) { dir =>
+      "test", src.toString, Seq("orders"), Seq(getClass)) { dir =>
       builds += 1
       Files.writeString(java.nio.file.Path.of(dir, "payload"), s"b$builds")
     }
@@ -148,7 +148,7 @@ class ConfigAndSweeperSpec extends AnyFunSuite {
     assert(p3 != p1 && builds == 2, "source change must invalidate")
     // missing sources are an error, never a data-independent fingerprint
     intercept[IllegalArgumentException] {
-      graft.plans.ArtifactCache.fingerprint(src.toString, Seq("nope"), getClass)
+      graft.plans.ArtifactCache.fingerprint(src.toString, Seq("nope"), Seq(getClass))
     }
   }
 }

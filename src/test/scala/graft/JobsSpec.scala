@@ -71,6 +71,20 @@ class JobsSpec extends AnyFunSuite {
     assert(st.groupStatus("g").get.state == JobState.Failure)
   }
 
+  test("admission epoch bumps per tryAdmit so stale retry timers can detect re-admission") {
+    val st = new StatusStore
+    assert(st.epoch("x") == 0L)
+    assert(st.tryAdmit("x"))
+    val e1 = st.epoch("x")
+    assert(e1 == 1L)
+    assert(!st.tryAdmit("x")) // running: refused, epoch unchanged
+    assert(st.epoch("x") == e1)
+    st.remove("x") // cancel
+    assert(st.epoch("x") == e1) // cancel alone doesn't bump
+    assert(st.tryAdmit("x")) // re-submission: a NEW job under the same ID
+    assert(st.epoch("x") == e1 + 1) // stale timer's captured epoch now mismatches
+  }
+
   test("a not-yet-admitted member holds the group at PENDING (no false SUCCESS)") {
     val st = new StatusStore
     // putGroup lands before the submit loop (Api.postJobGroup): member "b"
