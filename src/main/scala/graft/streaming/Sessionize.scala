@@ -16,7 +16,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Sessionize {
 
-  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** Event time rides as epoch millis (`ts_ms`) through the typed path —
+    * one primitive long per row instead of a Timestamp object; only emitted
+    * sessions pay the Timestamp materialization. `ts` stays on the Dataset
+    * (untouched by the encoder projection below) as the watermark column. */
+  final case class Event(user_id: Long, ts_ms: Long, value: Double)
   final case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
@@ -36,8 +40,8 @@ object Sessionize {
       var cur = state.getOption
       val out = Iterator.newBuilder[Session]
       // events within a micro-batch are not ordered: sort this user's slice
-      events.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val t = e.ts.getTime
+      events.toSeq.sortBy(_.ts_ms).foreach { e =>
+        val t = e.ts_ms
         cur match {
           case Some(s) if t - s.lastTs <= gapMs =>
             cur = Some(SessionState(s.start, math.max(s.lastTs, t), s.n + 1, s.sum + e.value))
@@ -66,8 +70,8 @@ object Sessionize {
   def sessions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val src = StreamOps.eventStreamPublic(spark, sfDir)
-      .select(col("user_id"), col("ts"), col("value"))
-      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ts_ms"), col("value"))
+      .withWatermark("ts", "0 seconds") // ts stays as the watermark column
       .as[Event]
     val sessions: Dataset[Session] = src
       .groupByKey(_.user_id)

@@ -19,6 +19,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.collect().sameElements(batch.collect()))
   }
 
+  test("concurrent stream replays leave the session's shuffle partitions intact") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val fs = Seq(
+      Future(StreamOps.streamTumbling(spark, TestSpark.sf0001).count()),
+      Future(StreamOps.streamDedup(spark, TestSpark.sf0001).count()),
+      Future(StreamOps.streamSliding(spark, TestSpark.sf0001).count()))
+    val counts = Await.result(Future.sequence(fs), 300.seconds)
+    assert(counts.forall(_ > 0))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "stream runner must restore the session's shuffle partitions")
+  }
+
   test("sessionization: streaming flatMapGroupsWithState equals batch sessions") {
     val streamed = Sessionize.sessions(spark, TestSpark.sf0001)
       .select("user_id", "session_start", "session_end", "n_events")
