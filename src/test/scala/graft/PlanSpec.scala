@@ -57,7 +57,8 @@ class PlanSpec extends AnyFunSuite {
   test("hot-path queries stay inside WholeStageCodegen") {
     // AQE's formatted mode hides codegen markers pre-execution; CodegenMode
     // reports the generated subtrees directly.
-    for (q <- Seq("project", "agg_group_sum", "agg_multi", "join_inner")) {
+    for (q <- Seq("project", "agg_group_sum", "agg_multi", "join_inner",
+        "text_scrub_pii", "agg_stats", "unpivot_table")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.CodegenMode)
