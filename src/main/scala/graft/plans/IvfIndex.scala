@@ -51,7 +51,7 @@ object IvfIndex {
       .collect().map(_.getAs[Number]("cent_id").longValue())
     // literal IN-list so the partition filter prunes at file listing
     val probed = spark.read.parquet(s"$path/index")
-      .filter(col("cluster_id").isin(probeIds.map(x => x: Any): _*))
+      .filter(col("cluster_id").isin(probeIds.toIndexedSeq.map(x => x: Any): _*))
     val cos = graft.functions.CosineSimilarity.cosine_similarity _
     probed
       .filter(col("vec_id") =!= excludeVecId)
