@@ -39,8 +39,8 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "session_start", "session_end", "n_events")
 
     // batch reference: classic lag/cumsum gap sessionization. The streaming
-    // side works in epoch millis (Timestamp.getTime), so truncate to millis
-    // here too for identical boundary arithmetic.
+    // side works in epoch millis (unix_millis(ts) → Event.ts_ms), so truncate
+    // to millis here too for identical boundary arithmetic.
     val gap = Sessionize.gapMs
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     val batch = Tables.load(spark, TestSpark.sf0001, "events")
