@@ -114,11 +114,17 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("native cosine participates in whole-stage codegen") {
-    val df = SparkEntry.queries("sim_search_topk_native")(spark, sf)
-    val plan = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.CodegenMode)
-    assert(plan.contains("WholeStageCodegen"), plan)
-    assert(!plan.contains("CodegenFallback") || !plan.contains("cosine_similarity"),
-      "cosine fell back to interpreted eval")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("sim_search_topk_native")(spark, sf)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
+      val n = """Found (\d+) WholeStageCodegen""".r
+        .findFirstMatchIn(plan).map(_.group(1).toInt)
+      assert(n.exists(_ > 0), s"no codegen subtrees (found=$n)")
+      assert(!plan.contains("CodegenFallback"),
+        "cosine fell back to interpreted eval")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 }
