@@ -79,6 +79,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("join_range keeps the equi key (hash join, range as residual)") {
     val plan = formatted("join_range")
+    // positive assertion first so the absence check below can't pass vacuously
+    assert(Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin").exists(plan.contains),
+      s"no equi join in plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"range join degenerated to nested loop:\n$plan")
   }
