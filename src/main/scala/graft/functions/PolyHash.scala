@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Engine-neutral polynomial string hash:
+  * `h = fold(codepoints)(0)((acc, c) => (acc * 1000003 + c) mod P)` with
+  * `P = 2147483647` (the Mersenne prime 2^31 − 1).
+  *
+  * This replaces `xxhash64` at the front of the signature pipelines
+  * (minhash / simhash / fingerprint) precisely because it is *portable*: the
+  * same fold is expressible in DuckDB 1.0 via `list_reduce`, which lets the
+  * driver's oracle replay the whole signature pipeline in SQL (the pattern
+  * proven by `SimilarityOps.ivfOracle`).
+  *
+  * Why a 31-bit space and not a 55-bit one: mixing. Hash values and rehash
+  * multipliers both below 2^31 keep every product under 2^62 — inside ANSI
+  * Long range on both engines — which permits LARGE multipliers (2654435761,
+  * Knuth's 2^32/φ) in [[PolyHash.affine]]. A 2^55-scale modulus forces
+  * multipliers under 2^8, and an affine map with a tiny multiplier barely
+  * wraps the modulus for small inputs, so low bits of short-word hashes pass
+  * straight through (measured: every long document collapsed to the same
+  * simhash signature). 31 well-mixed bits beat 55 unmixed ones everywhere a
+  * signature is min-ed, banded, or bit-sampled.
+  *
+  * Iteration is by Unicode codepoint (what DuckDB's `unicode(char)` yields),
+  * not UTF-8 byte, so the two engines agree beyond ASCII too.
+  *
+  * CodegenFallback for the same reason as [[WordShingles]]: the work is one
+  * tight loop per row; codegen would inline only the dispatch.
+  */
+case class PolyHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHash.hash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  import org.apache.spark.sql.GraftColumnShim
+
+  /** Modulus: Mersenne prime 2^31 − 1. */
+  val P = 2147483647L
+  /** Fold multiplier (prime, ~2^20): each codepoint's influence reaches every
+    * bit after two fold steps; P * B < 2^51 keeps the fold overflow-free. */
+  val B = 1000003L
+  /** Affine multiplier base: Knuth's multiplicative constant 2^32/φ. */
+  val Mult = 2654435761L
+
+  def hash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h = (h * B + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** The i-th universal-family rehash of a PolyHash value:
+    * `(A_i * h + i * 1000003 + 12345) mod P` with
+    * `A_i = ((2i + 1) * 2654435761) mod P`. A_i and h are both < 2^31, so
+    * the product is < 2^62 — ANSI-safe on both engines — and the large
+    * multiplier avalanches every input bit (distinct odd i give distinct
+    * permutations of Z_P). */
+  def affine(i: Int, h: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val a = ((2L * i + 1) * Mult) % P
+    pmod(lit(a) * h + lit(i * 1000003L + 12345L), lit(P))
+  }
+
+  /** Same rehash as a SQL fragment (Spark SQL and DuckDB read it alike);
+    * `i` may be a column reference, so A_i is spelled out as arithmetic. */
+  def affineSql(i: String, h: String): String =
+    s"((((2 * $i + 1) * $Mult) % $P) * $h + $i * 1000003 + 12345) % $P"
+
+  /** DuckDB replay of [[hash]] for an expression `s` (ASCII or not). The
+    * `::BIGINT` casts matter: DuckDB types the fold accumulator from the
+    * initial element, and an INT32 accumulator overflows before the mod. */
+  def duckSql(s: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT, [unicode(($s)[i])::BIGINT FOR i IN range(1, len($s) + 1)]),
+        (a, c) -> (a * $B + c) % $P)"""
+
+  /** Column-API entry point. */
+  def poly_hash(c: Column): Column =
+    GraftColumnShim.column(PolyHash(GraftColumnShim.expression(c)))
+}

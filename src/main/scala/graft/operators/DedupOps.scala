@@ -26,6 +26,11 @@ object DedupOps {
   /** Candidate-bucket size cap (see class doc). */
   val maxBucket = 64
 
+  /** Document-frequency cut for the exact n-gram inverted index: shingles
+    * appearing in more than this many documents are dropped before pair
+    * expansion (see [[dedupNgramJaccard]]). */
+  val dfCut = 256
+
   // ---------------------------------------------------------------- exact
   /** Exact dedup: hash-groupBy on a content digest. One shuffle of
     * (digest, doc_id) pairs — the minimum possible data movement; the text
@@ -42,14 +47,21 @@ object DedupOps {
   private[operators] def shingles(text: Column, k: Int = 3): Column =
     graft.functions.WordShingles.word_shingles(text, k)
 
-  /** MinHash signatures via explode + one codegen'd hash aggregate: 16
-    * `min(xxhash64(shingle, seed))` columns in a single partial+final
+  /** MinHash signatures via explode + one hash aggregate: 32
+    * `min(affine_i(poly_hash(shingle)))` columns in a single partial+final
     * HashAggregate pass. ~10× the throughput of the equivalent
     * `transform(...array_min...)` higher-order-function chain, which
-    * evaluates interpreted per row outside whole-stage codegen. */
+    * evaluates interpreted per row outside whole-stage codegen. The hash
+    * family is [[graft.functions.PolyHash]] + its affine rehashes rather
+    * than seeded xxhash64 so the whole signature pipeline replays in the
+    * DuckDB oracle (the poly hash is computed once per shingle; the 32
+    * rehashes are two codegen'd arithmetic ops each). */
   private def minhashSigs(docsF: DataFrame, numHashes: Int): DataFrame = {
-    val exploded = docsF.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-    val aggs = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    import graft.functions.PolyHash
+    val exploded = docsF
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), PolyHash.poly_hash(col("sh")).as("ph"))
+    val aggs = (0 until numHashes).map(i => min(PolyHash.affine(i, col("ph"))).as(s"h$i"))
     exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -101,11 +113,13 @@ object DedupOps {
     val bands = 8
     val rows = numHashes / bands
     val sig = minhashSigs(docs(s, d), numHashes)
+    // band key: same engine-neutral fold as PolyHash over the band's rows
     val banded = sig.select(col("doc_id"),
         explode(expr(
           s"""transform(sequence(0, ${bands - 1}), b ->
                 struct(b AS band,
-                       xxhash64(cast(slice(sig, b * $rows + 1, $rows) AS string), b) AS h))"""))
+                       aggregate(slice(sig, b * $rows + 1, $rows), cast(0 AS bigint),
+                                 (a, h) -> (a * ${graft.functions.PolyHash.B} + h) % ${graft.functions.PolyHash.P}) AS h))"""))
           .as("bk"))
       .select(struct(col("bk.band"), col("bk.h")).as("bucket"), col("doc_id"))
     verifyJaccard(s, d, candidatePairs(banded), 0.5)
@@ -117,15 +131,19 @@ object DedupOps {
     * within Hamming distance 3 must agree on a full chunk); verified on true
     * Hamming distance via bit_count(xor). */
   val dedupSimhash: Q = (s, d) => {
+    import graft.functions.PolyHash
     // per-bit net vote: sum over words of (bit j set ? +1 : -1), computed as
     // explode + 64 codegen'd sum() columns (one HashAggregate pass; the
     // nested-HOF formulation runs interpreted and ~8× slower), then the sign
-    // bits recombine into one long.
+    // bits recombine into one long. Bit j is the parity of the j-th affine
+    // rehash of the word's PolyHash (64 independent well-mixed bits, vs the
+    // raw poly hash whose top bits above 2^31 are always zero) — and, being
+    // pure mod-prime arithmetic, the DuckDB oracle replays it exactly.
     val wordHashes = docs(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .select(col("doc_id"), PolyHash.poly_hash(col("w")).as("h"))
     val voteAggs = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j"))
+      sum(when(pmod(PolyHash.affine(j, col("h")), lit(2L)) === 1, 1L).otherwise(-1L)).as(s"b$j"))
     // localCheckpoint: the signature table (16 B/doc) feeds three consumers
     // (banding + both verify joins) — materialize the heavy vote aggregation
     // once instead of recomputing the scan+explode+64-agg per consumer
@@ -175,7 +193,13 @@ object DedupOps {
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
       .groupBy(col("shash")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      // df-cut: a shingle in M docs emits M²/2 pairs in ONE task, so a single
+      // stock phrase at corpus scale is a shuffle bomb. Shingles above the
+      // document-frequency cut are dropped before any pair materializes —
+      // they carry negligible Jaccard mass relative to per-doc shingle counts
+      // (a df>256 shingle moves |A∩B| by at most 1 against |A∪B| of ~50+).
+      // The DuckDB oracle applies the identical cut, so the check stays exact.
+      .filter(size(col("ids")).between(2, dfCut))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
              transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))""")).as("p"))
@@ -195,11 +219,18 @@ object DedupOps {
     * seeded, driver-generated constants) buckets sign patterns; exact cosine
     * verifies candidates. At 100 TB the bucket join touches only same-bucket
     * pairs; the 16×64 plane matrix broadcasts as literals inside codegen. */
-  val dedupEmbedding: Q = (s, d) => {
-    val dim = 64
-    val planes = 16
+  /** The 16×64 random-hyperplane matrix (seeded, driver-generated constants).
+    * Shared between the Spark pipeline and the generated oracle SQL, which
+    * inlines these exact values as a VALUES list so DuckDB replays the
+    * bucketing bit-for-bit (Double.toString round-trips). */
+  private[graft] val Hyperplanes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    val hp: Array[Array[Double]] = Array.fill(planes, dim)(rnd.nextGaussian())
+    Array.fill(16, 64)(rnd.nextGaussian())
+  }
+
+  val dedupEmbedding: Q = (s, d) => {
+    val hp = Hyperplanes
+    val planes = hp.length
     val emb = Tables.load(s, d, "embeddings")
     def dot(v: Column, plane: Array[Double]): Column =
       aggregate(zip_with(v, typedLit(plane.toSeq), (x, w) => x * w), lit(0.0), (a, x) => a + x)
@@ -224,11 +255,14 @@ object DedupOps {
       .join(vecs.select(col("vec_id").as("a"), col("v").as("va")), "a")
       .join(vecs.select(col("vec_id").as("b"), col("v").as("vb")), "b")
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("cosine"))
+    // arg-max per doc via one hash aggregate over struct ordering — max on
+    // (cosine, -nn_id) IS "cosine desc, nn_id asc" without the sort+window
+    // pass over all candidate pairs (the r2 regression)
     val sym = scored.select(col("a").as("doc_id"), col("b").as("nn_id"), col("cosine"))
       .unionAll(scored.select(col("b").as("doc_id"), col("a").as("nn_id"), col("cosine")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("cosine").desc, col("nn_id").asc)
-    val best = sym.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val best = sym.groupBy(col("doc_id"))
+      .agg(max(struct(col("cosine"), (-col("nn_id")).as("neg_nn"))).as("m"))
+      .select(col("doc_id"), (-col("m.neg_nn")).as("nn_id"), col("m.cosine").as("cosine"))
     emb.select(col("vec_id").as("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("nn_id"), col("cosine"),
@@ -312,25 +346,146 @@ object DedupOps {
     "dedup_embedding" -> dedupEmbedding,
   )
 
+  // ------------------------------------------------------------- oracles
+  // Every near-dup pipeline below is pure mod-prime arithmetic end to end
+  // (PolyHash + affine rehashes + fold band keys / seeded hyperplane
+  // constants), so the DuckDB oracle replays the WHOLE pipeline in SQL —
+  // signatures, bucketing, candidate caps, and exact verification — the
+  // pattern proven by SimilarityOps.ivfOracle.
+
+  /** Shared shingle/posting/sizes CTE bodies (DuckDB replay of
+    * [[graft.functions.WordShingles]] word 3-grams + whole-text fallback). */
+  private val shingleCtes: String =
+    """sh AS (
+         SELECT doc_id,
+           CASE WHEN len(string_split(text,' ')) >= 3 THEN
+             list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+                            FOR i IN range(1, len(string_split(text,' ')) - 1)])
+           ELSE [text] END AS s
+         FROM documents),
+       posting AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       sizes AS (SELECT doc_id, len(s) AS n FROM sh)"""
+
+  /** Inverted-index intersection with the same df-cut as the Spark side. */
+  private val ngramInterCtes: String =
+    s"""kept AS (SELECT shingle FROM posting
+                 GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND $dfCut),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+          FROM posting x JOIN posting y
+            ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          JOIN kept k ON k.shingle = x.shingle
+          GROUP BY x.doc_id, y.doc_id)"""
+
+  private def minhashOracle: String = {
+    import graft.functions.PolyHash
+    s"""WITH $shingleCtes,
+       ph AS (SELECT doc_id, ${PolyHash.duckSql("shingle")} AS ph FROM posting),
+       sig AS (SELECT doc_id, i, MIN(${PolyHash.affineSql("i", "ph")}) AS h
+               FROM ph CROSS JOIN (SELECT unnest(range(0, 32)) AS i) seeds
+               GROUP BY doc_id, i),
+       band AS (SELECT doc_id, i // 4 AS band,
+                  list_reduce(list_prepend(0::BIGINT, list(h ORDER BY i)),
+                    (a, h) -> (a * ${PolyHash.B} + h) % ${PolyHash.P}) AS bh
+                FROM sig GROUP BY doc_id, i // 4),
+       bsize AS (SELECT band, bh, COUNT(*) AS n FROM band GROUP BY band, bh),
+       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM band x JOIN band y
+                  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+                JOIN bsize s ON s.band = x.band AND s.bh = x.bh
+                WHERE s.n BETWEEN 2 AND $maxBucket),
+       inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+                 FROM posting x JOIN posting y
+                   ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                 JOIN cand c ON c.a = x.doc_id AND c.b = y.doc_id
+                 GROUP BY x.doc_id, y.doc_id)
+       SELECT inter.a, inter.b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+       FROM inter JOIN sizes na ON inter.a = na.doc_id
+                  JOIN sizes nb ON inter.b = nb.doc_id
+       WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+       ORDER BY a, b"""
+  }
+
+  private def simhashOracle: String = {
+    import graft.functions.PolyHash
+    s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+       wh AS (SELECT doc_id, ${PolyHash.duckSql("w")} AS h FROM words),
+       bits AS (SELECT doc_id, j,
+                  CASE WHEN SUM(CASE WHEN ${PolyHash.affineSql("j", "h")} % 2 = 1
+                                     THEN 1 ELSE -1 END) > 0
+                       THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+                FROM wh CROSS JOIN (SELECT unnest(range(0, 64)) AS j) bitsrc
+                GROUP BY doc_id, j),
+       chunks AS (SELECT doc_id, j // 16 AS chunk,
+                    (SUM(bit << (j % 16)))::BIGINT AS h
+                  FROM bits GROUP BY doc_id, j // 16),
+       docsig AS (SELECT doc_id,
+                    MAX(CASE WHEN chunk = 0 THEN h END) AS c0,
+                    MAX(CASE WHEN chunk = 1 THEN h END) AS c1,
+                    MAX(CASE WHEN chunk = 2 THEN h END) AS c2,
+                    MAX(CASE WHEN chunk = 3 THEN h END) AS c3
+                  FROM chunks GROUP BY doc_id),
+       bsize AS (SELECT chunk, h, COUNT(*) AS n FROM chunks GROUP BY chunk, h),
+       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM chunks x JOIN chunks y
+                  ON x.chunk = y.chunk AND x.h = y.h AND x.doc_id < y.doc_id
+                JOIN bsize s ON s.chunk = x.chunk AND s.h = x.h
+                WHERE s.n BETWEEN 2 AND $maxBucket),
+       ham AS (SELECT c.a, c.b,
+                 (bit_count(xor(xa.c0, xb.c0)) + bit_count(xor(xa.c1, xb.c1)) +
+                  bit_count(xor(xa.c2, xb.c2)) + bit_count(xor(xa.c3, xb.c3)))::BIGINT AS hamming
+               FROM cand c JOIN docsig xa ON xa.doc_id = c.a
+                           JOIN docsig xb ON xb.doc_id = c.b)
+       SELECT a, b, hamming FROM ham WHERE hamming <= 3 ORDER BY a, b"""
+  }
+
+  private def embeddingOracle: String = {
+    val planeValues = Hyperplanes.zipWithIndex.flatMap { case (row, p) =>
+      row.zipWithIndex.map { case (w, i) => s"($p, ${i + 1}, $w)" }
+    }.mkString(", ")
+    s"""WITH plane(p, i, w) AS (VALUES $planeValues),
+       flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+       dotp AS (SELECT f.vec_id, pl.p, SUM(f.val * pl.w) AS dp
+                FROM flat f JOIN plane pl ON f.i = pl.i
+                GROUP BY f.vec_id, pl.p),
+       bucket AS (SELECT vec_id AS doc_id,
+                    (SUM(CASE WHEN dp >= 0 THEN (1::BIGINT << p) ELSE 0 END))::BIGINT AS bucket
+                  FROM dotp GROUP BY vec_id),
+       bsize AS (SELECT bucket, COUNT(*) AS n FROM bucket GROUP BY bucket),
+       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bucket x JOIN bucket y
+                  ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+                JOIN bsize s ON s.bucket = x.bucket
+                WHERE s.n BETWEEN 2 AND $maxBucket),
+       cos AS (SELECT c.a, c.b,
+                 ROUND(SUM(fa.val * fb.val) /
+                   (SQRT(SUM(fa.val * fa.val)) * SQRT(SUM(fb.val * fb.val))), 6) AS cosine
+               FROM cand c JOIN flat fa ON fa.vec_id = c.a
+                           JOIN flat fb ON fb.vec_id = c.b AND fa.i = fb.i
+               GROUP BY c.a, c.b),
+       sym AS (SELECT a AS doc_id, b AS nn_id, cosine FROM cos
+               UNION ALL SELECT b, a, cosine FROM cos),
+       best AS (SELECT doc_id, nn_id, cosine FROM (
+                  SELECT doc_id, nn_id, cosine,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY cosine DESC, nn_id) AS rn
+                  FROM sym) WHERE rn = 1)
+       SELECT e.vec_id AS doc_id, best.nn_id, best.cosine,
+              COALESCE(best.cosine >= 0.95, false) AS is_dup
+       FROM embeddings e LEFT JOIN best ON best.doc_id = e.vec_id
+       ORDER BY doc_id"""
+  }
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
     "dedup_clusters" ->
-      """WITH sh AS (
-           SELECT doc_id,
-             CASE WHEN len(string_split(text,' ')) >= 3 THEN
-               list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
-                              FOR i IN range(1, len(string_split(text,' ')) - 1)])
-             ELSE [text] END AS s
-           FROM documents),
-         posting AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-         sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-         inter AS (
-           SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
-           FROM posting x JOIN posting y
-             ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-           GROUP BY x.doc_id, y.doc_id),
+      s"""WITH $shingleCtes,
+         $ngramInterCtes,
          pairs AS (
            SELECT a, b FROM inter
            JOIN sizes na ON inter.a = na.doc_id
@@ -348,29 +503,16 @@ object DedupOps {
          SELECT d.doc_id, cc.cluster_id, (d.doc_id = cc.cluster_id) AS is_kept
          FROM documents d JOIN cc ON d.doc_id = cc.doc
          ORDER BY d.doc_id""",
-    // dedup_minhash / dedup_simhash / dedup_embedding: signature pipelines on
-    // xxhash64 / seeded hyperplanes — not expressible in DuckDB SQL; their
-    // correctness is covered by DedupOpsSpec (planted near-duplicates must be
-    // found, random docs must not pair). dedup_ngram_jaccard IS expressible:
     "dedup_ngram_jaccard" ->
-      """WITH sh AS (
-           SELECT doc_id,
-             CASE WHEN len(string_split(text,' ')) >= 3 THEN
-               list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
-                              FOR i IN range(1, len(string_split(text,' ')) - 1)])
-             ELSE [text] END AS s
-           FROM documents),
-         posting AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-         sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-         inter AS (
-           SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
-           FROM posting x JOIN posting y
-             ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-           GROUP BY x.doc_id, y.doc_id)
-         SELECT a, b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+      s"""WITH $shingleCtes,
+         $ngramInterCtes
+         SELECT inter.a, inter.b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
          FROM inter JOIN sizes na ON inter.a = na.doc_id
                     JOIN sizes nb ON inter.b = nb.doc_id
          WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
          ORDER BY a, b""",
+    "dedup_minhash" -> minhashOracle,
+    "dedup_simhash" -> simhashOracle,
+    "dedup_embedding" -> embeddingOracle,
   )
 }

@@ -29,16 +29,25 @@ object MultimodalOps {
     def apply(payload: Array[Byte]): Decoded = {
       // ??? <- real decoder goes here; deterministic fake derived from bytes:
       val h = contentHash(payload)
-      val w = 64 + math.floorMod(h, 1024).toInt
-      val ht = 64 + math.floorMod(h >> 10, 1024).toInt
-      val nf = 1 + math.floorMod(h >> 20, 240).toInt // stub "video" length
-      val feat = Array.tabulate(8)(j => math.floorMod(h >> (j * 7), 997).toFloat / 997f)
+      val w = 64 + (h % 1024).toInt
+      val ht = 64 + ((h >> 10) % 1024).toInt
+      val nf = 1 + ((h >> 20) % 240).toInt // stub "video" length
+      val feat = Array.tabulate(8)(j => ((h >> (j * 3)) % 997).toFloat / 997f)
       Decoded(w, ht, 3, nf, feat)
     }
+    /** Mod-prime polynomial over the payload bytes (unsigned), the same fold
+      * as [[graft.functions.PolyHash]] — h is non-negative and < 2^31, so the
+      * derived dims/frames/feature arithmetic above is plain positive-range
+      * div/mod that a DuckDB oracle replays exactly (shifts stay below 31
+      * bits). For ASCII payloads (the documents fixture is pure ASCII, max
+      * codepoint 121) the byte fold equals PolyHash's codepoint fold, so the
+      * oracle hashes the text column directly. */
     def contentHash(payload: Array[Byte]): Long = {
-      var h = 1125899906842597L
+      val P = graft.functions.PolyHash.P
+      val B = graft.functions.PolyHash.B
+      var h = 0L
       var i = 0
-      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+      while (i < payload.length) { h = (h * B + (payload(i) & 0xff)) % P; i += 1 }
       h
     }
   }
@@ -64,8 +73,9 @@ object MultimodalOps {
     * payload: the mapInPandas-shaped path. Schema is declared up front;
     * each partition streams rows through the (stub) decoder — no collect,
     * no per-row JVM↔driver hops; at 100 TB this is embarrassingly parallel
-    * and bounded by decode CPU. No SQL oracle (decoder is not SQL);
-    * MultimodalOpsSpec pins determinism + schema. The feature vector stays
+    * and bounded by decode CPU. The stub's arithmetic is mod-prime, so the
+    * DuckDB oracle replays it; MultimodalOpsSpec pins determinism + schema
+    * besides. The feature vector stays
     * an array inside the pipeline; the query surface reduces it to scalars
     * (dim + L2 norm) because downstream result comparison is column-wise
     * and cannot sort array cells. */
@@ -152,10 +162,48 @@ object MultimodalOps {
     "mm_frame_sample" -> mmFrameSample,
   )
 
+  // The stub decoder is pure mod-prime arithmetic on the payload hash, and
+  // the payload is the UTF-8 of `text` (pure-ASCII fixture), so each oracle
+  // recomputes contentHash via the PolyHash DuckDB replay and derives the
+  // same dims/frames/features in SQL.
+  private def hashCte: String =
+    s"WITH h AS (SELECT doc_id, ${graft.functions.PolyHash.duckSql("text")} AS h FROM documents)"
+
   val oracle: Map[String, String] = Map(
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          source, lang
          FROM documents ORDER BY doc_id""",
+    "mm_decode_features" ->
+      s"""$hashCte
+         SELECT doc_id,
+           CAST(64 + h % 1024 AS INT) AS width,
+           CAST(64 + (h >> 10) % 1024 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(8 AS INT) AS feature_dim,
+           ROUND(SQRT(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             [CAST(CAST((h >> (j * 3)) % 997 AS FLOAT) / CAST(997 AS FLOAT) AS DOUBLE)
+              FOR j IN range(0, 8)]),
+             (a, x) -> a + x * x)), 6) AS feature_norm
+         FROM h ORDER BY doc_id""",
+    "mm_resize" ->
+      s"""$hashCte,
+         dims AS (SELECT doc_id, 64 + h % 1024 AS w, 64 + (h >> 10) % 1024 AS ht FROM h),
+         sc AS (SELECT doc_id, w, ht,
+                  LEAST(CAST(1 AS DOUBLE), CAST(256 AS DOUBLE) / GREATEST(w, ht)) AS scale
+                FROM dims),
+         rz AS (SELECT doc_id, w, ht,
+                  GREATEST(1, CAST(FLOOR(w * scale) AS BIGINT)) AS ow,
+                  GREATEST(1, CAST(FLOOR(ht * scale) AS BIGINT)) AS oh
+                FROM sc)
+         SELECT doc_id, CAST(w AS INT) AS width, CAST(ht AS INT) AS height,
+           CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+           CAST(ow * oh * 3 AS BIGINT) AS out_bytes
+         FROM rz ORDER BY doc_id""",
+    "mm_frame_sample" ->
+      s"""$hashCte,
+         f AS (SELECT doc_id, h, unnest(range(0, 1 + (h >> 20) % 240, 10)) AS i FROM h)
+         SELECT doc_id, CAST(i AS INT) AS frame_idx, 31 * h + i AS frame_hash
+         FROM f ORDER BY doc_id, frame_idx""",
   )
 }

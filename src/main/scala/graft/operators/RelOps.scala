@@ -88,11 +88,19 @@ object RelOps {
       .orderBy($"o_orderpriority")
 
   /** Approximate distinct (HyperLogLog++) — the 100 TB-scale variant of the
-    * above: one pass, fixed memory, no expand. No SQL oracle (DuckDB's HLL
-    * differs); driver records rows-only. */
+    * above: one pass, fixed memory, no expand. DuckDB's HLL differs, so the
+    * sketch value itself isn't oracle-comparable; instead the query is
+    * self-validating — it emits the exact distinct count plus a boolean
+    * pinning the approximation contract (|approx−exact|/exact ≤ 0.05 at
+    * rsd 0.02; HLL++ is deterministic per input, so the boolean is stable),
+    * and the oracle asserts the exact count and `true`. */
   val aggApproxDistinct: Q = (s, d) =>
     t(s, d, "orders").groupBy($"o_orderpriority")
-      .agg(approx_count_distinct($"o_custkey", 0.02).as("approx_cust"))
+      .agg(approx_count_distinct($"o_custkey", 0.02).as("approx_cust"),
+        countDistinct($"o_custkey").as("exact_cust"))
+      .select($"o_orderpriority", $"exact_cust",
+        (abs($"approx_cust" - $"exact_cust").cast(DoubleType) / $"exact_cust" <= 0.05)
+          .as("within_tol"))
       .orderBy($"o_orderpriority")
 
   /** ROLLUP grouping sets (delegated-SQL class; PG/ClickHouse support). */
@@ -623,6 +631,10 @@ object RelOps {
          FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "agg_count_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "agg_approx_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_cust,
+         true AS within_tol
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -86,15 +86,16 @@ object TextOps {
   }
 
   /** Document fingerprint: order-sensitive rolling polynomial hash over the
-    * word sequence (Karp–Rabin style; xxhash64 per word, ×31 rolling, modulo
-    * a 2^55-scale prime so ANSI-mode arithmetic can't overflow).
-    * No SQL oracle: DuckDB lacks xxhash64. */
+    * word sequence (Karp–Rabin style; [[graft.functions.PolyHash]] per word,
+    * ×31 rolling, modulo the same Mersenne prime so ANSI-mode arithmetic
+    * can't overflow). Fully engine-neutral, so the DuckDB oracle replays the
+    * exact fold. */
   val textFingerprint: Q = (s, d) => {
-    val p = 36028797018963913L // prime < 2^55: 31*p + p < 2^63, overflow-free
+    import graft.functions.PolyHash
     docs(s, d).select(
         col("doc_id"),
         aggregate(words(col("text")), lit(0L),
-          (acc, w) => pmod(acc * lit(31L) + pmod(xxhash64(w), lit(p)), lit(p)))
+          (acc, w) => pmod(acc * lit(31L) + PolyHash.poly_hash(w), lit(PolyHash.P)))
           .as("fingerprint"))
       .orderBy(col("doc_id"))
   }
@@ -143,6 +144,14 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_fingerprint" -> {
+      import graft.functions.PolyHash
+      s"""SELECT doc_id,
+         list_reduce(list_prepend(0::BIGINT,
+             [${PolyHash.duckSql("w")} FOR w IN string_split(text, ' ')]),
+           (a, h) -> (a * 31 + h) % ${PolyHash.P}) AS fingerprint
+         FROM documents ORDER BY doc_id"""
+    },
     "text_scrub_pii" ->
       """SELECT doc_id,
          md5(regexp_replace(regexp_replace(text,

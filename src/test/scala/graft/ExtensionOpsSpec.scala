@@ -135,6 +135,29 @@ class ExtensionOpsSpec extends AnyFunSuite {
       s"IVF probe did not prune partitions:\n$plan")
   }
 
+  test("dedup_ngram_jaccard df-cut drops corpus-wide shingles before pair expansion") {
+    // 258 docs share one stock phrase (df 258 > dfCut 256). Without the cut
+    // that single posting group expands 258²/2 ≈ 33k pairs in one task; with
+    // it the phrase never reaches pair expansion, so the only surviving pair
+    // is the planted near-dup — and its jaccard EXCLUDES the cut shingle
+    // (5 shared low-df shingles of 7 per doc: 5/9, not the 6/8 that counting
+    // the phrase would give), proving the cut applied, not just the ≥0.5 gate.
+    val d = Files.createTempDirectory("graft-dfcut").toString
+    val a = "common stock phrase x1 x2 x3 x4 x5 x6"
+    val b = "common stock phrase x1 x2 x3 x4 x5 y6"
+    val fillers = (0 until 256).map(i => s"common stock phrase f${i}a f${i}b")
+    val docs = (Seq(a, b) ++ fillers).zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", s"s$i", t.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.parquet(s"$d/documents.parquet")
+    val rows = DedupOps.dedupNgramJaccard(spark, d).collect()
+    assert(rows.length == 1, s"only the planted pair must survive, got ${rows.length}")
+    assert(rows.head.getAs[Long]("a") == 0L && rows.head.getAs[Long]("b") == 1L)
+    assert(math.abs(rows.head.getAs[Double]("jaccard") - 5.0 / 9.0) < 1e-12,
+      "jaccard must exclude the df-cut shingle from the intersection")
+  }
+
   test("text_fingerprint is order-sensitive and deterministic") {
     val fp = TextOps.textFingerprint(spark, dir)
       .as[(Long, Long)].collect().toMap
