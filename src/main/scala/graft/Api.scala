@@ -13,10 +13,16 @@ final class GraftCore(
     val spark: SparkSession,
     val tasks: Map[String, Task],
     val sources: SourcePool,
-    val resultBackends: SourcePool) {
+    val resultBackends: SourcePool,
+    // control-plane SPI ([[JobStateStore]]/[[JobBroker]], see Spi.scala):
+    // defaults are the in-process pair; a multi-process deployment plugs a
+    // shared state store + queue-backed broker here without touching this
+    // facade (the reference's Redis seam, cmd/init.go:200-229)
+    mkStore: () => JobStateStore = () => new StatusStore,
+    mkBroker: (SparkSession, JobStateStore) => JobBroker = new Scheduler(_, _)) {
 
-  val store = new StatusStore
-  val scheduler = new Scheduler(spark, store)
+  val store: JobStateStore = mkStore()
+  val scheduler: JobBroker = mkBroker(spark, store)
 
   private def task(name: String): Task =
     tasks.getOrElse(name, throw new NoSuchElementException(s"unknown task: $name"))

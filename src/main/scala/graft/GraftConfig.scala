@@ -31,13 +31,22 @@ final case class GraftConfig(
     resultRetentionSec: Int,
     taskDirs: Seq[String],
     sources: Map[String, String],
-    resultBackends: Map[String, String]) {
+    resultBackends: Map[String, String],
+    streamStateStores: Int = 0) {
 
-  def boot(spark: org.apache.spark.sql.SparkSession): GraftCore =
+  def boot(spark: org.apache.spark.sql.SparkSession): GraftCore = {
+    // surface stream sizing on the session so the stream runner (which has
+    // no GraftConfig handle) honors it; 0 = derive from input volume
+    spark.conf.set(GraftConfig.StateStoresConfKey, streamStateStores.toString)
     GraftCore(spark, taskDirs, sources, resultBackends)
+  }
 }
 
 object GraftConfig {
+  /** Session-conf key carrying `[app] stream_state_stores` to the stream
+    * runner (0 = derive from input volume; see `StreamOps.stateStores`). */
+  val StateStoresConfKey = "graft.stream.stateStores"
+
   private val Section = """^\s*\[([A-Za-z0-9_.]+)\]\s*$""".r
   private val KeyVal = """^\s*([A-Za-z0-9_]+)\s*=\s*(.+?)\s*$""".r
 
@@ -74,7 +83,8 @@ object GraftConfig {
       resultRetentionSec = parseDuration(str("app.result_retention", "1h")),
       taskDirs = parseArray(kv.getOrElse("app.task_dirs", "[]")),
       sources = sub("db", "dir"),
-      resultBackends = sub("results", "dir"))
+      resultBackends = sub("results", "dir"),
+      streamStateStores = str("app.stream_state_stores", "0").toInt)
   }
 
   private def stripComment(v: String): String = {

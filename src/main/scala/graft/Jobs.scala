@@ -83,7 +83,7 @@ object JobFactory {
   * silently replaced (result tables are keyed by ID and overwritten by
   * design, sqldb.go:298).
   */
-final class StatusStore {
+final class StatusStore extends JobStateStore {
   private val jobs = new ConcurrentHashMap[String, JobStatus]()
   private val groups = new ConcurrentHashMap[String, Seq[String]]()
   // IDs removed via cancel — distinguishes "canceled" from "never admitted"
@@ -95,19 +95,26 @@ final class StatusStore {
   // canceled and the ID re-admitted as a NEW job in the meantime
   private val epochs = new ConcurrentHashMap[String, java.lang.Long]()
 
-  /** Atomically admit a job ID for execution. Returns false if the same ID is
-    * currently queued/running. */
-  def tryAdmit(id: String): Boolean = {
-    var admitted = false
+  /** Atomically admit a job ID for execution. Returns the admission epoch
+    * (unique per successful admission of an ID), or -1 if the same ID is
+    * currently queued/running. The epoch bumps inside the same atomic
+    * compute that flips the store entry, so a cancel + re-admit can never
+    * interleave between an admission and its generation stamp (the stamp is
+    * what stale retry timers compare against). */
+  def tryAdmit(id: String): Long = {
+    var myEpoch = -1L
     jobs.compute(id, (_, cur) => {
       val running = cur != null &&
         (cur.state == JobState.Pending || cur.state == JobState.Started ||
          cur.state == JobState.Retry)
       if (running) cur
-      else { admitted = true; canceled.remove(id); JobStatus(id, JobState.Pending) }
+      else {
+        canceled.remove(id)
+        myEpoch = epochs.merge(id, 1L, (a, b) => a + b)
+        JobStatus(id, JobState.Pending)
+      }
     })
-    if (admitted) epochs.merge(id, 1L, (a, b) => a + b)
-    admitted
+    myEpoch
   }
 
   /** Current admission generation for an ID (0 if never admitted). */

@@ -50,7 +50,15 @@ final class ResultSweeper(backends: SourcePool, retentionSec: Long) {
     try {
       val conn = DriverManager.getConnection(url)
       try {
-        val rs = conn.getMetaData.getTables(null, null, "results_%", Array("TABLE"))
+        // the executor writes unqualified results_<id> tables into the
+        // connection's DEFAULT catalog/schema, so scope the metadata scan the
+        // same way — a null/null scan walks every schema of the backend and
+        // would expire another application's results_* tables
+        val catalog = try Option(conn.getCatalog).filter(_.nonEmpty).orNull
+          catch { case NonFatal(_) => null }
+        val schemaPat = try Option(conn.getSchema).filter(_.nonEmpty).orNull
+          catch { case NonFatal(_) => null }
+        val rs = conn.getMetaData.getTables(catalog, schemaPat, "results_%", Array("TABLE"))
         // metadata patterns treat '_' as a single-char wildcard, so 'results_%'
         // also matches e.g. 'resultsXfoo' — post-filter on the literal prefix
         // (the filesystem branch's exact startsWith) before anything is dropped

@@ -23,7 +23,7 @@ import org.apache.spark.sql.SparkSession
   *   - cancel refuses completed jobs unless purge, kills the in-flight query,
   *     and deletes from the store (`core.go:244-271`).
   */
-final class Scheduler(spark: SparkSession, store: StatusStore) {
+final class Scheduler(spark: SparkSession, store: JobStateStore) extends JobBroker {
   private val pools = new ConcurrentHashMap[String, ThreadPoolExecutor]()
   private val pending = new ConcurrentHashMap[String, ConcurrentLinkedDeque[String]]()
   private val running = new ConcurrentHashMap[String, Thread]()
@@ -54,16 +54,17 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
     * same ID is already queued/running (core.go:332-339). */
   def submit(job: Job, task: Task): Boolean = {
     require(!closed, "scheduler stopped")
-    if (!store.tryAdmit(job.id)) return false
+    val myEpoch = store.tryAdmit(job.id)
+    if (myEpoch < 0) return false
     try {
       backlog(job.queue).addLast(job.id)
       val delayMs = job.eta
         .map(e => Duration.between(LocalDateTime.now, e).toMillis.max(0L))
         .getOrElse(0L)
-      val runnable: Runnable = () => runWithRetries(job, task)
+      val runnable: Runnable = () => runWithRetries(job, task, 1, myEpoch)
       if (delayMs > 0)
         timers.schedule(
-          (() => pool(job.queue, task.conc).execute(runnable)): Runnable,
+          (() => poolExecuteOrFail(job, task, runnable)): Runnable,
           delayMs, TimeUnit.MILLISECONDS)
       else pool(job.queue, task.conc).execute(runnable)
       true
@@ -79,7 +80,19 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
     }
   }
 
-  private def runWithRetries(job: Job, task: Task, attempt: Int = 1): Unit = {
+  /** Execute through the queue pool from a timer thread; after shutdown()
+    * the pool rejects, and a ScheduledThreadPoolExecutor would swallow the
+    * RejectedExecutionException — mark the job failed instead of leaving it
+    * parked in PENDING/RETRY forever. */
+  private def poolExecuteOrFail(job: Job, task: Task, r: Runnable): Unit =
+    try pool(job.queue, task.conc).execute(r)
+    catch {
+      case _: java.util.concurrent.RejectedExecutionException =>
+        store.setIfPresent(job.id, JobState.Failure, -1,
+          "re-enqueue rejected: scheduler stopped")
+    }
+
+  private def runWithRetries(job: Job, task: Task, attempt: Int, myEpoch: Long): Unit = {
     backlog(job.queue).remove(job.id)
     // canceled-while-pending guard (execJob's not-canceled check,
     // core.go:452-454): cancellation removes the ID from the store.
@@ -88,18 +101,22 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
       _ => new java.util.concurrent.Semaphore(math.max(task.conc, 1), true))
     try slot.acquire()
     catch { case _: InterruptedException => Thread.interrupted(); return }
-    try runAttempt(job, task, attempt) finally slot.release()
+    try runAttempt(job, task, attempt, myEpoch) finally slot.release()
   }
 
   /** One attempt; a retryable failure RE-ENQUEUES through the pool after a
     * capped delay (the reference re-enqueues through its broker) instead of
     * sleeping on the worker — the thread and the per-task slot free up so a
     * retrying job never head-of-line blocks its queue. */
-  private def runAttempt(job: Job, task: Task, attempt: Int): Unit = {
+  private def runAttempt(job: Job, task: Task, attempt: Int, myEpoch: Long): Unit = {
     if (store.get(job.id).isEmpty) { // canceled while waiting for slot/retry
       spark.sparkContext.cancelJobGroup(job.id)
       return
     }
+    // a non-empty store entry may belong to a NEWER admission of the same ID
+    // (cancel + resubmit while this attempt waited on the slot or the retry
+    // backoff): a stale attempt must not touch the fresh job's state/results
+    if (store.epoch(job.id) != myEpoch) return
     val worker = Thread.currentThread()
     running.put(job.id, worker)
     try {
@@ -132,14 +149,13 @@ final class Scheduler(spark: SparkSession, store: StatusStore) {
           else if (attempt <= job.retries) {
             store.setIfPresent(job.id, JobState.Retry)
             val delay = math.min(250L * attempt, 2000L) // capped backoff
-            // capture the admission generation: if the job is canceled and
-            // the same ID re-submitted as a NEW job during the backoff, the
-            // stale timer must not resurrect the old one (it would race the
-            // fresh job and clobber its state/results)
-            val myEpoch = store.epoch(job.id)
+            // the admission generation rides along from submit(): if the job
+            // is canceled and the same ID re-submitted as a NEW job during
+            // the backoff, the stale timer must not resurrect the old one
+            // (runAttempt re-checks the epoch after winning the slot too)
             timers.schedule(
-              (() => pool(job.queue, task.conc).execute((() => {
-                if (store.epoch(job.id) == myEpoch) runWithRetries(job, task, attempt + 1)
+              (() => poolExecuteOrFail(job, task, (() => {
+                if (store.epoch(job.id) == myEpoch) runWithRetries(job, task, attempt + 1, myEpoch)
               }): Runnable)): Runnable,
               delay, TimeUnit.MILLISECONDS)
           }

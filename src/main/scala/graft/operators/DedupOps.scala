@@ -297,17 +297,28 @@ object DedupOps {
       dedupNgramJaccard(s, d).select(col("a"), col("b")).write.parquet(s"$dir/pairs")
     }
 
+  /** Session conf switch for the CC loop's lineage truncation:
+    * `localCheckpoint` (default — executor-local blocks, right for
+    * `local[N]`) vs reliable `checkpoint()` (HDFS/object storage via
+    * `sc.setCheckpointDir`; survives executor loss on a real cluster, the
+    * mode docs/SCALE.md prescribes for 100×). */
+  val ReliableCheckpointKey = "graft.cc.reliableCheckpoint"
+
+  private def ccCheckpoint(df: DataFrame, eager: Boolean = true): DataFrame =
+    if (df.sparkSession.conf.getOption(ReliableCheckpointKey).contains("true"))
+      df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+
   val dedupClusters: Q = (s, d) => {
     // the near-dup pair set is the previous pipeline stage's output;
     // production materializes it between the dedup pass and cluster
     // resolution, so it lives in the artifact cache keyed on the corpus
     // fingerprint (first call builds, later calls — any JVM — reuse)
     val pairs = s.read.parquet(s"${ngramPairsPath(s, d)}/pairs")
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+    val edges = ccCheckpoint(pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"))))
+    var labels = ccCheckpoint(edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl")))
     var converged = false
     var iter = 0
     val maxIters = 64 // handles components of diameter 64; fail loudly beyond
@@ -317,11 +328,11 @@ object DedupOps {
         .join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst"))
         .agg(min(col("lbl")).as("nmin"))
-      val next = labels
+      val next = ccCheckpoint(labels
         .join(neighborMin, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint(eager = false)
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl")),
+        eager = false)
       converged = next.filter(col("lbl") =!= col("old")).count() == 0 // materializes the checkpoint
       labels = next.select(col("doc_id"), col("lbl"))
     }

@@ -20,10 +20,30 @@ object MaterializeOps {
       |       CAST(ts AS DATE) AS entry_date
       |FROM events WHERE user_id = $1 GROUP BY CAST(ts AS DATE)""".stripMargin
 
+  // One stable result root per source dir, reused across invocations: the
+  // executor's results-cache semantics rewrite results_<jobID> in place, so
+  // repeat runs cost zero extra disk (a fresh createTempDirectory per call
+  // leaked a dir per invocation), and the single shared exit hook removes
+  // the roots at JVM exit.
+  private val outRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val outRootHook: Unit = {
+    sys.addShutdownHook(outRoots.values.forEach(p =>
+      FsUtil.deleteRecursive(new java.io.File(p))))
+    ()
+  }
+  private[graft] def outRoot(d: String): String = {
+    outRootHook
+    outRoots.computeIfAbsent(d, dd => {
+      val f = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"),
+        s"graft-mat-${Integer.toHexString(dd.hashCode)}")
+      f.mkdirs()
+      f.getPath
+    })
+  }
+
   val resultMaterialize: Q = (s, d) => {
-    val outRoot = java.nio.file.Files.createTempDirectory("graft-mat").toString
     val task = Task("get_profit_summary", "default", 1, taskSql,
-      SourcePool.single("src", d), SourcePool.single("res", outRoot), isRaw = false)
+      SourcePool.single("src", d), SourcePool.single("res", outRoot(d)), isRaw = false)
     val job = Job("mat-job", task.name, task.queue, None, 0, 60, Seq("1"), None)
     val res = Executor.run(s, job, task)
     require(res.count >= 0)

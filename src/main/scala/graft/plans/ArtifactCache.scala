@@ -11,7 +11,8 @@ import java.security.MessageDigest
   * pay-once-build, query-many structures: at 100 TB the build is a scheduled
   * pipeline stage, not part of the query. Locally the same contract is kept
   * by keying the artifact directory on a fingerprint of the *resolved* source
-  * files (path + length + mtime, whatever format `Tables.load` would read):
+  * files (path + length + mtime + a head/tail content sample, whatever
+  * format `Tables.load` would read):
   * the first query builds, subsequent queries — in any JVM — reuse, and any
   * change to the source data changes the fingerprint and forces a rebuild.
   *
@@ -33,10 +34,20 @@ object ArtifactCache {
     * per-class incremental) changes the stamp, so cached artifacts built by
     * older logic are never served after the logic changes — at the cost of
     * one rebuild after any recompile of the owning class. */
+  private val stampWarned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def codeStamp(cls: Class[_]): String = {
     val res = cls.getResource(cls.getSimpleName + ".class")
-    if (res == null) cls.getName
-    else {
+    if (res == null) {
+      // name-only stamp: the stale-logic invalidation guard is OFF for this
+      // class (some packaged runtimes don't expose classfile resources) —
+      // say so once instead of silently serving possibly-stale artifacts
+      if (stampWarned.add(cls.getName))
+        System.err.println(s"[graft] ArtifactCache: classfile resource for " +
+          s"${cls.getName} unresolvable; cache key degrades to the class name " +
+          "(recompiles of it will NOT invalidate cached artifacts)")
+      cls.getName
+    } else {
       val conn = res.openConnection()
       try s"${cls.getName}:${conn.getLastModified}"
       finally scala.util.Try(conn.getInputStream.close())
@@ -49,9 +60,28 @@ object ArtifactCache {
     * loaders — since an edit to any of them changes what a build produces). */
   def fingerprint(sfDir: String, tables: Seq[String], logic: Seq[Class[_]]): String = {
     val md = MessageDigest.getInstance("MD5")
+    // content sample: first + last 4 KiB of each file. Catches the in-place
+    // rewrite that path+length+mtime misses (same-length rewrite inside mtime
+    // granularity) — for parquet specifically the tail holds the footer
+    // (row-group offsets, column stats), which changes on any rewrite.
+    def feedSample(f: File): Unit = {
+      val n = f.length
+      if (n > 0) {
+        val in = new java.io.RandomAccessFile(f, "r")
+        try {
+          val head = new Array[Byte](math.min(4096L, n).toInt)
+          in.readFully(head); md.update(head)
+          if (n > 4096) {
+            val tail = new Array[Byte](math.min(4096L, n - 4096).toInt)
+            in.seek(n - tail.length); in.readFully(tail); md.update(tail)
+          }
+        } finally in.close()
+      }
+    }
     def feed(f: File): Unit = {
       md.update(f.getPath.getBytes("UTF-8"))
       md.update(java.nio.ByteBuffer.allocate(16).putLong(f.length).putLong(f.lastModified).array())
+      if (f.isFile) feedSample(f)
       if (f.isDirectory) Option(f.listFiles()).foreach(_.sortBy(_.getName).foreach(feed))
     }
     md.update(new File(sfDir).getCanonicalPath.getBytes("UTF-8"))

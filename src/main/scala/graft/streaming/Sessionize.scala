@@ -27,6 +27,50 @@ object Sessionize {
 
   val gapMs: Long = 30 * 60 * 1000L
 
+  /** Events sorted per chunk before interval-merging. Memory per (key, batch)
+    * is one chunk plus the accumulated session list — never the whole batch
+    * slice. */
+  private[graft] val ChunkSize = 4096
+
+  /** Fold one time-sorted chunk of events into gap-valid sessions. */
+  private[graft] def chunkSessions(buf: Array[Event], n: Int): List[SessionState] = {
+    java.util.Arrays.sort(buf, 0, n,
+      (a: Event, b: Event) => java.lang.Long.compare(a.ts_ms, b.ts_ms))
+    var out = List.empty[SessionState] // built newest-first, reversed at end
+    var i = 0
+    while (i < n) {
+      val e = buf(i)
+      out = out match {
+        case h :: t if e.ts_ms - h.lastTs <= gapMs =>
+          SessionState(h.start, e.ts_ms, h.n + 1, h.sum + e.value) :: t
+        case _ => SessionState(e.ts_ms, e.ts_ms, 1, e.value) :: out
+      }
+      i += 1
+    }
+    out.reverse
+  }
+
+  /** Merge two start-sorted, internally gap-valid session lists, joining
+    * sessions within `gapMs` of each other. Sessionization is exactly
+    * connected components over the "within gap on the time line" relation,
+    * and a gap-valid interval is a connected chain of its own events — so a
+    * sweep that joins interval B into interval A iff `B.start ≤ A.end + gap`
+    * (B's first event is then within gap of one of A's chain events; A's
+    * consecutive events are ≤ gap apart) reproduces the event-level fold
+    * exactly. This is what makes the chunked formulation correct: chunks
+    * partition the events arbitrarily, each chunk's fold yields gap-valid
+    * intervals, and merging is associative. */
+  private[graft] def mergeSessions(
+      a: List[SessionState], b: List[SessionState]): List[SessionState] = {
+    val merged = (a ++ b).sortBy(_.start)
+    merged.foldLeft(List.empty[SessionState]) {
+      case (h :: t, s) if s.start - h.lastTs <= gapMs =>
+        SessionState(math.min(h.start, s.start), math.max(h.lastTs, s.lastTs),
+          h.n + s.n, h.sum + s.sum) :: t
+      case (acc, s) => s :: acc
+    }.reverse
+  }
+
   private def step(
       userId: Long,
       events: Iterator[Event],
@@ -37,27 +81,31 @@ object Sessionize {
       Iterator(Session(userId, new java.sql.Timestamp(s.start),
         new java.sql.Timestamp(s.lastTs), s.n, s.sum))
     } else {
-      var cur = state.getOption
-      val out = Iterator.newBuilder[Session]
-      // events within a micro-batch are not ordered: sort this user's slice
-      events.toSeq.sortBy(_.ts_ms).foreach { e =>
-        val t = e.ts_ms
-        cur match {
-          case Some(s) if t - s.lastTs <= gapMs =>
-            cur = Some(SessionState(s.start, math.max(s.lastTs, t), s.n + 1, s.sum + e.value))
-          case Some(s) => // gap exceeded: close previous, open new
-            out += Session(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.lastTs), s.n, s.sum)
-            cur = Some(SessionState(t, t, 1, e.value))
-          case None =>
-            cur = Some(SessionState(t, t, 1, e.value))
-        }
+      // Events within a micro-batch are unordered, but a full
+      // `toSeq.sortBy` materializes a hot key's whole batch slice (an
+      // AvailableNow replay puts a user's entire history in one batch; bot
+      // traffic OOMs the task). Instead: sort fixed-size chunks, fold each
+      // into gap-valid sessions, and interval-merge into an accumulator —
+      // memory ∝ resulting sessions + one chunk, not events.
+      var acc: List[SessionState] = state.getOption.toList
+      val buf = new Array[Event](ChunkSize)
+      var n = 0
+      while (events.hasNext) {
+        buf(n) = events.next()
+        n += 1
+        if (n == ChunkSize) { acc = mergeSessions(acc, chunkSessions(buf, n)); n = 0 }
       }
-      cur.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp(s.lastTs + gapMs)
+      if (n > 0) acc = mergeSessions(acc, chunkSessions(buf, n))
+      acc match {
+        case Nil => Iterator.empty
+        case _ =>
+          val closed = acc.init // all but the latest are followed by a gap
+          val open = acc.last
+          state.update(open)
+          state.setTimeoutTimestamp(open.lastTs + gapMs)
+          closed.iterator.map(s => Session(userId, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.lastTs), s.n, s.sum))
       }
-      out.result()
     }
   }
 
@@ -77,7 +125,8 @@ object Sessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
     StreamOps.runToCompletion(spark, sessions.toDF(),
-        s"graft_sessions_${System.nanoTime()}", outputMode = "append")
+        s"graft_sessions_${System.nanoTime()}", outputMode = "append",
+        inputBytes = new java.io.File(sfDir, "events.parquet").length)
       .orderBy(col("user_id"), col("session_start"))
   }
 }

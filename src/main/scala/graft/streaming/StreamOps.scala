@@ -43,21 +43,63 @@ object StreamOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Size of the events source backing a stream replay (the state-volume
+    * proxy for [[stateStores]]). */
+  private def eventsBytes(d: String): Long = {
+    val f = new java.io.File(d, "events.parquet")
+    if (f.isFile) f.length
+    else Option(new java.io.File(d).listFiles()).map(_.map(_.length).sum).getOrElse(-1L)
+  }
+
+  /** State-store count for a replay: the shuffle-partition setting at first
+    * batch fixes the number of state stores, and per-batch commit I/O scales
+    * with store count — over-provisioned stores dominate small-state runs
+    * (measured: 2 stores ≈ 40% faster than 4 at sf0.1), under-provisioned
+    * ones serialize large-state runs. Explicit config wins
+    * (`[app] stream_state_stores` via [[graft.GraftConfig]], surfaced on the
+    * session as `graft.stream.stateStores`); otherwise derive one store per
+    * ~2 MiB of source (the sf0.1 measurement point), capped by the session's
+    * configured parallelism so a 100× input scales stores up to the cluster
+    * size instead of pinning a constant. */
+  private[graft] def stateStores(s: SparkSession, inputBytes: Long, cap: Int): Int = {
+    val configured = s.conf.getOption(graft.GraftConfig.StateStoresConfKey)
+      .map(_.toInt).getOrElse(0)
+    if (configured > 0) math.min(configured, cap)
+    else if (inputBytes <= 0) cap
+    else math.max(1, math.min(cap, ((inputBytes + (2 << 20) - 1) / (2 << 20)).toInt))
+  }
+
+  // Append-sink output dirs: one shared registry + ONE exit hook, instead of
+  // a hook (plus a leaked dir) per replay — a long-lived server runs these
+  // jobs repeatedly. registerOutDir also reaps dirs older than an hour left
+  // by previous JVMs (crashes skip exit hooks).
+  private val outDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  private lazy val outDirHook: Unit = {
+    sys.addShutdownHook(outDirs.forEach(f => graft.FsUtil.deleteRecursive(f)))
+    ()
+  }
+  private val OutDirMaxAgeMs = 60 * 60 * 1000L
+  private def registerOutDir(dir: java.io.File): Unit = {
+    outDirHook
+    outDirs.add(dir)
+    val cutoff = System.currentTimeMillis() - OutDirMaxAgeMs
+    Option(dir.getParentFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith("graft-stream-out-") && !outDirs.contains(f) &&
+          f.lastModified() < cutoff)
+        graft.FsUtil.deleteRecursive(f)
+    }
+  }
+
   // Serializes stream replays per JVM: runToCompletion flips the session's
   // shuffle-partition conf around the run, and two concurrent callers would
   // otherwise race the set/restore and leave the session mis-sized.
   private val runLock = new Object
 
   private[streaming] def runToCompletion(s: SparkSession, agg: DataFrame, name: String,
-      outputMode: String = "complete"): DataFrame = runLock.synchronized {
-    // Right-size the state store count for the replay: the shuffle-partition
-    // setting at first batch fixes the number of state stores, and a few
-    // thousand windows don't need 32 of them — per-batch commit I/O scales
-    // with store count and dominates at this state volume (measured: 2
-    // stores ≈ 40% faster than 4 at sf0.1). A real deployment sizes this to
-    // state volume.
+      outputMode: String = "complete", inputBytes: Long = -1L): DataFrame = runLock.synchronized {
     val old = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", math.min(old.toInt, 2).toString)
+    s.conf.set("spark.sql.shuffle.partitions",
+      stateStores(s, inputBytes, old.toInt).toString)
     // Checkpoint + state-store deltas are commit-latency-bound, not
     // volume-bound, on a finite replay: prefer tmpfs when present (a real
     // deployment points this at object storage / local NVMe).
@@ -78,8 +120,10 @@ object StreamOps {
         val outDir = new java.io.File(
           System.getProperty("java.io.tmpdir", "/tmp"), s"graft-stream-out-$name")
         // the returned frame reads outDir lazily, so it can't be deleted
-        // here; reap it at JVM exit instead of leaking across runs
-        sys.addShutdownHook(graft.FsUtil.deleteRecursive(outDir))
+        // here; register it with the ONE shared exit hook (a hook per run
+        // would accumulate without bound in a long-lived server) and reap
+        // stale dirs from earlier runs/JVMs now
+        registerOutDir(outDir)
         val q = agg.writeStream
           .outputMode("append")
           .format("parquet")
@@ -121,7 +165,8 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
-    runToCompletion(s, agg, s"graft_stream_tumbling_${System.nanoTime()}")
+    runToCompletion(s, agg, s"graft_stream_tumbling_${System.nanoTime()}",
+        inputBytes = eventsBytes(d))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
@@ -135,7 +180,8 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"))
       .agg(count(lit(1)).as("n"))
-    runToCompletion(s, agg, s"graft_stream_sliding_${System.nanoTime()}")
+    runToCompletion(s, agg, s"graft_stream_sliding_${System.nanoTime()}",
+        inputBytes = eventsBytes(d))
       .select(col("window.start").as("win_start"), col("n"))
       .orderBy(col("win_start"))
   }
@@ -164,7 +210,8 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    runToCompletion(s, dd, s"graft_stream_dedup_${System.nanoTime()}", outputMode = "append")
+    runToCompletion(s, dd, s"graft_stream_dedup_${System.nanoTime()}", outputMode = "append",
+        inputBytes = eventsBytes(d))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_distinct_users"))
       .orderBy(col("event_type"))
@@ -182,7 +229,8 @@ object StreamOps {
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    runToCompletion(s, agg, s"graft_stream_enrich_${System.nanoTime()}")
+    runToCompletion(s, agg, s"graft_stream_enrich_${System.nanoTime()}",
+        inputBytes = eventsBytes(d))
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 

@@ -151,4 +151,28 @@ class ConfigAndSweeperSpec extends AnyFunSuite {
       graft.plans.ArtifactCache.fingerprint(src.toString, Seq("nope"), Seq(getClass))
     }
   }
+
+  test("artifact cache fingerprints content, not just length+mtime (ADVICE r2)") {
+    val src = Files.createTempDirectory("graft-art-content")
+    val f = src.resolve("orders.parquet")
+    Files.writeString(f, "AAAA")
+    val fp1 = graft.plans.ArtifactCache.fingerprint(src.toString, Seq("orders"), Seq(getClass))
+    val mtime = f.toFile.lastModified()
+    Files.writeString(f, "BBBB") // same length
+    f.toFile.setLastModified(mtime) // same mtime — in-place rewrite
+    val fp2 = graft.plans.ArtifactCache.fingerprint(src.toString, Seq("orders"), Seq(getClass))
+    assert(fp1 != fp2, "equal-length same-mtime rewrite must change the fingerprint")
+  }
+
+  test("result_materialize reuses one result root per source (no temp-dir leak)") {
+    val r1 = graft.operators.MaterializeOps.outRoot(TestSpark.sf0001)
+    val r2 = graft.operators.MaterializeOps.outRoot(TestSpark.sf0001)
+    assert(r1 == r2, "repeat invocations must reuse the same root")
+    val spark = TestSpark.spark
+    graft.operators.MaterializeOps.resultMaterialize(spark, TestSpark.sf0001).count()
+    graft.operators.MaterializeOps.resultMaterialize(spark, TestSpark.sf0001).count()
+    // the executor rewrote results_mat-job in place: exactly one result dir
+    val dirs = new java.io.File(r1).listFiles().filter(_.isDirectory)
+    assert(dirs.map(_.getName).toSeq == Seq("results_mat-job"))
+  }
 }

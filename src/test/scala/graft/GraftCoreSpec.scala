@@ -265,4 +265,35 @@ class GraftCoreSpec extends AnyFunSuite {
     assert(core.listTasks(withSql = true).exists(_("get_profit_entries").contains("SELECT *")))
     core.shutdown()
   }
+
+  test("control-plane SPI: a custom JobStateStore plugs in behind the facade") {
+    // delegating store standing in for a shared (Redis/JDBC) impl — proves
+    // the scheduler/facade run against the trait, not the concrete class
+    class CountingStore extends JobStateStore {
+      val inner = new StatusStore
+      val admits = new java.util.concurrent.atomic.AtomicInteger
+      def tryAdmit(id: String): Long = { admits.incrementAndGet(); inner.tryAdmit(id) }
+      def epoch(id: String): Long = inner.epoch(id)
+      def set(id: String, st: JobState.Value, count: Long, error: String): Unit =
+        inner.set(id, st, count, error)
+      def setIfPresent(id: String, st: JobState.Value, count: Long, error: String): Unit =
+        inner.setIfPresent(id, st, count, error)
+      def get(id: String): Option[JobStatus] = inner.get(id)
+      def remove(id: String): Unit = inner.remove(id)
+      def rollback(id: String): Unit = inner.rollback(id)
+      def putGroup(groupId: String, jobIds: Seq[String]): Unit = inner.putGroup(groupId, jobIds)
+      def groupJobIds(groupId: String): Option[Seq[String]] = inner.groupJobIds(groupId)
+      def removeGroup(groupId: String): Unit = inner.removeGroup(groupId)
+      def groupStatus(groupId: String): Option[GroupStatus] = inner.groupStatus(groupId)
+      def snapshot: Map[String, JobStatus] = inner.snapshot
+    }
+    val counting = new CountingStore
+    val base = newCore()
+    val core = new GraftCore(spark, base.tasks, base.sources, base.resultBackends,
+      mkStore = () => counting)
+    val job = core.postJob(JobReq("get_profit_entries", args = Seq("1")))
+    assert(await(core, job.id).state == JobState.Success)
+    assert(counting.admits.get() == 1, "facade must route admission through the SPI store")
+    core.shutdown(); base.shutdown()
+  }
 }

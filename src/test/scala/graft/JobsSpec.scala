@@ -35,12 +35,12 @@ class JobsSpec extends AnyFunSuite {
 
   test("same-ID admission gate is atomic and state-aware (core.go:332-339)") {
     val st = new StatusStore
-    assert(st.tryAdmit("j1"))
-    assert(!st.tryAdmit("j1")) // pending
+    assert(st.tryAdmit("j1") > 0)
+    assert(st.tryAdmit("j1") < 0) // pending
     st.set("j1", JobState.Started)
-    assert(!st.tryAdmit("j1")) // running
+    assert(st.tryAdmit("j1") < 0) // running
     st.set("j1", JobState.Success, 10)
-    assert(st.tryAdmit("j1")) // completed → re-runnable, result overwritten by design
+    assert(st.tryAdmit("j1") > 0) // completed → re-runnable, result overwritten by design
   }
 
   test("group state reduction lattice (core.go:230-241)") {
@@ -74,14 +74,14 @@ class JobsSpec extends AnyFunSuite {
   test("admission epoch bumps per tryAdmit so stale retry timers can detect re-admission") {
     val st = new StatusStore
     assert(st.epoch("x") == 0L)
-    assert(st.tryAdmit("x"))
+    assert(st.tryAdmit("x") == 1L) // admission returns its own epoch atomically
     val e1 = st.epoch("x")
     assert(e1 == 1L)
-    assert(!st.tryAdmit("x")) // running: refused, epoch unchanged
+    assert(st.tryAdmit("x") < 0) // running: refused, epoch unchanged
     assert(st.epoch("x") == e1)
     st.remove("x") // cancel
     assert(st.epoch("x") == e1) // cancel alone doesn't bump
-    assert(st.tryAdmit("x")) // re-submission: a NEW job under the same ID
+    assert(st.tryAdmit("x") == e1 + 1) // re-submission: a NEW job under the same ID
     assert(st.epoch("x") == e1 + 1) // stale timer's captured epoch now mismatches
   }
 
@@ -93,11 +93,11 @@ class JobsSpec extends AnyFunSuite {
     st.set("a", JobState.Success, 1)
     assert(st.groupStatus("g").get.state == JobState.Pending)
     // rollback (failed enqueue) also keeps the member unaccounted
-    assert(st.tryAdmit("b"))
+    assert(st.tryAdmit("b") > 0)
     st.rollback("b")
     assert(st.groupStatus("g").get.state == JobState.Pending)
     // an explicit cancel is different: remaining successes complete the group
-    assert(st.tryAdmit("b"))
+    assert(st.tryAdmit("b") > 0)
     st.remove("b")
     assert(st.groupStatus("g").get.state == JobState.Success)
   }

@@ -34,6 +34,73 @@ class StreamingSpec extends AnyFunSuite {
       "stream runner must restore the session's shuffle partitions")
   }
 
+  test("sessionization interval-merge equals the sorted-event fold (chunk independence)") {
+    import graft.streaming.Sessionize.{Event, SessionState}
+    val gap = Sessionize.gapMs
+    // events deliberately out of order, with ties and containment overlaps
+    val ts = Seq(0L, gap, gap * 3, gap * 3 + 1, gap, 2, gap * 10, gap * 11 + 5)
+    val events = ts.map(t => Event(1L, t, 1.0))
+    def foldSorted(es: Seq[Event]): List[SessionState] =
+      Sessionize.chunkSessions(es.toArray, es.length)
+    val expected = foldSorted(events)
+    // every 2-way split of the (unsorted) event list must merge to the same
+    // sessions the global sort produces
+    for (k <- 0 to events.length) {
+      val (l, r) = events.splitAt(k)
+      val got = Sessionize.mergeSessions(foldSorted(l), foldSorted(r))
+      assert(got == expected, s"split at $k diverged")
+    }
+  }
+
+  test("sessionization handles a hot key spanning multiple chunks") {
+    // one user owns 88% of the batch (9000 events > 2× the 4096-event chunk),
+    // so the stateful step must chunk-and-merge, never buffer the whole slice
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotkey").toString
+    val base = 1700000000000L
+    val h = 3600 * 1000L
+    val u1 = for (k <- 0 until 3; j <- 0 until 3000)
+      yield (k.toLong * 3000 + j, base + k * 6 * h + j * 1000L, 1L)
+    val u2 = (0 until 10).map(i => (9000L + i, base + i * h, 2L)) :+
+      (9010L, base + 30 * h, 2L) // closes u2's 10th session, stays open itself
+    val rows = scala.util.Random.shuffle((u1 ++ u2).toVector)
+    import spark.implicits._
+    rows.toDF("event_id", "ts_ms", "user_id")
+      .select(col("event_id"), (col("ts_ms") * 1000000L).as("ts"), col("user_id"),
+        lit("click").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$dir/stage")
+    // the stream source glob expects a single FILE named events.parquet
+    val part = new java.io.File(s"$dir/stage").listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val got = Sessionize.sessions(spark, dir)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+    val expected =
+      (0 until 3).map { k =>
+        val st = base + k * 6 * h
+        (1L, new java.sql.Timestamp(st), new java.sql.Timestamp(st + 2999 * 1000L), 3000L)
+      } ++ (0 until 10).map { i =>
+        (2L, new java.sql.Timestamp(base + i * h), new java.sql.Timestamp(base + i * h), 1L)
+      }
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("stream state-store count: config wins, else derived from input volume") {
+    val key = GraftConfig.StateStoresConfKey
+    spark.conf.unset(key)
+    assert(StreamOps.stateStores(spark, 5L << 20, 32) == 3) // ceil(5MiB / 2MiB)
+    assert(StreamOps.stateStores(spark, 1L, 32) == 1)
+    assert(StreamOps.stateStores(spark, 1L << 40, 32) == 32) // capped at parallelism
+    assert(StreamOps.stateStores(spark, -1L, 32) == 32) // unknown volume: don't shrink
+    spark.conf.set(key, "5")
+    try assert(StreamOps.stateStores(spark, 1L, 32) == 5)
+    finally spark.conf.unset(key)
+    val cfg = GraftConfig.fromString("[app]\nstream_state_stores = 4", env = Map.empty)
+    assert(cfg.streamStateStores == 4)
+    assert(GraftConfig.fromString("", env = Map.empty).streamStateStores == 0)
+  }
+
   test("sessionization: streaming flatMapGroupsWithState equals batch sessions") {
     val streamed = Sessionize.sessions(spark, TestSpark.sf0001)
       .select("user_id", "session_start", "session_end", "n_events")
