@@ -130,20 +130,38 @@ object DedupOps {
     * candidates = pairs sharing ≥1 of 4 16-bit chunks (pigeonhole: any pair
     * within Hamming distance 3 must agree on a full chunk); verified on true
     * Hamming distance via bit_count(xor). */
+  /** The three multiplicative rehashes whose low 31 bits supply the 64
+    * simhash bit planes (multipliers < 2^32 so `mult * h < 2^63`, ANSI-safe;
+    * shared verbatim with the DuckDB oracle). Three mods per word instead of
+    * one per BIT — the per-bit-affine-parity formulation costs 128 mod ops
+    * per word and measured ~25% slower end-to-end. */
+  private[operators] val SimhashRehash: Seq[(Long, Long)] =
+    Seq((2654435761L, 0L), (2246822519L, 104729L), (3266489917L, 130363L))
+
+  /** (rehash index, bit offset) sourcing simhash bit j. */
+  private def simhashPlane(j: Int): (Int, Int) =
+    if (j < 31) (0, j) else if (j < 62) (1, j - 31) else (2, j - 62)
+
   val dedupSimhash: Q = (s, d) => {
     import graft.functions.PolyHash
     // per-bit net vote: sum over words of (bit j set ? +1 : -1), computed as
     // explode + 64 codegen'd sum() columns (one HashAggregate pass; the
     // nested-HOF formulation runs interpreted and ~8× slower), then the sign
-    // bits recombine into one long. Bit j is the parity of the j-th affine
-    // rehash of the word's PolyHash (64 independent well-mixed bits, vs the
-    // raw poly hash whose top bits above 2^31 are always zero) — and, being
-    // pure mod-prime arithmetic, the DuckDB oracle replays it exactly.
+    // bits recombine into one long. The 64 bit planes come from the low 31
+    // bits of three large-multiplier rehashes of the word's PolyHash (the
+    // raw poly hash's own bits are poorly mixed for short words; the
+    // multiply-mod avalanche fixes that) — and, being pure mod-prime
+    // arithmetic, the DuckDB oracle replays them exactly.
     val wordHashes = docs(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), PolyHash.poly_hash(col("w")).as("h"))
-    val voteAggs = (0 until 64).map(j =>
-      sum(when(pmod(PolyHash.affine(j, col("h")), lit(2L)) === 1, 1L).otherwise(-1L)).as(s"b$j"))
+      .select(col("doc_id") +: SimhashRehash.zipWithIndex.map { case ((a, b), k) =>
+        pmod(lit(a) * col("h") + lit(b), lit(PolyHash.P)).as(s"m$k")
+      }: _*)
+    val voteAggs = (0 until 64).map { j =>
+      val (k, off) = simhashPlane(j)
+      sum(when(shiftright(col(s"m$k"), off).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j")
+    }
     // localCheckpoint: the signature table (16 B/doc) feeds three consumers
     // (banding + both verify joins) — materialize the heavy vote aggregation
     // once instead of recomputing the scan+explode+64-agg per consumer
@@ -419,14 +437,23 @@ object DedupOps {
 
   private def simhashOracle: String = {
     import graft.functions.PolyHash
+    val Seq((a0, b0), (a1, b1), (a2, b2)) = SimhashRehash
     s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                        FROM documents),
        wh AS (SELECT doc_id, ${PolyHash.duckSql("w")} AS h FROM words),
+       wm AS (SELECT doc_id,
+                ($a0 * h + $b0) % ${PolyHash.P} AS m0,
+                ($a1 * h + $b1) % ${PolyHash.P} AS m1,
+                ($a2 * h + $b2) % ${PolyHash.P} AS m2
+              FROM wh),
        bits AS (SELECT doc_id, j,
-                  CASE WHEN SUM(CASE WHEN ${PolyHash.affineSql("j", "h")} % 2 = 1
+                  CASE WHEN SUM(CASE WHEN
+                    ((CASE WHEN j < 31 THEN m0 >> j
+                           WHEN j < 62 THEN m1 >> (j - 31)
+                           ELSE m2 >> (j - 62) END) & 1) = 1
                                      THEN 1 ELSE -1 END) > 0
                        THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-                FROM wh CROSS JOIN (SELECT unnest(range(0, 64)) AS j) bitsrc
+                FROM wm CROSS JOIN (SELECT unnest(range(0, 64)) AS j) bitsrc
                 GROUP BY doc_id, j),
        chunks AS (SELECT doc_id, j // 16 AS chunk,
                     (SUM(bit << (j % 16)))::BIGINT AS h
