@@ -54,10 +54,14 @@ final class ResultSweeper(backends: SourcePool, retentionSec: Long) {
         // connection's DEFAULT catalog/schema, so scope the metadata scan the
         // same way — a null/null scan walks every schema of the backend and
         // would expire another application's results_* tables
+        // Throwable, not NonFatal: a pre-JDBC-4.1 driver missing
+        // getSchema/getCatalog throws AbstractMethodError (a LinkageError),
+        // which must degrade to an unscoped pattern, not escape the
+        // scheduled task and silently cancel all future sweeps
         val catalog = try Option(conn.getCatalog).filter(_.nonEmpty).orNull
-          catch { case NonFatal(_) => null }
+          catch { case _: Throwable => null }
         val schemaPat = try Option(conn.getSchema).filter(_.nonEmpty).orNull
-          catch { case NonFatal(_) => null }
+          catch { case _: Throwable => null }
         val rs = conn.getMetaData.getTables(catalog, schemaPat, "results_%", Array("TABLE"))
         // metadata patterns treat '_' as a single-char wildcard, so 'results_%'
         // also matches e.g. 'resultsXfoo' — post-filter on the literal prefix
@@ -91,7 +95,11 @@ final class ResultSweeper(backends: SourcePool, retentionSec: Long) {
   }
 
   def start(periodSec: Long = 60): Unit =
-    pool.scheduleAtFixedRate(() => { sweepOnce(): Unit }, periodSec, periodSec, TimeUnit.SECONDS): Unit
+    // belt-and-braces: ANY escaped throwable cancels a scheduleAtFixedRate
+    // task permanently, so the periodic body never lets one out
+    pool.scheduleAtFixedRate(() => {
+      try { sweepOnce(): Unit } catch { case _: Throwable => () }
+    }, periodSec, periodSec, TimeUnit.SECONDS): Unit
 
   def stop(): Unit = pool.shutdown()
 }

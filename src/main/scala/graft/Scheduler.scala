@@ -64,7 +64,7 @@ final class Scheduler(spark: SparkSession, store: JobStateStore) extends JobBrok
       val runnable: Runnable = () => runWithRetries(job, task, 1, myEpoch)
       if (delayMs > 0)
         timers.schedule(
-          (() => poolExecuteOrFail(job, task, runnable)): Runnable,
+          (() => poolExecuteOrFail(job, task, myEpoch, runnable)): Runnable,
           delayMs, TimeUnit.MILLISECONDS)
       else pool(job.queue, task.conc).execute(runnable)
       true
@@ -83,16 +83,23 @@ final class Scheduler(spark: SparkSession, store: JobStateStore) extends JobBrok
   /** Execute through the queue pool from a timer thread; after shutdown()
     * the pool rejects, and a ScheduledThreadPoolExecutor would swallow the
     * RejectedExecutionException — mark the job failed instead of leaving it
-    * parked in PENDING/RETRY forever. */
-  private def poolExecuteOrFail(job: Job, task: Task, r: Runnable): Unit =
+    * parked in PENDING/RETRY forever. Epoch-gated like every other async
+    * continuation: a stale timer must not stamp FAILURE onto a newer
+    * admission of the same ID. */
+  private def poolExecuteOrFail(job: Job, task: Task, myEpoch: Long, r: Runnable): Unit =
     try pool(job.queue, task.conc).execute(r)
     catch {
       case _: java.util.concurrent.RejectedExecutionException =>
-        store.setIfPresent(job.id, JobState.Failure, -1,
-          "re-enqueue rejected: scheduler stopped")
+        if (store.epoch(job.id) == myEpoch)
+          store.setIfPresent(job.id, JobState.Failure, -1,
+            "re-enqueue rejected: scheduler stopped")
     }
 
   private def runWithRetries(job: Job, task: Task, attempt: Int, myEpoch: Long): Unit = {
+    // stale-first: a canceled-then-resubmitted ID enqueues a NEW runnable;
+    // this old one must return before touching anything — including the
+    // backlog, where job.id now denotes the new admission's pending entry
+    if (store.epoch(job.id) != myEpoch) return
     backlog(job.queue).remove(job.id)
     // canceled-while-pending guard (execJob's not-canceled check,
     // core.go:452-454): cancellation removes the ID from the store.
@@ -154,7 +161,7 @@ final class Scheduler(spark: SparkSession, store: JobStateStore) extends JobBrok
             // the backoff, the stale timer must not resurrect the old one
             // (runAttempt re-checks the epoch after winning the slot too)
             timers.schedule(
-              (() => poolExecuteOrFail(job, task, (() => {
+              (() => poolExecuteOrFail(job, task, myEpoch, (() => {
                 if (store.epoch(job.id) == myEpoch) runWithRetries(job, task, attempt + 1, myEpoch)
               }): Runnable)): Runnable,
               delay, TimeUnit.MILLISECONDS)
@@ -180,6 +187,10 @@ final class Scheduler(spark: SparkSession, store: JobStateStore) extends JobBrok
         if (completed && !purge)
           throw new IllegalStateException("can't cancel a completed job without purge")
         store.remove(jobId) // before interrupt: the worker's catch keys off absence
+        // drop the pending-backlog entry too: the job's runnable no longer
+        // touches the backlog once its admission is stale, so cancel owns
+        // the removal (otherwise a cancel + resubmit leaves a ghost entry)
+        pending.values().asScala.foreach(_.remove(jobId))
         spark.sparkContext.cancelJobGroup(jobId)
         // the in-flight query may still be in planning (no Spark jobs tagged
         // yet) — interrupt the worker thread so the driver-side wait aborts;

@@ -12,11 +12,11 @@ import graft.Tables
   * pipeline: (1) per-row signature, computed in one codegen'd pass;
   * (2) candidate generation by *bucket join on the signature* — never an
   * all-pairs cross join; (3) exact verification on the candidate pairs only.
-  * Bucket skew is the real-world failure mode at scale, so candidate buckets
-  * are capped (`maxBucket`) the way production MinHash dedup pipelines cap
-  * band buckets; the cap only drops pathological buckets (e.g. the empty
-  * string) that exact verification would reject pairwise anyway — at a cost
-  * quadratic in the bucket size.
+  * Bucket skew is the real-world failure mode at scale, so candidate pair
+  * expansion is bounded: buckets up to `maxBucket` expand all pairs, larger
+  * buckets degrade to a linear anchor star (see [[candidatePairs]]) so a
+  * mega-cluster of boilerplate produces O(M) candidates instead of O(M²)
+  * while still reaching verification and cluster resolution.
   */
 object DedupOps {
   type Q = (SparkSession, String) => DataFrame
@@ -66,18 +66,31 @@ object DedupOps {
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** Candidate pairs from bucket membership (input: one row per
+    * (bucket, doc_id), unique). Buckets up to [[maxBucket]] expand all
+    * (a < b) pairs; OVERSIZED buckets degrade to an anchor star — every
+    * member paired with the bucket's min doc_id — which is linear in bucket
+    * size and never collects the member list into one row. A corpus-wide
+    * boilerplate bucket (spam cluster, empty string) therefore can't emit
+    * M²/2 pairs in one task, but its members still reach exact verification
+    * and stay connected through the anchor for cluster resolution — unlike a
+    * dropped bucket, which silently loses the whole duplicate class. */
   private def candidatePairs(buckets: DataFrame): DataFrame = {
-    // buckets: (bucket_key..., doc_id); emit distinct (a < b) pairs per bucket
-    val grouped = buckets.groupBy(col("bucket"))
-      .agg(collect_set(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(sort_array(col("ids")).as("ids"))
-    grouped
+    val stats = buckets.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("anchor"))
+      .filter(col("n") >= 2)
+    val small = buckets
+      .join(stats.filter(col("n") <= maxBucket).select(col("bucket")), "bucket")
+      .groupBy(col("bucket")).agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
              transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))""")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+    val big = buckets
+      .join(stats.filter(col("n") > maxBucket).select(col("bucket"), col("anchor")), "bucket")
+      .filter(col("doc_id") =!= col("anchor"))
+      .select(col("anchor").as("a"), col("doc_id").as("b"))
+    small.unionAll(big).distinct()
   }
 
   /** Exact word-shingle Jaccard between two doc_ids, given the docs frame.
@@ -213,9 +226,15 @@ object DedupOps {
       .groupBy(col("shash")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       // df-cut: a shingle in M docs emits M²/2 pairs in ONE task, so a single
       // stock phrase at corpus scale is a shuffle bomb. Shingles above the
-      // document-frequency cut are dropped before any pair materializes —
-      // they carry negligible Jaccard mass relative to per-doc shingle counts
-      // (a df>256 shingle moves |A∩B| by at most 1 against |A∪B| of ~50+).
+      // document-frequency cut are dropped before any pair materializes.
+      // Honest trade-off: cut shingles leave the intersection count but not
+      // the union denominator, so a pair whose similarity rests on
+      // corpus-wide boilerplate reads LOW and can fall below threshold — for
+      // ordinary text a df>256 shingle moves |A∩B| by 1 against ~50+, noise;
+      // a duplicate CLASS wider than the cut shares ALL its shingles above
+      // df and is invisible to this exact variant — which is why the LSH
+      // variants keep oversized buckets alive via the anchor star
+      // ([[candidatePairs]]) and remain the instrument for mega-clusters.
       // The DuckDB oracle applies the identical cut, so the check stays exact.
       .filter(size(col("ids")).between(2, dfCut))
       .select(explode(expr(
@@ -239,8 +258,14 @@ object DedupOps {
     * pairs; the 16×64 plane matrix broadcasts as literals inside codegen. */
   /** The 16×64 random-hyperplane matrix (seeded, driver-generated constants).
     * Shared between the Spark pipeline and the generated oracle SQL, which
-    * inlines these exact values as a VALUES list so DuckDB replays the
-    * bucketing bit-for-bit (Double.toString round-trips). */
+    * inlines these exact values as a VALUES list (Double.toString
+    * round-trips). The oracle's dot products use SQL SUM, whose accumulation
+    * order is not the Spark fold's — as with ivfOracle, the ~1e-15 jitter
+    * only matters if a dot product sits within rounding distance of the
+    * bucket-sign boundary or a cosine within 5e-7 of a round-half step;
+    * Gaussian planes against unit-ish embeddings keep both astronomically
+    * unlikely, and a mismatch reads as a check failure, not silent
+    * corruption. */
   private[graft] val Hyperplanes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
     Array.fill(16, 64)(rnd.nextGaussian())
@@ -417,12 +442,17 @@ object DedupOps {
                   list_reduce(list_prepend(0::BIGINT, list(h ORDER BY i)),
                     (a, h) -> (a * ${PolyHash.B} + h) % ${PolyHash.P}) AS bh
                 FROM sig GROUP BY doc_id, i // 4),
-       bsize AS (SELECT band, bh, COUNT(*) AS n FROM band GROUP BY band, bh),
+       bsize AS (SELECT band, bh, COUNT(*) AS n, MIN(doc_id) AS anchor
+                 FROM band GROUP BY band, bh),
        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                 FROM band x JOIN band y
                   ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
                 JOIN bsize s ON s.band = x.band AND s.bh = x.bh
-                WHERE s.n BETWEEN 2 AND $maxBucket),
+                WHERE s.n BETWEEN 2 AND $maxBucket
+                UNION
+                SELECT s.anchor AS a, m.doc_id AS b
+                FROM band m JOIN bsize s ON s.band = m.band AND s.bh = m.bh
+                WHERE s.n > $maxBucket AND m.doc_id <> s.anchor),
        inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
                  FROM posting x JOIN posting y
                    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
@@ -464,12 +494,17 @@ object DedupOps {
                     MAX(CASE WHEN chunk = 2 THEN h END) AS c2,
                     MAX(CASE WHEN chunk = 3 THEN h END) AS c3
                   FROM chunks GROUP BY doc_id),
-       bsize AS (SELECT chunk, h, COUNT(*) AS n FROM chunks GROUP BY chunk, h),
+       bsize AS (SELECT chunk, h, COUNT(*) AS n, MIN(doc_id) AS anchor
+                 FROM chunks GROUP BY chunk, h),
        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                 FROM chunks x JOIN chunks y
                   ON x.chunk = y.chunk AND x.h = y.h AND x.doc_id < y.doc_id
                 JOIN bsize s ON s.chunk = x.chunk AND s.h = x.h
-                WHERE s.n BETWEEN 2 AND $maxBucket),
+                WHERE s.n BETWEEN 2 AND $maxBucket
+                UNION
+                SELECT s.anchor AS a, m.doc_id AS b
+                FROM chunks m JOIN bsize s ON s.chunk = m.chunk AND s.h = m.h
+                WHERE s.n > $maxBucket AND m.doc_id <> s.anchor),
        ham AS (SELECT c.a, c.b,
                  (bit_count(xor(xa.c0, xb.c0)) + bit_count(xor(xa.c1, xb.c1)) +
                   bit_count(xor(xa.c2, xb.c2)) + bit_count(xor(xa.c3, xb.c3)))::BIGINT AS hamming
@@ -492,12 +527,17 @@ object DedupOps {
        bucket AS (SELECT vec_id AS doc_id,
                     (SUM(CASE WHEN dp >= 0 THEN (1::BIGINT << p) ELSE 0 END))::BIGINT AS bucket
                   FROM dotp GROUP BY vec_id),
-       bsize AS (SELECT bucket, COUNT(*) AS n FROM bucket GROUP BY bucket),
+       bsize AS (SELECT bucket, COUNT(*) AS n, MIN(doc_id) AS anchor
+                 FROM bucket GROUP BY bucket),
        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                 FROM bucket x JOIN bucket y
                   ON x.bucket = y.bucket AND x.doc_id < y.doc_id
                 JOIN bsize s ON s.bucket = x.bucket
-                WHERE s.n BETWEEN 2 AND $maxBucket),
+                WHERE s.n BETWEEN 2 AND $maxBucket
+                UNION
+                SELECT s.anchor AS a, m.doc_id AS b
+                FROM bucket m JOIN bsize s ON s.bucket = m.bucket
+                WHERE s.n > $maxBucket AND m.doc_id <> s.anchor),
        cos AS (SELECT c.a, c.b,
                  ROUND(SUM(fa.val * fb.val) /
                    (SQRT(SUM(fa.val * fa.val)) * SQRT(SUM(fb.val * fb.val))), 6) AS cosine

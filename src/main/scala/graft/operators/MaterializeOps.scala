@@ -20,22 +20,36 @@ object MaterializeOps {
       |       CAST(ts AS DATE) AS entry_date
       |FROM events WHERE user_id = $1 GROUP BY CAST(ts AS DATE)""".stripMargin
 
-  // One stable result root per source dir, reused across invocations: the
-  // executor's results-cache semantics rewrite results_<jobID> in place, so
-  // repeat runs cost zero extra disk (a fresh createTempDirectory per call
-  // leaked a dir per invocation), and the single shared exit hook removes
-  // the roots at JVM exit.
+  // One stable result root per (JVM, source dir), reused across invocations:
+  // the executor's results-cache semantics rewrite results_<jobID> in place,
+  // so repeat runs cost zero extra disk (a fresh createTempDirectory per call
+  // leaked a dir per invocation), and the single shared exit hook removes the
+  // roots at JVM exit. The root name embeds the PID (two JVMs against the
+  // same source must not share a directory the other's exit hook deletes —
+  // and the job ID inside is constant) and an md5 of the source path (a
+  // hashCode would let two sources collide onto one root). Roots left by
+  // dead JVMs (crashes skip exit hooks) are reaped on first use.
   private val outRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private lazy val outRootHook: Unit = {
     sys.addShutdownHook(outRoots.values.forEach(p =>
       FsUtil.deleteRecursive(new java.io.File(p))))
     ()
   }
+  private val RootRe = """graft-mat-(\d+)-[0-9a-f]+""".r
   private[graft] def outRoot(d: String): String = {
     outRootHook
     outRoots.computeIfAbsent(d, dd => {
-      val f = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"),
-        s"graft-mat-${Integer.toHexString(dd.hashCode)}")
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+      Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+        f.getName match {
+          case RootRe(pid) if ProcessHandle.of(pid.toLong).isEmpty =>
+            FsUtil.deleteRecursive(f)
+          case _ => ()
+        }
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dd.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val f = new java.io.File(tmp, s"graft-mat-${ProcessHandle.current().pid()}-$md")
       f.mkdirs()
       f.getPath
     })

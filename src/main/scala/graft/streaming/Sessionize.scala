@@ -126,7 +126,7 @@ object Sessionize {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
     StreamOps.runToCompletion(spark, sessions.toDF(),
         s"graft_sessions_${System.nanoTime()}", outputMode = "append",
-        inputBytes = new java.io.File(sfDir, "events.parquet").length)
+        inputBytes = StreamOps.eventsBytes(sfDir))
       .orderBy(col("user_id"), col("session_start"))
   }
 }

@@ -44,11 +44,14 @@ object StreamOps {
   }
 
   /** Size of the events source backing a stream replay (the state-volume
-    * proxy for [[stateStores]]). */
-  private def eventsBytes(d: String): Long = {
+    * proxy for [[stateStores]]); handles both a single-file fixture and a
+    * Spark-written directory. Unknown → -1 (callers fall back to the cap). */
+  private[streaming] def eventsBytes(d: String): Long = {
     val f = new java.io.File(d, "events.parquet")
     if (f.isFile) f.length
-    else Option(new java.io.File(d).listFiles()).map(_.map(_.length).sum).getOrElse(-1L)
+    else if (f.isDirectory)
+      Option(f.listFiles()).map(_.filter(_.isFile).map(_.length).sum).getOrElse(-1L)
+    else -1L
   }
 
   /** State-store count for a replay: the shuffle-partition setting at first
@@ -71,22 +74,28 @@ object StreamOps {
 
   // Append-sink output dirs: one shared registry + ONE exit hook, instead of
   // a hook (plus a leaked dir) per replay — a long-lived server runs these
-  // jobs repeatedly. registerOutDir also reaps dirs older than an hour left
-  // by previous JVMs (crashes skip exit hooks).
+  // jobs repeatedly. registerOutDir also reaps dirs left by DEAD JVMs
+  // (crashes skip exit hooks); liveness is decided by the PID embedded in
+  // the dir name, never by age — another live JVM may still be lazily
+  // reading a dir of any age, and its own exit hook owns the cleanup.
   private val outDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
   private lazy val outDirHook: Unit = {
     sys.addShutdownHook(outDirs.forEach(f => graft.FsUtil.deleteRecursive(f)))
     ()
   }
-  private val OutDirMaxAgeMs = 60 * 60 * 1000L
+  private val OutDirRe = """graft-stream-out-(\d+)-.*""".r
+  private[streaming] def outDirFor(name: String): java.io.File =
+    new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"),
+      s"graft-stream-out-${ProcessHandle.current().pid()}-$name")
   private def registerOutDir(dir: java.io.File): Unit = {
     outDirHook
     outDirs.add(dir)
-    val cutoff = System.currentTimeMillis() - OutDirMaxAgeMs
     Option(dir.getParentFile.listFiles()).getOrElse(Array.empty).foreach { f =>
-      if (f.getName.startsWith("graft-stream-out-") && !outDirs.contains(f) &&
-          f.lastModified() < cutoff)
-        graft.FsUtil.deleteRecursive(f)
+      f.getName match {
+        case OutDirRe(pid) if ProcessHandle.of(pid.toLong).isEmpty =>
+          graft.FsUtil.deleteRecursive(f)
+        case _ => ()
+      }
     }
   }
 
@@ -117,8 +126,7 @@ object StreamOps {
         // keep the memory sink. The output dir outlives this call (the
         // returned frame reads it lazily); it lives in tmp like any run
         // artifact.
-        val outDir = new java.io.File(
-          System.getProperty("java.io.tmpdir", "/tmp"), s"graft-stream-out-$name")
+        val outDir = outDirFor(name)
         // the returned frame reads outDir lazily, so it can't be deleted
         // here; register it with the ONE shared exit hook (a hook per run
         // would accumulate without bound in a long-lived server) and reap

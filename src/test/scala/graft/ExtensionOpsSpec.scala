@@ -158,6 +158,24 @@ class ExtensionOpsSpec extends AnyFunSuite {
       "jaccard must exclude the df-cut shingle from the intersection")
   }
 
+  test("oversized LSH buckets degrade to an anchor star, not a dropped cluster") {
+    // 70 identical docs (> maxBucket 64): every band bucket holds all 70, so
+    // all-pairs expansion would be 2415 pairs in one task; the anchor star
+    // emits 69, and the duplicate class still surfaces fully verified —
+    // a dropped bucket would have reported NOTHING for the whole class
+    val d = Files.createTempDirectory("graft-star").toString
+    val boiler = (0 until 12).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until 70).map(i => (i.toLong, boiler, "en", s"s$i", boiler.length.toLong)) ++
+      Seq((70L, "completely different text here", "en", "s70", 30L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.parquet(s"$d/documents.parquet")
+    val rows = DedupOps.dedupMinhash(spark, d).collect()
+    assert(rows.length == 69, s"anchor star must pair all 69 members, got ${rows.length}")
+    assert(rows.forall(r => r.getAs[Long]("a") == 0L), "anchor must be the bucket min")
+    assert(rows.forall(_.getAs[Double]("jaccard") == 1.0))
+    assert(!rows.exists(r => r.getAs[Long]("b") == 70L), "unrelated doc must not pair")
+  }
+
   test("text_fingerprint is order-sensitive and deterministic") {
     val fp = TextOps.textFingerprint(spark, dir)
       .as[(Long, Long)].collect().toMap
