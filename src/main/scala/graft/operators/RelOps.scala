@@ -544,6 +544,91 @@ object RelOps {
         nullif(coalesce($"max_big", lit(0.0)), lit(0.0)).as("nullified"))
       .orderBy($"c_custkey")
 
+  // ----------------------------------------------------------- subqueries
+  /** IN subquery (delegated-SQL class: membership against a derived key
+    * set). Catalyst rewrites it to a left-semi join, so at 100 TB it is the
+    * same shuffle-or-broadcast plan as `join_semi` — never a per-row probe. */
+  val subqueryIn: Q = (s, d) => {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    t(s, d, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING')
+         ORDER BY o_orderkey""")
+  }
+
+  /** Uncorrelated scalar subquery: orders above the global mean price. The
+    * mean comparison is cross-multiplied (price·n > Σprice) so both engines
+    * compare exact decimals — no decimal-division rounding to disagree on.
+    * Catalyst computes each scalar subquery once and broadcasts it. */
+  val subqueryScalar: Q = (s, d) => {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE CAST(o_totalprice AS DECIMAL(18,6)) * (SELECT COUNT(*) FROM orders)
+               > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,6))) FROM orders)
+         ORDER BY o_orderkey""")
+  }
+
+  /** Correlated scalar subqueries: orders above their own customer's mean
+    * price (same cross-multiplied exact-decimal comparison). Catalyst
+    * decorrelates both subqueries into one grouped aggregate joined back on
+    * the key — at scale this is one shuffle on o_custkey, not N probes. */
+  val subqueryCorrelated: Q = (s, d) => {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey FROM orders o
+         WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
+               (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+               > (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) FROM orders o2
+                  WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""")
+  }
+
+  /** Explicit CROSS JOIN (dimension grid; both sides tiny). At scale a
+    * cartesian is only ever sane dim×dim — the plan is a
+    * BroadcastNestedLoopJoin with the smaller side broadcast. */
+  val joinCross: Q = (s, d) =>
+    t(s, d, "region").select($"r_name")
+      .crossJoin(t(s, d, "nation").select($"n_name", $"n_nationkey"))
+      .select($"r_name", $"n_name")
+      .orderBy($"r_name", $"n_name")
+
+  /** FILTER-clause aggregates (conditional aggregation without N self-joins;
+    * PG/DuckDB FILTER, the portable form of `sum(case when ...)`). One pass,
+    * partial aggregation — the conditions evaluate map-side. */
+  val aggFiltered: Q = (s, d) => {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                 FILTER (WHERE o_totalprice > 200000), 0) AS DOUBLE) AS big_total
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
+  /** Digest scalars (md5/sha256 hex — content addressing, the front of every
+    * exact-dedup and cache key; both engines emit identical lowercase hex). */
+  val scalarHash: Q = (s, d) =>
+    t(s, d, "customer").select(
+        $"c_custkey",
+        md5($"c_name").as("name_md5"),
+        sha2($"c_name", 256).as("name_sha256"))
+      .orderBy($"c_custkey")
+
+  /** Bitwise scalar class (flag masks, shard routing, popcount — simhash
+    * hamming verify is built from exactly these). */
+  val scalarBitwise: Q = (s, d) =>
+    t(s, d, "orders").select(
+        $"o_orderkey",
+        ($"o_orderkey".bitwiseAND(lit(255L))).as("low_byte"),
+        ($"o_orderkey".bitwiseOR(lit(16L))).as("or16"),
+        ($"o_orderkey".bitwiseXOR(lit(85L))).as("x85"),
+        bit_count($"o_orderkey").cast(LongType).as("popcount"))
+      .orderBy($"o_orderkey")
+
   // $"..." interpolator without a per-query implicits import
   private implicit class Str(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
@@ -599,6 +684,13 @@ object RelOps {
     "explode_lateral" -> explodeLateral,
     "scalar_regex" -> scalarRegex,
     "scalar_null" -> scalarNull,
+    "subquery_in" -> subqueryIn,
+    "subquery_scalar" -> subqueryScalar,
+    "subquery_correlated" -> subqueryCorrelated,
+    "join_cross" -> joinCross,
+    "agg_filtered" -> aggFiltered,
+    "scalar_hash" -> scalarHash,
+    "scalar_bitwise" -> scalarBitwise,
   )
 
   /** DuckDB oracle SQL per query (same column names, same total order, same
@@ -859,5 +951,42 @@ object RelOps {
                  ON c_custkey = o_custkey AND o_totalprice > 450000
                GROUP BY c_custkey)
          ORDER BY c_custkey""",
+    "subquery_in" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING')
+         ORDER BY o_orderkey""",
+    "subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE CAST(o_totalprice AS DECIMAL(18,6)) * (SELECT COUNT(*) FROM orders)
+               > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,6))) FROM orders)
+         ORDER BY o_orderkey""",
+    "subquery_correlated" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+         WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
+               (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+               > (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) FROM orders o2
+                  WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
+    "agg_filtered" ->
+      """SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                 FILTER (WHERE o_totalprice > 200000), 0) AS DOUBLE) AS big_total
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "scalar_hash" ->
+      """SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
+         FROM customer ORDER BY c_custkey""",
+    "scalar_bitwise" ->
+      """SELECT o_orderkey,
+               o_orderkey & 255 AS low_byte,
+               o_orderkey | 16 AS or16,
+               xor(o_orderkey, 85) AS x85,
+               CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+         FROM orders ORDER BY o_orderkey""",
   )
 }

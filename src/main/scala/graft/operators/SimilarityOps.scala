@@ -122,7 +122,53 @@ object SimilarityOps {
     graft.plans.IvfIndex.search(s, path, q, nprobe = 4, k = 10, excludeVecId = 0)
   }
 
+  /** Symmetric int8 quantization per vector (scale = 127 / max|x|) — the
+    * compression pass before an ANN index ships to serving: 4× smaller than
+    * float32, distance error bounded by the scale. Pure per-row arithmetic,
+    * no shuffle; rounding is floor(x·s + 0.5) so both engines run the exact
+    * same IEEE ops (no round-half-even ambiguity). The quantized vector
+    * surfaces as exact integer moments (min/max/sum) so results stay narrow
+    * and the oracle is bit-exact. */
+  val embeddingQuantize: Q = (s, d) =>
+    emb(s, d)
+      .select(col("vec_id"), asD(col("embedding")).as("ev"))
+      .withColumn("maxabs", aggregate(col("ev"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .filter(col("maxabs") > 0)
+      .withColumn("scale", lit(127.0) / col("maxabs"))
+      .withColumn("qv",
+        transform(col("ev"), x => floor(x * col("scale") + lit(0.5)).cast(LongType)))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        array_min(col("qv")).as("qmin"),
+        array_max(col("qv")).as("qmax"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + x).as("qsum"))
+      .orderBy(col("vec_id"))
+
+  /** Batched k-NN join: every vector in a query set gets its top-3 cosine
+    * neighbors from the corpus in ONE pass. The query batch broadcasts (it is
+    * always the small side), the corpus never shuffles, and the per-query
+    * top-k is a window over scores — at 100 TB this is the exact-scoring
+    * baseline; the bucketed path swaps the broadcast join for an LSH/IVF
+    * candidate join ([[simSearchIvf]]) with identical downstream shape. */
+  val simJoinKnn: Q = (s, d) => {
+    import graft.functions.CosineSimilarity.cosine_similarity
+    val qs = emb(s, d).filter(col("vec_id").between(1, 5))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    emb(s, d).filter(col("vec_id") >= 16)
+      .crossJoin(broadcast(qs))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        cosine_similarity(col("embedding"), col("qv")).as("score_raw"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("score_raw").desc, col("vec_id"))))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn").cast(LongType).as("rn"),
+        col("vec_id"), col("label"), round(col("score_raw"), 6).as("score"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "embedding_quantize" -> embeddingQuantize,
+    "sim_join_knn" -> simJoinKnn,
     "sim_search_topk" -> simSearchTopK,
     "sim_search_topk_native" -> simSearchTopKNative,
     "sim_search_ivf" -> simSearchIvf,
@@ -198,6 +244,41 @@ object SimilarityOps {
          FROM topk ORDER BY score DESC, vec_id"""
 
   val oracle: Map[String, String] = Map(
+    "embedding_quantize" ->
+      """WITH m AS (
+           SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+           FROM embeddings),
+         sc AS (SELECT vec_id, embedding, 127.0 / maxabs AS scale FROM m WHERE maxabs > 0),
+         q AS (
+           SELECT vec_id, scale,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS qv
+           FROM sc)
+         SELECT vec_id, ROUND(scale, 6) AS scale,
+                list_min(qv) AS qmin, list_max(qv) AS qmax,
+                CAST(list_sum(qv) AS BIGINT) AS qsum
+         FROM q ORDER BY vec_id""",
+    "sim_join_knn" ->
+      """WITH flat AS (
+           SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         qs AS (SELECT vec_id AS q_id, val AS qv, i FROM flat WHERE vec_id BETWEEN 1 AND 5),
+         corpus AS (SELECT * FROM flat WHERE vec_id >= 16),
+         scored AS (
+           SELECT q.q_id, f.vec_id, f.label,
+             SUM(f.val * q.qv) /
+             (SQRT(SUM(f.val * f.val)) * SQRT(SUM(q.qv * q.qv))) AS score_raw
+           FROM corpus f JOIN qs q ON f.i = q.i
+           GROUP BY q.q_id, f.vec_id, f.label),
+         rk AS (SELECT q_id, vec_id, label, score_raw,
+                  ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY score_raw DESC, vec_id) AS rn
+                FROM scored)
+         SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, label,
+                ROUND(score_raw, 6) AS score
+         FROM rk WHERE rn <= 3 ORDER BY q_id, rn""",
     "sim_search_topk" -> topkOracle,
     "sim_search_topk_native" -> topkOracle,
     "sim_search_ivf" -> ivfOracle,

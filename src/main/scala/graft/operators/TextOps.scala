@@ -133,7 +133,49 @@ object TextOps {
           .cast(LongType).as("n_phones"))
       .orderBy(col("doc_id"))
 
+  /** Fixed-size character chunking with overlap (chunk 200, stride 150 → 50
+    * chars shared between neighbors) — the context-window splitter in front
+    * of embedding/training jobs. Pure per-row codegen (sequence + explode +
+    * substring): no shuffle until the final sort, output rows ∝ total bytes /
+    * stride regardless of document skew. Chunks surface as md5 + length so
+    * results stay narrow. */
+  val textChunk: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(150)))
+          .as("start"))
+      .select(col("doc_id"),
+        (col("start") / 150).cast(LongType).as("chunk_id"),
+        expr("substring(text, start + 1, 200)").as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        md5(col("chunk")).as("chunk_hash"),
+        length(col("chunk")).cast(LongType).as("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Corpus n-gram statistics: top-10 word bigrams per language (tie-broken
+    * lexicographically). The explode output shuffles once on (lang, bigram)
+    * with map-side partial counts; the top-k window only sees the distinct
+    * bigram counts, a tiny fraction of the corpus. */
+  val textNgramFreq: Q = (s, d) =>
+    docs(s, d)
+      .select(col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("lang"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("bigram"))))
+      .filter(col("rn") <= 10)
+      .select(col("lang"), col("rn").cast(LongType).as("rn"), col("bigram"), col("n"))
+      .orderBy(col("lang"), col("rn"))
+
   val queries: Map[String, Q] = Map(
+    "text_chunk" -> textChunk,
+    "text_ngram_freq" -> textNgramFreq,
     "text_stats" -> textStats,
     "text_normalize" -> textNormalize,
     "text_quality" -> textQuality,
@@ -144,6 +186,27 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_chunk" ->
+      """SELECT doc_id, CAST(start / 150 AS BIGINT) AS chunk_id,
+             md5(substr(text, start + 1, 200)) AS chunk_hash,
+             CAST(length(substr(text, start + 1, 200)) AS BIGINT) AS chunk_len
+         FROM documents,
+              UNNEST(generate_series(0, GREATEST(length(text) - 1, 0), 150)) AS t(start)
+         ORDER BY doc_id, chunk_id""",
+    "text_ngram_freq" ->
+      """WITH ws AS (
+           SELECT lang, string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (
+           SELECT lang, unnest(list_transform(generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1])) AS bigram
+           FROM ws),
+         cnt AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram),
+         rk AS (SELECT lang, bigram, n,
+                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+                FROM cnt)
+         SELECT lang, CAST(rn AS BIGINT) AS rn, bigram, n FROM rk
+         WHERE rn <= 10 ORDER BY lang, rn""",
     "text_fingerprint" -> {
       import graft.functions.PolyHash
       s"""SELECT doc_id,
