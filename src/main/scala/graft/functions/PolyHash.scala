@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -29,17 +29,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * Iteration is by Unicode codepoint (what DuckDB's `unicode(char)` yields),
   * not UTF-8 byte, so the two engines agree beyond ASCII too.
   *
-  * CodegenFallback for the same reason as [[WordShingles]]: the work is one
-  * tight loop per row; codegen would inline only the dispatch.
+  * Generates real code (a static call into [[PolyHash.hashUTF8]], which
+  * decodes codepoints straight off the UTF-8 bytes — no String allocation).
+  * This is NOT a micro-optimization of the hash itself: a `CodegenFallback`
+  * expression disqualifies its whole operator from whole-stage codegen
+  * (`CollapseCodegenStages` rejects any stage containing one), so the
+  * fallback variant forced the entire per-shingle projection — the highest
+  * row-count stage of every dedup pipeline — into interpreted row-at-a-time
+  * evaluation.
   */
-case class PolyHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class PolyHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_hash"
 
   override def nullSafeEval(input: Any): Any =
-    PolyHash.hash(input.asInstanceOf[UTF8String].toString)
+    PolyHash.hashUTF8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hashUTF8($c)")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
     copy(child = newChild)
@@ -64,6 +72,32 @@ object PolyHash {
       val cp = s.codePointAt(i)
       h = (h * B + cp) % P
       i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** [[hash]] computed directly over the UTF-8 byte encoding — decodes each
+    * codepoint from the bytes without materializing a java.lang.String.
+    * Identical to `hash(s.toString)` for any valid UTF-8 input (a 4-byte
+    * sequence is one codepoint here and one surrogate PAIR there, but
+    * `codePointAt` re-fuses the pair). Called from generated code, so it
+    * must stay a static-forwardable method on this object. */
+  def hashUTF8(s: UTF8String): Long = {
+    val n = s.numBytes
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xff
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; len = 2 }
+      else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; len = 3 }
+      else { cp = b0 & 0x07; len = 4 }
+      var j = 1
+      while (j < len) { cp = (cp << 6) | (s.getByte(i + j) & 0x3f); j += 1 }
+      h = (h * B + cp) % P
+      i += len
     }
     h
   }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,23 +20,38 @@ import org.apache.spark.unsafe.types.UTF8String
   * the whole text as the single shingle, preserving the composed
   * formulation's semantics.
   *
-  * CodegenFallback is deliberate: the work is one expensive call per row,
-  * so codegen would only inline the dispatch, not the loop; fallback costs
-  * one virtual call per row while keeping the implementation obviously
-  * correct.
+  * Generates a static call into [[WordShingles.compute]] rather than taking
+  * `CodegenFallback`: the call itself is the same either way, but a fallback
+  * expression disqualifies its whole operator from whole-stage codegen
+  * (`CollapseCodegenStages` rejects the stage), which pushed the
+  * per-document shingling projection — the front of every dedup pipeline —
+  * into interpreted row-at-a-time evaluation.
   */
-case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
 
   require(k >= 1, s"shingle size must be >= 1, got $k")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  import org.apache.spark.sql.GraftColumnShim
+
   private val space = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String]
+  /** Distinct word k-gram shingles; the expression's whole evaluation, kept
+    * static-forwardable so generated code can call it directly. */
+  def compute(text: UTF8String, k: Int): ArrayData = {
     val words = text.split(space, -1)
     val n = words.length
     if (n < k) return new GenericArrayData(Array[Any](text))
@@ -56,13 +71,6 @@ case class WordShingles(child: Expression, k: Int)
     while (it.hasNext) { out(m) = it.next(); m += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WordShingles =
-    copy(child = newChild)
-}
-
-object WordShingles {
-  import org.apache.spark.sql.GraftColumnShim
 
   /** Column-API entry point. */
   def word_shingles(c: Column, k: Int): Column =

@@ -47,25 +47,6 @@ object DedupOps {
   private[operators] def shingles(text: Column, k: Int = 3): Column =
     graft.functions.WordShingles.word_shingles(text, k)
 
-  /** MinHash signatures via explode + one hash aggregate: 32
-    * `min(affine_i(poly_hash(shingle)))` columns in a single partial+final
-    * HashAggregate pass. ~10× the throughput of the equivalent
-    * `transform(...array_min...)` higher-order-function chain, which
-    * evaluates interpreted per row outside whole-stage codegen. The hash
-    * family is [[graft.functions.PolyHash]] + its affine rehashes rather
-    * than seeded xxhash64 so the whole signature pipeline replays in the
-    * DuckDB oracle (the poly hash is computed once per shingle; the 32
-    * rehashes are two codegen'd arithmetic ops each). */
-  private def minhashSigs(docsF: DataFrame, numHashes: Int): DataFrame = {
-    import graft.functions.PolyHash
-    val exploded = docsF
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .select(col("doc_id"), PolyHash.poly_hash(col("sh")).as("ph"))
-    val aggs = (0 until numHashes).map(i => min(PolyHash.affine(i, col("ph"))).as(s"h$i"))
-    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
-
   /** Candidate pairs from bucket membership (input: one row per
     * (bucket, doc_id), unique). Buckets up to [[maxBucket]] expand all
     * (a < b) pairs; OVERSIZED buckets degrade to an anchor star — every
@@ -75,19 +56,35 @@ object DedupOps {
     * M²/2 pairs in one task, but its members still reach exact verification
     * and stay connected through the anchor for cluster resolution — unlike a
     * dropped bucket, which silently loses the whole duplicate class. */
-  private def candidatePairs(buckets: DataFrame): DataFrame = {
-    val stats = buckets.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("anchor"))
+  private def candidatePairs(buckets0: DataFrame): DataFrame = {
+    import graft.functions.{BucketMembersAgg, LongPairs}
+    // The bucket frame feeds two consumers (the membership aggregation and
+    // the big-bucket join-back); without materializing it once, Spark
+    // recomputes the whole upstream signature pipeline per consumer.
+    val buckets = buckets0.localCheckpoint()
+    // ONE bounded aggregation pass: per bucket, the (maxBucket+1) smallest
+    // member ids — complete whenever the bucket is small enough to expand —
+    // plus the exact count. O(cap) state per bucket (a mega-bucket never
+    // collects into one row), map-side partials, one shuffle on the bucket
+    // key. Replaces the former stats-pass + semi-join + collect_set-pass +
+    // join scaffold (5 exchanges → 2 for the whole candidate stage).
+    val grouped = buckets.groupBy(col("bucket"))
+      .agg(BucketMembersAgg.bucket_members(maxBucket + 1, col("doc_id")).as("m"))
+      .select(col("bucket"), col("m._1").as("ids"), col("m._2").as("n"))
       .filter(col("n") >= 2)
-    val small = buckets
-      .join(stats.filter(col("n") <= maxBucket).select(col("bucket")), "bucket")
-      .groupBy(col("bucket")).agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))""")).as("p"))
+      .localCheckpoint() // feeds the small expansion + the big broadcast
+    val small = grouped.filter(col("n") <= maxBucket)
+      .select(explode(LongPairs.long_pairs(col("ids"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+    // Oversized buckets degrade to a linear anchor star (anchor = smallest
+    // member id = ids[0]): every member pairs with the anchor, keeping the
+    // duplicate class connected without M²/2 pair expansion. The oversized
+    // bucket list is tiny by construction (degenerate buckets are rare), so
+    // it broadcasts; the star itself streams out of the join — no member
+    // list ever materializes in one row.
     val big = buckets
-      .join(stats.filter(col("n") > maxBucket).select(col("bucket"), col("anchor")), "bucket")
+      .join(broadcast(grouped.filter(col("n") > maxBucket)
+        .select(col("bucket"), element_at(col("ids"), 1).as("anchor"))), "bucket")
       .filter(col("doc_id") =!= col("anchor"))
       .select(col("anchor").as("a"), col("doc_id").as("b"))
     small.unionAll(big).distinct()
@@ -124,17 +121,15 @@ object DedupOps {
   val dedupMinhash: Q = (s, d) => {
     val numHashes = 32
     val bands = 8
-    val rows = numHashes / bands
-    val sig = minhashSigs(docs(s, d), numHashes)
-    // band key: same engine-neutral fold as PolyHash over the band's rows
-    val banded = sig.select(col("doc_id"),
-        explode(expr(
-          s"""transform(sequence(0, ${bands - 1}), b ->
-                struct(b AS band,
-                       aggregate(slice(sig, b * $rows + 1, $rows), cast(0 AS bigint),
-                                 (a, h) -> (a * ${graft.functions.PolyHash.B} + h) % ${graft.functions.PolyHash.P}) AS h))"""))
-          .as("bk"))
-      .select(struct(col("bk.band"), col("bk.h")).as("bucket"), col("doc_id"))
+    // text → 8 band-bucket keys in ONE native map-side expression
+    // (shingles → 32 affine mins → per-band PolyHash fold, see
+    // [[graft.functions.MinHashBands]]); the signature array never
+    // materializes, and the band-bucket exchange below is the pipeline's
+    // first and only wide shuffle.
+    val banded = docs(s, d).select(col("doc_id"),
+        posexplode(graft.functions.MinHashBands.minhash_bands(
+          shingles(col("text")), numHashes, bands)).as(Seq("band", "h")))
+      .select(struct(col("band"), col("h")).as("bucket"), col("doc_id"))
     verifyJaccard(s, d, candidatePairs(banded), 0.5)
   }
 
@@ -151,44 +146,29 @@ object DedupOps {
   private[operators] val SimhashRehash: Seq[(Long, Long)] =
     Seq((2654435761L, 0L), (2246822519L, 104729L), (3266489917L, 130363L))
 
-  /** (rehash index, bit offset) sourcing simhash bit j. */
-  private def simhashPlane(j: Int): (Int, Int) =
-    if (j < 31) (0, j) else if (j < 62) (1, j - 31) else (2, j - 62)
-
   val dedupSimhash: Q = (s, d) => {
-    import graft.functions.PolyHash
-    // per-bit net vote: sum over words of (bit j set ? +1 : -1), computed as
-    // explode + 64 codegen'd sum() columns (one HashAggregate pass; the
-    // nested-HOF formulation runs interpreted and ~8× slower), then the sign
-    // bits recombine into one long. The 64 bit planes come from the low 31
-    // bits of three large-multiplier rehashes of the word's PolyHash (the
-    // raw poly hash's own bits are poorly mixed for short words; the
-    // multiply-mod avalanche fixes that) — and, being pure mod-prime
-    // arithmetic, the DuckDB oracle replays them exactly.
-    val wordHashes = docs(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), PolyHash.poly_hash(col("w")).as("h"))
-      .select(col("doc_id") +: SimhashRehash.zipWithIndex.map { case ((a, b), k) =>
-        pmod(lit(a) * col("h") + lit(b), lit(PolyHash.P)).as(s"m$k")
-      }: _*)
-    val voteAggs = (0 until 64).map { j =>
-      val (k, off) = simhashPlane(j)
-      sum(when(shiftright(col(s"m$k"), off).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j")
-    }
+    // per-bit net vote: sum over words of (bit j set ? +1 : -1), with the 64
+    // bit planes drawn from the low 31 bits of three large-multiplier
+    // rehashes of the word's PolyHash (the raw poly hash's own bits are
+    // poorly mixed for short words; the multiply-mod avalanche fixes that).
+    // The whole signature — word hashes, rehashes, votes, sign-packing — is
+    // ONE native map-side expression ([[graft.functions.SimHash64]]): no
+    // word explode, no shuffle, no 64-column aggregate; being pure mod-prime
+    // arithmetic, the DuckDB oracle still replays it exactly via the
+    // explode + group-by spelling.
     // localCheckpoint: the signature table (16 B/doc) feeds three consumers
-    // (banding + both verify joins) — materialize the heavy vote aggregation
-    // once instead of recomputing the scan+explode+64-agg per consumer
-    val sigs = wordHashes.groupBy(col("doc_id"))
-      .agg(voteAggs.head, voteAggs.tail: _*)
+    // (banding + both verify joins) — materialize it once instead of
+    // rescanning the corpus per consumer.
+    val sigs = docs(s, d)
       .select(col("doc_id"),
-        (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("sim"))
+        graft.functions.SimHash64.simhash64(split(col("text"), " "), SimhashRehash).as("sim"))
       .localCheckpoint()
+    // 4 16-bit chunk keys as a plain (codegen'd) array of shift/mask
+    // expressions — no lambda, no interpreted HOF
     val chunked = sigs.select(col("doc_id"),
-        explode(expr(
-          """transform(sequence(0, 3), c ->
-               struct(c AS chunk, shiftright(sim, c * 16) & 65535 AS h))""")).as("ck"))
-      .select(struct(col("ck.chunk"), col("ck.h")).as("bucket"), col("doc_id"))
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("sim"), c * 16).bitwiseAND(lit(65535L))): _*)).as(Seq("chunk", "h")))
+      .select(struct(col("chunk"), col("h")).as("bucket"), col("doc_id"))
     val pairs = candidatePairs(chunked)
     val sa = sigs.select(col("doc_id").as("a"), col("sim").as("sim_a"))
     val sb = sigs.select(col("doc_id").as("b"), col("sim").as("sim_b"))
