@@ -16,6 +16,16 @@ object Bench {
     // (data itself is not pre-cached; the warm-up stream is the 5-row region
     // table, not a benched input).
     spark.range(1000).selectExpr("sum(id)").collect()
+    // typed-UDAF path (ObjectHashAggregate + buffer-encoder codegen) — the
+    // encoder compile is a seconds-scale per-JVM fixed cost that would
+    // otherwise land on whichever LSH dedup query runs first
+    locally {
+      import org.apache.spark.sql.functions.col
+      spark.range(4).select((col("id") % 2).as("bucket"), col("id").as("doc_id"))
+        .groupBy("bucket")
+        .agg(graft.functions.BucketMembersAgg.bucket_members(3, col("doc_id")))
+        .collect()
+    }
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val regionSchema = spark.read.parquet(s"$sfDir/region.parquet").schema
     val warmStream = spark.readStream.schema(regionSchema)

@@ -217,9 +217,9 @@ object DedupOps {
       // ([[candidatePairs]]) and remain the instrument for mega-clusters.
       // The DuckDB oracle applies the identical cut, so the check stays exact.
       .filter(size(col("ids")).between(2, dfCut))
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))""")).as("p"))
+      // native pair expansion (codegen'd, one tight loop) instead of the
+      // interpreted nested-lambda flatten/transform spelling
+      .select(explode(graft.functions.LongPairs.long_pairs(col("ids"))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("inter"))
     inter
