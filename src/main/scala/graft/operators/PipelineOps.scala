@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw crawl and tokenizer: deterministic sampling, stratified
+  * quotas, length histograms, sequence packing, benchmark decontamination,
+  * and cosine range search (SURVEY.md §2C extensions).
+  *
+  * Everything here is engine-neutral arithmetic (the PolyHash affine family
+  * mod 2^31−1) so each query's DuckDB oracle replays the full pipeline —
+  * the same pattern as the dedup/similarity ops. Sampling "randomness" is a
+  * deterministic hash of the stable doc_id: reproducible across runs,
+  * cluster layouts, and engines, which is exactly what a curation pipeline
+  * wants from a sample (re-running the job must pick the same documents).
+  */
+object PipelineOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
+
+  import graft.functions.PolyHash.{Mult, P}
+
+  /** Deterministic per-doc priority in [0, P): `((doc_id mod P)·A) mod P`
+    * with A = Knuth's 2^32/φ — the same multiplicative rehash the LSH
+    * pipelines use. Both operands stay < 2^31·2^32 = 2^63, ANSI-safe. */
+  private def prio(id: Column): Column = (id % P) * Mult % P
+  private val prioSql = s"((doc_id % $P) * $Mult) % $P"
+
+  // ------------------------------------------------------------- sampling
+  /** Deterministic 10% Bernoulli sample: keep where hash(doc_id) mod 100 <
+    * 10. Pure map-side filter — no shuffle, no RNG state, no seed
+    * coordination across executors; at 100 TB this is a single scan whose
+    * selectivity Catalyst can see. The same predicate re-selects the same
+    * documents on any engine or cluster shape. */
+  val sampleHash: Q = (s, d) =>
+    docs(s, d)
+      .filter(prio(col("doc_id")) % 100 < 10)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Stratified sample: a fixed quota of 20 docs per language, chosen by
+    * the deterministic hash priority (ties broken by doc_id). One shuffle
+    * on the stratum key; within each stratum the window keeps 20 rows. At
+    * scale the right evolution is a bounded top-k aggregate per stratum
+    * (the [[graft.functions.TopKAggregator]] pattern) — with ~10 strata the
+    * window sort is already the per-stratum work, so the simple spelling
+    * holds until strata get hot. */
+  val sampleStratified: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang")).orderBy(prio(col("doc_id")), col("doc_id"))
+    docs(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("doc_id"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** Document-length histogram in 100-char bins: the corpus profile every
+    * curation run starts from. One partial+final aggregate; ~tens of bins
+    * regardless of corpus size. */
+  val aggHistogram: Q = (s, d) =>
+    docs(s, d)
+      .groupBy((floor(col("n_chars") / 100) * 100).as("bin_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("bin_lo"))
+
+  // ------------------------------------------------------------- packing
+  /** Sequence packing: assign docs to fixed 2048-token context windows per
+    * language, greedily in deterministic hash order, and report per-bin
+    * occupancy. bin = floor(tokens_before_this_doc / 2048) — the standard
+    * offset-based packing a pretraining data loader uses. One window pass
+    * (shuffle on lang) + one small aggregate; token count is the
+    * whitespace tokenization shared with `text_token_count`. */
+  val packSequences: Q = (s, d) => {
+    val tok = size(split(col("text"), " ")).cast(LongType)
+    val w = Window.partitionBy(col("lang")).orderBy(prio(col("doc_id")), col("doc_id"))
+    docs(s, d)
+      .select(col("lang"), col("doc_id"), tok.as("tok"))
+      .withColumn("cum_before", sum(col("tok")).over(w) - col("tok"))
+      .withColumn("bin_id", floor(col("cum_before") / 2048))
+      .groupBy(col("lang"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .orderBy(col("lang"), col("bin_id"))
+  }
+
+  // ------------------------------------------- benchmark decontamination
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * 5-gram with the held-out set (source `src0` stands in for the eval
+    * benchmark). The benchmark's distinct shingle set BROADCASTS — it is
+    * benchmark-sized, not corpus-sized — so the 100 TB corpus is touched by
+    * exactly one map-side scan + hash-join probe; only matching (doc,
+    * shingle) rows reach the per-doc count. This is the shape real
+    * decontamination runs take: the eval suites are megabytes against
+    * terabytes of corpus. */
+  val decontaminate: Q = (s, d) => {
+    val sh5 = graft.functions.WordShingles.word_shingles(col("text"), 5)
+    val corpus = docs(s, d).filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(sh5).as("sh"))
+    val bench = docs(s, d).filter(col("source") === "src0")
+      .select(explode(sh5).as("sh")).distinct()
+    corpus.join(broadcast(bench), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("sh")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------- range search
+  /** Cosine range search: every vector within cosine ≥ 0.2 of the query
+    * (vec_id 0) — the retrieval-threshold complement of top-k. Query vector
+    * broadcasts; the corpus never shuffles; the threshold test runs on the
+    * 6-decimal rounding both engines agree on. */
+  val simSearchRange: Q = (s, d) => {
+    val e = Tables.load(s, d, "embeddings")
+    val asD = (c: Column) => c.cast(ArrayType(DoubleType))
+    val q = e.filter(col("vec_id") === 0).select(asD(col("embedding")).as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(SimilarityOps.cosine(asD(col("embedding")), col("qv")), 6).as("score"))
+      .filter(col("score") >= 0.2)
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sample_hash" -> sampleHash,
+    "sample_stratified" -> sampleStratified,
+    "agg_histogram" -> aggHistogram,
+    "pack_sequences" -> packSequences,
+    "decontaminate" -> decontaminate,
+    "sim_search_range" -> simSearchRange,
+  )
+
+  /** Word 5-gram shingle CTE (DuckDB replay of [[graft.functions.WordShingles]]
+    * with k = 5, incl. the whole-text fallback for short docs). */
+  private val sh5Cte: String =
+    """sh5 AS (
+         SELECT doc_id, source,
+           CASE WHEN len(string_split(text,' ')) >= 5 THEN
+             list_distinct([array_to_string(string_split(text,' ')[i:i+4], ' ')
+                            FOR i IN range(1, len(string_split(text,' ')) - 3)])
+           ELSE [text] END AS sh
+         FROM documents)"""
+
+  val oracle: Map[String, String] = Map(
+    "sample_hash" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE ($prioSql) % 100 < 10
+         ORDER BY doc_id""",
+    "sample_stratified" ->
+      s"""SELECT lang, doc_id, rn FROM (
+           SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY $prioSql, doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 20 ORDER BY lang, rn""",
+    "agg_histogram" ->
+      """SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bin_lo,
+           COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "pack_sequences" ->
+      s"""WITH t AS (
+           SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+                  $prioSql AS pri
+           FROM documents),
+         c AS (
+           SELECT lang, doc_id, tok,
+             SUM(tok) OVER (PARTITION BY lang ORDER BY pri, doc_id) - tok AS cum_before
+           FROM t)
+         SELECT lang, CAST(FLOOR(cum_before / 2048) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs, SUM(tok) AS n_tokens
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    "decontaminate" ->
+      s"""WITH $sh5Cte,
+         corpus AS (SELECT doc_id, unnest(sh) AS s FROM sh5 WHERE source <> 'src0'),
+         bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh5 WHERE source = 'src0')
+         SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_shared
+         FROM corpus c JOIN bench b ON b.s = c.s
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
+    "sim_search_range" ->
+      """WITH q AS (
+           SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id = 0),
+         qn AS (SELECT SQRT(SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE))) AS n FROM q),
+         flat AS (
+           SELECT vec_id, label, unnest(embedding) AS val,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id <> 0),
+         scored AS (
+           SELECT f.vec_id, ANY_VALUE(f.label) AS label,
+             ROUND(SUM(CAST(f.val AS DOUBLE) * CAST(q.qv AS DOUBLE)) /
+               ((SELECT n FROM qn) * SQRT(SUM(CAST(f.val AS DOUBLE) * CAST(f.val AS DOUBLE)))), 6) AS score
+           FROM flat f JOIN q ON f.i = q.i
+           GROUP BY f.vec_id)
+         SELECT vec_id, label, score FROM scored
+         WHERE score >= 0.2 ORDER BY score DESC, vec_id""",
+  )
+}
