@@ -69,23 +69,34 @@ object PipelineOps {
       .orderBy(col("bin_lo"))
 
   // ------------------------------------------------------------- packing
-  /** Sequence packing: assign docs to fixed 2048-token context windows per
-    * language, greedily in deterministic hash order, and report per-bin
-    * occupancy. bin = floor(tokens_before_this_doc / 2048) — the standard
-    * offset-based packing a pretraining data loader uses. One window pass
-    * (shuffle on lang) + one small aggregate; token count is the
-    * whitespace tokenization shared with `text_token_count`. */
+  /** Sequence packing: assign docs to fixed 2048-token context windows,
+    * greedily in deterministic hash order, and report per-bin occupancy.
+    * bin = floor(tokens_before_this_doc / 2048) — the standard offset-based
+    * packing a pretraining data loader runs. Packing is order-dependent, so
+    * each packing unit is inherently sequential — which is why the unit is
+    * (lang, shard), not lang: the deterministic hash splits every language
+    * into [[packShards]] independently-packed shards, so the window sort
+    * parallelizes across shards and no single task owns a whole language's
+    * corpus. At 100 TB the shard count is the scale knob (shards ∝ corpus /
+    * target-shard-size); the bins a data loader reads are keyed (lang,
+    * shard, bin_id) either way. Token count is the whitespace tokenization
+    * shared with `text_token_count`. */
   val packSequences: Q = (s, d) => {
     val tok = size(split(col("text"), " ")).cast(LongType)
-    val w = Window.partitionBy(col("lang")).orderBy(prio(col("doc_id")), col("doc_id"))
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(prio(col("doc_id")), col("doc_id"))
     docs(s, d)
-      .select(col("lang"), col("doc_id"), tok.as("tok"))
+      .select(col("lang"), (prio(col("doc_id")) % packShards).as("shard"),
+        col("doc_id"), tok.as("tok"))
       .withColumn("cum_before", sum(col("tok")).over(w) - col("tok"))
       .withColumn("bin_id", floor(col("cum_before") / 2048))
-      .groupBy(col("lang"), col("bin_id"))
+      .groupBy(col("lang"), col("shard"), col("bin_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
-      .orderBy(col("lang"), col("bin_id"))
+      .orderBy(col("lang"), col("shard"), col("bin_id"))
   }
+
+  /** Independently-packed shards per language (see [[packSequences]]). */
+  val packShards = 4
 
   // ------------------------------------------- benchmark decontamination
   /** Benchmark decontamination: flag corpus documents sharing any word
@@ -162,16 +173,17 @@ object PipelineOps {
          FROM documents GROUP BY 1 ORDER BY 1""",
     "pack_sequences" ->
       s"""WITH t AS (
-           SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+           SELECT lang, ($prioSql) % $packShards AS shard, doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
                   $prioSql AS pri
            FROM documents),
          c AS (
-           SELECT lang, doc_id, tok,
-             SUM(tok) OVER (PARTITION BY lang ORDER BY pri, doc_id) - tok AS cum_before
+           SELECT lang, shard, doc_id, tok,
+             SUM(tok) OVER (PARTITION BY lang, shard ORDER BY pri, doc_id) - tok AS cum_before
            FROM t)
-         SELECT lang, CAST(FLOOR(cum_before / 2048) AS BIGINT) AS bin_id,
+         SELECT lang, shard, CAST(FLOOR(cum_before / 2048) AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs, SUM(tok) AS n_tokens
-         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+         FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "decontaminate" ->
       s"""WITH $sh5Cte,
          corpus AS (SELECT doc_id, unnest(sh) AS s FROM sh5 WHERE source <> 'src0'),

@@ -44,16 +44,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("pack_sequences bins are contiguous from 0 and tokens are conserved") {
+  test("pack_sequences bins are contiguous from 0 per shard and tokens are conserved") {
     val rows = q("pack_sequences").collect()
-    val byLang = rows.groupBy(_.getString(0))
-    byLang.foreach { case (lang, rs) =>
-      val bins = rs.map(_.getLong(1)).sorted
-      assert(bins.head == 0L, s"$lang first bin ${bins.head}")
+    val byUnit = rows.groupBy(r => (r.getString(0), r.getLong(1)))
+    assert(byUnit.nonEmpty)
+    byUnit.foreach { case (unit, rs) =>
+      val bins = rs.map(_.getLong(2)).sorted
+      assert(bins.head == 0L, s"$unit first bin ${bins.head}")
       assert(bins.sameElements(bins.head to bins.last),
-        s"$lang bins not contiguous: ${bins.mkString(",")}")
+        s"$unit bins not contiguous: ${bins.mkString(",")}")
     }
-    val packedTokens = rows.map(_.getLong(3)).sum
+    val packedTokens = rows.map(_.getLong(4)).sum
     val corpusTokens = graft.Tables.load(spark, sf, "documents")
       .select(sum(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
     assert(packedTokens == corpusTokens, s"$packedTokens != $corpusTokens")
