@@ -57,9 +57,12 @@ object SimilarityOps {
     val cents = e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), asD(col("embedding")).as("cv"))
     // assignment pass: nearest centroid per vector (broadcast the centroids)
+    // native codegen'd dot product (bitwise-equal to the composed HOF fold)
+    // — the assignment pass touches EVERY vector, so it must stay one fused
+    // loop inside whole-stage codegen at corpus scale
     val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"),
-        dot(asD(col("embedding")), col("cv")).as("sim"))
+        graft.functions.DotProduct.dot_product(asD(col("embedding")), col("cv")).as("sim"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
           .orderBy(col("sim").desc, col("cent_id"))))
@@ -68,7 +71,7 @@ object SimilarityOps {
     // probe list: nprobe centroids nearest the query vector
     val q = e.filter(col("vec_id") === 0).select(asD(col("embedding")).as("qv"))
     val probes = cents.crossJoin(broadcast(q))
-      .orderBy(dot(col("cv"), col("qv")).desc, col("cent_id"))
+      .orderBy(graft.functions.DotProduct.dot_product(col("cv"), col("qv")).desc, col("cent_id"))
       .limit(nprobe)
       .select(col("cent_id"))
     assigned
@@ -76,7 +79,8 @@ object SimilarityOps {
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        cosine(asD(col("embedding")), col("qv")).as("score_raw"))
+        graft.functions.CosineSimilarity.cosine_similarity(
+          asD(col("embedding")), col("qv")).as("score_raw"))
       .orderBy(col("score_raw").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("label"), round(col("score_raw"), 6).as("score"))
