@@ -51,25 +51,29 @@ object Executor {
     val sql = ArgBinder.bind(task.raw, args)
     graft.functions.GraftFunctions.registerAll(session) // custom fns for task SQL
     if (sourceDir.startsWith("jdbc:")) jdbcFrame(session, sourceDir, sql)
-    else { Tables.registerAll(session, sourceDir); session.sql(sql) }
+    else {
+      // register only the tables the statement references: creating a
+      // DataFrame reads parquet footers eagerly, so a job touching one
+      // table must not pay a schema read per fixture table (the per-job
+      // overhead is what a job server multiplies)
+      val (cteNames, tables) = collectRelations(session, sql)
+      val referenced = tables.collect {
+        case parts if parts.size == 1 && !cteNames.contains(parts.head.toLowerCase) =>
+          parts.head.toLowerCase
+      }.toSet
+      Tables.registerReferenced(session, sourceDir, referenced)
+      session.sql(sql)
+    }
   }
 
-  /** Build the frame for a jdbc: source: register a JDBC relation for every
-    * table the statement references — excluding CTE-defined names, which are
-    * not remote tables — and rewrite the parsed plan to point at the
-    * registered views. Schema-qualified names (`public.users`) are invalid as
-    * temp-view names, so each goes under a sanitized alias and the plan's
-    * `UnresolvedRelation`s are substituted (the reference delegates such SQL
-    * verbatim to the source DB; here the qualified name travels in `dbtable`).
-    */
-  private def jdbcFrame(session: SparkSession, url: String, sql: String): DataFrame = {
-    import org.apache.spark.sql.GraftColumnShim
+  /** CTE names + referenced relations of a statement (shared by the parquet
+    * and JDBC source paths). CTE bodies live in `UnresolvedWith.cteRelations`
+    * (inner children, not traversed by `collect`) — walked explicitly so
+    * tables referenced inside a CTE count, while CTE names themselves don't. */
+  private def collectRelations(session: SparkSession, sql: String): (Set[String], Vector[Seq[String]]) = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
     val parsed = session.sessionState.sqlParser.parsePlan(sql)
-    // CTE bodies live in UnresolvedWith.cteRelations (inner children, not
-    // traversed by collect) — walk them explicitly so tables referenced
-    // inside a CTE register too, while the CTE names themselves don't.
     var cteNames = Set.empty[String]
     var tables = Vector.empty[Seq[String]]
     var work = List[LogicalPlan](parsed)
@@ -87,6 +91,23 @@ object Executor {
         }
       }
     }
+    (cteNames, tables)
+  }
+
+  /** Build the frame for a jdbc: source: register a JDBC relation for every
+    * table the statement references — excluding CTE-defined names, which are
+    * not remote tables — and rewrite the parsed plan to point at the
+    * registered views. Schema-qualified names (`public.users`) are invalid as
+    * temp-view names, so each goes under a sanitized alias and the plan's
+    * `UnresolvedRelation`s are substituted (the reference delegates such SQL
+    * verbatim to the source DB; here the qualified name travels in `dbtable`).
+    */
+  private def jdbcFrame(session: SparkSession, url: String, sql: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnShim
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
+    val parsed = session.sessionState.sqlParser.parsePlan(sql)
+    val (cteNames, tables) = collectRelations(session, sql)
     def isCte(parts: Seq[String]): Boolean =
       parts.size == 1 && cteNames.contains(parts.head.toLowerCase)
     // key case-insensitively (Spark resolution default) but keep the

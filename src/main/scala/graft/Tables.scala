@@ -63,4 +63,15 @@ object Tables {
       if (Seq("parquet", "csv", "json", "orc").exists(exists(sfDir, t, _)))
         load(spark, sfDir, t).createOrReplaceTempView(t)
     }
+
+  /** Register only the named subset (lowercased names) — the per-job path:
+    * creating a DataFrame reads footers/infers schema eagerly, so a job
+    * touching one table must not pay a schema read for every fixture table
+    * the source happens to carry. Unknown names are ignored; the subsequent
+    * resolution error for a genuinely missing table is the same either way. */
+  def registerReferenced(spark: SparkSession, sfDir: String, referenced: Set[String]): Unit =
+    names.filter(referenced.contains).foreach { t =>
+      if (Seq("parquet", "csv", "json", "orc").exists(exists(sfDir, t, _)))
+        load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
 }
