@@ -29,7 +29,7 @@ object StreamOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private[streaming] def eventStreamPublic(s: SparkSession, d: String): DataFrame =
+  private[graft] def eventStreamPublic(s: SparkSession, d: String): DataFrame =
     eventStream(s, d)
 
   private def eventStream(s: SparkSession, d: String): DataFrame = {
@@ -242,6 +242,37 @@ object StreamOps {
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  /** Stream-stream interval join: click→purchase attribution per user
+    * within a 1-hour window — the canonical two-stream correlation.
+    * Both sides carry watermarks and the join condition bounds event time
+    * on both ends, so each side's state holds only the last hour (plus
+    * watermark slack) of events — bounded regardless of stream length,
+    * which is THE property that lets a stream-stream join run forever at
+    * scale. The join itself appends matched pairs to the sink (an inner
+    * interval join emits on match, nothing buffers for output); the per-user
+    * rollup is a batch aggregate downstream of the sink, same
+    * correlate-on-ingest / analyze-downstream shape as [[streamDedup]]. */
+  val streamJoin: Q = (s, d) => {
+    val clicks = eventStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("""c_user = p_user AND
+              purchase_ts >= click_ts AND
+              purchase_ts <= click_ts + interval 1 hour"""))
+      .select(col("c_user").as("user_id"), col("click_ts"), col("purchase_ts"))
+    runToCompletion(s, joined, s"graft_stream_join_${System.nanoTime()}",
+        outputMode = "append", inputBytes = eventsBytes(d))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_attributed"))
+      .orderBy(col("user_id"))
+  }
+
   /** Gap-based sessionization ([[Sessionize]]) surfaced as a checked query:
     * closed sessions only (exactly what an unbounded stream could know), the
     * exact-count columns — the float session sum stays out of the contract
@@ -257,12 +288,22 @@ object StreamOps {
     "stream_dedup" -> streamDedup,
     "stream_sessionize" -> streamSessionize,
     "stream_enrich" -> streamEnrich,
+    "stream_join" -> streamJoin,
   )
 
   /** Batch equivalents: hourly tumbling = date_trunc; sliding = union of the
     * two half-hour-offset tumbling grids. ts is truncated to microseconds on
     * the DuckDB side to match the stream's nanos→micros conversion. */
   val oracle: Map[String, String] = Map(
+    "stream_join" ->
+      """WITH c AS (SELECT user_id, date_trunc('microseconds', ts) AS cts
+                    FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id, date_trunc('microseconds', ts) AS pts
+                    FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id, COUNT(*) AS n_attributed
+         FROM c JOIN p ON p.user_id = c.user_id
+                      AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+         GROUP BY c.user_id ORDER BY c.user_id""",
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
          COUNT(*) AS n,

@@ -19,6 +19,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.collect().sameElements(batch.collect()))
   }
 
+  test("stream_join equals the batch interval join and bounds both sides' state") {
+    val streamed = StreamOps.streamJoin(spark, TestSpark.sf0001)
+    val events = Tables.load(spark, TestSpark.sf0001, "events")
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = c.join(p, expr(
+        "cu = pu AND pts >= cts AND pts <= cts + interval 1 hour"))
+      .groupBy(col("cu").as("user_id")).agg(count(lit(1)).as("n_attributed"))
+      .orderBy(col("user_id"))
+    assert(streamed.collect().sameElements(batch.collect()))
+    // both stream sides must carry event-time watermarks — without them the
+    // join's state never evicts and an unbounded run grows without limit
+    val joinPlan = {
+      val clicks = StreamOps.eventStreamPublic(spark, TestSpark.sf0001)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = StreamOps.eventStreamPublic(spark, TestSpark.sf0001)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      clicks.join(purchases, expr(
+        """c_user = p_user AND purchase_ts >= click_ts AND
+           purchase_ts <= click_ts + interval 1 hour"""))
+        .queryExecution.analyzed.toString
+    }
+    assert(joinPlan.contains("EventTimeWatermark"), joinPlan)
+  }
+
   test("concurrent stream replays leave the session's shuffle partitions intact") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
