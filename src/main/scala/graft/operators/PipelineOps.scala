@@ -119,6 +119,37 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------- quality gate
+  /** Composite quality gate (the C4-style keep/drop pass): a document is
+    * kept when it has ≥ 30 words, mean word length in [3, 10], and < 10%
+    * symbol characters. Emits keep + a reasons bitmask (bit 0 = too short,
+    * bit 1 = word-length outlier, bit 2 = symbol-heavy) so downstream
+    * curation can audit WHY a document dropped — the shape real filter
+    * passes ship. All three signals are integer arithmetic (counts and
+    * cross-multiplied thresholds, no floating-point ratios), so the
+    * keep/drop decision is bit-exact on any engine; one map-side pass, no
+    * shuffle before the output sort. */
+  val qualityFilter: Q = (s, d) => {
+    val nWords = size(split(col("text"), " ")).cast(LongType)
+    // alpha_chars = characters that are not spaces and not symbols
+    val nonSpace = length(regexp_replace(col("text"), " ", "")).cast(LongType)
+    val symbols = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast(LongType)
+    val total = length(col("text")).cast(LongType)
+    val alpha = nonSpace - symbols
+    val tooShort = nWords < 30
+    // mean word length in [3,10]  ⇔  3·n ≤ alpha ≤ 10·n  (exact integers)
+    val wlenOut = alpha < nWords * 3 || alpha > nWords * 10
+    // symbol ratio ≥ 10%  ⇔  10·symbols ≥ total
+    val symHeavy = symbols * 10 >= total
+    docs(s, d)
+      .select(col("doc_id"), nWords.as("n_words"),
+        (!tooShort && !wlenOut && !symHeavy).as("keep"),
+        (when(tooShort, 1L).otherwise(0L)
+          .bitwiseOR(when(wlenOut, 2L).otherwise(0L))
+          .bitwiseOR(when(symHeavy, 4L).otherwise(0L))).as("reasons"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------- range search
   /** Cosine range search: every vector within cosine ≥ 0.2 of the query
     * (vec_id 0) — the retrieval-threshold complement of top-k. Query vector
@@ -142,6 +173,7 @@ object PipelineOps {
     "agg_histogram" -> aggHistogram,
     "pack_sequences" -> packSequences,
     "decontaminate" -> decontaminate,
+    "quality_filter" -> qualityFilter,
     "sim_search_range" -> simSearchRange,
   )
 
@@ -184,6 +216,22 @@ object PipelineOps {
          SELECT lang, shard, CAST(FLOOR(cum_before / 2048) AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs, SUM(tok) AS n_tokens
          FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "quality_filter" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT)
+               - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS alpha,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS symbols,
+             CAST(length(text) AS BIGINT) AS total
+           FROM documents)
+         SELECT doc_id, n_words,
+           (NOT (n_words < 30) AND NOT (alpha < n_words * 3 OR alpha > n_words * 10)
+            AND NOT (symbols * 10 >= total)) AS keep,
+           ((CASE WHEN n_words < 30 THEN 1 ELSE 0 END)
+            | (CASE WHEN alpha < n_words * 3 OR alpha > n_words * 10 THEN 2 ELSE 0 END)
+            | (CASE WHEN symbols * 10 >= total THEN 4 ELSE 0 END))::BIGINT AS reasons
+         FROM m ORDER BY doc_id""",
     "decontaminate" ->
       s"""WITH $sh5Cte,
          corpus AS (SELECT doc_id, unnest(sh) AS s FROM sh5 WHERE source <> 'src0'),

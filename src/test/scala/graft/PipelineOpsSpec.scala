@@ -78,6 +78,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"range head ${range.take(shared).mkString(",")} vs topk ${topk.take(shared).mkString(",")}")
   }
 
+  test("quality_filter is a map-side gate with a non-degenerate keep mix") {
+    val rows = q("quality_filter").collect()
+    assert(rows.length == graft.Tables.load(spark, sf, "documents").count())
+    val kept = rows.count(_.getBoolean(2))
+    assert(kept > 0 && kept < rows.length, s"degenerate gate: $kept/${rows.length}")
+    // a dropped doc always carries at least one reason bit; a kept doc none
+    assert(rows.forall(r => r.getBoolean(2) == (r.getLong(3) == 0L)))
+    val plan = formatted("quality_filter")
+    assert(!plan.split("Sort").head.contains("Exchange"),
+      s"quality gate must not shuffle:\n$plan")
+  }
+
   test("agg_histogram bins tile the corpus length range") {
     val rows = q("agg_histogram").collect()
     val total = rows.map(_.getLong(1)).sum
