@@ -338,37 +338,57 @@ object DedupOps {
     // resolution, so it lives in the artifact cache keyed on the corpus
     // fingerprint (first call builds, later calls — any JVM — reuse)
     val pairs = s.read.parquet(s"${ngramPairsPath(s, d)}/pairs")
+    docs(s, d).select(col("doc_id"))
+      .join(resolveClusters(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Min-label connected components over a (a, b) pair set: returns
+    * (doc_id, lbl) for every doc appearing in a pair, lbl = the component's
+    * smallest doc_id. Exposed for direct spec coverage (long-chain
+    * convergence) — [[dedupClusters]] wraps it with the isolated-doc
+    * rejoin. */
+  private[graft] def resolveClusters(pairs: DataFrame): DataFrame = {
     val edges = ccCheckpoint(pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"))))
     var labels = ccCheckpoint(edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lbl")))
     var converged = false
     var iter = 0
-    val maxIters = 64 // handles components of diameter 64; fail loudly beyond
+    // min-propagation alone needs DIAMETER rounds (a 64-hop dup chain = 64
+    // rounds); the pointer-jump below (follow your label's label) doubles
+    // the reach each round, so convergence is O(log diameter) and 64 rounds
+    // covers any component a real corpus can produce. Fail loudly beyond.
+    val maxIters = 64
     while (!converged && iter < maxIters) {
       iter += 1
       val neighborMin = edges
         .join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst"))
         .agg(min(col("lbl")).as("nmin"))
-      val next = ccCheckpoint(labels
+      // propagate: label ← min over self + neighbors' labels
+      val prop = ccCheckpoint(labels
         .join(neighborMin, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl")),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl")))
+      // jump: label ← label's own label (labels are doc_ids, every one has a
+      // row, so the self-join resolves one extra hop — the doubling step)
+      val next = ccCheckpoint(prop
+        .join(prop.select(col("doc_id").as("j_id"), col("lbl").as("j_lbl")),
+          col("lbl") === col("j_id"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("lbl"), coalesce(col("j_lbl"), col("lbl"))).as("lbl")),
         eager = false)
       converged = next.filter(col("lbl") =!= col("old")).count() == 0 // materializes the checkpoint
       labels = next.select(col("doc_id"), col("lbl"))
     }
     // wrong clusters are worse than no clusters: never return unconverged
-    // labels silently (a >64-diameter dup chain is pathological input)
+    // labels silently
     require(converged, s"dedup_clusters did not converge within $maxIters rounds")
-    // isolated docs rejoin as their own cluster
-    docs(s, d).select(col("doc_id"))
-      .join(labels.select(col("doc_id"), col("lbl")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"),
-        (col("doc_id") === col("cluster_id")).as("is_kept"))
-      .orderBy(col("doc_id"))
+    labels.select(col("doc_id"), col("lbl"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -262,4 +262,14 @@ class ExtensionOpsSpec extends AnyFunSuite {
       assert(!plan.contains("LocalRelation"), s"driver-side data found:\n$plan")
     }
   }
+
+  test("cluster resolution converges on a 200-hop chain (pointer-jump: O(log D) rounds)") {
+    // a pure min-propagation loop needs 200 rounds here and would trip the
+    // 64-round guard; the pointer-jump makes reach double per round
+    val pairs = spark.range(200).selectExpr("id AS a", "id + 1 AS b")
+    val labels = DedupOps.resolveClusters(pairs).collect()
+    assert(labels.length == 201)
+    assert(labels.forall(_.getLong(1) == 0L),
+      s"all chain members must label to 0, got ${labels.map(_.getLong(1)).distinct.mkString(",")}")
+  }
 }
