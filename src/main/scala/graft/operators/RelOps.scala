@@ -338,6 +338,23 @@ object RelOps {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Time-RANGE window frame: per-user trailing-1-hour value sum. Unlike
+    * the ROWS frames above, the frame is bounded by EVENT TIME (all rows
+    * within [ts − 1h, ts]) — the windowed-metric shape monitoring and
+    * feature pipelines use. Ordered on microsecond epoch so the frame
+    * bounds are exact integers; decimal accumulation keeps the sums exact
+    * under any partial order. One shuffle on user_id; the range frame is a
+    * sliding two-pointer over each sorted partition, never a per-row
+    * rescan. */
+  val windowRangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600000000L, 0L)
+    t(s, d, "events")
+      .select($"user_id", $"event_id",
+        sum(dec($"value")).over(w).cast(DoubleType).as("trailing_1h"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** lag/lead analytic delta. */
   val windowLag: Q = (s, d) => {
     val w = Window.partitionBy($"user_id").orderBy($"event_id")
@@ -662,6 +679,7 @@ object RelOps {
     "sort_limit" -> sortLimit,
     "window_rank" -> windowRank,
     "window_running" -> windowRunning,
+    "window_range_frame" -> windowRangeFrame,
     "window_lag" -> windowLag,
     "window_ntile" -> windowNtile,
     "window_topk_agg" -> windowTopKAgg,
@@ -820,6 +838,12 @@ object RelOps {
              ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn
            FROM orders)
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "window_range_frame" ->
+      """SELECT user_id, event_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+           PARTITION BY user_id ORDER BY date_trunc('microseconds', ts)
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_1h
+         FROM events ORDER BY user_id, event_id""",
     "window_running" ->
       """SELECT user_id, event_id,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
