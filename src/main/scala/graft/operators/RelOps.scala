@@ -103,6 +103,21 @@ object RelOps {
           .as("within_tol"))
       .orderBy($"o_orderpriority")
 
+  /** Most-frequent value per group (mode), spelled as count + top-1 window
+    * with an EXPLICIT tiebreak (highest count, then smallest value) — the
+    * built-in `mode()` leaves ties engine-defined, which can never
+    * hash-match across engines. Two-phase: the count aggregate reduces each
+    * group to its distinct values before the window sees anything. */
+  val aggMode: Q = (s, d) => {
+    val counts = t(s, d, "events")
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"user_id").orderBy($"n".desc, $"event_type")
+    counts.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("top_type"), $"n")
+      .orderBy($"user_id")
+  }
+
   /** ROLLUP grouping sets (delegated-SQL class; PG/ClickHouse support). */
   val aggRollup: Q = (s, d) =>
     t(s, d, "lineitem").rollup($"l_returnflag", $"l_linestatus")
@@ -661,6 +676,7 @@ object RelOps {
     "agg_multi" -> aggMulti,
     "agg_count_distinct" -> aggCountDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_mode" -> aggMode,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -746,6 +762,13 @@ object RelOps {
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_cust,
          true AS within_tol
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "agg_mode" ->
+      """SELECT user_id, event_type AS top_type, n FROM (
+           SELECT user_id, event_type, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+           FROM events GROUP BY user_id, event_type)
+         WHERE rn = 1 ORDER BY user_id""",
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
