@@ -196,19 +196,7 @@ final class Scheduler(spark: SparkSession, store: JobStateStore) extends JobBrok
         // yet) — interrupt the worker thread so the driver-side wait aborts;
         // the worker then re-fires cancelJobGroup for late-submitted stages.
         Option(running.get(jobId)).foreach(_.interrupt())
-        if (purge)
-          backends.sources.values.foreach {
-            case url if url.startsWith("jdbc:") =>
-              // DROP TABLE IF EXISTS analog (sqldb.go:298), dialect-quoted
-              val conn = java.sql.DriverManager.getConnection(url)
-              try {
-                conn.createStatement().execute(
-                  s"DROP TABLE ${graft.Executor.quotedResultTable(url, jobId)}")
-                ResultClock.forget(url, graft.Executor.resultTable(jobId))
-              } catch { case _: Exception => () } finally conn.close()
-            case dir =>
-              FsUtil.deleteRecursive(new java.io.File(graft.Executor.resultDir(dir, jobId)))
-          }
+        if (purge) ResultPurge.purge(backends, jobId)
     }
   }
 
@@ -249,9 +237,48 @@ final class Scheduler(spark: SparkSession, store: JobStateStore) extends JobBrok
     false
   }
 
+  /** Execute a job ALREADY ADMITTED by another process (a queue worker's
+    * entry point — see [[FileQueueWorker]]): skips the admission gate, runs
+    * through this process's queue pools with the full retry/TTL/cancel
+    * machinery. The epoch is the remote admission's; every staleness and
+    * cancellation check inside `runWithRetries` reads the SHARED store, so
+    * a cancel issued by any process stops the claimed job before it starts
+    * (and stops its retries after). ETA honored like submit(). */
+  private[graft] def executeClaimed(job: Job, task: Task, epoch: Long): Unit = {
+    require(!closed, "scheduler stopped")
+    backlog(job.queue).addLast(job.id)
+    val delayMs = job.eta
+      .map(e => Duration.between(LocalDateTime.now, e).toMillis.max(0L))
+      .getOrElse(0L)
+    val runnable: Runnable = () => runWithRetries(job, task, 1, epoch)
+    if (delayMs > 0)
+      timers.schedule(
+        (() => poolExecuteOrFail(job, task, epoch, runnable)): Runnable,
+        delayMs, TimeUnit.MILLISECONDS)
+    else pool(job.queue, task.conc).execute(runnable)
+  }
+
   def shutdown(): Unit = {
     closed = true
     pools.values().asScala.foreach(_.shutdown())
     timers.shutdown()
   }
+}
+
+/** Result purge shared by the in-process broker and the file-queue broker:
+  * DROP the external `results_<id>` table (dialect-quoted, sqldb.go:298) or
+  * delete the result parquet directory, across every backend. */
+object ResultPurge {
+  def purge(backends: SourcePool, jobId: String): Unit =
+    backends.sources.values.foreach {
+      case url if url.startsWith("jdbc:") =>
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.createStatement().execute(
+            s"DROP TABLE ${graft.Executor.quotedResultTable(url, jobId)}")
+          ResultClock.forget(url, graft.Executor.resultTable(jobId))
+        } catch { case _: Exception => () } finally conn.close()
+      case dir =>
+        FsUtil.deleteRecursive(new java.io.File(graft.Executor.resultDir(dir, jobId)))
+    }
 }
