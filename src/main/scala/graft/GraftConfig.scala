@@ -32,14 +32,45 @@ final case class GraftConfig(
     taskDirs: Seq[String],
     sources: Map[String, String],
     resultBackends: Map[String, String],
-    streamStateStores: Int = 0) {
+    streamStateStores: Int = 0,
+    /** `[control] dir` — shared directory for the cross-process control
+      * plane (state + queue). Empty = in-process defaults. */
+    controlDir: String = "",
+    /** `[control] worker_only` — consume the shared queue without serving
+      * the HTTP API (the reference's `--worker-only`). Requires `dir`. */
+    workerOnly: Boolean = false,
+    /** `[control] queues` — optional queue filter for worker processes. */
+    workerQueues: Seq[String] = Nil) {
 
   def boot(spark: org.apache.spark.sql.SparkSession): GraftCore = {
     // surface stream sizing on the session so the stream runner (which has
     // no GraftConfig handle) honors it; 0 = derive from input volume
     spark.conf.set(GraftConfig.StateStoresConfKey, streamStateStores.toString)
-    GraftCore(spark, taskDirs, sources, resultBackends)
+    if (controlDir.isEmpty) GraftCore(spark, taskDirs, sources, resultBackends)
+    else {
+      // shared control plane: file-backed state store + queue broker; a
+      // FileQueueWorker (started by Main when not API-only) executes claims
+      val src = SourcePool(sources)
+      val bk = SourcePool(resultBackends)
+      new GraftCore(spark, TaskRegistry.load(spark, taskDirs, src, bk), src, bk,
+        mkStore = () => new FileJobStateStore(new java.io.File(controlDir, "state")),
+        mkBroker = (_, st) => new FileQueueBroker(new java.io.File(controlDir, "queue"), st))
+    }
   }
+
+  /** Start a queue worker over the shared control plane (no-op handle when
+    * `controlDir` is unset). */
+  def bootWorker(spark: org.apache.spark.sql.SparkSession): Option[FileQueueWorker] =
+    if (controlDir.isEmpty) None
+    else {
+      val src = SourcePool(sources)
+      val bk = SourcePool(resultBackends)
+      Some(new FileQueueWorker(spark,
+        TaskRegistry.load(spark, taskDirs, src, bk),
+        new FileJobStateStore(new java.io.File(controlDir, "state")),
+        new java.io.File(controlDir, "queue"),
+        queues = if (workerQueues.isEmpty) None else Some(workerQueues)))
+    }
 }
 
 object GraftConfig {
@@ -84,7 +115,10 @@ object GraftConfig {
       taskDirs = parseArray(kv.getOrElse("app.task_dirs", "[]")),
       sources = sub("db", "dir"),
       resultBackends = sub("results", "dir"),
-      streamStateStores = str("app.stream_state_stores", "0").toInt)
+      streamStateStores = str("app.stream_state_stores", "0").toInt,
+      controlDir = str("control.dir", ""),
+      workerOnly = str("control.worker_only", "false").toBoolean,
+      workerQueues = parseArray(kv.getOrElse("control.queues", "[]")))
   }
 
   private def stripComment(v: String): String = {

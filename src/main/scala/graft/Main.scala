@@ -29,13 +29,29 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val core = cfg.boot(spark)
-    val api = new HttpApi(core, port).start()
-    val sweeper = new ResultSweeper(core.resultBackends, cfg.resultRetentionSec.toLong)
-    sweeper.start()
-    println(s"graft listening on :${api.boundPort} " +
-      s"(tasks=${core.tasks.size}, sources=${core.sources.names.mkString(",")})")
-    sys.addShutdownHook { api.stop(); sweeper.stop(); core.shutdown() }
-    Thread.currentThread.join() // block like the reference's worker loop
+    if (cfg.workerOnly) {
+      // the reference's --worker-only mode (cmd/main.go:73-75): no HTTP API,
+      // just a claim-and-execute loop over the shared control plane
+      val worker = cfg.bootWorker(spark).getOrElse(
+        sys.error("[control] worker_only=true requires [control] dir"))
+      println(s"graft worker consuming ${cfg.controlDir} " +
+        s"(queues=${if (cfg.workerQueues.isEmpty) "*" else cfg.workerQueues.mkString(",")})")
+      sys.addShutdownHook(worker.stop())
+      Thread.currentThread.join()
+    } else {
+      val core = cfg.boot(spark)
+      // with a shared control plane the API process also runs a worker by
+      // default; a fleet turns this off by running worker_only peers
+      val localWorker = cfg.bootWorker(spark)
+      val api = new HttpApi(core, port).start()
+      val sweeper = new ResultSweeper(core.resultBackends, cfg.resultRetentionSec.toLong)
+      sweeper.start()
+      println(s"graft listening on :${api.boundPort} " +
+        s"(tasks=${core.tasks.size}, sources=${core.sources.names.mkString(",")})")
+      sys.addShutdownHook {
+        api.stop(); sweeper.stop(); localWorker.foreach(_.stop()); core.shutdown()
+      }
+      Thread.currentThread.join() // block like the reference's worker loop
+    }
   }
 }

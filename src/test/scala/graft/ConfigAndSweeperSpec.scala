@@ -175,4 +175,38 @@ class ConfigAndSweeperSpec extends AnyFunSuite {
     val dirs = new java.io.File(r1).listFiles().filter(_.isDirectory)
     assert(dirs.map(_.getName).toSeq == Seq("results_mat-job"))
   }
+
+  test("[control] dir boots the shared file control plane end-to-end") {
+    val spark = TestSpark.spark
+    val control = java.nio.file.Files.createTempDirectory("graft-ctl").toString
+    val tasksDir = java.nio.file.Files.createTempDirectory("graft-ctl-tasks")
+    java.nio.file.Files.writeString(tasksDir.resolve("t.sql"),
+      """-- name: count_events
+        |SELECT COUNT(*) AS n FROM events;
+        |""".stripMargin)
+    val results = java.nio.file.Files.createTempDirectory("graft-ctl-res").toString
+    val cfg = GraftConfig.fromString(
+      s"""[app]
+         |task_dirs = ["$tasksDir"]
+         |[db.db]
+         |dir = "${TestSpark.sf0001}"
+         |[results.res]
+         |dir = "$results"
+         |[control]
+         |dir = "$control"
+         |""".stripMargin, env = Map.empty)
+    assert(cfg.controlDir == control && !cfg.workerOnly)
+    val core = cfg.boot(spark)
+    val worker = cfg.bootWorker(spark).get
+    try {
+      val job = core.postJob(JobReq("count_events", jobId = "ctl-e2e"))
+      val deadline = System.currentTimeMillis + 60000
+      while (System.currentTimeMillis < deadline &&
+        !core.store.get(job.id).exists(_.state == JobState.Success)) Thread.sleep(30)
+      assert(core.store.get(job.id).exists(_.state == JobState.Success))
+      // the control plane is on disk, visible to any process
+      assert(new java.io.File(control, "state").isDirectory)
+      assert(new java.io.File(control, "queue").isDirectory)
+    } finally { worker.stop(); core.scheduler.shutdown() }
+  }
 }
