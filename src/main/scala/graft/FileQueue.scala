@@ -144,6 +144,26 @@ final class FileQueueWorker(
   Files.createDirectories(claimedDir)
   @volatile private var stopped = false
 
+  // Crash recovery: claims are named <claimerPid>__<queueDir>__<file>, so a
+  // starting worker can detect claims whose owner died between claim and
+  // execution (a crash there strands the job as PENDING forever — the store
+  // entry is live but nobody holds the file) and requeue them. Claims by
+  // live processes are left alone.
+  locally {
+    val stream = Files.list(claimedDir)
+    try stream.iterator().asScala.foreach { p =>
+      p.getFileName.toString.split("__", 3) match {
+        case Array(pid, qdir, rest) if pid.forall(_.isDigit) &&
+            ProcessHandle.of(pid.toLong).isEmpty =>
+          val back = queueRoot.toPath.resolve(qdir).resolve(rest)
+          Files.createDirectories(back.getParent)
+          try Files.move(p, back, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.io.IOException => () } // another starter won
+        case _ => ()
+      }
+    } finally stream.close()
+  }
+
   private val loop = new Thread(() => {
     while (!stopped) {
       try pollOnce() catch { case _: InterruptedException => () }
@@ -167,8 +187,10 @@ final class FileQueueWorker(
         .filter(_.getFileName.toString.endsWith(".props"))
         .sortBy(_.getFileName.toString) finally files.close()
       batch.foreach { p =>
-        // claim = atomic rename; exactly one worker process wins a file
-        val mine = claimedDir.resolve(p.getFileName)
+        // claim = atomic rename; exactly one worker process wins a file.
+        // Name carries (claimer pid, queue dir) for crash recovery above.
+        val mine = claimedDir.resolve(
+          s"${ProcessHandle.current().pid()}__${qd.getFileName}__${p.getFileName}")
         val won =
           try { Files.move(p, mine, StandardCopyOption.ATOMIC_MOVE); true }
           catch { case _: java.io.IOException => false }

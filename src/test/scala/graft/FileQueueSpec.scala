@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** API-node / worker-node split over the shared-directory control plane
   * ([[FileQueueBroker]] + [[FileQueueWorker]] + [[FileJobStateStore]]):
@@ -96,6 +97,32 @@ class FileQueueSpec extends AnyFunSuite {
       Thread.sleep(300)
       assert(store.get("fq-cancel").isEmpty)
       assert(!new java.io.File(Executor.resultDir(results, "fq-cancel")).exists())
+    } finally worker.stop()
+  }
+
+  test("claims stranded by a dead worker are requeued and executed on restart") {
+    val (stateDir, queueDir, tasks, src, bk, results) = fixture()
+    val store = new FileJobStateStore(stateDir)
+    val broker = new FileQueueBroker(queueDir, store)
+    val job = JobFactory.make(JobReq("count_events", jobId = "fq-orphan"), tasks("count_events"))
+    assert(broker.submit(job, tasks("count_events")))
+    // simulate a worker that claimed and died: move the queue file into
+    // _claimed under a pid that is not alive
+    val deadPid = Iterator.from(99999, -7).find(p => ProcessHandle.of(p.toLong).isEmpty).get
+    val qdir = java.nio.file.Files.list(queueDir.toPath).iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_)).next()
+    val qfile = java.nio.file.Files.list(qdir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".props")).next()
+    val claimed = queueDir.toPath.resolve("_claimed")
+    java.nio.file.Files.createDirectories(claimed)
+    java.nio.file.Files.move(qfile,
+      claimed.resolve(s"${deadPid}__${qdir.getFileName}__${qfile.getFileName}"))
+    assert(broker.pendingJobs("default").isEmpty, "job is stranded pre-recovery")
+    // a fresh worker requeues the orphan and runs it
+    val worker = new FileQueueWorker(spark, tasks, new FileJobStateStore(stateDir), queueDir)
+    try {
+      val st = awaitState(store, "fq-orphan")
+      assert(st.exists(_.state == JobState.Success), s"got $st")
     } finally worker.stop()
   }
 
