@@ -39,7 +39,7 @@ object SourceFormatOps {
   /** Pre-build both conversion artifacts (bench warm-up: the conversion is
     * an ingest pipeline stage, not part of the scan being measured). */
   private[graft] def warmConversions(s: SparkSession, d: String): Unit = {
-    converted(s, d, "csv"); converted(s, d, "json"); ()
+    converted(s, d, "csv"); converted(s, d, "json"); converted(s, d, "orc"); ()
   }
 
   private def converted(s: SparkSession, d: String, fmt: String): String =
@@ -49,6 +49,7 @@ object SourceFormatOps {
       fmt match {
         case "csv"  => w.option("header", "true").csv(dir)
         case "json" => w.json(dir)
+        case "orc"  => w.orc(dir)
       }
     }
 
@@ -71,9 +72,15 @@ object SourceFormatOps {
   val sourceJsonScan: Q = (s, d) =>
     castBack(s.read.json(converted(s, d, "json")))
 
+  /** ORC source scan — the columnar non-parquet leg of Tables.load's
+    * 4-format resolution (schema travels in the file, like parquet). */
+  val sourceOrcScan: Q = (s, d) =>
+    castBack(s.read.orc(converted(s, d, "orc")))
+
   val queries: Map[String, Q] = Map(
     "source_csv_scan" -> sourceCsvScan,
     "source_json_scan" -> sourceJsonScan,
+    "source_orc_scan" -> sourceOrcScan,
   )
 
   private val supplierOracle: String =
@@ -83,5 +90,6 @@ object SourceFormatOps {
   val oracle: Map[String, String] = Map(
     "source_csv_scan" -> supplierOracle,
     "source_json_scan" -> supplierOracle,
+    "source_orc_scan" -> supplierOracle,
   )
 }
