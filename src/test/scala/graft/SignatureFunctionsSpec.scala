@@ -99,6 +99,22 @@ class SignatureFunctionsSpec extends AnyFunSuite {
     assert(LongPairs.compute(new GenericArrayData(Array[Any](42L))).numElements() == 0)
   }
 
+  test("BucketMembersAgg: any split/merge order yields the cap-smallest ids + exact count") {
+    val agg = new graft.functions.BucketMembersAgg(5)
+    val members: Gen[List[Long]] = Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct)
+    val splits: Gen[Int] = Gen.choose(1, 4)
+    check(Prop.forAll(members, splits) { (ids, nSplits) =>
+      // partial-aggregate simulation: reduce each slice, merge in a rotated
+      // order (merge must be commutative/associative up to the final result)
+      val slices = ids.grouped(math.max(1, (ids.size + nSplits - 1) / nSplits)).toList
+      val partials = slices.map(_.foldLeft(agg.zero)(agg.reduce))
+      val rotated = if (partials.isEmpty) List(agg.zero)
+        else partials.drop(1) :+ partials.head
+      val (got, n) = agg.finish(rotated.foldLeft(agg.zero)(agg.merge))
+      got == ids.sorted.take(5) && n == ids.size
+    })
+  }
+
   test("signature expressions stay inside whole-stage codegen") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
