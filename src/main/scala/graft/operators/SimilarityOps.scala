@@ -147,6 +147,58 @@ object SimilarityOps {
         aggregate(col("qv"), lit(0L), (a, x) => a + x).as("qsum"))
       .orderBy(col("vec_id"))
 
+  /** Deterministic k-means (Lloyd's algorithm) over the embeddings — the
+    * corpus-organization pass in front of semantic dedup and IVF index
+    * builds: k=8 clusters seeded from the embeddings of vec_id 0..7, two
+    * assignment iterations, squared-L2 distance, ties to the lowest cluster
+    * id. Each iteration has the MLlib shape: the k×d centroid matrix is
+    * collected to the driver (k·d doubles — constant size at any corpus
+    * scale, the same literal-rebroadcast pattern as [[graft.plans.IvfIndex]])
+    * so assignment is a ZERO-shuffle whole-stage-codegen pass over the
+    * corpus, and the centroid update is posexplode + partially-aggregated
+    * avg (k·d rows per partition on the wire). Pure double arithmetic — the
+    * DuckDB oracle replays both iterations exactly (same ~1e-15 summation
+    * jitter budget as [[ivfOracle]], far below the cluster separation). */
+  val embeddingKmeans: Q = (s, d) => {
+    val k = 8
+    val e = emb(s, d).select(col("vec_id"), col("label"), asD(col("embedding")).as("ev"))
+
+    // squared L2 to each centroid, in centroid-id order
+    def d2Arr(cents: Seq[Seq[Double]]): Column =
+      transform(sequence(lit(0), lit(cents.size - 1)), j =>
+        aggregate(
+          zip_with(col("ev"), element_at(typedLit(cents), j + lit(1)), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x))
+
+    // nearest centroid per row: array_min + first-position tie-break == lowest cid
+    def assign(cents: Seq[Seq[Double]], cids: Seq[Long]): DataFrame =
+      e.withColumn("d2s", d2Arr(cents))
+        .withColumn("dist2", array_min(col("d2s")))
+        .withColumn("cluster",
+          element_at(typedLit(cids), array_position(col("d2s"), col("dist2")).cast(IntegerType)))
+        .drop("d2s")
+
+    val seedRows = e.filter(col("vec_id") < k).orderBy(col("vec_id")).collect()
+    val seedCents: Seq[Seq[Double]] = seedRows.map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq
+    val seedIds: Seq[Long] = seedRows.map(_.getLong(0)).toIndexedSeq
+
+    val cent1Rows = assign(seedCents, seedIds)
+      .select(col("cluster"), posexplode(col("ev")).as(Seq("i", "x")))
+      .groupBy(col("cluster"), col("i")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+        t => t.getField("cx")).as("cv"))
+      .orderBy(col("cluster"))
+      .collect()
+    val cents1: Seq[Seq[Double]] = cent1Rows.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val cids1: Seq[Long] = cent1Rows.map(_.getLong(0)).toIndexedSeq
+
+    assign(cents1, cids1)
+      .select(col("vec_id"), col("label"), col("cluster"),
+        round(col("dist2"), 6).as("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Batched k-NN join: every vector in a query set gets its top-3 cosine
     * neighbors from the corpus in ONE pass. The query batch broadcasts (it is
     * always the small side), the corpus never shuffles, and the per-query
@@ -172,6 +224,7 @@ object SimilarityOps {
 
   val queries: Map[String, Q] = Map(
     "embedding_quantize" -> embeddingQuantize,
+    "embedding_kmeans" -> embeddingKmeans,
     "sim_join_knn" -> simJoinKnn,
     "sim_search_topk" -> simSearchTopK,
     "sim_search_topk_native" -> simSearchTopKNative,
@@ -248,6 +301,35 @@ object SimilarityOps {
          FROM topk ORDER BY score DESC, vec_id"""
 
   val oracle: Map[String, String] = Map(
+    "embedding_kmeans" ->
+      """WITH flat AS (
+           SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         seeds AS (SELECT vec_id AS cid, val AS cval, i FROM flat WHERE vec_id < 8),
+         d1 AS (
+           SELECT f.vec_id, s.cid, SUM((f.val - s.cval) * (f.val - s.cval)) AS d2
+           FROM flat f JOIN seeds s ON f.i = s.i GROUP BY f.vec_id, s.cid),
+         a1 AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM d1) WHERE rn = 1),
+         c1 AS (
+           SELECT a.cid, f.i, AVG(f.val) AS cval
+           FROM a1 a JOIN flat f ON a.vec_id = f.vec_id
+           GROUP BY a.cid, f.i),
+         d2s AS (
+           SELECT f.vec_id, c.cid, SUM((f.val - c.cval) * (f.val - c.cval)) AS d2
+           FROM flat f JOIN c1 c ON f.i = c.i GROUP BY f.vec_id, c.cid),
+         a2 AS (
+           SELECT vec_id, cid, d2 FROM (
+             SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM d2s) WHERE rn = 1)
+         SELECT a.vec_id, e.label, a.cid AS cluster, ROUND(a.d2, 6) AS dist2
+         FROM a2 a JOIN embeddings e ON a.vec_id = e.vec_id
+         ORDER BY a.vec_id""",
     "embedding_quantize" ->
       """WITH m AS (
            SELECT vec_id, embedding,

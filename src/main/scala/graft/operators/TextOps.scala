@@ -152,6 +152,63 @@ object TextOps {
         length(col("chunk")).cast(LongType).as("chunk_len"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Gopher-style repetition signals, per document: distinct-word fraction,
+    * duplicate-bigram fraction, and the share of the most frequent word.
+    * Everything is computed from the row's own word array in one codegen'd
+    * pass — no shuffle at any scale. The top-word count folds over the
+    * SORTED word array (longest equal-adjacent run == max multiplicity), so
+    * it stays O(n log n) per row instead of the O(n²) count-each-word scan. */
+  val textRepetition: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("ws", words(col("text")))
+      .withColumn("bg",
+        when(size(col("ws")) >= 2, expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+          .otherwise(expr("array()")))
+      .withColumn("top_cnt", expr(
+        """aggregate(array_sort(ws), named_struct('prev', '', 'run', 0, 'best', 0),
+             (acc, w) -> named_struct(
+               'prev', w,
+               'run', IF(w = acc.prev, acc.run + 1, 1),
+               'best', GREATEST(acc.best, IF(w = acc.prev, acc.run + 1, 1))),
+             acc -> acc.best)"""))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast(LongType).as("n_words"),
+        (size(array_distinct(col("ws"))).cast(DoubleType) / size(col("ws")))
+          .as("uniq_word_frac"),
+        when(size(col("bg")) > 0,
+          lit(1.0) - size(array_distinct(col("bg"))).cast(DoubleType) / size(col("bg")))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"),
+        (col("top_cnt").cast(DoubleType) / size(col("ws"))).as("top_word_frac"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus document-frequency scoring — the two-pass rare-word/quality
+    * signal: pass 1 builds the vocabulary (word → number of documents
+    * containing it), pass 2 scores every word occurrence against it. The
+    * vocabulary is Heaps'-law bounded (sublinear in corpus size), so it
+    * broadcasts; the per-occurrence lookup is a map-side broadcast hash join
+    * and the per-doc reduce combines partially — the corpus itself never
+    * shuffles more than one (doc_id, stats) row per partition. All outputs
+    * are exact-integer arithmetic (or ratios of exact integers). */
+  val textDocFreq: Q = (s, d) => {
+    val occ = docs(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val vocab = docs(s, d)
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    occ.join(broadcast(vocab), "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("df")).as("sum_df"),
+        min(col("df")).as("min_df"),
+        (sum(col("df")).cast(DoubleType) / count(lit(1))).as("mean_df"),
+        (sum(when(col("df") <= 2, 1L).otherwise(0L)).cast(DoubleType) / count(lit(1)))
+          .as("rare_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus n-gram statistics: top-10 word bigrams per language (tie-broken
     * lexicographically). The explode output shuffles once on (lang, bigram)
     * with map-side partial counts; the top-k window only sees the distinct
@@ -183,9 +240,47 @@ object TextOps {
     "text_lang_id" -> textLangId,
     "text_fingerprint" -> textFingerprint,
     "text_scrub_pii" -> textScrubPii,
+    "text_repetition" -> textRepetition,
+    "text_doc_freq" -> textDocFreq,
   )
 
   val oracle: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         base AS (
+           SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_uniq,
+             CASE WHEN len(ws) >= 2
+               THEN list_transform(generate_series(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i + 1])
+               ELSE [] END AS bg
+           FROM w),
+         top AS (
+           SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+             SELECT doc_id, word, COUNT(*) AS cnt
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+             GROUP BY doc_id, word)
+           GROUP BY doc_id)
+         SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+           CAST(n_uniq AS DOUBLE) / b.n_words AS uniq_word_frac,
+           CASE WHEN len(bg) > 0
+             THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+             ELSE 0.0 END AS dup_bigram_frac,
+           CAST(t.top_cnt AS DOUBLE) / b.n_words AS top_word_frac
+         FROM base b JOIN top t ON b.doc_id = t.doc_id
+         ORDER BY b.doc_id""",
+    "text_doc_freq" ->
+      """WITH occ AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         vocab AS (
+           SELECT word, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY word)
+         SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.df) AS BIGINT) AS sum_df,
+           CAST(MIN(v.df) AS BIGINT) AS min_df,
+           CAST(SUM(v.df) AS DOUBLE) / COUNT(*) AS mean_df,
+           CAST(SUM(CASE WHEN v.df <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_frac
+         FROM occ o JOIN vocab v ON o.word = v.word
+         GROUP BY o.doc_id ORDER BY o.doc_id""",
     "text_chunk" ->
       """SELECT doc_id, CAST(start / 150 AS BIGINT) AS chunk_id,
              md5(substr(text, start + 1, 200)) AS chunk_hash,

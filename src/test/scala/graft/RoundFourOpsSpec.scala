@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Hand-computed semantics for the round-4 additions: repetition signals,
+  * document-frequency scoring, and deterministic k-means clustering. */
+class RoundFourOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Tiny documents fixture with exactly known word statistics. */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-r4").toString
+    val docs = Seq(
+      // words: [w w w x] -> top w=3/4, uniq 2/4; bigrams [w w, w w, w x] -> dup 1/3
+      (0L, "w w w x", "en", "s0", 7L),
+      // all distinct: uniq 1.0, dup_bigram 0.0, top 1/3
+      (1L, "a b c", "en", "s1", 5L),
+      // single word: no bigrams -> dup 0.0, top 1.0
+      (2L, "solo", "de", "s2", 4L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("text_repetition: duplicate-bigram / top-word fractions match hand computation") {
+    val rows = TextOps.textRepetition(spark, dir).collect()
+    assert(rows.length == 3)
+    val r0 = rows(0)
+    assert(r0.getAs[Long]("n_words") == 4)
+    assert(r0.getAs[Double]("uniq_word_frac") == 0.5)
+    assert(math.abs(r0.getAs[Double]("dup_bigram_frac") - (1.0 - 2.0 / 3)) < 1e-15)
+    assert(r0.getAs[Double]("top_word_frac") == 0.75)
+    val r1 = rows(1)
+    assert(r1.getAs[Double]("uniq_word_frac") == 1.0)
+    assert(r1.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(math.abs(r1.getAs[Double]("top_word_frac") - 1.0 / 3) < 1e-15)
+    val r2 = rows(2)
+    assert(r2.getAs[Long]("n_words") == 1)
+    assert(r2.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(r2.getAs[Double]("top_word_frac") == 1.0)
+  }
+
+  test("text_doc_freq: corpus document frequencies match hand computation") {
+    // vocabulary over the fixture: each word appears in exactly one doc -> df=1
+    // except nothing repeats across docs, so sum_df == n_words everywhere
+    val rows = TextOps.textDocFreq(spark, dir).collect()
+    val r0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(r0.getAs[Long]("n_words") == 4)
+    assert(r0.getAs[Long]("sum_df") == 4) // w,w,w,x all df=1
+    assert(r0.getAs[Long]("min_df") == 1)
+    assert(r0.getAs[Double]("rare_frac") == 1.0)
+  }
+
+  test("text_doc_freq: cross-document words count document frequency, not occurrences") {
+    val d = Files.createTempDirectory("graft-r4df").toString
+    Seq(
+      (0L, "k k k", "en", "s0", 5L), // k occurs 3x but in 1 doc -> df(k)=2 (docs 0,1)
+      (1L, "k z", "en", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = TextOps.textDocFreq(spark, d).collect()
+    val r0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(r0.getAs[Long]("sum_df") == 6) // 3 occurrences of k, each df=2
+    val r1 = rows.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(r1.getAs[Long]("sum_df") == 3) // k(df=2) + z(df=1)
+    assert(r1.getAs[Long]("min_df") == 1)
+  }
+
+  test("embedding_kmeans: full assignment, clusters from the seed set, deterministic") {
+    val sf = TestSpark.sf0001
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val out = SimilarityOps.embeddingKmeans(spark, sf).collect()
+    assert(out.length == n, "every vector must be assigned")
+    val clusters = out.map(_.getAs[Long]("cluster")).toSet
+    assert(clusters.subsetOf((0L until 8L).toSet), s"cluster ids outside seed range: $clusters")
+    assert(clusters.size > 1, "degenerate clustering")
+    assert(out.forall(_.getAs[Double]("dist2") >= 0.0))
+    val again = SimilarityOps.embeddingKmeans(spark, sf).collect()
+    assert(out.map(_.toSeq.toVector).toVector == again.map(_.toSeq.toVector).toVector,
+      "k-means must be deterministic run-over-run")
+  }
+
+  test("embedding_kmeans: iteration strictly improves mean within-cluster distance") {
+    // seeds are real corpus vectors; after one Lloyd update the centroids are
+    // cluster means, which can only lower the total squared distance
+    val sf = TestSpark.sf0001
+    val out = SimilarityOps.embeddingKmeans(spark, sf)
+    val meanD2 = out.agg(org.apache.spark.sql.functions.avg("dist2")).head.getDouble(0)
+    assert(meanD2 > 0)
+    // crude upper bound: mean distance to NEAREST SEED (iteration-0 assignment)
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ev"))
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("ev").as("cv"))
+    val d0 = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("ev"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("d2"))
+      .groupBy("vec_id").agg(min("d2").as("d2"))
+      .agg(avg("d2")).head.getDouble(0)
+    assert(meanD2 < d0, s"Lloyd update must improve: iter2 mean $meanD2 vs seed-assign mean $d0")
+  }
+}
