@@ -167,7 +167,35 @@ object PipelineOps {
       .orderBy(col("score").desc, col("vec_id"))
   }
 
+  // ----------------------------------------------------- layout management
+  /** File compaction + key clustering — the table-maintenance pass every
+    * long-lived 100 TB corpus needs: rewrite a table range-partitioned and
+    * sorted on its hottest filter key (`l_shipdate`) so (a) small files
+    * merge into few well-sized ones and (b) each output file covers a
+    * disjoint key range, which turns any later date-range filter into
+    * file-level pruning via parquet min/max footer stats (the poor man's
+    * Z-order for a single key). The rewrite is pay-once via
+    * [[graft.plans.ArtifactCache]]; the query reads the clustered layout
+    * back and must hash-match the original table — compaction must be
+    * content-neutral. `Round4OpsSpec` asserts the disjoint-range property
+    * and that a date filter on the clustered layout prunes files. */
+  val compactCluster: Q = (s, d) => {
+    val dir = clusteredLayout(s, d)
+    s.read.parquet(dir)
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private[graft] def clusteredLayout(s: SparkSession, d: String): String =
+    graft.plans.ArtifactCache.getOrBuild("cluster_lineitem", d, Seq("lineitem"),
+      Seq(PipelineOps.getClass, graft.Tables.getClass)) { dir =>
+      Tables.load(s, d, "lineitem")
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .write.mode("overwrite").parquet(dir)
+    }
+
   val queries: Map[String, Q] = Map(
+    "compact_cluster" -> compactCluster,
     "sample_hash" -> sampleHash,
     "sample_stratified" -> sampleStratified,
     "agg_histogram" -> aggHistogram,
@@ -189,6 +217,10 @@ object PipelineOps {
          FROM documents)"""
 
   val oracle: Map[String, String] = Map(
+    // content-neutrality: the clustered rewrite must return the table bit-same
+    "compact_cluster" ->
+      """SELECT * FROM lineitem
+         ORDER BY l_shipdate, l_orderkey, l_linenumber""",
     "sample_hash" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          WHERE ($prioSql) % 100 < 10

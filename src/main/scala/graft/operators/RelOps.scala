@@ -661,6 +661,91 @@ object RelOps {
         bit_count($"o_orderkey").cast(LongType).as("popcount"))
       .orderBy($"o_orderkey")
 
+  /** CDC upsert merge: a corrections batch overrides the base snapshot on
+    * the primary key (`event_id`); untouched base rows survive, batch-only
+    * keys would insert. Spelled as anti-join(base, batch) ∪ batch — the
+    * scalable merge shape: the batch (always orders of magnitude smaller
+    * than the snapshot) broadcasts into the anti-join, so the 100 TB base
+    * never shuffles and never sorts. The window alternative
+    * (union → row_number over key) shuffles and sorts the full snapshot.
+    * The batch here is derived deterministically (every 7th event gets a
+    * corrected value) so the oracle can replay it. */
+  val mergeUpsert: Q = (s, d) => {
+    val base = t(s, d, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val batch = base.filter($"event_id" % 7 === 0)
+      .select($"event_id", $"ts", $"user_id",
+        lit("corrected").as("event_type"), ($"value" + 1000.0d).as("value"))
+    base.join(broadcast(batch.select($"event_id")), Seq("event_id"), "left_anti")
+      .unionByName(batch)
+      .orderBy($"event_id")
+  }
+
+  /** Window value-picker class: first/last/nth of the frame plus CUME_DIST.
+    * The ordering (ts, event_id) is total within a partition, so the picks
+    * and the cumulative distribution are deterministic. last/nth take the
+    * explicit full frame — the default frame stops at CURRENT ROW, which
+    * both engines would interpret identically but means "running last",
+    * i.e. the current row itself. Per-key window sort only — no global
+    * shuffle beyond the partitionBy exchange. */
+  val windowFirstLast: Q = (s, d) => {
+    val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "events")
+      .select($"user_id", $"event_id",
+        first($"value").over(ord).as("first_val"),
+        last($"value").over(full).as("last_val"),
+        nth_value($"value", 2).over(full).as("second_val"),
+        cume_dist().over(ord).as("cd"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Global row index over a total order WITHOUT the single-task trap. A
+    * `row_number() OVER (ORDER BY …)` window has an empty PARTITION BY —
+    * Spark funnels the whole table through ONE task. The distributed
+    * spelling: range-partitioned sort (orderBy), then `zipWithIndex`, which
+    * runs one lightweight count-per-partition job and assigns each row
+    * offset(partition) + position — two passes, fully parallel, the
+    * standard global-index idiom at 100 TB. The final orderBy(pos) is a
+    * no-op re-sort of already-range-sorted data kept for the deterministic
+    * row-order contract of the oracle compare. */
+  val sortGlobalIndex: Q = (s, d) => {
+    val sorted = t(s, d, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_shipdate")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+    val schema = sorted.schema.add(StructField("pos", LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    s.createDataFrame(indexed, schema)
+      .select($"pos", $"l_orderkey", $"l_linenumber")
+      .orderBy($"pos")
+  }
+
+  /** Approximate percentile, self-validating (the `agg_approx_distinct`
+    * contract): emit the EXACT quartiles plus a boolean pinning the sketch
+    * (`percentile_approx`, Greenwald-Khanna at accuracy 10000 → ≤0.01%-ile
+    * rank error) to within 1% relative value error of exact. The oracle
+    * recomputes the exact side and literal `true` — so the sketch's
+    * correctness contract is hash-checked even though its bits aren't
+    * portable. At 100 TB the sketch is the only viable spelling (bounded
+    * state, one pass, mergeable partials); exact percentile needs a
+    * per-group sort. */
+  val aggApproxPercentile: Q = (s, d) =>
+    t(s, d, "lineitem").groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ex"),
+        expr("percentile_approx(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)").as("ap"))
+      .select($"l_returnflag",
+        round(element_at($"ex", 1), 6).as("p25"),
+        round(element_at($"ex", 2), 6).as("p50"),
+        round(element_at($"ex", 3), 6).as("p75"),
+        (abs(element_at($"ap", 1) - element_at($"ex", 1)) <= abs(element_at($"ex", 1)) * 0.01d &&
+         abs(element_at($"ap", 2) - element_at($"ex", 2)) <= abs(element_at($"ex", 2)) * 0.01d &&
+         abs(element_at($"ap", 3) - element_at($"ex", 3)) <= abs(element_at($"ex", 3)) * 0.01d)
+          .as("within_tol"))
+      .orderBy($"l_returnflag")
+
   // $"..." interpolator without a per-query implicits import
   private implicit class Str(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
@@ -725,6 +810,10 @@ object RelOps {
     "agg_filtered" -> aggFiltered,
     "scalar_hash" -> scalarHash,
     "scalar_bitwise" -> scalarBitwise,
+    "merge_upsert" -> mergeUpsert,
+    "window_first_last" -> windowFirstLast,
+    "sort_global_index" -> sortGlobalIndex,
+    "agg_approx_percentile" -> aggApproxPercentile,
   )
 
   /** DuckDB oracle SQL per query (same column names, same total order, same
@@ -1035,5 +1124,44 @@ object RelOps {
                xor(o_orderkey, 85) AS x85,
                CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
          FROM orders ORDER BY o_orderkey""",
+    // merge replay: the batch keys are exactly event_id % 7 == 0, so
+    // "base rows that survive the anti-join" == the complement predicate
+    "merge_upsert" ->
+      """WITH ev AS (
+           SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id,
+                  event_type, value
+           FROM events)
+         SELECT event_id, ts, user_id, event_type, value
+         FROM ev WHERE event_id % 7 <> 0
+         UNION ALL
+         SELECT event_id, ts, user_id, 'corrected' AS event_type,
+                value + 1000 AS value
+         FROM ev WHERE event_id % 7 = 0
+         ORDER BY event_id""",
+    "window_first_last" ->
+      """SELECT user_id, event_id,
+           FIRST_VALUE(value) OVER w AS first_val,
+           LAST_VALUE(value) OVER wf AS last_val,
+           NTH_VALUE(value, 2) OVER wf AS second_val,
+           CUME_DIST() OVER w AS cd
+         FROM events
+         WINDOW
+           w AS (PARTITION BY user_id
+                 ORDER BY date_trunc('microseconds', ts), event_id),
+           wf AS (PARTITION BY user_id
+                  ORDER BY date_trunc('microseconds', ts), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY user_id, event_id""",
+    "sort_global_index" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1 AS pos,
+             l_orderkey, l_linenumber
+         FROM lineitem ORDER BY pos""",
+    "agg_approx_percentile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+         round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+         round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+         true AS within_tol
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

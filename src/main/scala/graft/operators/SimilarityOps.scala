@@ -222,7 +222,29 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Per-label centroid over fixed-point-quantized embeddings. Floating
+    * means are partition-order-dependent (double addition is not
+    * associative), so the pipeline quantizes each component to an exact
+    * integer grid first — `floor(x·10^6 + 0.5)` on the binary64 widening of
+    * the float, the same portable rounding as [[embeddingQuantize]] — and
+    * sums LONGs, which associate exactly; the single final division is the
+    * only float op. Shape at scale: posexplode → groupBy(label, i) is one
+    * shuffle of (label, i, partial-sum) pairs with full map-side combine —
+    * never a collect, never a re-window; dims × labels rows out. */
+  val embeddingCentroid: Q = (s, d) =>
+    emb(s, d)
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("label"), (col("i") + 1).cast(LongType).as("i"),
+        floor(col("x").cast(DoubleType) * 1000000.0d + 0.5d).cast(LongType).as("q"))
+      .groupBy(col("label"), col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("qsum"))
+      .select(col("label"), col("i"), col("n"),
+        (col("qsum").cast(DoubleType) / col("n")).as("mean_q"))
+      .orderBy(col("label"), col("i"))
+
   val queries: Map[String, Q] = Map(
+    "embedding_centroid" -> embeddingCentroid,
     "embedding_quantize" -> embeddingQuantize,
     "embedding_kmeans" -> embeddingKmeans,
     "sim_join_knn" -> simJoinKnn,
@@ -301,6 +323,16 @@ object SimilarityOps {
          FROM topk ORDER BY score DESC, vec_id"""
 
   val oracle: Map[String, String] = Map(
+    "embedding_centroid" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+             COUNT(*) AS n,
+             CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_q
+         FROM (
+           SELECT label,
+                  generate_subscripts(embedding, 1) AS i,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+           FROM embeddings)
+         GROUP BY label, i ORDER BY label, i""",
     "embedding_kmeans" ->
       """WITH flat AS (
            SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,

@@ -104,4 +104,104 @@ class RoundFourOpsSpec extends AnyFunSuite {
       .agg(avg("d2")).head.getDouble(0)
     assert(meanD2 < d0, s"Lloyd update must improve: iter2 mean $meanD2 vs seed-assign mean $d0")
   }
+
+  test("merge_upsert: batch overrides base on the key, others survive, broadcast anti-join") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val df = RelOps.mergeUpsert(spark, sf)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    assert(df.count() == ev.count(), "merge must preserve the key set")
+    val corrected = df.filter(col("event_type") === "corrected")
+    assert(corrected.count() == ev.filter(col("event_id") % 7 === 0).count())
+    assert(corrected.filter(col("event_id") % 7 =!= 0).count() == 0)
+    // one surviving base row is bit-identical to its source
+    val base = ev.filter(col("event_id") % 7 =!= 0).orderBy(col("event_id")).head
+    val merged = df.filter(col("event_id") === base.getAs[Long]("event_id")).head
+    assert(merged.getAs[Double]("value") == base.getAs[Double]("value"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), "merge must plan as an anti-join")
+    assert(plan.contains("Broadcast"), "the batch side must broadcast")
+  }
+
+  test("sort_global_index: positions are a 0-based dense total order matching the sort key") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val out = RelOps.sortGlobalIndex(spark, sf)
+    val n = out.count()
+    val posAgg = out.agg(min("pos"), max("pos"), countDistinct("pos")).head
+    assert(posAgg.getLong(0) == 0L && posAgg.getLong(1) == n - 1 && posAgg.getLong(2) == n)
+    // spot-check agreement with the (non-scalable) single-window spelling
+    val expected = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))).cast("long") - 1)
+      .select("pos", "l_orderkey", "l_linenumber")
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty)
+  }
+
+  test("compact_cluster: output files cover disjoint key ranges (file-level pruning works)") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    // build (or reuse) the artifact, then inspect the physical layout
+    PipelineOps.compactCluster(spark, sf).count()
+    val dir = PipelineOps.clusteredLayout(spark, sf)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(files.length > 1, "range partitioning must produce multiple files")
+    val fileRanges = files.map { f =>
+      val ep = unix_micros(col("l_shipdate").cast("timestamp"))
+      val r = spark.read.parquet(f.getPath).agg(min(ep), max(ep)).head
+      (f.getPath, r.getLong(0), r.getLong(1))
+    }.sortBy(_._2)
+    fileRanges.sliding(2).foreach {
+      case Array((_, _, hi), (_, lo2, _)) =>
+        assert(hi <= lo2, s"file key ranges overlap: $hi > $lo2")
+      case _ => ()
+    }
+    // a narrow date filter reaches the parquet reader (PushedFilters), and —
+    // because ranges are disjoint — only a strict prefix of the files can
+    // contain matches: the reader's row-group min/max stats skip the rest
+    val cutoff = fileRanges(1)._2 // second file's min key
+    val narrow = spark.read.parquet(dir)
+      .filter(unix_micros(col("l_shipdate").cast("timestamp")) < cutoff)
+    assert(narrow.queryExecution.executedPlan.toString.contains("PushedFilters: ["),
+      "the clustering key filter must push down to the scan")
+    val prefix = fileRanges.filter(_._2 < cutoff).map(_._1)
+    assert(prefix.length < files.length, "the filter must exclude whole files")
+    val fromPrefix = spark.read.parquet(prefix: _*)
+      .filter(unix_micros(col("l_shipdate").cast("timestamp")) < cutoff).count()
+    assert(fromPrefix == narrow.count(),
+      "files whose min exceeds the cutoff contribute zero rows (skippable)")
+  }
+
+  test("embedding_centroid: quantized means are exact and partition-order independent") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val out = SimilarityOps.embeddingCentroid(spark, sf).collect()
+    // driver-side exact recomputation for one (label, i) cell
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("label").cast("long"), col("embedding")).collect()
+    val lbl = rows.head.getLong(0)
+    val qs = rows.filter(_.getLong(0) == lbl)
+      .map(r => math.floor(r.getSeq[Float](1).head.toDouble * 1e6 + 0.5).toLong)
+    val expect = qs.sum.toDouble / qs.length
+    val got = out.find(r => r.getAs[Long]("label") == lbl && r.getAs[Long]("i") == 1L).get
+    assert(got.getAs[Double]("mean_q") == expect, "exact integer moments, single final division")
+    assert(got.getAs[Long]("n") == qs.length)
+  }
+
+  test("window_first_last / agg_approx_percentile: picker semantics and sketch tolerance") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val wfl = RelOps.windowFirstLast(spark, sf)
+    val oneUser = wfl.filter(col("user_id") === wfl.head.getAs[Long]("user_id"))
+      .orderBy(col("event_id")).collect()
+    assert(oneUser.map(_.getAs[Double]("first_val")).distinct.length == 1)
+    assert(oneUser.map(_.getAs[Double]("last_val")).distinct.length == 1)
+    assert(oneUser.last.getAs[Double]("cd") == 1.0, "CUME_DIST of the last row is 1")
+    val tol = RelOps.aggApproxPercentile(spark, sf).collect()
+    assert(tol.nonEmpty && tol.forall(_.getAs[Boolean]("within_tol")),
+      "approx percentile must sit within 1% of exact")
+  }
 }
