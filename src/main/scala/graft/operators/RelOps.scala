@@ -706,9 +706,11 @@ object RelOps {
     * spelling: range-partitioned sort (orderBy), then `zipWithIndex`, which
     * runs one lightweight count-per-partition job and assigns each row
     * offset(partition) + position — two passes, fully parallel, the
-    * standard global-index idiom at 100 TB. The final orderBy(pos) is a
-    * no-op re-sort of already-range-sorted data kept for the deterministic
-    * row-order contract of the oracle compare. */
+    * standard global-index idiom at 100 TB. No final orderBy: rows leave
+    * zipWithIndex already in global pos order (range-partitioned, sorted
+    * within, indexed in partition sequence), so re-sorting would only add
+    * a full exchange — sortWithinPartitions documents the invariant and
+    * costs no shuffle. */
   val sortGlobalIndex: Q = (s, d) => {
     val sorted = t(s, d, "lineitem")
       .select($"l_orderkey", $"l_linenumber", $"l_shipdate")
@@ -719,7 +721,7 @@ object RelOps {
     }
     s.createDataFrame(indexed, schema)
       .select($"pos", $"l_orderkey", $"l_linenumber")
-      .orderBy($"pos")
+      .sortWithinPartitions($"pos")
   }
 
   /** Approximate percentile, self-validating (the `agg_approx_distinct`
@@ -745,6 +747,108 @@ object RelOps {
          abs(element_at($"ap", 3) - element_at($"ex", 3)) <= abs(element_at($"ex", 3)) * 0.01d)
           .as("within_tol"))
       .orderBy($"l_returnflag")
+
+  /** Skew-safe two-phase aggregation (manual salting): phase 1 groups on
+    * (key, salt) so a pathologically hot key spreads over 16 reducers;
+    * phase 2 merges the 16 partials per key. For algebraic aggregates the
+    * rewrite is exact — sums of decimal partials reassociate freely. On a
+    * healthy key distribution Spark's own partial aggregation makes this a
+    * wash; under real skew (one key = 30% of 100 TB) phase 1 is what keeps
+    * a single reducer from owning that key's entire volume. Same pattern as
+    * [[joinSalted]], aggregation-shaped. */
+  val aggSalted: Q = (s, d) => {
+    val salted = t(s, d, "lineitem")
+      .groupBy($"l_returnflag", pmod(crc32($"l_orderkey".cast(StringType)), lit(16)).as("salt"))
+      .agg(sum(dec($"l_quantity")).as("part_qty"), count(lit(1)).as("part_n"))
+    salted.groupBy($"l_returnflag")
+      .agg(sum($"part_qty").cast(DoubleType).as("sum_qty"), sum($"part_n").as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Incremental aggregate maintenance: yesterday's materialized partials
+    * (base slice) merge with today's delta partials WITHOUT rescanning the
+    * base rows — the batch analog of a streaming state update, and the core
+    * trick of any 100 TB rollup kept fresh daily. Works because the stored
+    * form is algebraic (decimal SUM + COUNT partials re-aggregate
+    * associatively; AVG is derived at read time, never stored). Oracle =
+    * the same aggregate computed over the whole table in one pass. */
+  val aggIncrementalMerge: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    def partial(slice: DataFrame): DataFrame = slice.groupBy($"l_returnflag")
+      .agg(sum(dec($"l_quantity")).as("part_qty"), count(lit(1)).as("part_n"))
+    val base = partial(li.filter($"l_orderkey" % 4 < 2))   // "materialized yesterday"
+    val delta = partial(li.filter($"l_orderkey" % 4 >= 2)) // "today's increment"
+    base.unionByName(delta)
+      .groupBy($"l_returnflag")
+      .agg(sum($"part_qty").as("qty_dec"), sum($"part_n").as("n"))
+      .select($"l_returnflag", $"qty_dec".cast(DoubleType).as("sum_qty"), $"n",
+        // derive AVG at read time from the exact partials: decimal → double,
+        // then ONE float division (decimal division scales differ per engine)
+        ($"qty_dec".cast(DoubleType) / $"n").as("avg_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Heavy-hitter sketch, self-validating: a deterministic skew transform
+    * gives 10 hot keys (~5% of rows each) over a uniform long tail;
+    * `approx_top_k` (bounded state, mergeable — the only viable spelling at
+    * 100 TB) must report each exact-top-10 key within 1% of its exact
+    * count. The oracle recomputes the exact top-10 and literal `true`,
+    * pinning the sketch's contract without depending on its bits. */
+  val aggApproxTopK: Q = (s, d) => {
+    val keyed = t(s, d, "lineitem")
+      .select(when($"l_orderkey" % 100 < 50, $"l_orderkey" % 10)
+        .otherwise($"l_orderkey").as("k"))
+    val exact = keyed.groupBy($"k").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"k").limit(10)
+    val sketch = keyed.agg(expr("approx_top_k(k, 10, 65536)").as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.item".as("k"), $"e.count".as("est"))
+    exact.join(sketch, Seq("k"), "left")
+      .select($"k", $"n",
+        (coalesce($"est", lit(0L)).cast(DoubleType) >= $"n" * 0.99 &&
+         coalesce($"est", lit(0L)).cast(DoubleType) <= $"n" * 1.01).as("within_tol"))
+      .orderBy($"n".desc, $"k")
+  }
+
+  /** Daily resample with gap filling: per-user event counts on a dense
+    * per-user day spine (missing days surface as zero rows — the shape
+    * every feature pipeline needs before windowed training aggregates).
+    * The spine generates from each user's own [min, max] day span via
+    * `sequence` + explode — pure per-group computation, one shuffle on
+    * user_id, never a driver-side calendar. */
+  val resampleGapfill: Q = (s, d) => {
+    val ev = t(s, d, "events")
+      .select($"user_id", date_trunc("day", $"ts").cast(DateType).as("day"))
+    val spine = ev.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    val counts = ev.groupBy($"user_id", $"day").agg(count(lit(1)).as("n_raw"))
+    spine.join(counts, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day", coalesce($"n_raw", lit(0L)).as("n"))
+      .orderBy($"user_id", $"day")
+  }
+
+  /** Batch sessionization: a session break is a >30-minute gap; the
+    * session id is the running count of breaks (lag + cumulative sum, the
+    * textbook spelling — same semantics as the streaming
+    * [[graft.streaming.Sessionize]] state machine, which its oracle
+    * already replays in SQL). Per-key window sorts only; one shuffle on
+    * user_id; session bounds aggregate exactly. */
+  val sessionizeBatch: Q = (s, d) => {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .select($"user_id", $"event_id", $"ts",
+        (unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(byUser) >
+          30L * 60 * 1000000).as("brk"))
+      .select($"user_id", $"event_id", $"ts",
+        sum(when($"brk", 1L).otherwise(0L)).over(run).as("session_id"))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"), max($"ts").as("session_end"))
+      .orderBy($"user_id", $"session_id")
+  }
 
   // $"..." interpolator without a per-query implicits import
   private implicit class Str(val sc: StringContext) {
@@ -814,6 +918,11 @@ object RelOps {
     "window_first_last" -> windowFirstLast,
     "sort_global_index" -> sortGlobalIndex,
     "agg_approx_percentile" -> aggApproxPercentile,
+    "agg_salted" -> aggSalted,
+    "agg_incremental_merge" -> aggIncrementalMerge,
+    "agg_approx_topk" -> aggApproxTopK,
+    "resample_gapfill" -> resampleGapfill,
+    "sessionize_batch" -> sessionizeBatch,
   )
 
   /** DuckDB oracle SQL per query (same column names, same total order, same
@@ -1163,5 +1272,64 @@ object RelOps {
          round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
          true AS within_tol
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the salted two-phase rewrite is exact for algebraic aggregates: the
+    // oracle is the plain one-phase aggregate
+    "agg_salted" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // partial-merge maintenance must equal the one-pass aggregate
+    "agg_incremental_merge" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_approx_topk" ->
+      """WITH keyed AS (
+           SELECT CASE WHEN l_orderkey % 100 < 50 THEN l_orderkey % 10
+                       ELSE l_orderkey END AS k
+           FROM lineitem)
+         SELECT k, COUNT(*) AS n, true AS within_tol
+         FROM keyed GROUP BY k ORDER BY n DESC, k LIMIT 10""",
+    "resample_gapfill" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+         spans AS (
+           SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM ev GROUP BY user_id),
+         spine AS (
+           SELECT user_id,
+             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+           FROM spans),
+         counts AS (
+           SELECT user_id, day, COUNT(*) AS n_raw FROM ev GROUP BY user_id, day)
+         SELECT s.user_id, s.day, COALESCE(c.n_raw, 0) AS n
+         FROM spine s LEFT JOIN counts c
+           ON s.user_id = c.user_id AND s.day = c.day
+         ORDER BY s.user_id, s.day""",
+    "sessionize_batch" ->
+      """WITH e AS (
+           SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+           FROM events),
+         g AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk
+           FROM e),
+         se AS (
+           SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+           FROM g)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+         FROM se GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
   )
 }

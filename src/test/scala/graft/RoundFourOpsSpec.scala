@@ -204,4 +204,68 @@ class RoundFourOpsSpec extends AnyFunSuite {
     assert(tol.nonEmpty && tol.forall(_.getAs[Boolean]("within_tol")),
       "approx percentile must sit within 1% of exact")
   }
+
+  test("agg_salted / agg_incremental_merge: rewrites are exact vs the one-pass aggregate") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag")).collect()
+    val salted = RelOps.aggSalted(spark, sf).collect()
+    assert(salted.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
+           direct.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq)
+    val inc = RelOps.aggIncrementalMerge(spark, sf).collect()
+    assert(inc.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
+           direct.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq)
+    // avg derives from the merged partials exactly
+    inc.foreach(r => assert(r.getAs[Double]("avg_qty") ==
+      r.getAs[Double]("sum_qty") / r.getAs[Long]("n")))
+  }
+
+  test("agg_approx_topk: sketch reports every exact heavy hitter within 1%") {
+    val sf = TestSpark.sf0001
+    val rows = RelOps.aggApproxTopK(spark, sf).collect()
+    assert(rows.length == 10)
+    // the skew transform makes keys 0..9 the heavy hitters by construction
+    assert(rows.map(_.getAs[Long]("k")).sorted.toSeq == (0L to 9L).toSeq)
+    assert(rows.forall(_.getAs[Boolean]("within_tol")))
+  }
+
+  test("resample_gapfill: dense per-user day spine, zero-filled, count-preserving") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val out = RelOps.resampleGapfill(spark, sf)
+    // dense spine: rows per user == day span; no negative counts
+    val spans = out.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("rows"),
+        (datediff(max(col("day")), min(col("day"))) + 1).as("span"))
+      .filter(col("rows") =!= col("span"))
+    assert(spans.count() == 0, "every user must have one row per day in their span")
+    // gap-fill must not invent or lose events
+    val total = out.agg(sum("n")).head.getLong(0)
+    assert(total == spark.read.parquet(s"$sf/events.parquet").count())
+  }
+
+  test("sessionize_batch: session splits match a driver-side replay for one user") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val out = RelOps.sessionizeBatch(spark, sf)
+    val uid = out.head.getAs[Long]("user_id")
+    val got = out.filter(col("user_id") === uid).orderBy(col("session_id")).collect()
+      .map(r => (r.getAs[Long]("session_id"), r.getAs[Long]("n_events")))
+    // brute-force replay of the 30-min-gap rule
+    val ts = Tables.load(spark, sf, "events")
+      .filter(col("user_id") === uid)
+      .select(unix_micros(col("ts")).as("us"), col("event_id"))
+      .orderBy(col("us"), col("event_id")).collect().map(_.getLong(0))
+    val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+      if (t - acc.head.head > 30L * 60 * 1000000) List(t) :: acc
+      else (t :: acc.head) :: acc.tail
+    }.reverse.map(_.length.toLong)
+    assert(got.map(_._2).toSeq == sessions,
+      s"session sizes for user $uid must match the replay")
+    assert(got.map(_._1).toSeq == sessions.indices.map(_.toLong))
+  }
 }
