@@ -850,6 +850,65 @@ object RelOps {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** TPC-H Q3 shape: shipping-priority revenue — the canonical 3-way
+    * fact⋈fact⋈dim pipeline (customer filter → orders → lineitem). The
+    * filtered customer segment broadcasts; orders⋈lineitem is the one real
+    * shuffle, on the natural key both sides already share. Revenue sums in
+    * exact decimal; top-10 by revenue with a deterministic tiebreak. */
+  val tpchQ3: Q = (s, d) => {
+    val cust = t(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = t(s, d, "orders")
+      .filter($"o_orderdate" < lit("1995-03-15").cast(TimestampType))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = t(s, d, "lineitem")
+      .filter($"l_shipdate" > lit("1995-03-15").cast(TimestampType))
+      .select($"l_orderkey",
+        (dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("rev"))
+    ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum($"rev").as("revenue_dec"))
+      .select($"o_orderkey", $"o_orderdate".cast(DateType).as("o_orderdate"),
+        $"o_orderpriority", round($"revenue_dec".cast(DoubleType), 6).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: local-supplier revenue by nation — the 6-way join
+    * (region→nation→{customer,supplier}→orders→lineitem) that makes join
+    * ORDER matter. All four dimension legs broadcast (region/nation/
+    * customer-slice/supplier are each orders of magnitude under the fact
+    * tables); the only shuffles are orders⋈lineitem and the final
+    * per-nation aggregate. The c_nationkey = s_nationkey "local supplier"
+    * predicate rides the join, not a post-filter. */
+  val tpchQ5: Q = (s, d) => {
+    val nat = t(s, d, "nation")
+      .join(broadcast(t(s, d, "region").filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val cust = t(s, d, "customer").join(broadcast(nat),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_nationkey")
+    val supp = t(s, d, "supplier").join(broadcast(nat),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_nationkey", $"n_name")
+    val ord = t(s, d, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast(TimestampType) &&
+              $"o_orderdate" <  lit("1997-01-01").cast(TimestampType))
+      .select($"o_orderkey", $"o_custkey")
+    val li = t(s, d, "lineitem").select($"l_orderkey", $"l_suppkey",
+      (dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("rev"))
+    ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(supp),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"rev").as("revenue_dec"))
+      .select($"n_name", round($"revenue_dec".cast(DoubleType), 6).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
   // $"..." interpolator without a per-query implicits import
   private implicit class Str(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
@@ -923,6 +982,8 @@ object RelOps {
     "agg_approx_topk" -> aggApproxTopK,
     "resample_gapfill" -> resampleGapfill,
     "sessionize_batch" -> sessionizeBatch,
+    "tpch_q3" -> tpchQ3,
+    "tpch_q5" -> tpchQ5,
   )
 
   /** DuckDB oracle SQL per query (same column names, same total order, same
@@ -1331,5 +1392,31 @@ object RelOps {
            MIN(ts) AS session_start, MAX(ts) AS session_end
          FROM se GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    "tpch_q3" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_orderpriority,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                          (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 6)
+             AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING'
+           AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1995-03-15'
+           AND l_shipdate  > TIMESTAMP '1995-03-15'
+         GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "tpch_q5" ->
+      """SELECT n_name,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                          (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 6)
+             AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
   )
 }

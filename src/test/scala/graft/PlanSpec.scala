@@ -130,4 +130,34 @@ class PlanSpec extends AnyFunSuite {
         "cosine fell back to interpreted eval")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  test("tpch_q5: all dimension legs broadcast; only the fact join sort-merges or shuffles") {
+    val plan = formatted("tpch_q5")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 3,
+      s"region/nation/customer/supplier legs must broadcast (found $nBroadcast):\n$plan")
+    // the one allowed non-broadcast join is orders ⋈ lineitem
+    val nSmj = "SortMergeJoin".r.findAllIn(plan).length
+    assert(nSmj <= 1, s"more than the fact join shuffles ($nSmj SMJs):\n$plan")
+  }
+
+  test("tpch_q3: segment filter pushes down; customer leg broadcasts") {
+    val plan = formatted("tpch_q3")
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-10 must plan as TakeOrderedAndProject, not a global sort")
+  }
+
+  test("merge_upsert: snapshot side never sorts (broadcast anti-join, not SMJ)") {
+    val plan = formatted("merge_upsert")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("resample_gapfill: spine and counts aggregate with map-side partials") {
+    val plan = formatted("resample_gapfill")
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("partial_min") || plan.contains("Partial"), plan)
+  }
 }
