@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.Tables
 
@@ -379,6 +380,29 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Cluster resolution with a QUALITY keep-rule: instead of "keep the
+    * smallest doc_id" ([[dedupClusters]]), keep each duplicate cluster's
+    * LONGEST member (n_chars, ties to the smaller id) — the rule real
+    * curation pipelines use, since near-dup clusters usually contain one
+    * full document plus truncated/boilerplate variants. Same cluster
+    * labels; the keep decision is a per-cluster window rank. Clusters are
+    * tiny (bounded by the candidate caps) and singletons dominate any real
+    * corpus, so the rank's per-key sort is O(cluster size) — one shuffle
+    * on cluster_id. */
+  val dedupKeepBest: Q = (s, d) => {
+    val pairs = s.read.parquet(s"${ngramPairsPath(s, d)}/pairs")
+    val clustered = docs(s, d).select(col("doc_id"), col("n_chars"))
+      .join(resolveClusters(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    val best = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clustered
+      .select(col("doc_id"), col("cluster_id"),
+        (row_number().over(best) === 1).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Min-label connected components over a (a, b) pair set: returns
     * (doc_id, lbl) for every doc appearing in a pair, lbl = the component's
     * smallest doc_id. Exposed for direct spec coverage (long-chain
@@ -427,6 +451,7 @@ object DedupOps {
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_clusters" -> dedupClusters,
+    "dedup_keep_best" -> dedupKeepBest,
     "dedup_minhash" -> dedupMinhash,
     "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
@@ -453,6 +478,25 @@ object DedupOps {
          FROM documents),
        posting AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
        sizes AS (SELECT doc_id, len(s) AS n FROM sh)"""
+
+  /** Verified pairs → symmetric edges → min-label components (recursive
+    * CTE), shared by the cluster-resolution oracles. `cc` maps every doc
+    * (incl. singletons) to its component's smallest doc_id. */
+  private val clusterCtes: String =
+    """pairs AS (
+         SELECT a, b FROM inter
+         JOIN sizes na ON inter.a = na.doc_id
+         JOIN sizes nb ON inter.b = nb.doc_id
+         WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5),
+       edges AS (SELECT a AS src, b AS dst FROM pairs
+                 UNION ALL SELECT b, a FROM pairs),
+       cc AS (
+         WITH RECURSIVE walk(doc, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.doc = e.src
+         )
+         SELECT doc, MIN(lbl) AS cluster_id FROM walk GROUP BY doc)"""
 
   /** Inverted-index intersection with the same df-cut as the Spark side. */
   private val ngramInterCtes: String =
@@ -636,23 +680,21 @@ object DedupOps {
     "dedup_clusters" ->
       s"""WITH $shingleCtes,
          $ngramInterCtes,
-         pairs AS (
-           SELECT a, b FROM inter
-           JOIN sizes na ON inter.a = na.doc_id
-           JOIN sizes nb ON inter.b = nb.doc_id
-           WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5),
-         edges AS (SELECT a AS src, b AS dst FROM pairs
-                   UNION ALL SELECT b, a FROM pairs),
-         cc AS (
-           WITH RECURSIVE walk(doc, lbl) AS (
-             SELECT doc_id, doc_id FROM documents
-             UNION
-             SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.doc = e.src
-           )
-           SELECT doc, MIN(lbl) AS cluster_id FROM walk GROUP BY doc)
+         $clusterCtes
          SELECT d.doc_id, cc.cluster_id, (d.doc_id = cc.cluster_id) AS is_kept
          FROM documents d JOIN cc ON d.doc_id = cc.doc
          ORDER BY d.doc_id""",
+    "dedup_keep_best" ->
+      s"""WITH $shingleCtes,
+         $ngramInterCtes,
+         $clusterCtes,
+         ranked AS (
+           SELECT d.doc_id, cc.cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rk
+           FROM documents d JOIN cc ON d.doc_id = cc.doc)
+         SELECT doc_id, cluster_id, (rk = 1) AS is_kept
+         FROM ranked ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCtes,
          $ngramInterCtes

@@ -194,8 +194,26 @@ object PipelineOps {
         .write.mode("overwrite").parquet(dir)
     }
 
+  /** The corpus report card: per (lang, source) document counts, size
+    * totals, token totals, and mean length — the first query every curation
+    * run executes before and after a filter pass. One two-phase aggregate
+    * (map-side partials); the wire carries strata × partials, never rows.
+    * Mean derives from exact long totals with one final division. */
+  val corpusStats: Q = (s, d) =>
+    docs(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(size(split(col("text"), " ")).cast(LongType)).as("total_words"))
+      .select(col("lang"), col("source"), col("n_docs"), col("total_chars"),
+        col("total_words"),
+        (col("total_chars").cast(DoubleType) / col("n_docs")).as("mean_chars"))
+      .orderBy(col("lang"), col("source"))
+
   val queries: Map[String, Q] = Map(
     "compact_cluster" -> compactCluster,
+    "corpus_stats" -> corpusStats,
     "sample_hash" -> sampleHash,
     "sample_stratified" -> sampleStratified,
     "agg_histogram" -> aggHistogram,
@@ -221,6 +239,12 @@ object PipelineOps {
     "compact_cluster" ->
       """SELECT * FROM lineitem
          ORDER BY l_shipdate, l_orderkey, l_linenumber""",
+    "corpus_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           SUM(len(string_split(text, ' '))) AS total_words,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
     "sample_hash" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          WHERE ($prioSql) % 100 < 10

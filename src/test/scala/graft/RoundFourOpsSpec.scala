@@ -268,4 +268,36 @@ class RoundFourOpsSpec extends AnyFunSuite {
       s"session sizes for user $uid must match the replay")
     assert(got.map(_._1).toSeq == sessions.indices.map(_.toLong))
   }
+
+  test("dedup_keep_best: exactly one kept per cluster, and it is the longest member") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val out = DedupOps.dedupKeepBest(spark, sf)
+    val perCluster = out.groupBy(col("cluster_id"))
+      .agg(sum(when(col("is_kept"), 1L).otherwise(0L)).as("kept"))
+      .filter(col("kept") =!= 1L)
+    assert(perCluster.count() == 0, "every cluster keeps exactly one member")
+    // in every multi-member cluster the kept doc has max n_chars
+    val docs = Tables.load(spark, sf, "documents").select(col("doc_id"), col("n_chars"))
+    val joined = out.join(docs, "doc_id")
+    val maxLen = joined.groupBy(col("cluster_id"))
+      .agg(max(col("n_chars")).as("max_chars"), count(lit(1)).as("sz"))
+    val bad = joined.filter(col("is_kept")).join(maxLen, "cluster_id")
+      .filter(col("sz") > 1 && col("n_chars") =!= col("max_chars"))
+    assert(bad.count() == 0, "kept member must be the longest in its cluster")
+  }
+
+  test("corpus_stats: strata totals reconcile with whole-corpus totals") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val out = PipelineOps.corpusStats(spark, sf)
+    val total = out.agg(sum("n_docs"), sum("total_chars")).head
+    val docs = Tables.load(spark, sf, "documents")
+    assert(total.getLong(0) == docs.count())
+    assert(total.getLong(1) == docs.agg(sum("n_chars")).head.getLong(0))
+    out.collect().foreach { r =>
+      assert(r.getAs[Double]("mean_chars") ==
+        r.getAs[Long]("total_chars").toDouble / r.getAs[Long]("n_docs"))
+    }
+  }
 }
