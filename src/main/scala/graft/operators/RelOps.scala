@@ -850,6 +850,22 @@ object RelOps {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** Sessionization via Spark's native `session_window` — the built-in
+    * merging-window operator (codegen'd, partial-mergeable, and the same
+    * operator Structured Streaming uses for stateful sessions). Semantics
+    * identical to [[sessionizeBatch]]'s lag+cumsum: a session closes after
+    * a 30-minute silence; Spark defines the window end as last-event + gap,
+    * so the oracle derives it as MAX(ts) + 30 min. Preference order at
+    * scale: this native operator (one aggregate, no window sort) over the
+    * two-pass lag+cumsum spelling. */
+  val sessionizeNative: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), min($"ts").as("session_start"))
+      .select($"user_id", $"session_start", $"sw.end".as("session_end"),
+        $"n_events")
+      .orderBy($"user_id", $"session_start")
+
   /** TPC-H Q3 shape: shipping-priority revenue — the canonical 3-way
     * fact⋈fact⋈dim pipeline (customer filter → orders → lineitem). The
     * filtered customer segment broadcasts; orders⋈lineitem is the one real
@@ -982,6 +998,7 @@ object RelOps {
     "agg_approx_topk" -> aggApproxTopK,
     "resample_gapfill" -> resampleGapfill,
     "sessionize_batch" -> sessionizeBatch,
+    "sessionize_native" -> sessionizeNative,
     "tpch_q3" -> tpchQ3,
     "tpch_q5" -> tpchQ5,
   )
@@ -1392,6 +1409,31 @@ object RelOps {
            MIN(ts) AS session_start, MAX(ts) AS session_end
          FROM se GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    // same gap rule as sessionize_batch, except the boundary: Spark's
+    // session window is [start, last+gap) — an event landing EXACTLY at
+    // the end is outside it — so the break condition is >=, and the window
+    // end derives as MAX(ts) + 30 minutes
+    "sessionize_native" ->
+      """WITH e AS (
+           SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+           FROM events),
+         g AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk
+           FROM e),
+         se AS (
+           SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+           FROM g)
+         SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+         FROM se GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     "tpch_q3" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
            o_orderpriority,

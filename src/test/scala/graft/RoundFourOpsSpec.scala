@@ -269,6 +269,17 @@ class RoundFourOpsSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == sessions.indices.map(_.toLong))
   }
 
+  test("sessionize_native: session_window agrees with the lag+cumsum spelling") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val native = RelOps.sessionizeNative(spark, sf)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+    val manual = RelOps.sessionizeBatch(spark, sf)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+    assert(native.exceptAll(manual).isEmpty && manual.exceptAll(native).isEmpty,
+      "both spellings must produce identical (user, start, size) sessions")
+  }
+
   test("dedup_keep_best: exactly one kept per cluster, and it is the longest member") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.sf0001
