@@ -119,19 +119,46 @@ object DedupOps {
     * Bucket-join candidates, exact-Jaccard verify. The only shuffle of note
     * is the band-bucket exchange of (band_hash, doc_id) — signatures are 32
     * longs per doc regardless of document size. */
-  val dedupMinhash: Q = (s, d) => {
+  val dedupMinhash: Q = (s, d) =>
+    verifyJaccard(s, d, minhashCandidates(s, d), 0.5)
+
+  /** MinHash-LSH candidate pairs (shared by the Jaccard and edit-distance
+    * verifiers): text → 8 band-bucket keys in ONE native map-side
+    * expression (shingles → 32 affine mins → per-band PolyHash fold, see
+    * [[graft.functions.MinHashBands]]); the signature array never
+    * materializes, and the band-bucket exchange is the pipeline's first
+    * and only wide shuffle. */
+  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
     val numHashes = 32
     val bands = 8
-    // text → 8 band-bucket keys in ONE native map-side expression
-    // (shingles → 32 affine mins → per-band PolyHash fold, see
-    // [[graft.functions.MinHashBands]]); the signature array never
-    // materializes, and the band-bucket exchange below is the pipeline's
-    // first and only wide shuffle.
     val banded = docs(s, d).select(col("doc_id"),
         posexplode(graft.functions.MinHashBands.minhash_bands(
           shingles(col("text")), numHashes, bands)).as(Seq("band", "h")))
       .select(struct(col("band"), col("h")).as("bucket"), col("doc_id"))
-    verifyJaccard(s, d, candidatePairs(banded), 0.5)
+    candidatePairs(banded)
+  }
+
+  /** Edit-distance near-dup: the SAME LSH candidate stage as
+    * [[dedupMinhash]], but verification is normalized Levenshtein
+    * (dist ≤ 30% of the longer text) instead of shingle Jaccard — the
+    * right metric when near-dups differ by small in-place edits (OCR
+    * noise, template fills) rather than block moves. Levenshtein is
+    * O(len²) per pair, which is exactly why it can only ever run on
+    * LSH-bucketed candidates, never all pairs; only docs appearing in a
+    * candidate pair ship their text (semi-join pushdown). */
+  val dedupFuzzy: Q = (s, d) => {
+    val pairs = minhashCandidates(s, d).localCheckpoint()
+    val ids = pairs.select(col("a").as("doc_id"))
+      .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
+    val txt = docs(s, d).join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    pairs
+      .join(txt.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+      .join(txt.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+      .select(col("a"), col("b"), levenshtein(col("ta"), col("tb")).cast(LongType).as("dist"),
+        greatest(length(col("ta")), length(col("tb"))).cast(LongType).as("max_len"))
+      .filter(col("dist") * 10 <= col("max_len") * 3) // dist/max_len ≤ 0.3, exact integers
+      .orderBy(col("a"), col("b"))
   }
 
   /** Incremental (batch-vs-corpus) near-dup: documents of source `src0`
@@ -452,6 +479,7 @@ object DedupOps {
     "dedup_exact" -> dedupExact,
     "dedup_clusters" -> dedupClusters,
     "dedup_keep_best" -> dedupKeepBest,
+    "dedup_fuzzy" -> dedupFuzzy,
     "dedup_minhash" -> dedupMinhash,
     "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
@@ -509,10 +537,11 @@ object DedupOps {
           JOIN kept k ON k.shingle = x.shingle
           GROUP BY x.doc_id, y.doc_id)"""
 
-  private def minhashOracle: String = {
+  /** MinHash signature → LSH bands → capped candidate CTEs (ends at `cand`),
+    * shared by the Jaccard and edit-distance verifiers. */
+  private def minhashCandCtes: String = {
     import graft.functions.PolyHash
-    s"""WITH $shingleCtes,
-       ph AS (SELECT doc_id, ${PolyHash.duckSql("shingle")} AS ph FROM posting),
+    s"""ph AS (SELECT doc_id, ${PolyHash.duckSql("shingle")} AS ph FROM posting),
        sig AS (SELECT doc_id, i, MIN(${PolyHash.affineSql("i", "ph")}) AS h
                FROM ph CROSS JOIN (SELECT unnest(range(0, 32)) AS i) seeds
                GROUP BY doc_id, i),
@@ -530,7 +559,12 @@ object DedupOps {
                 UNION
                 SELECT s.anchor AS a, m.doc_id AS b
                 FROM band m JOIN bsize s ON s.band = m.band AND s.bh = m.bh
-                WHERE s.n > $maxBucket AND m.doc_id <> s.anchor),
+                WHERE s.n > $maxBucket AND m.doc_id <> s.anchor)"""
+  }
+
+  private def minhashOracle: String =
+    s"""WITH $shingleCtes,
+       $minhashCandCtes,
        inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
                  FROM posting x JOIN posting y
                    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
@@ -541,7 +575,19 @@ object DedupOps {
                   JOIN sizes nb ON inter.b = nb.doc_id
        WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
        ORDER BY a, b"""
-  }
+
+  private def fuzzyOracle: String =
+    s"""WITH $shingleCtes,
+       $minhashCandCtes
+       SELECT c.a, c.b,
+         CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+         CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len
+       FROM cand c
+       JOIN documents da ON da.doc_id = c.a
+       JOIN documents db ON db.doc_id = c.b
+       WHERE levenshtein(da.text, db.text) * 10 <=
+             greatest(length(da.text), length(db.text)) * 3
+       ORDER BY c.a, c.b"""
 
   private def incrementalOracle: String = {
     import graft.functions.PolyHash
@@ -704,6 +750,7 @@ object DedupOps {
          WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
          ORDER BY a, b""",
     "dedup_minhash" -> minhashOracle,
+    "dedup_fuzzy" -> fuzzyOracle,
     "dedup_incremental" -> incrementalOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_embedding" -> embeddingOracle,

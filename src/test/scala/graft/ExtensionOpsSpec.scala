@@ -55,6 +55,18 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
   }
 
+  test("dedup_fuzzy: small-edit pairs pass the Levenshtein gate, unrelated do not") {
+    val rows = DedupOps.dedupFuzzy(spark, dir).collect()
+    val pairs = rows.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair missed (dist 0)")
+    assert(pairs.contains((0L, 2L)), "one-token edit missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
+    val exact = rows.find(r => r.getAs[Long]("a") == 0L && r.getAs[Long]("b") == 1L).get
+    assert(exact.getAs[Long]("dist") == 0L)
+    val near = rows.find(r => r.getAs[Long]("a") == 0L && r.getAs[Long]("b") == 2L).get
+    assert(near.getAs[Long]("dist") == 1L, "q7→qX is a single-char edit")
+  }
+
   test("dedup_simhash: near-identical docs within hamming 3, unrelated not paired") {
     val rows = DedupOps.dedupSimhash(spark, dir)
       .select("a", "b").as[(Long, Long)].collect().toSet
