@@ -138,6 +138,17 @@ object DedupOps {
     candidatePairs(banded)
   }
 
+  /** Materialized MinHash-LSH candidate set (pipeline-stage output, like
+    * [[ngramPairsPath]]): sign the corpus once, let every verifier —
+    * Jaccard, edit-distance, future metrics — consume the same candidate
+    * artifact instead of re-running the signature stage per metric. */
+  private[graft] def minhashCandPath(s: SparkSession, d: String): String =
+    graft.plans.ArtifactCache.getOrBuild("mh_cand", d, Seq("documents"),
+      Seq(DedupOps.getClass, graft.functions.MinHashBands.getClass,
+        graft.functions.WordShingles.getClass, Tables.getClass)) { dir =>
+      minhashCandidates(s, d).write.parquet(s"$dir/pairs")
+    }
+
   /** Edit-distance near-dup: the SAME LSH candidate stage as
     * [[dedupMinhash]], but verification is normalized Levenshtein
     * (dist ≤ 30% of the longer text) instead of shingle Jaccard — the
@@ -145,9 +156,11 @@ object DedupOps {
     * noise, template fills) rather than block moves. Levenshtein is
     * O(len²) per pair, which is exactly why it can only ever run on
     * LSH-bucketed candidates, never all pairs; only docs appearing in a
-    * candidate pair ship their text (semi-join pushdown). */
+    * candidate pair ship their text (semi-join pushdown). Candidates come
+    * from the materialized [[minhashCandPath]] artifact — the second
+    * verifier of a signed corpus must not pay the signature stage again. */
   val dedupFuzzy: Q = (s, d) => {
-    val pairs = minhashCandidates(s, d).localCheckpoint()
+    val pairs = s.read.parquet(s"${minhashCandPath(s, d)}/pairs")
     val ids = pairs.select(col("a").as("doc_id"))
       .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
     val txt = docs(s, d).join(ids, Seq("doc_id"), "left_semi")
