@@ -443,6 +443,25 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** LSH self-audit: recall of the MinHash-LSH candidate stage against the
+    * exact inverted-index pair set at the same Jaccard threshold — THE
+    * number a pipeline owner watches when tuning bands × rows (8×4 here:
+    * recall ≈ 1-(1-J⁴)⁸). Both sides come from materialized stage artifacts
+    * ([[ngramPairsPath]], [[minhashCandPath]]); the audit itself is a
+    * semi-join + one global count — at 100 TB the audit typically runs on
+    * a sampled stratum, but its shape is unchanged. Output: one row,
+    * exact/LSH/overlap counts and the recall fraction (one division). */
+  val dedupLshRecall: Q = (s, d) => {
+    val exact = s.read.parquet(s"${ngramPairsPath(s, d)}/pairs")
+    val cand = s.read.parquet(s"${minhashCandPath(s, d)}/pairs")
+    val found = exact.join(cand, Seq("a", "b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact")).crossJoin(
+        cand.agg(count(lit(1)).as("n_lsh_cand")).crossJoin(
+          found.agg(count(lit(1)).as("n_found"))))
+      .select(col("n_exact"), col("n_lsh_cand"), col("n_found"),
+        (col("n_found").cast(DoubleType) / col("n_exact")).as("recall"))
+  }
+
   /** Min-label connected components over a (a, b) pair set: returns
     * (doc_id, lbl) for every doc appearing in a pair, lbl = the component's
     * smallest doc_id. Exposed for direct spec coverage (long-chain
@@ -493,6 +512,7 @@ object DedupOps {
     "dedup_clusters" -> dedupClusters,
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_fuzzy" -> dedupFuzzy,
+    "dedup_lsh_recall" -> dedupLshRecall,
     "dedup_minhash" -> dedupMinhash,
     "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
@@ -588,6 +608,24 @@ object DedupOps {
                   JOIN sizes nb ON inter.b = nb.doc_id
        WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
        ORDER BY a, b"""
+
+  private def lshRecallOracle: String =
+    s"""WITH $shingleCtes,
+       $ngramInterCtes,
+       exact AS (
+         SELECT inter.a, inter.b FROM inter
+         JOIN sizes na ON inter.a = na.doc_id
+         JOIN sizes nb ON inter.b = nb.doc_id
+         WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5),
+       $minhashCandCtes,
+       counts AS (
+         SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+                (SELECT COUNT(*) FROM cand) AS n_lsh_cand,
+                (SELECT COUNT(*) FROM exact e
+                 JOIN cand c ON e.a = c.a AND e.b = c.b) AS n_found)
+       SELECT n_exact, n_lsh_cand, n_found,
+         CAST(n_found AS DOUBLE) / n_exact AS recall
+       FROM counts"""
 
   private def fuzzyOracle: String =
     s"""WITH $shingleCtes,
@@ -764,6 +802,7 @@ object DedupOps {
          ORDER BY a, b""",
     "dedup_minhash" -> minhashOracle,
     "dedup_fuzzy" -> fuzzyOracle,
+    "dedup_lsh_recall" -> lshRecallOracle,
     "dedup_incremental" -> incrementalOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_embedding" -> embeddingOracle,

@@ -298,6 +298,16 @@ class RoundFourOpsSpec extends AnyFunSuite {
     assert(bad.count() == 0, "kept member must be the longest in its cluster")
   }
 
+  test("dedup_lsh_recall: counts are consistent and recall is found/exact") {
+    val sf = TestSpark.sf0001
+    val r = DedupOps.dedupLshRecall(spark, sf).head
+    val (nExact, nCand, nFound) =
+      (r.getAs[Long]("n_exact"), r.getAs[Long]("n_lsh_cand"), r.getAs[Long]("n_found"))
+    assert(nFound <= nExact && nFound <= nCand, "overlap bounded by both sets")
+    assert(r.getAs[Double]("recall") == nFound.toDouble / nExact)
+    assert(nExact > 0, "fixture must contain at least one exact near-dup pair")
+  }
+
   test("corpus_stats: strata totals reconcile with whole-corpus totals") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.sf0001
