@@ -160,4 +160,26 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"))
     assert(plan.contains("partial_min") || plan.contains("Partial"), plan)
   }
+
+  test("sessionize_native: session_window plans as a merging-session aggregate, no window sort") {
+    val plan = formatted("sessionize_native")
+    assert(plan.contains("session_window"), plan)
+    assert(!plan.contains("RunningWindowFunction"),
+      "native sessions must not fall back to a row-window")
+  }
+
+  test("corpus_stats: one two-phase aggregate, text column pruned into the agg") {
+    val plan = formatted("corpus_stats")
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"))
+    // only the referenced columns reach the scan
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("doc_id"), s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("dedup_fuzzy: verification joins candidates, never cross-joins the corpus") {
+    val df = SparkEntry.queries("dedup_fuzzy")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
