@@ -25,7 +25,50 @@ object AsOfOps {
       .orderBy(col("event_id"))
   }
 
-  val queries: Map[String, Q] = Map("join_asof" -> joinAsof)
+  /** Forward as-of: each event matched to the user's NEXT order at-or-after
+    * event time ("what did this activity lead to") — same union+window
+    * plan walked in descending time. */
+  val joinAsofForward: Q = (s, d) => {
+    val events = Tables.load(s, d, "events")
+    val orders = Tables.load(s, d, "orders")
+    AsOfJoin.asOf(
+      left = events.select(col("event_id"), col("user_id"), col("ts")),
+      right = orders,
+      leftKey = col("user_id"), rightKey = col("o_custkey"),
+      leftTime = col("ts"), rightTime = col("o_orderdate"),
+      payload = Seq(col("o_orderdate") -> "matched_orderdate"),
+      direction = "forward")
+      .select(col("event_id"), col("user_id"), col("matched_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Backward as-of with a 1-hour tolerance (pandas merge_asof
+    * `tolerance`): each click attributed to the user's latest PRIOR
+    * purchase, but only if it happened within the hour — a stale "latest
+    * state" nulls out rather than silently matching an arbitrarily old
+    * row. Self-join shape: both sides are slices of the same events
+    * table. */
+  val joinAsofTolerance: Q = (s, d) => {
+    val events = Tables.load(s, d, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"))
+    AsOfJoin.asOf(
+      left = clicks,
+      right = purchases,
+      leftKey = col("user_id"), rightKey = col("p_user"),
+      leftTime = col("ts"), rightTime = col("pts"),
+      payload = Seq(col("pts") -> "matched_purchase_ts"),
+      toleranceUs = Some(3600L * 1000000))
+      .select(col("event_id"), col("user_id"), col("matched_purchase_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "join_asof" -> joinAsof,
+    "join_asof_forward" -> joinAsofForward,
+    "join_asof_tolerance" -> joinAsofTolerance)
 
   val oracle: Map[String, String] = Map(
     "join_asof" ->
@@ -34,5 +77,27 @@ object AsOfOps {
            ON e.user_id = o.o_custkey
           AND CAST(date_trunc('microseconds', e.ts) AS TIMESTAMP) >= o.o_orderdate
          ORDER BY e.event_id""",
+    "join_asof_forward" ->
+      """SELECT e.event_id, e.user_id, CAST(o.o_orderdate AS TIMESTAMP) AS matched_orderdate
+         FROM events e ASOF LEFT JOIN orders o
+           ON e.user_id = o.o_custkey
+          AND CAST(date_trunc('microseconds', e.ts) AS TIMESTAMP) <= o.o_orderdate
+         ORDER BY e.event_id""",
+    "join_asof_tolerance" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type,
+             CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+           FROM events)
+         SELECT event_id, user_id,
+           CASE WHEN matched_purchase_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(matched_purchase_ts)
+                     <= 3600 * 1000000::BIGINT
+                THEN matched_purchase_ts END AS matched_purchase_ts
+         FROM (
+           SELECT c.event_id, c.user_id, c.ts, p.ts AS matched_purchase_ts
+           FROM (SELECT * FROM ev WHERE event_type = 'click') c
+           ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+             ON c.user_id = p.user_id AND c.ts >= p.ts)
+         ORDER BY event_id""",
   )
 }

@@ -22,16 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param payload right-side columns to carry onto matched left rows */
+  /** @param payload     right-side columns to carry onto matched left rows
+    * @param direction   "backward" (latest right ≤ left time — the default
+    *                    point-in-time lookup) or "forward" (earliest right
+    *                    ≥ left time — "next event after T")
+    * @param toleranceUs when set, a match further than this many µs from the
+    *                    left time is nulled out (pandas merge_asof
+    *                    `tolerance`); requires timestamp-typed time columns */
   def asOf(
       left: DataFrame,
       right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
-      payload: Seq[(Column, String)]): DataFrame = {
+      payload: Seq[(Column, String)],
+      direction: String = "backward",
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward", direction)
 
     val leftCols = left.columns.toSeq
     val pNames = payload.map(_._2)
+    // matched right time rides inside the struct so the tolerance test sees
+    // exactly the row the window picked
+    val pWithT = payload :+ (rightTime -> "__rt")
 
     // the payload travels as ONE struct so last(ignoreNulls) picks the
     // latest right ROW atomically: a matched row whose payload *fields* are
@@ -41,22 +53,36 @@ object AsOfJoin {
       (leftCols.map(c => left(c).as(c)) :+
         leftKey.as("__k") :+ leftTime.as("__t") :+ lit(1).as("__is_left")) :+
         lit(null).cast(right.select(
-          struct(payload.map { case (c, n) => c.as(n) }: _*).as("__p")
+          struct(pWithT.map { case (c, n) => c.as(n) }: _*).as("__p")
         ).schema.head.dataType).as("__p"): _*)
     val r = right.select(
       (leftCols.map(c => lit(null).cast(left.select(left(c)).schema.head.dataType).as(c)) :+
         rightKey.as("__k") :+ rightTime.as("__t") :+ lit(0).as("__is_left")) :+
-        struct(payload.map { case (c, n) => c.as(n) }: _*).as("__p"): _*)
+        struct(pWithT.map { case (c, n) => c.as(n) }: _*).as("__p"): _*)
 
-    // right rows sort before left rows at equal time → `<=` match semantics
+    // backward walks time ascending (latest right ≤ t wins); forward walks
+    // descending (earliest right ≥ t wins). Either way right rows sort
+    // before left rows at equal time → inclusive match semantics.
+    val ord = if (direction == "forward") col("__t").desc else col("__t").asc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__is_left"))
+      .orderBy(ord, col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l.unionByName(r)
-      .select((leftCols.map(col) :+ col("__is_left")) :+
+    val matched = l.unionByName(r)
+      .select((leftCols.map(col) :+ col("__is_left") :+ col("__t")) :+
         last(col("__p"), ignoreNulls = true).over(w).as("__m"): _*)
       .filter(col("__is_left") === 1)
-      .select(leftCols.map(col) ++ pNames.map(n => col(s"__m.$n").as(n)): _*)
+    val keep = toleranceUs match {
+      case None => lit(true)
+      case Some(tol) =>
+        // cast through TimestampType: parquet times arrive as NTZ, and the
+        // session is pinned UTC so the epoch arithmetic is unambiguous
+        val rt = unix_micros(col("__m.__rt").cast("timestamp"))
+        val lt = unix_micros(col("__t").cast("timestamp"))
+        val gap = if (direction == "forward") rt - lt else lt - rt
+        col("__m").isNotNull && gap <= tol
+    }
+    matched.select(leftCols.map(col) ++
+      pNames.map(n => when(keep, col(s"__m.$n")).as(n)): _*)
   }
 }

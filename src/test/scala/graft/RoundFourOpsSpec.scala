@@ -298,6 +298,30 @@ class RoundFourOpsSpec extends AnyFunSuite {
     assert(bad.count() == 0, "kept member must be the longest in its cluster")
   }
 
+  test("as-of join: backward/forward directions and tolerance, hand-computed") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val left = Seq((1L, 10L, ts(60)), (2L, 10L, ts(200)), (3L, 20L, ts(60)))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, ts(50), "early"), (10L, ts(100), "late"), (30L, ts(55), "other"))
+      .toDF("rk", "rt", "v")
+    def run(dir: String, tol: Option[Long]) = graft.plans.AsOfJoin.asOf(
+        left, right, col("k"), col("rk"), col("t"), col("rt"),
+        Seq(col("v") -> "v"), direction = dir, toleranceUs = tol)
+      .orderBy(col("id")).collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v")))
+    // backward: id1 @60 -> early(@50); id2 @200 -> late(@100); id3 no key match
+    assert(run("backward", None).toSeq == Seq((1L, "early"), (2L, "late"), (3L, null)))
+    // forward: id1 @60 -> late(@100); id2 @200 -> nothing ahead
+    assert(run("forward", None).toSeq == Seq((1L, "late"), (2L, null), (3L, null)))
+    // backward + 30min tolerance: id2's match (@100, 100min stale) nulls out
+    assert(run("backward", Some(30L * 60000000)).toSeq ==
+      Seq((1L, "early"), (2L, null), (3L, null)))
+    // forward + 30min tolerance: id1 -> late(@100) is 40min ahead -> nulls
+    assert(run("forward", Some(30L * 60000000)).toSeq ==
+      Seq((1L, null), (2L, null), (3L, null)))
+  }
+
   test("dedup_lsh_recall: counts are consistent and recall is found/exact") {
     val sf = TestSpark.sf0001
     val r = DedupOps.dedupLshRecall(spark, sf).head
