@@ -462,6 +462,26 @@ object DedupOps {
         (col("n_found").cast(DoubleType) / col("n_exact")).as("recall"))
   }
 
+  /** Duplication source matrix: verified near-dup pair counts by
+    * (source_a, source_b) — the cross-snapshot contamination report
+    * ("how much of crawl B duplicates crawl A"). Pairs come from the
+    * materialized stage artifact; two broadcast-friendly dimension joins
+    * tag the sources (the pair set is always a sliver of the corpus);
+    * sources ordered within the pair so (x,y) and (y,x) accumulate in one
+    * cell. */
+  val dedupSourceMatrix: Q = (s, d) => {
+    val pairs = s.read.parquet(s"${ngramPairsPath(s, d)}/pairs")
+    val src = docs(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
   /** Min-label connected components over a (a, b) pair set: returns
     * (doc_id, lbl) for every doc appearing in a pair, lbl = the component's
     * smallest doc_id. Exposed for direct spec coverage (long-chain
@@ -513,6 +533,7 @@ object DedupOps {
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_fuzzy" -> dedupFuzzy,
     "dedup_lsh_recall" -> dedupLshRecall,
+    "dedup_source_matrix" -> dedupSourceMatrix,
     "dedup_minhash" -> dedupMinhash,
     "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
@@ -626,6 +647,22 @@ object DedupOps {
        SELECT n_exact, n_lsh_cand, n_found,
          CAST(n_found AS DOUBLE) / n_exact AS recall
        FROM counts"""
+
+  private def sourceMatrixOracle: String =
+    s"""WITH $shingleCtes,
+       $ngramInterCtes,
+       vpairs AS (
+         SELECT inter.a, inter.b FROM inter
+         JOIN sizes na ON inter.a = na.doc_id
+         JOIN sizes nb ON inter.b = nb.doc_id
+         WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5)
+       SELECT least(da.source, db.source) AS source_lo,
+              greatest(da.source, db.source) AS source_hi,
+              COUNT(*) AS n_pairs
+       FROM vpairs p
+       JOIN documents da ON da.doc_id = p.a
+       JOIN documents db ON db.doc_id = p.b
+       GROUP BY 1, 2 ORDER BY 1, 2"""
 
   private def fuzzyOracle: String =
     s"""WITH $shingleCtes,
@@ -803,6 +840,7 @@ object DedupOps {
     "dedup_minhash" -> minhashOracle,
     "dedup_fuzzy" -> fuzzyOracle,
     "dedup_lsh_recall" -> lshRecallOracle,
+    "dedup_source_matrix" -> sourceMatrixOracle,
     "dedup_incremental" -> incrementalOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_embedding" -> embeddingOracle,

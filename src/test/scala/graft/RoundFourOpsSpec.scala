@@ -332,6 +332,18 @@ class RoundFourOpsSpec extends AnyFunSuite {
     assert(nExact > 0, "fixture must contain at least one exact near-dup pair")
   }
 
+  test("dedup_source_matrix: cells reconcile with the verified pair count, ordered sources") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val out = DedupOps.dedupSourceMatrix(spark, sf).collect()
+    val totalPairs = DedupOps.dedupNgramJaccard(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_pairs")).sum == totalPairs,
+      "matrix cells must partition the verified pair set")
+    out.foreach(r => assert(
+      r.getAs[String]("source_lo") <= r.getAs[String]("source_hi"),
+      "pair sources must be canonically ordered"))
+  }
+
   test("corpus_stats: strata totals reconcile with whole-corpus totals") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.sf0001
