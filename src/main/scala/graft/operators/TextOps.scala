@@ -209,6 +209,34 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Keyword extraction: each document's top-3 terms by TF·(N/df) — the
+    * classic rarity-weighted score with the log dropped, which preserves
+    * the RANKING exactly (log is monotone in N/df and tf multiplies both
+    * spellings) while keeping the score a single exact-integer ratio both
+    * engines divide identically once. Same broadcast-vocab shape as
+    * [[textDocFreq]]: the Heaps'-bounded vocabulary broadcasts, the corpus
+    * never shuffles; the per-doc top-3 is a window over (doc, word) term
+    * counts — rows ∝ distinct terms, not occurrences. */
+  val textKeywords: Q = (s, d) => {
+    val nDocs = docs(s, d).count()
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val vocab = docs(s, d)
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(broadcast(vocab), "word")
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        ((col("tf") * nDocs).cast(DoubleType) / col("df")).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast(LongType).as("rk"),
+        col("word"), col("tf"), col("df"), round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Corpus n-gram statistics: top-10 word bigrams per language (tie-broken
     * lexicographically). The explode output shuffles once on (lang, bigram)
     * with map-side partial counts; the top-k window only sees the distinct
@@ -242,9 +270,27 @@ object TextOps {
     "text_scrub_pii" -> textScrubPii,
     "text_repetition" -> textRepetition,
     "text_doc_freq" -> textDocFreq,
+    "text_keywords" -> textKeywords,
   )
 
   val oracle: Map[String, String] = Map(
+    "text_keywords" ->
+      """WITH occ AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM occ GROUP BY doc_id, word),
+         vocab AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY word),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT t.doc_id, t.word, t.tf, v.df,
+             CAST(t.tf * n.n_docs AS DOUBLE) / v.df AS score
+           FROM tf t JOIN vocab v USING (word) CROSS JOIN n),
+         rk AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, word) AS rk
+           FROM scored)
+         SELECT doc_id, CAST(rk AS BIGINT) AS rk, word, tf, df,
+           round(score, 6) AS score
+         FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          base AS (

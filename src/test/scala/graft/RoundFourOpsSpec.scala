@@ -69,6 +69,20 @@ class RoundFourOpsSpec extends AnyFunSuite {
     assert(r1.getAs[Long]("min_df") == 1)
   }
 
+  test("text_keywords: rarity-weighted ranking matches hand computation") {
+    val rows = TextOps.textKeywords(spark, dir).collect()
+    // doc 0 = "w w w x": tf(w)=3 df(w)=1, tf(x)=1 df(x)=1, N=3
+    // scores: w = 3*3/1 = 9, x = 1*3/1 = 3 -> top keyword is w
+    val d0 = rows.filter(_.getAs[Long]("doc_id") == 0L)
+    assert(d0.length == 2, "doc 0 has only two distinct terms")
+    assert(d0.head.getAs[String]("word") == "w" && d0.head.getAs[Long]("tf") == 3)
+    assert(d0.head.getAs[Double]("score") == 9.0)
+    assert(d0(1).getAs[String]("word") == "x" && d0(1).getAs[Double]("score") == 3.0)
+    // doc 1 = "a b c": all tf=1 df=1 -> equal scores, lexicographic tiebreak
+    val d1 = rows.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(d1.map(_.getAs[String]("word")).toSeq == Seq("a", "b", "c"))
+  }
+
   test("embedding_kmeans: full assignment, clusters from the seed set, deterministic") {
     val sf = TestSpark.sf0001
     val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
