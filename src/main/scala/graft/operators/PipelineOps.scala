@@ -241,8 +241,8 @@ object PipelineOps {
          ORDER BY l_shipdate, l_orderkey, l_linenumber""",
     "corpus_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
-           SUM(len(string_split(text, ' '))) AS total_words,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
     "sample_hash" ->
@@ -257,7 +257,7 @@ object PipelineOps {
          WHERE rn <= 20 ORDER BY lang, rn""",
     "agg_histogram" ->
       """SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bin_lo,
-           COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
     "pack_sequences" ->
       s"""WITH t AS (
@@ -270,7 +270,7 @@ object PipelineOps {
              SUM(tok) OVER (PARTITION BY lang, shard ORDER BY pri, doc_id) - tok AS cum_before
            FROM t)
          SELECT lang, shard, CAST(FLOOR(cum_before / 2048) AS BIGINT) AS bin_id,
-           COUNT(*) AS n_docs, SUM(tok) AS n_tokens
+           COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
          FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "quality_filter" ->
       """WITH m AS (

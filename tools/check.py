@@ -55,6 +55,16 @@ for name in names:
         for c in a.columns:
             av, bv = a[c].values, b[c].values
             try:
+                # The driver's gate hashes values strictly, so an int column on
+                # one side vs float on the other (e.g. DuckDB widening SUM(int)
+                # to HUGEINT -> pandas float64) is a FAIL there. Don't coerce
+                # across kinds — report the dtype mismatch so this gate
+                # predicts the driver (CORRECTNESS_r04: agg_histogram,
+                # corpus_stats, pack_sequences).
+                if (av.dtype.kind in 'iu') != (bv.dtype.kind in 'iu') and \
+                   {av.dtype.kind, bv.dtype.kind} <= set('iuf'):
+                    status.append(f"DTYPE {c} spark={av.dtype} oracle={bv.dtype}")
+                    continue
                 if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
                     af = av.astype(float); bf = bv.astype(float)
                     nan_ok = np.array_equal(np.isnan(af), np.isnan(bf))
