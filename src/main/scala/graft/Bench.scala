@@ -46,6 +46,7 @@ object Bench {
       operators.SourceFormatOps.warmConversions(spark, sfDir)
       operators.PipelineOps.clusteredLayout(spark, sfDir)
       operators.DedupOps.minhashCandPath(spark, sfDir)
+      operators.DedupOps.corpusIndexPath(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"artifact warm-up failed: $e") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -16,7 +16,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Analyzed-plan cache: creating a reader DataFrame runs a small parquet
+    * footer/file-listing job (and a full inference pass for CSV/JSON), and a
+    * Verify/Bench run constructs hundreds of queries that each load the same
+    * handful of tables — so the resolved DataFrame is memoized per (session,
+    * file identity). The key includes length+mtime, so a rewritten fixture
+    * reloads; the value is a logical plan (no data), so the map stays tiny. */
+  private val planCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val f = resolve(sfDir, table)
+    val key = s"${System.identityHashCode(spark)}:${f.getCanonicalPath}:${f.length}:${f.lastModified}"
+    planCache.computeIfAbsent(key, _ => loadUncached(spark, sfDir, table))
+  }
+
+  private def loadUncached(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     if (table == "events" && exists(sfDir, table, "parquet")) {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects; read it as a raw long and truncate to microsecond

@@ -128,15 +128,18 @@ object DedupOps {
     * [[graft.functions.MinHashBands]]); the signature array never
     * materializes, and the band-bucket exchange is the pipeline's first
     * and only wide shuffle. */
-  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
-    val numHashes = 32
-    val bands = 8
-    val banded = docs(s, d).select(col("doc_id"),
+  private def minhashCandidates(s: SparkSession, d: String): DataFrame =
+    candidatePairs(bandKeys(docs(s, d)))
+
+  /** One (bucket, doc_id) row per LSH band key: text → 8 band-bucket keys in
+    * one native map-side expression (32 affine mins folded per band). Shared
+    * by the self-join pipeline and the incremental corpus/batch legs so both
+    * sides of an incremental join are banded identically. */
+  private def bandKeys(df: DataFrame, numHashes: Int = 32, bands: Int = 8): DataFrame =
+    df.select(col("doc_id"),
         posexplode(graft.functions.MinHashBands.minhash_bands(
           shingles(col("text")), numHashes, bands)).as(Seq("band", "h")))
       .select(struct(col("band"), col("h")).as("bucket"), col("doc_id"))
-    candidatePairs(banded)
-  }
 
   /** Materialized MinHash-LSH candidate set (pipeline-stage output, like
     * [[ngramPairsPath]]): sign the corpus once, let every verifier —
@@ -145,7 +148,9 @@ object DedupOps {
   private[graft] def minhashCandPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("mh_cand", d, Seq("documents"),
       Seq(DedupOps.getClass, graft.functions.MinHashBands.getClass,
-        graft.functions.WordShingles.getClass, Tables.getClass)) { dir =>
+        graft.functions.WordShingles.getClass, graft.functions.PolyHash.getClass,
+        graft.functions.BucketMembersAgg.getClass, graft.functions.LongPairs.getClass,
+        Tables.getClass)) { dir =>
       minhashCandidates(s, d).write.parquet(s"$dir/pairs")
     }
 
@@ -174,6 +179,29 @@ object DedupOps {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Persisted corpus-side MinHash band index for incremental ingest: the
+    * standing corpus's (bucket, doc_id) band keys with the skew cut already
+    * applied — a corpus-wide boilerplate bucket would pair the whole batch
+    * against M corpus docs, so buckets whose corpus side exceeds
+    * [[maxBucket]] are dropped AT INDEX-BUILD TIME (once per ingest epoch,
+    * not per batch). Cached on the corpus fingerprint like
+    * [[ngramPairsPath]]; in production this is the table the previous
+    * ingest epoch wrote. */
+  private[graft] def corpusIndexPath(s: SparkSession, d: String): String =
+    graft.plans.ArtifactCache.getOrBuild("mh_corpus_idx", d, Seq("documents"),
+      Seq(DedupOps.getClass, graft.functions.MinHashBands.getClass,
+        graft.functions.WordShingles.getClass, graft.functions.PolyHash.getClass,
+        Tables.getClass)) { dir =>
+      // two consumers (self + the bucket-count cut) — materialize the band
+      // keys once instead of re-signing the corpus per consumer
+      val corpusKeys = bandKeys(docs(s, d).filter(col("source") =!= "src0"))
+        .localCheckpoint()
+      corpusKeys.join(
+        corpusKeys.groupBy(col("bucket")).agg(count(lit(1)).as("cn"))
+          .filter(col("cn") <= maxBucket).select(col("bucket")), "bucket")
+        .write.parquet(s"$dir/keys")
+    }
+
   /** Incremental (batch-vs-corpus) near-dup: documents of source `src0`
     * (standing in for a freshly crawled batch) checked against the REST of
     * the corpus — the ingestion-time shape, where the corpus's band keys
@@ -182,23 +210,11 @@ object DedupOps {
     * per-ingest cost scales with the batch; exact-Jaccard verification runs
     * on cross candidates only. Emits (batch doc, corpus doc, jaccard). */
   val dedupIncremental: Q = (s, d) => {
-    val numHashes = 32
-    val bands = 8
-    def banded(df: DataFrame) = df.select(col("doc_id"),
-        posexplode(graft.functions.MinHashBands.minhash_bands(
-          shingles(col("text")), numHashes, bands)).as(Seq("band", "h")))
-      .select(struct(col("band"), col("h")).as("bucket"), col("doc_id"))
-    // at scale the corpus side is the persisted index (ArtifactCache /
-    // a table written by the last ingest); the fixture builds it inline
-    val corpusKeys = banded(docs(s, d).filter(col("source") =!= "src0")).localCheckpoint()
-    val batchKeys = banded(docs(s, d).filter(col("source") === "src0"))
-    // same skew discipline as the self-join pipelines: a corpus-wide
-    // boilerplate bucket would pair the whole batch against M corpus docs,
-    // so buckets whose corpus side exceeds the cap are dropped (an
-    // index-build-time cut — computed once per ingest epoch, not per batch)
-    val keptCorpus = corpusKeys.join(
-      corpusKeys.groupBy(col("bucket")).agg(count(lit(1)).as("cn"))
-        .filter(col("cn") <= maxBucket).select(col("bucket")), "bucket")
+    // the corpus side is the PERSISTED index ([[corpusIndexPath]], built
+    // once per ingest epoch) — a steady-state ingest run signs ONLY the
+    // batch; the standing corpus is never re-shingled per batch
+    val keptCorpus = s.read.parquet(s"${corpusIndexPath(s, d)}/keys")
+    val batchKeys = bandKeys(docs(s, d).filter(col("source") === "src0"))
     val cand = batchKeys.join(keptCorpus.withColumnRenamed("doc_id", "corpus_id"), "bucket")
       .select(col("doc_id").as("a"), col("corpus_id").as("b"))
       .distinct()
@@ -390,7 +406,8 @@ object DedupOps {
     * the pair logic invalidates cached pairs). */
   private[graft] def ngramPairsPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("ngram_pairs", d, Seq("documents"),
-      Seq(DedupOps.getClass, graft.functions.WordShingles.getClass, Tables.getClass)) { dir =>
+      Seq(DedupOps.getClass, graft.functions.WordShingles.getClass,
+        graft.functions.LongPairs.getClass, Tables.getClass)) { dir =>
       dedupNgramJaccard(s, d).select(col("a"), col("b")).write.parquet(s"$dir/pairs")
     }
 

@@ -216,9 +216,13 @@ object TextOps {
     * engines divide identically once. Same broadcast-vocab shape as
     * [[textDocFreq]]: the Heaps'-bounded vocabulary broadcasts, the corpus
     * never shuffles; the per-doc top-3 is a window over (doc, word) term
-    * counts — rows ∝ distinct terms, not occurrences. */
+    * counts — rows ∝ distinct terms, not occurrences. The corpus size N is
+    * folded into the plan as a broadcast scalar cross-join (the
+    * `subquery_scalar` pattern) so constructing the query runs NO Spark job
+    * and executing it is a single plan — at 100 TB an eager count here would
+    * be a full extra corpus pass per invocation. */
   val textKeywords: Q = (s, d) => {
-    val nDocs = docs(s, d).count()
+    val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
     val tf = docs(s, d)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
@@ -228,8 +232,9 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("word"))
     tf.join(broadcast(vocab), "word")
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("word"), col("tf"), col("df"),
-        ((col("tf") * nDocs).cast(DoubleType) / col("df")).as("score"))
+        ((col("tf") * col("n_docs")).cast(DoubleType) / col("df")).as("score"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk").cast(LongType).as("rk"),

@@ -23,6 +23,11 @@ import java.security.MessageDigest
   */
 object ArtifactCache {
 
+  /** Lifetime count of builds actually executed (cache misses) in this JVM —
+    * lets specs assert an artifact consumer is genuinely pay-once (delta 0
+    * on re-request) without depending on Spark job names. */
+  val builds = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def root: File = {
     val r = new File(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-artifacts")
     r.mkdirs()
@@ -106,6 +111,7 @@ object ArtifactCache {
           s"${dir.getName}.build-${ProcessHandle.current().pid()}-${System.nanoTime()}")
         tmp.mkdirs()
         try {
+          builds.incrementAndGet()
           build(tmp.getPath)
           try Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
           catch {
