@@ -1,0 +1,16 @@
+package graft
+
+/** Hard caps on the few places the engine intentionally collects to the
+  * driver. Every such collect is k-bounded BY DESIGN (Lloyd's iteration
+  * needs the k centroids; IVF probing needs the nprobe centroid ids — both
+  * inherent to the algorithm, not incidental `.collect()` shortcuts), but a
+  * bound that only lives in a comment can't stop a future k=10^6 config from
+  * silently OOMing the driver. Operators `require(...)` against these caps,
+  * so a misconfiguration fails fast with a message instead of an executor
+  * heap dump. */
+object Limits {
+  /** Max centroids / probe lists collected to the driver: 4096 centroids of
+    * a 4-KB embedding ≈ 16 MB — far below any driver heap, far above any
+    * sane nlist/k for the corpus sizes a single index shard serves. */
+  val maxDriverCentroids = 4096
+}

@@ -161,6 +161,11 @@ object SimilarityOps {
     * jitter budget as [[ivfOracle]], far below the cluster separation). */
   val embeddingKmeans: Q = (s, d) => {
     val k = 8
+    // Lloyd's inherently round-trips the k centroids through the driver
+    // (seed collect + per-iteration centroid collect) — bounded by k, and
+    // k is capped so a future config can't silently OOM the driver.
+    require(k <= graft.Limits.maxDriverCentroids,
+      s"k=$k exceeds driver-collect cap ${graft.Limits.maxDriverCentroids}")
     val e = emb(s, d).select(col("vec_id"), col("label"), asD(col("embedding")).as("ev"))
 
     // squared L2 to each centroid, in centroid-id order

@@ -26,6 +26,11 @@ object IvfIndex {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def build(emb: DataFrame, nlist: Int, path: String): Unit = {
+    // the centroid table broadcasts (assignment) and is collected at search
+    // time (probe selection) — both bounded by nlist, capped here so a
+    // misconfigured index can't OOM the driver or the broadcast
+    require(nlist <= graft.Limits.maxDriverCentroids,
+      s"nlist=$nlist exceeds driver-collect cap ${graft.Limits.maxDriverCentroids}")
     val spark = emb.sparkSession
     val cents = emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
@@ -43,6 +48,10 @@ object IvfIndex {
   /** Top-k by cosine for the query vector, probing `nprobe` lists. */
   def search(spark: SparkSession, path: String, queryVec: DataFrame,
       nprobe: Int, k: Int, excludeVecId: Long = -1): DataFrame = {
+    // probe selection collects nprobe centroid ids to the driver (they must
+    // become a literal IN-list for file-level partition pruning) — k-bounded
+    require(nprobe <= graft.Limits.maxDriverCentroids,
+      s"nprobe=$nprobe exceeds driver-collect cap ${graft.Limits.maxDriverCentroids}")
     val cents = spark.read.parquet(s"$path/centroids")
     val probeIds = cents.crossJoin(broadcast(queryVec))
       .orderBy(dot(asD(col("cvec")), col("qv")).desc, col("cent_id"))

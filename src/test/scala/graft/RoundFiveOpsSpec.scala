@@ -71,6 +71,18 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     assert(jobs.isEmpty, s"cached corpus index ran Spark job(s): $jobs")
   }
 
+  test("driver-collect caps fail fast on oversized k/nlist/nprobe") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    intercept[IllegalArgumentException] {
+      plans.IvfIndex.build(emb, graft.Limits.maxDriverCentroids + 1, "/tmp/never-written")
+    }
+    intercept[IllegalArgumentException] {
+      plans.IvfIndex.search(spark, operators.SimilarityOps.ivfIndexPath(spark, sf),
+        emb.limit(1).select(col("embedding").as("qv")),
+        nprobe = graft.Limits.maxDriverCentroids + 1, k = 5)
+    }
+  }
+
   test("dedup_incremental reuses the persisted corpus index (no rebuild per run)") {
     SparkEntry.queries("dedup_incremental")(spark, sf) // warm: builds the index
     val before = plans.ArtifactCache.builds.get()

