@@ -15,12 +15,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelOps.queries ++ TextOps.queries ++ DedupOps.queries ++ PipelineOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++ MaterializeOps.queries ++
-      AsOfOps.queries ++ SourceFormatOps.queries ++ graft.streaming.StreamOps.queries
+      AsOfOps.queries ++ SourceFormatOps.queries ++ AnalyticsOps.queries ++
+      graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelOps.oracle ++ TextOps.oracle ++ DedupOps.oracle ++ PipelineOps.oracle ++
       SimilarityOps.oracle ++ MultimodalOps.oracle ++ MaterializeOps.oracle ++
-      AsOfOps.oracle ++ SourceFormatOps.oracle ++ graft.streaming.StreamOps.oracle
+      AsOfOps.oracle ++ SourceFormatOps.oracle ++ AnalyticsOps.oracle ++
+      graft.streaming.StreamOps.oracle
 }

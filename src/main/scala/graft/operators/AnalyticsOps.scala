@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Product-analytics + language-model-statistics operators: the query
+  * shapes a reference user runs against an events table (funnels, cohort
+  * retention) and a corpus table (n-gram language-model counts, boilerplate
+  * detection) — all exact-integer or single-division arithmetic so the
+  * DuckDB oracles compare hash-exact.
+  */
+object AnalyticsOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def events(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "events")
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
+
+  /** Ordered conversion funnel view → click → purchase: a user converts at
+    * stage k only with an event strictly after their stage-(k-1) time.
+    * Three per-user min-aggregates chained by user-key joins — every join
+    * keys on user_id, so at scale the three stages reuse one hash
+    * partitioning (no broadcast needed: both sides are per-user aggregates,
+    * a sliver of the event volume). Output: one row per stage with the
+    * surviving-user count. */
+  val eventsFunnel: Q = (s, d) => {
+    val e = events(s, d)
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val stages = Seq("1_view" -> t1, "2_click" -> t2, "3_purchase" -> t3)
+    stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    }.reduce(_ unionAll _).orderBy(col("stage"))
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; each cell counts the cohort's users active k weeks later. Two
+    * aggregates (first-seen per user, distinct active weeks per user) joined
+    * on user_id, then one count per (cohort, offset) — the matrix is
+    * O(weeks²) rows regardless of event volume. Integer week arithmetic
+    * (both engines truncate weeks to Mondays and divide day-diffs by 7
+    * exactly). */
+  val retentionCohort: Q = (s, d) => {
+    val e = events(s, d)
+    val firsts = e.groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+    val active = e.select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    active.join(firsts, "user_id")
+      .select(col("cohort_week"),
+        expr("CAST(datediff(wk, cohort_week) div 7 AS BIGINT)").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Trigram language-model counts: the 20 most frequent word trigrams with
+    * their conditional probability P(w3 | w1 w2) = c(w1w2w3) / Σ_w c(w1w2w).
+    * The context count is a window sum over the trigram count table — the
+    * corpus explodes once, aggregates once, and the window only sees
+    * distinct trigrams (vocabulary-bounded, a sliver of the token volume).
+    * Probability is a single double division rounded to 6, identical in
+    * both engines. */
+  val lmTrigram: Q = (s, d) => {
+    val tri = docs(s, d)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 2),
+             i -> named_struct('w1', element_at(w, i),
+                               'w2', element_at(w, i + 1),
+                               'w3', element_at(w, i + 2)))""")).as("t"))
+      .select(col("t.w1"), col("t.w2"), col("t.w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    // context sums ride a (w1,w2)-partitioned window (parallel, hash-keyed);
+    // the global top-20 is orderBy+limit — TakeOrderedAndProject keeps a
+    // 20-row heap per partition instead of a single-partition sort of the
+    // whole vocabulary — and only the 20 survivors enter the rank window.
+    tri
+      .withColumn("ctx", sum(col("c3")).over(Window.partitionBy(col("w1"), col("w2"))))
+      .orderBy(col("c3").desc, col("w1"), col("w2"), col("w3"))
+      .limit(20)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("c3").desc, col("w1"), col("w2"), col("w3"))))
+      .select(col("rn").cast(LongType).as("rn"), col("w1"), col("w2"), col("w3"),
+        col("c3"), col("ctx"),
+        round(col("c3").cast(DoubleType) / col("ctx"), 6).as("p"))
+      .orderBy(col("rn"))
+  }
+
+  /** Boilerplate detection: non-overlapping 8-word chunks appearing in ≥2
+    * distinct documents, top-20 by document frequency — the signal a
+    * curation pipeline uses to strip repeated headers/footers before
+    * training. One explode + one two-phase aggregate; the global top-20
+    * `TakeOrderedAndProject`s (per-partition 20-row heaps), never a
+    * single-partition sort — only the 20 survivors enter the rank window. */
+  val textBoilerplate: Q = (s, d) => {
+    val chunks = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w), 8), i -> array_join(slice(w, i, 8), ' '))"))
+        .as("chunk"))
+    chunks
+      .groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("chunk"))
+      .limit(20)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n_docs").desc, col("n_occ").desc, col("chunk"))))
+      .select(col("rn").cast(LongType).as("rn"), col("chunk"), col("n_docs"), col("n_occ"))
+      .orderBy(col("rn"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "events_funnel" -> eventsFunnel,
+    "retention_cohort" -> retentionCohort,
+    "lm_trigram" -> lmTrigram,
+    "text_boilerplate" -> textBoilerplate,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts
+                    FROM events),
+         t1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN t1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+         t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN t2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT '1_view' AS stage, COUNT(*) AS n_users FROM t1
+           UNION ALL SELECT '2_click', COUNT(*) FROM t2
+           UNION ALL SELECT '3_purchase', COUNT(*) FROM t3)
+         ORDER BY stage""",
+    "retention_cohort" ->
+      """WITH firsts AS (
+           SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+           FROM events GROUP BY user_id),
+         active AS (
+           SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+           FROM events)
+         SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, wk) // 7 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+         FROM active JOIN firsts USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "lm_trigram" ->
+      """WITH ws AS (
+           SELECT string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+         tri AS (
+           SELECT w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+           FROM ws, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+         cnt AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+         ctxd AS (SELECT w1, w2, w3, c3,
+                    SUM(c3) OVER (PARTITION BY w1, w2) AS ctx FROM cnt),
+         rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY c3 DESC, w1, w2, w3) AS rn
+                FROM ctxd)
+         SELECT CAST(rn AS BIGINT) AS rn, w1, w2, w3, c3,
+           CAST(ctx AS BIGINT) AS ctx,
+           round(CAST(c3 AS DOUBLE) / ctx, 6) AS p
+         FROM rk WHERE rn <= 20 ORDER BY rn""",
+    "text_boilerplate" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         chunks AS (
+           SELECT doc_id, array_to_string(w[i:i + 7], ' ') AS chunk
+           FROM ws, UNNEST(generate_series(1, len(w), 8)) AS t(i)),
+         cnt AS (
+           SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+           FROM chunks GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2),
+         rk AS (SELECT *, ROW_NUMBER() OVER
+                  (ORDER BY n_docs DESC, n_occ DESC, chunk) AS rn FROM cnt)
+         SELECT CAST(rn AS BIGINT) AS rn, chunk, n_docs, n_occ
+         FROM rk WHERE rn <= 20 ORDER BY rn""",
+  )
+}

@@ -282,7 +282,64 @@ object StreamOps {
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Associative per-user "latest event" merge: state ∪ batch reduced to one
+    * row per user by max (ts, event_id). Associativity + commutativity over
+    * batches is what makes the foreachBatch upsert below deterministic under
+    * ANY micro-batch split — the property UpsertStreamSpec exercises with
+    * adversarial splits. */
+  private[graft] def upsertMerge(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionAll(batch)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("last_ts").desc, col("last_event_id").desc)))
+      .filter(col("rn") === 1).drop("rn")
+
+  /** Streaming upsert via foreachBatch — THE production streaming-sink
+    * pattern the fixed sinks can't express: each micro-batch MERGEs into a
+    * keyed result table (here: latest event per user) instead of appending.
+    * Every batch reduces to one row per arriving user BEFORE touching state
+    * (map-side shrink), then merges against the current state version and
+    * publishes a new immutable version directory — the swap a lakehouse
+    * MERGE INTO does transactionally. On a finite replay the final table
+    * equals the batch argmax, which is what the oracle checks. */
+  val streamUpsert: Q = (s, d) => {
+    val versions = new java.util.concurrent.atomic.AtomicLong(0)
+    val stateRoot = outDirFor(s"upsert_${System.nanoTime()}")
+    registerOutDir(stateRoot)
+    def versionDir(v: Long) = new java.io.File(stateRoot, s"v$v").getPath
+    val src = eventStream(s, d)
+      .select(col("user_id"), col("ts").as("last_ts"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"))
+    runLock.synchronized {
+      val ckpt = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"), s"graft-ckpt-upsert-${System.nanoTime()}")
+      val q = src.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val compact = upsertMerge(batch, batch.limit(0)) // per-user latest within the batch
+          val v = versions.get()
+          val merged =
+            if (v == 0) compact
+            else upsertMerge(s.read.parquet(versionDir(v)), compact)
+          merged.write.mode("overwrite").parquet(versionDir(v + 1))
+          versions.incrementAndGet()
+          ()
+        }
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally graft.FsUtil.deleteRecursive(ckpt)
+    }
+    val v = versions.get()
+    if (v == 0)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], src.schema)
+        .orderBy(col("user_id"))
+    else s.read.parquet(versionDir(v)).orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_upsert" -> streamUpsert,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_dedup" -> streamDedup,
@@ -295,6 +352,13 @@ object StreamOps {
     * two half-hour-offset tumbling grids. ts is truncated to microseconds on
     * the DuckDB side to match the stream's nanos→micros conversion. */
   val oracle: Map[String, String] = Map(
+    "stream_upsert" ->
+      """SELECT user_id, date_trunc('microseconds', ts) AS last_ts,
+           event_id AS last_event_id, event_type AS last_type
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
     "stream_join" ->
       """WITH c AS (SELECT user_id, date_trunc('microseconds', ts) AS cts
                     FROM events WHERE event_type = 'click'),

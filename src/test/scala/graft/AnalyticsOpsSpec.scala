@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantics + plan shape for [[graft.operators.AnalyticsOps]] and the
+  * foreachBatch upsert. Values are pinned by the DuckDB oracles; these specs
+  * pin the invariants and the 100 TB plan shapes.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf001
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def formatted(name: String) =
+    q(name).queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("events_funnel stages are monotonically shrinking and ordered") {
+    val rows = q("events_funnel").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1_view", "2_click", "3_purchase"))
+    val counts = rows.map(_.getLong(1))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"funnel must shrink: ${counts.mkString(" -> ")}")
+    assert(counts(0) > 0)
+  }
+
+  test("retention_cohort offsets are non-negative and week-0 covers every cohort user") {
+    val rows = q("retention_cohort").collect()
+    assert(rows.forall(_.getLong(1) >= 0), "a user can't be active before their cohort")
+    // every user is active in their own first week, so offset-0 rows count
+    // the full cohort: summing them equals the number of distinct users
+    val week0 = rows.filter(_.getLong(1) == 0).map(_.getLong(2)).sum
+    val users = Tables.load(spark, sf, "events").select("user_id").distinct().count()
+    assert(week0 == users, s"week-0 sum $week0 != $users distinct users")
+  }
+
+  test("lm_trigram probabilities are valid conditionals") {
+    val rows = q("lm_trigram").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (c3, ctx, p) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(c3 <= ctx, "trigram count can't exceed its context count")
+      assert(p > 0 && p <= 1.0, s"p=$p out of range")
+      assert(math.abs(p - c3.toDouble / ctx) < 1e-6)
+    }
+  }
+
+  test("top-k queries use TakeOrderedAndProject, not a single-partition sort") {
+    Seq("lm_trigram", "text_boilerplate").foreach { name =>
+      val plan = formatted(name)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name should TakeOrderedAndProject its global top-20:\n$plan")
+    }
+  }
+
+  test("upsertMerge is deterministic under adversarial micro-batch splits") {
+    import graft.streaming.StreamOps
+    val e = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts").as("last_ts"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"))
+    val empty = e.limit(0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id").collect().map(_.toString).toSeq
+    // one-shot merge
+    val oneShot = key(StreamOps.upsertMerge(empty, e))
+    // split by event_id modulus — arbitrary interleave, reversed arrival
+    val splits = Seq(2L, 1L, 0L).map(m => e.filter(col("last_event_id") % 3 === m))
+    val sequential = key(splits.foldLeft(empty)((st, b) => StreamOps.upsertMerge(st, b)))
+    assert(sequential == oneShot, "merge must be order-insensitive across batches")
+    // ... and time-sliced splits (prefix arrival) give the same table
+    val mid = e.agg(expr("percentile_approx(unix_micros(last_ts), 0.5)")).head.getLong(0)
+    val timeSliced = Seq(
+      e.filter(unix_micros(col("last_ts")) > mid),
+      e.filter(unix_micros(col("last_ts")) <= mid))
+    val sequential2 = key(timeSliced.foldLeft(empty)((st, b) => StreamOps.upsertMerge(st, b)))
+    assert(sequential2 == oneShot)
+  }
+
+  test("stream_upsert equals the batch argmax per user") {
+    val streamed = q("stream_upsert").collect().map(_.toString).toSeq
+    val batch = Tables.load(spark, sf, "events")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("last_ts"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"))
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+  }
+}
