@@ -173,7 +173,14 @@ object DedupOps {
     pairs
       .join(txt.select(col("doc_id").as("a"), col("text").as("ta")), "a")
       .join(txt.select(col("doc_id").as("b"), col("text").as("tb")), "b")
-      .select(col("a"), col("b"), levenshtein(col("ta"), col("tb")).cast(LongType).as("dist"),
+      // exact-copy short-circuit: equal texts are dist 0 by an O(len)
+      // compare instead of the O(len²) DP — on a duplicate-heavy corpus
+      // (exactly where dedup runs) most candidate pairs ARE exact copies,
+      // and this cut measured 8.0s -> 3.1s on a fixture with every doc
+      // duplicated. Result is identical (levenshtein(x, x) = 0).
+      .select(col("a"), col("b"),
+        when(col("ta") === col("tb"), lit(0L))
+          .otherwise(levenshtein(col("ta"), col("tb")).cast(LongType)).as("dist"),
         greatest(length(col("ta")), length(col("tb"))).cast(LongType).as("max_len"))
       .filter(col("dist") * 10 <= col("max_len") * 3) // dist/max_len ≤ 0.3, exact integers
       .orderBy(col("a"), col("b"))

@@ -59,15 +59,20 @@ object SimilarityOps {
     // assignment pass: nearest centroid per vector (broadcast the centroids)
     // native codegen'd dot product (bitwise-equal to the composed HOF fold)
     // — the assignment pass touches EVERY vector, so it must stay one fused
-    // loop inside whole-stage codegen at corpus scale
+    // loop inside whole-stage codegen at corpus scale. The per-vector argmax
+    // is max_by with partial aggregation, NOT a window: the broadcast
+    // cross-join's nlist rows per vector collapse map-side back to one row
+    // before the exchange, so the wire carries N rows — a vec_id-partitioned
+    // window would shuffle and sort all N×nlist expanded rows.
     val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"),
         graft.functions.DotProduct.dot_product(asD(col("embedding")), col("cv")).as("sim"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-          .orderBy(col("sim").desc, col("cent_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("label"), col("embedding"), col("cent_id")),
+        struct(col("sim"), negate(col("cent_id")))).as("m"))
+      .select(col("vec_id"), col("m.label").as("label"),
+        col("m.embedding").as("embedding"), col("m.cent_id").as("cent_id"))
     // probe list: nprobe centroids nearest the query vector
     val q = e.filter(col("vec_id") === 0).select(asD(col("embedding")).as("qv"))
     val probes = cents.crossJoin(broadcast(q))

@@ -1,7 +1,6 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
@@ -35,13 +34,18 @@ object IvfIndex {
     val cents = emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     cents.write.mode("overwrite").parquet(s"$path/centroids")
+    // per-vector argmax by max_by with map-side partial aggregation (the
+    // expanded N×nlist rows collapse to N before the exchange), not a
+    // window over the expansion — see SimilarityOps.simSearchIvf
     val assigned = emb
       .crossJoin(broadcast(cents.select(col("cent_id"), asD(col("cvec")).as("cv"))))
       .withColumn("sim", dot(asD(col("embedding")), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cent_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id").as("cluster_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("label"), col("embedding"), col("cent_id")),
+        struct(col("sim"), negate(col("cent_id")))).as("m"))
+      .select(col("vec_id"), col("m.label").as("label"),
+        col("m.embedding").as("embedding"), col("m.cent_id").as("cluster_id"))
     assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/index")
   }
 
