@@ -120,11 +120,77 @@ object AnalyticsOps {
       .orderBy(col("rn"))
   }
 
+  /** Lexical diversity (Simpson index) per document: 1 − Σ(count_w/n)² —
+    * the repetitiveness signal curation pipelines use alongside the Gopher
+    * ratios. Everything except the final division is EXACT integer
+    * arithmetic: Σ count² folds over the row's own sorted word array in one
+    * codegen'd map-side pass (zero shuffle at any corpus size; the running
+    * r² is maintained incrementally as +2r+1 per repeat), and the index is
+    * a single rounded division both engines compute identically. */
+  val textDiversity: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast(LongType).as("n_words"),
+        expr(
+          """aggregate(array_sort(ws),
+               named_struct('prev', '', 'run', 0L, 'nd', 0L, 'ss', 0L),
+               (a, w) -> named_struct(
+                 'prev', w,
+                 'run', IF(w = a.prev, a.run + 1, 1L),
+                 'nd',  a.nd + IF(w = a.prev, 0L, 1L),
+                 'ss',  a.ss + IF(w = a.prev, 2L * a.run + 1L, 1L)))""").as("f"))
+      .select(col("doc_id"), col("n_words"),
+        col("f.nd").as("n_distinct"), col("f.ss").as("sum_sq"),
+        round(lit(1.0) - col("f.ss").cast(DoubleType) /
+          (col("n_words") * col("n_words")), 6).as("simpson"))
+      .orderBy(col("doc_id"))
+
+  /** Event-transition matrix (first-order Markov): counts and conditional
+    * probabilities of next-event-type given current, per-user ordered by
+    * time. One lead window keyed on user_id (the natural partitioning),
+    * then a 5×5-bounded aggregate — the output is O(|event types|²)
+    * regardless of volume. */
+  val eventsPathing: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("ctx", sum(col("n")).over(Window.partitionBy(col("cur_type"))))
+      .select(col("cur_type"), col("next_type"), col("n"),
+        round(col("n").cast(DoubleType) / col("ctx"), 6).as("p"))
+      .orderBy(col("cur_type"), col("next_type"))
+  }
+
+  /** Slowly-changing-dimension (type 2) build: the per-user event_type
+    * history as (state, valid_from, valid_to) intervals — consecutive equal
+    * states collapse, the open interval carries a NULL valid_to. Two windows
+    * over the same (user_id; ts, event_id) key: change-point detection via
+    * lag, interval close via lead over the change points only — both reuse
+    * one user-keyed sort at scale. */
+  val scd2Build: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
   val queries: Map[String, Q] = Map(
     "events_funnel" -> eventsFunnel,
     "retention_cohort" -> retentionCohort,
     "lm_trigram" -> lmTrigram,
     "text_boilerplate" -> textBoilerplate,
+    "text_diversity" -> textDiversity,
+    "events_pathing" -> eventsPathing,
+    "scd2_build" -> scd2Build,
   )
 
   val oracle: Map[String, String] = Map(
@@ -170,6 +236,46 @@ object AnalyticsOps {
            CAST(ctx AS BIGINT) AS ctx,
            round(CAST(c3 AS DOUBLE) / ctx, 6) AS p
          FROM rk WHERE rn <= 20 ORDER BY rn""",
+    // the Spark side folds Σcount² map-side over each row's sorted words;
+    // the relational spelling below produces the same exact integers, and
+    // the Simpson index is one rounded division in both engines
+    "text_diversity" ->
+      """WITH occ AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         cnt AS (SELECT doc_id, word, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct,
+                  SUM(c * c) AS sum_sq
+           FROM cnt GROUP BY doc_id)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(sum_sq AS BIGINT) AS sum_sq,
+           round(1.0 - CAST(sum_sq AS DOUBLE) / (n_words * n_words), 6) AS simpson
+         FROM agg ORDER BY doc_id""",
+    "events_pathing" ->
+      """WITH seq AS (
+           SELECT event_type AS cur_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY date_trunc('microseconds', ts), event_id) AS next_type
+           FROM events),
+         cnt AS (SELECT cur_type, next_type, COUNT(*) AS n FROM seq
+                 WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         ctxd AS (SELECT *, SUM(n) OVER (PARTITION BY cur_type) AS ctx FROM cnt)
+         SELECT cur_type, next_type, n,
+           round(CAST(n AS DOUBLE) / ctx, 6) AS p
+         FROM ctxd ORDER BY cur_type, next_type""",
+    "scd2_build" ->
+      """WITH e AS (
+           SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+               ORDER BY date_trunc('microseconds', ts), event_id) AS prev_type
+           FROM events),
+         chg AS (
+           SELECT user_id, ts, event_id, event_type FROM e
+           WHERE prev_type IS NULL OR prev_type <> event_type)
+         SELECT user_id, event_type AS state, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+         FROM chg ORDER BY user_id, valid_from""",
     "text_boilerplate" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          chunks AS (

@@ -54,6 +54,49 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_diversity is map-side (no Exchange before the final sort) and in range") {
+    val plan = formatted("text_diversity")
+    assert(!plan.split("Sort").head.contains("Exchange"),
+      s"diversity fold must not shuffle:\n$plan")
+    q("text_diversity").collect().foreach { r =>
+      val (n, nd, ss, simpson) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nd <= n && ss >= n && ss <= n * n)
+      assert(simpson >= 0.0 && simpson < 1.0, s"simpson=$simpson")
+      // exact identity: the fold's Σcount² equals the relational one
+      assert(math.abs(simpson - (1.0 - ss.toDouble / (n.toDouble * n))) < 1e-6)
+    }
+  }
+
+  test("events_pathing rows are a full transition matrix with conditionals summing to 1") {
+    val rows = q("events_pathing").collect()
+    val byCur = rows.groupBy(_.getString(0))
+    byCur.foreach { case (cur, rs) =>
+      val total = rs.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-4, s"$cur conditionals sum to $total")
+    }
+    assert(rows.map(_.getLong(2)).sum ==
+      Tables.load(spark, sf, "events").count() -
+        Tables.load(spark, sf, "events").select("user_id").distinct().count(),
+      "transitions = events - one per user (the last event has no successor)")
+  }
+
+  test("scd2_build intervals tile each user's history exactly") {
+    val rows = q("scd2_build").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3))))
+    rows.groupBy(_._1).foreach { case (user, rs) =>
+      val sorted = rs.sortBy(_._3.getTime)
+      // exactly one open interval, and it is the last
+      assert(sorted.count(_._4.isEmpty) == 1 && sorted.last._4.isEmpty)
+      sorted.sliding(2).foreach {
+        case Array((_, s1, _, Some(end)), (_, s2, start, _)) =>
+          assert(end == start, s"user $user: gap between $end and $start")
+          assert(s1 != s2, s"user $user: consecutive intervals share state $s1")
+        case _ => ()
+      }
+    }
+  }
+
   test("upsertMerge is deterministic under adversarial micro-batch splits") {
     import graft.streaming.StreamOps
     val e = Tables.load(spark, sf, "events")
