@@ -183,7 +183,63 @@ object AnalyticsOps {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  /** Daily-count anomaly score per event type: z-score of each day's count
+    * against its trailing 7 days. The trailing window carries EXACT integer
+    * moments (sum, sum of squares) and the z-score is one shared formula
+    * over those integers — identical IEEE ops in both engines, so the
+    * rounded score compares hash-exact. One window keyed on event_type;
+    * state is 7 longs per partition. */
+  val eventsAnomaly: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    events(s, d)
+      .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("t_cnt", count(lit(1)).over(w))
+      .withColumn("t_sum", sum(col("n")).over(w))
+      .withColumn("t_ss", sum(col("n") * col("n")).over(w))
+      .filter(col("t_cnt") === 7)
+      .select(col("event_type"), col("day"), col("n"), col("t_sum"),
+        // the exact expression text is mirrored in the oracle so both
+        // engines execute the same IEEE op tree on the same exact integers
+        round(expr(
+          """CASE WHEN t_ss * 7 = t_sum * t_sum THEN 0.0
+                  ELSE (n - t_sum / 7.0D)
+                       / sqrt((t_ss - t_sum * (t_sum / 7.0D)) / 7.0D) END"""), 6)
+          .as("zscore"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Cross-document trigram novelty: the share of a document's trigrams
+    * that appear in no OTHER document — the memorization/contamination
+    * signal (a doc of all-shared trigrams is boilerplate or a copy; one of
+    * all-novel trigrams is unique content). Trigram document frequencies
+    * come from one corpus-wide aggregate; the per-doc tally joins on the
+    * trigram key (vocabulary-sized, shuffles once); novelty is one rounded
+    * division of exact integers. */
+  val textNovelty: Q = (s, d) => {
+    val tri = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 2),
+             i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+                            element_at(w, i + 2)))""")).as("tri"))
+    val df = tri.select(col("doc_id"), col("tri")).distinct()
+      .groupBy(col("tri")).agg(count(lit(1)).as("tri_df"))
+    tri.join(df, "tri")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("tri_df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_tri"), col("n_shared"),
+        round(lit(1.0) - col("n_shared").cast(DoubleType) / col("n_tri"), 6)
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_anomaly" -> eventsAnomaly,
+    "text_novelty" -> textNovelty,
     "events_funnel" -> eventsFunnel,
     "retention_cohort" -> retentionCohort,
     "lm_trigram" -> lmTrigram,
@@ -194,6 +250,41 @@ object AnalyticsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_anomaly" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         trail AS (
+           SELECT event_type, day, n,
+             COUNT(*) OVER w AS t_cnt,
+             SUM(n) OVER w AS t_sum,
+             SUM(n * n) OVER w AS t_ss
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, day, n, CAST(t_sum AS BIGINT) AS t_sum,
+           round(CASE WHEN t_ss * 7 = t_sum * t_sum THEN 0.0
+                      ELSE (n - t_sum / 7.0)
+                           / sqrt((t_ss - t_sum * (t_sum / 7.0)) / 7.0) END, 6)
+             AS zscore
+         FROM trail WHERE t_cnt = 7
+         ORDER BY event_type, day""",
+    "text_novelty" ->
+      """WITH ws AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+         tri AS (
+           SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tri
+           FROM ws, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+         dfq AS (
+           SELECT tri, COUNT(DISTINCT doc_id) AS tri_df FROM tri GROUP BY tri)
+         SELECT t.doc_id, COUNT(*) AS n_tri,
+           CAST(SUM(CASE WHEN d.tri_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(1.0 - CAST(SUM(CASE WHEN d.tri_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+         FROM tri t JOIN dfq d USING (tri)
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts
                     FROM events),

@@ -64,9 +64,35 @@ object MaterializeOps {
     s.read.parquet(res.resultDir).orderBy(col("entry_date"))
   }
 
-  val queries: Map[String, Q] = Map("result_materialize" -> resultMaterialize)
+  /** Partitioned result materialization: the layout a results cache needs
+    * once result tables themselves are big — written `PARTITION BY` a read
+    * key, so downstream consumers prune at file listing instead of scanning
+    * the whole result. The returned frame re-reads ONE partition through a
+    * partition filter (PlanSpec-style pruning is asserted in spec); the
+    * oracle certifies the written values round-trip. */
+  val resultPartitioned: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    val out = s"${outRoot(d)}/results_part-job"
+    Tables.load(s, d, "events")
+      .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    s.read.parquet(out)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_type"), col("day"), col("n"))
+      .orderBy(col("day"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "result_materialize" -> resultMaterialize,
+    "result_partitioned" -> resultPartitioned)
 
   val oracle: Map[String, String] = Map(
+    "result_partitioned" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1, 2 ORDER BY day""",
     "result_materialize" ->
       """SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
          CAST(date_trunc('day', ts) AS DATE) AS entry_date

@@ -97,6 +97,65 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("result_partitioned read-back prunes to the filtered partition") {
+    val plan = formatted("result_partitioned")
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition filter should prune at file listing:\n$plan")
+    val rows = q("result_partitioned").collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(0) == "purchase"))
+  }
+
+  test("events_anomaly z-scores replay from the emitted exact moments") {
+    val rows = q("events_anomaly").collect()
+    assert(rows.nonEmpty)
+    // group by type, walk days in order and recompute the trailing stats
+    val daily = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val byType = daily.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (tp, rs) =>
+      val ns = byType(tp)
+      val sorted = rs.sortBy(_.getDate(1).toString)
+      // the first scored day is day index 7 (needs a full trailing week)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val idx = i + 7
+        val trail = ns.slice(idx - 7, idx)
+        assert(r.getLong(3) == trail.sum, s"$tp day $idx trailing sum")
+        val mean = trail.sum / 7.0
+        val variance = (trail.map(x => x * x).sum - trail.sum * (trail.sum / 7.0)) / 7.0
+        val z = if (variance == 0) 0.0 else (ns(idx) - mean) / math.sqrt(variance)
+        assert(math.abs(r.getDouble(4) - z) < 1e-5, s"$tp day $idx z")
+      }
+    }
+  }
+
+  test("text_novelty is a valid share and exact duplicates are fully non-novel") {
+    val rows = q("text_novelty").collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val nov = r.getDouble(3)
+      assert(nov >= 0.0 && nov <= 1.0)
+    }
+    // plant two identical docs: each one's trigrams all appear in the other
+    import spark.implicits._
+    val planted = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    planted.createOrReplaceTempView("planted_docs")
+    val tri = planted.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 2),
+             i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+                            element_at(w, i + 2)))""")).as("tri"))
+    val df = tri.distinct().groupBy(col("tri")).agg(count(lit(1)).as("tri_df"))
+    val nov = tri.join(df, "tri").groupBy(col("doc_id"))
+      .agg((lit(1.0) - sum(when(col("tri_df") >= 2, 1L).otherwise(0L))
+        .cast("double") / count(lit(1))).as("novelty"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nov(1L) == 0.0 && nov(2L) == 0.0, "copies share every trigram")
+    assert(nov(3L) == 1.0, "unique doc shares none")
+  }
+
   test("upsertMerge is deterministic under adversarial micro-batch splits") {
     import graft.streaming.StreamOps
     val e = Tables.load(spark, sf, "events")
