@@ -253,7 +253,48 @@ object SimilarityOps {
         (col("qsum").cast(DoubleType) / col("n")).as("mean_q"))
       .orderBy(col("label"), col("i"))
 
+  /** Semantic dedup, SemDeDup-shaped (Abbas et al. 2023, arXiv:2303.09540):
+    * assign every embedding to its nearest seed centroid, then compare
+    * cosine ONLY within a cluster — a document is a semantic dup if a
+    * lower-id cluster-mate sits above the similarity threshold, and the
+    * lowest id of each dup neighborhood survives as the representative.
+    * Pairwise work is confined to clusters: at production scale k grows
+    * with the corpus (N/k bounded cluster sizes), so the quadratic term
+    * never sees the whole corpus — here k = 8 seed centroids matches
+    * [[embeddingKmeans]]'s fixture-scale choice. Assignment is the same
+    * broadcast + max_by map-side argmin as [[simSearchIvf]] (one exchange
+    * of N rows); the within-cluster self-join keys on cluster id. */
+  val dedupSemantic: Q = (s, d) => {
+    val tau = 0.5
+    val e = emb(s, d).select(col("vec_id"), asD(col("embedding")).as("ev"))
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("ev").as("cv"))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val assigned = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("ev"), col("cent_id"), d2(col("ev"), col("cv")).as("dd"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("ev"), col("cent_id")), struct(col("dd"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.ev").as("ev"), col("m.cent_id").as("cluster"))
+    def cosine(a: Column, b: Column): Column = {
+      val dotp = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s1, x) => s1 + x)
+      val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s1, x) => s1 + x))
+      val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s1, x) => s1 + x))
+      dotp / (na * nb)
+    }
+    val dups = assigned.select(col("cluster"), col("vec_id").as("a"), col("ev").as("va"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("b"), col("ev").as("vb")), "cluster")
+      .filter(col("a") < col("b"))
+      .filter(cosine(col("va"), col("vb")) >= tau)
+      .select(col("b")).distinct()
+    assigned
+      .join(dups, col("vec_id") === col("b"), "left")
+      .select(col("vec_id"), col("cluster"), col("b").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_semantic" -> dedupSemantic,
     "embedding_centroid" -> embeddingCentroid,
     "embedding_quantize" -> embeddingQuantize,
     "embedding_kmeans" -> embeddingKmeans,
@@ -411,5 +452,32 @@ object SimilarityOps {
     "sim_search_topk_native" -> topkOracle,
     "sim_search_ivf" -> ivfOracle,
     "sim_search_ivf_indexed" -> ivfOracle,
+    "dedup_semantic" ->
+      """WITH flat AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         seeds AS (SELECT vec_id AS cid, val AS cval, i FROM flat WHERE vec_id < 8),
+         dist AS (
+           SELECT f.vec_id, s.cid, SUM((f.val - s.cval) * (f.val - s.cval)) AS d2
+           FROM flat f JOIN seeds s ON f.i = s.i GROUP BY f.vec_id, s.cid),
+         a AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM dist) WHERE rn = 1),
+         cos AS (
+           SELECT x.vec_id AS a, y.vec_id AS b,
+             SUM(fx.val * fy.val) /
+             (SQRT(SUM(fx.val * fx.val)) * SQRT(SUM(fy.val * fy.val))) AS cosine
+           FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+           JOIN flat fx ON fx.vec_id = x.vec_id
+           JOIN flat fy ON fy.vec_id = y.vec_id AND fy.i = fx.i
+           GROUP BY 1, 2),
+         dups AS (SELECT DISTINCT b FROM cos WHERE cosine >= 0.5)
+         SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+           (d.b IS NULL) AS keep
+         FROM a LEFT JOIN dups d ON d.b = a.vec_id
+         ORDER BY a.vec_id""",
   )
 }

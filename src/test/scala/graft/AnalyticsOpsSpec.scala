@@ -156,6 +156,35 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(nov(3L) == 1.0, "unique doc shares none")
   }
 
+  test("dedup_semantic matches an exhaustive driver-side replay") {
+    val sfSmall = TestSpark.sf0001
+    val vecs = Tables.load(spark, sfSmall, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val seeds = vecs.filter(_._1 < 8)
+    val cluster = vecs.map { case (id, v) =>
+      id -> seeds.toSeq.map { case (cid, cv) => (d2(v, cv), cid) }.min._2
+    }
+    val keepExpected = vecs.keys.map { id =>
+      val dup = vecs.keys.exists(o => o < id && cluster(o) == cluster(id) &&
+        cos(vecs(o), vecs(id)) >= 0.5)
+      id -> !dup
+    }.toMap
+    val got = SparkEntry.queries("dedup_semantic")(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == vecs.size)
+    got.foreach { case (id, cl, keep) =>
+      assert(cl == cluster(id), s"vec $id cluster")
+      assert(keep == keepExpected(id), s"vec $id keep")
+    }
+  }
+
   test("upsertMerge is deterministic under adversarial micro-batch splits") {
     import graft.streaming.StreamOps
     val e = Tables.load(spark, sf, "events")
