@@ -615,9 +615,10 @@ object DedupOps {
           JOIN kept k ON k.shingle = x.shingle
           GROUP BY x.doc_id, y.doc_id)"""
 
-  /** MinHash signature → LSH bands → capped candidate CTEs (ends at `cand`),
-    * shared by the Jaccard and edit-distance verifiers. */
-  private def minhashCandCtes: String = {
+  /** MinHash signature → LSH band hashes (ends at `band`) — the DuckDB
+    * replay of [[graft.functions.MinHashBands]]; also consumed standalone by
+    * the streaming near-dedup oracle. */
+  private[graft] def bandCtes: String = {
     import graft.functions.PolyHash
     s"""ph AS (SELECT doc_id, ${PolyHash.duckSql("shingle")} AS ph FROM posting),
        sig AS (SELECT doc_id, i, MIN(${PolyHash.affineSql("i", "ph")}) AS h
@@ -626,7 +627,17 @@ object DedupOps {
        band AS (SELECT doc_id, i // 4 AS band,
                   list_reduce(list_prepend(0::BIGINT, list(h ORDER BY i)),
                     (a, h) -> (a * ${PolyHash.B} + h) % ${PolyHash.P}) AS bh
-                FROM sig GROUP BY doc_id, i // 4),
+                FROM sig GROUP BY doc_id, i // 4)"""
+  }
+
+  /** Shared shingle CTE bodies, exported for oracles composed outside this
+    * file (the streaming near-dedup). */
+  private[graft] def shingleCtesShared: String = shingleCtes
+
+  /** MinHash signature → LSH bands → capped candidate CTEs (ends at `cand`),
+    * shared by the Jaccard and edit-distance verifiers. */
+  private def minhashCandCtes: String = {
+    s"""$bandCtes,
        bsize AS (SELECT band, bh, COUNT(*) AS n, MIN(doc_id) AS anchor
                  FROM band GROUP BY band, bh),
        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b

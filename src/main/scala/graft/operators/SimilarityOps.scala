@@ -293,7 +293,37 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Two-stage retrieval funnel: a cheap wide recall stage (cosine top-50,
+    * TakeOrderedAndProject — per-partition heaps, no global sort) feeds an
+    * expensive precise rerank stage (exact L2 distance, here standing in for
+    * the cross-encoder a production funnel calls) that only ever sees the 50
+    * candidates. The shape is what matters at scale: stage-2 cost is
+    * O(candidates), independent of corpus size. */
+  val simRerank: Q = (s, d) => {
+    import graft.functions.CosineSimilarity.cosine_similarity
+    val q = emb(s, d).filter(col("vec_id") === 0)
+      .select(asD(col("embedding")).as("qv"))
+    val stage1 = emb(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), asD(col("embedding")).as("ev"), col("qv"),
+        cosine_similarity(asD(col("embedding")), col("qv")).as("recall_score"))
+      .orderBy(col("recall_score").desc, col("vec_id"))
+      .limit(50)
+    val l2 = aggregate(zip_with(col("ev"), col("qv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, x) => a + x)
+    stage1
+      .select(col("vec_id"), col("label"), l2.as("l2_raw"))
+      .orderBy(col("l2_raw").asc, col("vec_id"))
+      .limit(10)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("l2_raw").asc, col("vec_id"))))
+      .select(col("rn").cast(LongType).as("rn"), col("vec_id"), col("label"),
+        round(col("l2_raw"), 6).as("l2"))
+      .orderBy(col("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_rerank" -> simRerank,
     "dedup_semantic" -> dedupSemantic,
     "embedding_centroid" -> embeddingCentroid,
     "embedding_quantize" -> embeddingQuantize,
@@ -452,6 +482,33 @@ object SimilarityOps {
     "sim_search_topk_native" -> topkOracle,
     "sim_search_ivf" -> ivfOracle,
     "sim_search_ivf_indexed" -> ivfOracle,
+    "sim_rerank" ->
+      """WITH q AS (
+           SELECT u.val AS qv, u.i AS i FROM (
+             SELECT CAST(unnest(embedding) AS DOUBLE) AS val,
+                    generate_subscripts(embedding, 1) AS i
+             FROM embeddings WHERE vec_id = 0) u),
+         flat AS (
+           SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id <> 0),
+         scored AS (
+           SELECT f.vec_id, f.label,
+             SUM(f.val * q.qv) /
+             (SQRT(SUM(f.val * f.val)) * SQRT(SUM(q.qv * q.qv))) AS recall_score,
+             SUM((f.val - q.qv) * (f.val - q.qv)) AS l2_raw
+           FROM flat f JOIN q ON f.i = q.i
+           GROUP BY f.vec_id, f.label),
+         stage1 AS (
+           SELECT * FROM scored ORDER BY recall_score DESC, vec_id LIMIT 50),
+         stage2 AS (
+           SELECT vec_id, label, l2_raw FROM stage1
+           ORDER BY l2_raw ASC, vec_id LIMIT 10),
+         rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY l2_raw ASC, vec_id) AS rn
+                FROM stage2)
+         SELECT CAST(rn AS BIGINT) AS rn, vec_id, label,
+           ROUND(l2_raw, 6) AS l2
+         FROM rk ORDER BY rn""",
     "dedup_semantic" ->
       """WITH flat AS (
            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,

@@ -338,7 +338,45 @@ object StreamOps {
     else s.read.parquet(versionDir(v)).orderBy(col("user_id"))
   }
 
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming near-dedup on ingest: every arriving document folds to its
+    * 8 MinHash band hashes in ONE map-side codegen'd expression (no shuffle
+    * before the signature groupBy), and documents sharing the FULL signature
+    * — near-dup templates, boilerplate refills, exact copies — collapse to
+    * one representative (min doc_id) with a copy count. State is one entry
+    * per distinct signature: it grows with template cardinality, never with
+    * ingest volume — the ingest-time counterpart of [[graft.operators
+    * .DedupOps]]'s batch LSH pipelines (those catch partial-band matches;
+    * this catches whole-signature matches as data lands). On a finite
+    * replay the result equals the batch group-by, which the oracle replays
+    * shingle-for-shingle in SQL. */
+  val streamNearDedup: Q = (s, d) => {
+    val src = s.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val agg = src
+      .select(col("doc_id"),
+        graft.functions.MinHashBands.minhash_bands(
+          graft.functions.WordShingles.word_shingles(col("text"), 3), 32, 8).as("sig"))
+      .groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val bytes = {
+      val f = new java.io.File(d, "documents.parquet")
+      if (f.isFile) f.length else -1L
+    }
+    runToCompletion(s, agg, s"graft_stream_near_dedup_${System.nanoTime()}",
+        inputBytes = bytes)
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_near_dedup" -> streamNearDedup,
     "stream_upsert" -> streamUpsert,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
@@ -352,6 +390,15 @@ object StreamOps {
     * two half-hour-offset tumbling grids. ts is truncated to microseconds on
     * the DuckDB side to match the stream's nanos→micros conversion. */
   val oracle: Map[String, String] = Map(
+    // batch replay of the signature fold (shingles → 32 affine mins →
+    // per-band PolyHash) composed from the DedupOps oracle fragments
+    "stream_near_dedup" ->
+      s"""WITH ${graft.operators.DedupOps.shingleCtesShared},
+         ${graft.operators.DedupOps.bandCtes},
+         docsig AS (SELECT doc_id, list(bh ORDER BY band) AS sig
+                    FROM band GROUP BY doc_id)
+         SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM docsig GROUP BY sig ORDER BY keep_id""",
     "stream_upsert" ->
       """SELECT user_id, date_trunc('microseconds', ts) AS last_ts,
            event_id AS last_event_id, event_type AS last_type
