@@ -17,6 +17,7 @@ fams = [
     ('agg_', 'Aggregation'),
     ('join_|tpch_|subquery_|merge_', 'Joins, subqueries & merge'),
     ('window_|sessionize_|resample_', 'Windows & time series'),
+    ('events_|retention_|scd2_|lm_', 'Product analytics & LM statistics'),
     ('set_|distinct_|pivot_|unpivot_|explode_|array_|json_|scalar_|result_|source_|compact_',
      'Relational scalars, reshaping & sources'),
     ('dedup_', 'Deduplication'),
