@@ -237,7 +237,32 @@ object AnalyticsOps {
       .orderBy(col("doc_id"))
   }
 
+  /** DAU / WAU / stickiness per day — the rolling-distinct shape: distinct
+    * counts can't ride a sliding window frame, so the trailing-7-day active
+    * set is a range join of the day grid against the distinct (user, day)
+    * pairs. The pair table is the ONLY thing that scales with volume
+    * (users × active-days, already one deduplicating shuffle); the grid side
+    * is O(days) and broadcasts, so the range join expands each pair into at
+    * most 7 grid rows. Stickiness is one rounded division. */
+  val eventsDauWau: Q = (s, d) => {
+    val ud = events(s, d)
+      .select(expr("CAST(ts AS DATE)").as("day"), col("user_id"))
+      .distinct()
+    val days = ud.select(col("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val wau = broadcast(days.select(col("day").as("g_day")))
+      .join(ud, col("day").between(date_sub(col("g_day"), 6), col("g_day")))
+      .groupBy(col("g_day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .withColumnRenamed("g_day", "day")
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast(DoubleType) / col("wau"), 6).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_dau_wau" -> eventsDauWau,
     "events_anomaly" -> eventsAnomaly,
     "text_novelty" -> textNovelty,
     "events_funnel" -> eventsFunnel,
@@ -250,6 +275,20 @@ object AnalyticsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_dau_wau" ->
+      """WITH ud AS (
+           SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+           FROM events),
+         days AS (SELECT DISTINCT day FROM ud),
+         dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+         wau AS (
+           SELECT g.day, COUNT(DISTINCT u.user_id) AS wau
+           FROM days g JOIN ud u
+             ON u.day BETWEEN g.day - INTERVAL 6 DAY AND g.day
+           GROUP BY g.day)
+         SELECT day, dau, wau,
+           round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+         FROM dau JOIN wau USING (day) ORDER BY day""",
     "events_anomaly" ->
       """WITH daily AS (
            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

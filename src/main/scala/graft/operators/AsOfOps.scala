@@ -65,10 +65,41 @@ object AsOfOps {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest as-of (pandas merge_asof direction='nearest', completing the
+    * direction parity): each event matched to the user's CLOSEST order in
+    * time, either side, ties to the earlier (backward) match. Composed as
+    * the backward and forward walks over the same union+window plan — two
+    * window passes, still |left| output rows, no candidate-pair
+    * materialization — with the winner chosen per row by absolute gap. */
+  val joinAsofNearest: Q = (s, d) => {
+    val events = Tables.load(s, d, "events")
+    val orders = Tables.load(s, d, "orders")
+    val left = events.select(col("event_id"), col("user_id"), col("ts"))
+    def side(direction: String, name: String) = AsOfJoin.asOf(
+      left = left, right = orders,
+      leftKey = col("user_id"), rightKey = col("o_custkey"),
+      leftTime = col("ts"), rightTime = col("o_orderdate"),
+      payload = Seq(col("o_orderdate") -> name),
+      direction = direction)
+      .select(col("event_id"), col("user_id"), col("ts"), col(name))
+    val bwd = side("backward", "bwd_date")
+    val fwd = side("forward", "fwd_date").select(col("event_id"), col("fwd_date"))
+    bwd.join(fwd, "event_id")
+      .select(col("event_id"), col("user_id"),
+        when(col("bwd_date").isNull, col("fwd_date"))
+          .when(col("fwd_date").isNull, col("bwd_date"))
+          .when(unix_micros(col("ts")) - unix_micros(col("bwd_date").cast("timestamp"))
+            <= unix_micros(col("fwd_date").cast("timestamp")) - unix_micros(col("ts")),
+            col("bwd_date"))
+          .otherwise(col("fwd_date")).as("matched_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "join_asof" -> joinAsof,
     "join_asof_forward" -> joinAsofForward,
-    "join_asof_tolerance" -> joinAsofTolerance)
+    "join_asof_tolerance" -> joinAsofTolerance,
+    "join_asof_nearest" -> joinAsofNearest)
 
   val oracle: Map[String, String] = Map(
     "join_asof" ->
@@ -82,6 +113,29 @@ object AsOfOps {
          FROM events e ASOF LEFT JOIN orders o
            ON e.user_id = o.o_custkey
           AND CAST(date_trunc('microseconds', e.ts) AS TIMESTAMP) <= o.o_orderdate
+         ORDER BY e.event_id""",
+    "join_asof_nearest" ->
+      """WITH ev AS (
+           SELECT event_id, user_id,
+             CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+           FROM events),
+         bwd AS (
+           SELECT e.event_id, o.o_orderdate AS bwd_date
+           FROM ev e ASOF LEFT JOIN orders o
+             ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate),
+         fwd AS (
+           SELECT e.event_id, o.o_orderdate AS fwd_date
+           FROM ev e ASOF LEFT JOIN orders o
+             ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate)
+         SELECT e.event_id, e.user_id,
+           CAST(CASE
+             WHEN b.bwd_date IS NULL THEN f.fwd_date
+             WHEN f.fwd_date IS NULL THEN b.bwd_date
+             WHEN epoch_us(e.ts) - epoch_us(CAST(b.bwd_date AS TIMESTAMP))
+                  <= epoch_us(CAST(f.fwd_date AS TIMESTAMP)) - epoch_us(e.ts)
+               THEN b.bwd_date
+             ELSE f.fwd_date END AS TIMESTAMP) AS matched_orderdate
+         FROM ev e JOIN bwd b USING (event_id) JOIN fwd f USING (event_id)
          ORDER BY e.event_id""",
     "join_asof_tolerance" ->
       """WITH ev AS (

@@ -156,6 +156,41 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(nov(3L) == 1.0, "unique doc shares none")
   }
 
+  test("events_dau_wau: DAU never exceeds WAU, stickiness in (0, 1]") {
+    q("events_dau_wau").collect().foreach { r =>
+      val (dau, wau, st) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dau <= wau, s"${r.getDate(0)}: dau $dau > wau $wau")
+      assert(st > 0.0 && st <= 1.0)
+    }
+  }
+
+  test("join_asof_nearest picks the closer of the backward/forward matches") {
+    def micros(x: Any): Long = x match {
+      case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
+      case d: java.time.LocalDateTime =>
+        d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000
+      case other => fail(s"unexpected time type ${other.getClass}")
+    }
+    def matches(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    val nearest = matches(q("join_asof_nearest"))
+    val bwd = matches(q("join_asof"))
+    val fwd = matches(q("join_asof_forward"))
+    val ts = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> micros(r.get(1))).toMap
+    nearest.foreach { case (id, got) =>
+      val expected = (bwd(id), fwd(id)) match {
+        case (None, f) => f
+        case (b, None) => b
+        case (Some(b), Some(f)) =>
+          if (ts(id) - micros(b) <= micros(f) - ts(id)) Some(b) else Some(f)
+      }
+      assert(got.map(micros) == expected.map(micros),
+        s"event $id: got $got expected $expected")
+    }
+  }
+
   test("dedup_semantic matches an exhaustive driver-side replay") {
     val sfSmall = TestSpark.sf0001
     val vecs = Tables.load(spark, sfSmall, "embeddings")
