@@ -36,40 +36,61 @@ final case class GraftConfig(
     /** `[control] dir` — shared directory for the cross-process control
       * plane (state + queue). Empty = in-process defaults. */
     controlDir: String = "",
+    /** `[control] jdbc_url` — database-backed control plane for topologies
+      * with no shared filesystem (the reference's Redis role over any SQL
+      * database). Mutually exclusive with `dir`; `dir` wins if both set. */
+    controlJdbcUrl: String = "",
     /** `[control] worker_only` — consume the shared queue without serving
-      * the HTTP API (the reference's `--worker-only`). Requires `dir`. */
+      * the HTTP API (the reference's `--worker-only`). Requires `dir` or
+      * `jdbc_url`. */
     workerOnly: Boolean = false,
     /** `[control] queues` — optional queue filter for worker processes. */
     workerQueues: Seq[String] = Nil) {
+
+  /** True when a cross-process control plane is configured. */
+  def hasControlPlane: Boolean = controlDir.nonEmpty || controlJdbcUrl.nonEmpty
 
   def boot(spark: org.apache.spark.sql.SparkSession): GraftCore = {
     // surface stream sizing on the session so the stream runner (which has
     // no GraftConfig handle) honors it; 0 = derive from input volume
     spark.conf.set(GraftConfig.StateStoresConfKey, streamStateStores.toString)
-    if (controlDir.isEmpty) GraftCore(spark, taskDirs, sources, resultBackends)
+    if (!hasControlPlane) GraftCore(spark, taskDirs, sources, resultBackends)
     else {
-      // shared control plane: file-backed state store + queue broker; a
-      // FileQueueWorker (started by Main when not API-only) executes claims
+      // shared control plane: file- or JDBC-backed state store + queue
+      // broker; a queue worker (started by Main when not API-only)
+      // executes claims
       val src = SourcePool(sources)
       val bk = SourcePool(resultBackends)
-      new GraftCore(spark, TaskRegistry.load(spark, taskDirs, src, bk), src, bk,
-        mkStore = () => new FileJobStateStore(new java.io.File(controlDir, "state")),
-        mkBroker = (_, st) => new FileQueueBroker(new java.io.File(controlDir, "queue"), st))
+      if (controlDir.nonEmpty)
+        new GraftCore(spark, TaskRegistry.load(spark, taskDirs, src, bk), src, bk,
+          mkStore = () => new FileJobStateStore(new java.io.File(controlDir, "state")),
+          mkBroker = (_, st) => new FileQueueBroker(new java.io.File(controlDir, "queue"), st))
+      else
+        new GraftCore(spark, TaskRegistry.load(spark, taskDirs, src, bk), src, bk,
+          mkStore = () => new JdbcJobStateStore(controlJdbcUrl),
+          mkBroker = (_, st) => new JdbcQueueBroker(controlJdbcUrl, st))
     }
   }
 
   /** Start a queue worker over the shared control plane (no-op handle when
-    * `controlDir` is unset). */
-  def bootWorker(spark: org.apache.spark.sql.SparkSession): Option[FileQueueWorker] =
-    if (controlDir.isEmpty) None
+    * no control plane is configured). Returns the worker's stop handle. */
+  def bootWorker(spark: org.apache.spark.sql.SparkSession): Option[() => Unit] =
+    if (!hasControlPlane) None
     else {
       val src = SourcePool(sources)
       val bk = SourcePool(resultBackends)
-      Some(new FileQueueWorker(spark,
-        TaskRegistry.load(spark, taskDirs, src, bk),
-        new FileJobStateStore(new java.io.File(controlDir, "state")),
-        new java.io.File(controlDir, "queue"),
-        queues = if (workerQueues.isEmpty) None else Some(workerQueues)))
+      val tasks = TaskRegistry.load(spark, taskDirs, src, bk)
+      val qs = if (workerQueues.isEmpty) None else Some(workerQueues)
+      if (controlDir.nonEmpty) {
+        val w = new FileQueueWorker(spark, tasks,
+          new FileJobStateStore(new java.io.File(controlDir, "state")),
+          new java.io.File(controlDir, "queue"), queues = qs)
+        Some(() => w.stop())
+      } else {
+        val w = new JdbcQueueWorker(spark, tasks,
+          new JdbcJobStateStore(controlJdbcUrl), controlJdbcUrl, queues = qs)
+        Some(() => w.stop())
+      }
     }
 }
 
@@ -117,6 +138,7 @@ object GraftConfig {
       resultBackends = sub("results", "dir"),
       streamStateStores = str("app.stream_state_stores", "0").toInt,
       controlDir = str("control.dir", ""),
+      controlJdbcUrl = str("control.jdbc_url", ""),
       workerOnly = str("control.worker_only", "false").toBoolean,
       workerQueues = parseArray(kv.getOrElse("control.queues", "[]")))
   }

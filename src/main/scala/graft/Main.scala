@@ -32,11 +32,12 @@ object Main {
     if (cfg.workerOnly) {
       // the reference's --worker-only mode (cmd/main.go:73-75): no HTTP API,
       // just a claim-and-execute loop over the shared control plane
-      val worker = cfg.bootWorker(spark).getOrElse(
-        sys.error("[control] worker_only=true requires [control] dir"))
-      println(s"graft worker consuming ${cfg.controlDir} " +
+      val stopWorker = cfg.bootWorker(spark).getOrElse(
+        sys.error("[control] worker_only=true requires [control] dir or jdbc_url"))
+      val plane = if (cfg.controlDir.nonEmpty) cfg.controlDir else cfg.controlJdbcUrl
+      println(s"graft worker consuming $plane " +
         s"(queues=${if (cfg.workerQueues.isEmpty) "*" else cfg.workerQueues.mkString(",")})")
-      sys.addShutdownHook(worker.stop())
+      sys.addShutdownHook(stopWorker())
       Thread.currentThread.join()
     } else {
       val core = cfg.boot(spark)
@@ -49,7 +50,7 @@ object Main {
       println(s"graft listening on :${api.boundPort} " +
         s"(tasks=${core.tasks.size}, sources=${core.sources.names.mkString(",")})")
       sys.addShutdownHook {
-        api.stop(); sweeper.stop(); localWorker.foreach(_.stop()); core.shutdown()
+        api.stop(); sweeper.stop(); localWorker.foreach(_.apply()); core.shutdown()
       }
       Thread.currentThread.join() // block like the reference's worker loop
     }

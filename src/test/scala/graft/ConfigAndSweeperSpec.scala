@@ -197,7 +197,7 @@ class ConfigAndSweeperSpec extends AnyFunSuite {
          |""".stripMargin, env = Map.empty)
     assert(cfg.controlDir == control && !cfg.workerOnly)
     val core = cfg.boot(spark)
-    val worker = cfg.bootWorker(spark).get
+    val stopWorker = cfg.bootWorker(spark).get
     try {
       val job = core.postJob(JobReq("count_events", jobId = "ctl-e2e"))
       val deadline = System.currentTimeMillis + 60000
@@ -207,6 +207,36 @@ class ConfigAndSweeperSpec extends AnyFunSuite {
       // the control plane is on disk, visible to any process
       assert(new java.io.File(control, "state").isDirectory)
       assert(new java.io.File(control, "queue").isDirectory)
-    } finally { worker.stop(); core.scheduler.shutdown() }
+    } finally { stopWorker(); core.scheduler.shutdown() }
+  }
+
+  test("[control] jdbc_url boots the JDBC control plane end to end") {
+    val spark = TestSpark.spark
+    val tasksDir = java.nio.file.Files.createTempDirectory("cfg-jdbc-tasks")
+    java.nio.file.Files.writeString(tasksDir.resolve("t.sql"),
+      """-- name: count_events
+        |SELECT COUNT(*) AS n FROM events;
+        |""".stripMargin)
+    val results = java.nio.file.Files.createTempDirectory("cfg-jdbc-res")
+    val cfg = GraftConfig.fromString(
+      s"""[app]
+         |task_dirs = ["$tasksDir"]
+         |[db.db]
+         |dir = "${TestSpark.sf0001}"
+         |[results.res]
+         |dir = "$results"
+         |[control]
+         |jdbc_url = "jdbc:derby:memory:cfgctl;create=true"
+         |""".stripMargin, env = Map.empty)
+    assert(cfg.controlJdbcUrl.nonEmpty && cfg.hasControlPlane)
+    val core = cfg.boot(spark)
+    val stopWorker = cfg.bootWorker(spark).get
+    try {
+      val job = core.postJob(JobReq("count_events", jobId = "ctl-jdbc-e2e"))
+      val deadline = System.currentTimeMillis + 60000
+      while (System.currentTimeMillis < deadline &&
+        !core.store.get(job.id).exists(_.state == JobState.Success)) Thread.sleep(30)
+      assert(core.store.get(job.id).exists(_.state == JobState.Success))
+    } finally { stopWorker(); core.scheduler.shutdown() }
   }
 }
