@@ -261,7 +261,55 @@ object AnalyticsOps {
       .orderBy(col("day"))
   }
 
+  /** Consecutive-run pattern detection (the MATCH_RECOGNIZE shape Spark
+    * lacks): runs of ≥ 3 consecutive 'error' events per user, with the
+    * run's bounds and length. Classic run-length grouping — a change flag
+    * (lag), a running group id (cumsum), one aggregate — all over the same
+    * (user_id; ts, event_id) sort, so the whole detection is one window
+    * partitioning end to end. */
+  val eventsErrorBurst: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w) === col("event_type"), 0L).otherwise(1L))
+      .withColumn("grp", sum(col("chg")).over(w))
+      .filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= 3)
+      .select(col("user_id"), col("start_ts"), col("end_ts"), col("run_len"))
+      .orderBy(col("user_id"), col("start_ts"))
+  }
+
+  /** One-row corpus health report — the dashboard number a pipeline owner
+    * reads before a training run: corpus size, language/source spread,
+    * exact-duplicate share, quality-gate pass share. Every component is one
+    * aggregate over an existing checked operator's logic (md5 dedup, the
+    * integer-exact C4 gate), cross-joined into a single row; the two shares
+    * are single rounded divisions. */
+  val corpusReport: Q = (s, d) => {
+    val base = docs(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val dups = docs(s, d)
+      .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_docs"))
+    val kept = PipelineOps.qualityFilter(s, d)
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+    base.crossJoin(dups).crossJoin(kept)
+      .select(col("n_docs"), col("n_langs"), col("n_sources"),
+        col("n_dup_docs"),
+        round(col("n_dup_docs").cast(DoubleType) / col("n_docs"), 6).as("dup_share"),
+        col("n_kept"),
+        round(col("n_kept").cast(DoubleType) / col("n_docs"), 6).as("kept_share"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_error_burst" -> eventsErrorBurst,
+    "corpus_report" -> corpusReport,
     "events_dau_wau" -> eventsDauWau,
     "events_anomaly" -> eventsAnomaly,
     "text_novelty" -> textNovelty,
@@ -275,6 +323,52 @@ object AnalyticsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_error_burst" ->
+      """WITH e AS (
+           SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w = event_type THEN 0 ELSE 1 END AS chg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY date_trunc('microseconds', ts), event_id)),
+         g AS (
+           SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+           FROM e),
+         runs AS (
+           SELECT user_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+                  COUNT(*) AS run_len
+           FROM g WHERE event_type = 'error'
+           GROUP BY user_id, grp)
+         SELECT user_id, start_ts, end_ts, run_len FROM runs
+         WHERE run_len >= 3 ORDER BY user_id, start_ts""",
+    "corpus_report" ->
+      """WITH base AS (
+           SELECT COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+                  COUNT(DISTINCT source) AS n_sources
+           FROM documents),
+         dups AS (
+           SELECT CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT)
+             AS n_dup_docs
+           FROM (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY 1)),
+         m AS (
+           SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT)
+               - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS alpha,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS symbols,
+             CAST(length(text) AS BIGINT) AS total
+           FROM documents),
+         kept AS (
+           SELECT CAST(SUM(CASE WHEN NOT (n_words < 30)
+                      AND NOT (alpha < n_words * 3 OR alpha > n_words * 10)
+                      AND NOT (symbols * 10 >= total) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+           FROM m)
+         SELECT n_docs, n_langs, n_sources, n_dup_docs,
+           round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS dup_share,
+           n_kept,
+           round(CAST(n_kept AS DOUBLE) / n_docs, 6) AS kept_share
+         FROM base, dups, kept""",
     "events_dau_wau" ->
       """WITH ud AS (
            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id

@@ -191,6 +191,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_error_burst runs replay from a driver-side scan of one user") {
+    val rows = q("events_error_burst").collect()
+    assert(rows.nonEmpty, "fixture should contain at least one 3+ error run")
+    assert(rows.forall(_.getLong(3) >= 3))
+    val uid = rows.head.getLong(0)
+    val seq = Tables.load(spark, sf, "events").filter(col("user_id") === uid)
+      .select(col("ts"), col("event_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(2)))
+    // replay run-length encoding over the user's ordered events
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(java.sql.Timestamp, java.sql.Timestamp, Long)]
+    var start = 0
+    for (i <- 1 to seq.length) {
+      if (i == seq.length || seq(i)._2 != seq(start)._2) {
+        if (seq(start)._2 == "error" && i - start >= 3)
+          runs += ((seq(start)._1, seq(i - 1)._1, (i - start).toLong))
+        start = i
+      }
+    }
+    val got = rows.filter(_.getLong(0) == uid)
+      .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSeq
+    assert(got == runs.toSeq, s"user $uid: got $got expected $runs")
+  }
+
+  test("corpus_report components recompute from the base tables") {
+    val r = q("corpus_report").head
+    val docs = Tables.load(spark, sf, "documents")
+    assert(r.getLong(0) == docs.count())
+    val dupDocs = docs.groupBy(md5(col("text"))).count()
+      .filter(col("count") > 1)
+      .agg(coalesce(sum(col("count")), lit(0L))).head.getLong(0)
+    assert(r.getLong(3) == dupDocs)
+    assert(r.getDouble(4) >= 0 && r.getDouble(4) < 1)
+    assert(r.getLong(5) <= r.getLong(0))
+  }
+
   test("dedup_semantic matches an exhaustive driver-side replay") {
     val sfSmall = TestSpark.sf0001
     val vecs = Tables.load(spark, sfSmall, "embeddings")
