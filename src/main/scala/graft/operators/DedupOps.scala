@@ -154,6 +154,22 @@ object DedupOps {
       minhashCandidates(s, d).write.parquet(s"$dir/pairs")
     }
 
+  /** Duplicate-cluster size distribution — the number a pipeline owner
+    * watches for mega-cluster formation (a size-10⁶ boilerplate cluster is
+    * an upstream crawl bug, not data): one row per cluster size with the
+    * cluster count and total docs covered. Two bounded aggregates over the
+    * resolved cluster labels; output is O(distinct sizes). */
+  val dedupClusterStats: Q = (s, d) => {
+    val pairs = s.read.parquet(s"${ngramPairsPath(s, d)}/pairs")
+    docs(s, d).select(col("doc_id"))
+      .join(resolveClusters(pairs), Seq("doc_id"), "left")
+      .select(coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+      .orderBy(col("sz"))
+  }
+
   /** Edit-distance near-dup: the SAME LSH candidate stage as
     * [[dedupMinhash]], but verification is normalized Levenshtein
     * (dist ≤ 30% of the longer text) instead of shingle Jaccard — the
@@ -554,6 +570,7 @@ object DedupOps {
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_clusters" -> dedupClusters,
+    "dedup_cluster_stats" -> dedupClusterStats,
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_fuzzy" -> dedupFuzzy,
     "dedup_lsh_recall" -> dedupLshRecall,
@@ -853,6 +870,16 @@ object DedupOps {
          SELECT d.doc_id, cc.cluster_id, (d.doc_id = cc.cluster_id) AS is_kept
          FROM documents d JOIN cc ON d.doc_id = cc.doc
          ORDER BY d.doc_id""",
+    "dedup_cluster_stats" ->
+      s"""WITH $shingleCtes,
+         $ngramInterCtes,
+         $clusterCtes,
+         szs AS (
+           SELECT cc.cluster_id, COUNT(*) AS sz
+           FROM documents d JOIN cc ON d.doc_id = cc.doc
+           GROUP BY cc.cluster_id)
+         SELECT sz, COUNT(*) AS n_clusters, CAST(SUM(sz) AS BIGINT) AS n_docs
+         FROM szs GROUP BY sz ORDER BY sz""",
     "dedup_keep_best" ->
       s"""WITH $shingleCtes,
          $ngramInterCtes,

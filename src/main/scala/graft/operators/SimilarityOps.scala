@@ -322,7 +322,25 @@ object SimilarityOps {
       .orderBy(col("rn"))
   }
 
+  /** ANN recall audit — the [[graft.operators.DedupOps]] `dedup_lsh_recall`
+    * counterpart for similarity search: IVF top-k measured against the
+    * exact brute-force top-k, THE number an index owner watches when tuning
+    * nlist/nprobe. Both sides are the existing checked queries; the audit
+    * is a semi-join + three counts → one row. At 100 TB the audit runs on a
+    * sampled query set, shape unchanged. */
+  val simIvfRecall: Q = (s, d) => {
+    val exact = simSearchTopK(s, d).select(col("vec_id"))
+    val approx = simSearchIvf(s, d).select(col("vec_id"))
+    val found = exact.join(approx, Seq("vec_id"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact")).crossJoin(
+      approx.agg(count(lit(1)).as("n_ivf"))).crossJoin(
+      found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_exact"), col("n_ivf"), col("n_found"),
+        (col("n_found").cast(DoubleType) / col("n_exact")).as("recall"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_ivf_recall" -> simIvfRecall,
     "sim_rerank" -> simRerank,
     "dedup_semantic" -> dedupSemantic,
     "embedding_centroid" -> embeddingCentroid,
@@ -482,6 +500,16 @@ object SimilarityOps {
     "sim_search_topk_native" -> topkOracle,
     "sim_search_ivf" -> ivfOracle,
     "sim_search_ivf_indexed" -> ivfOracle,
+    "sim_ivf_recall" ->
+      s"""WITH exact AS (SELECT vec_id FROM ($topkOracle) x),
+         ivf AS (SELECT vec_id FROM ($ivfOracle) v),
+         counts AS (
+           SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+                  (SELECT COUNT(*) FROM ivf) AS n_ivf,
+                  (SELECT COUNT(*) FROM exact e JOIN ivf i USING (vec_id)) AS n_found)
+         SELECT n_exact, n_ivf, n_found,
+           CAST(n_found AS DOUBLE) / n_exact AS recall
+         FROM counts""",
     "sim_rerank" ->
       """WITH q AS (
            SELECT u.val AS qv, u.i AS i FROM (

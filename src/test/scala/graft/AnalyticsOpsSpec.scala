@@ -227,6 +227,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getLong(5) <= r.getLong(0))
   }
 
+  test("dedup_cluster_stats tiles the corpus and is internally consistent") {
+    val rows = q("dedup_cluster_stats").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) * r.getLong(1) == r.getLong(2),
+        s"size ${r.getLong(0)}: sz*n_clusters != n_docs")
+    }
+    val covered = rows.map(_.getLong(2)).sum
+    assert(covered == Tables.load(spark, sf, "documents").count(),
+      "every document belongs to exactly one cluster")
+  }
+
+  test("sim_ivf_recall equals the overlap of the two checked queries") {
+    val r = q("sim_ivf_recall").head
+    val exact = q("sim_search_topk").collect().map(_.getLong(0)).toSet
+    val ivf = q("sim_search_ivf").collect().map(_.getLong(0)).toSet
+    assert(r.getLong(0) == exact.size && r.getLong(1) == ivf.size)
+    assert(r.getLong(2) == (exact intersect ivf).size)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("dedup_semantic matches an exhaustive driver-side replay") {
     val sfSmall = TestSpark.sf0001
     val vecs = Tables.load(spark, sfSmall, "embeddings")
