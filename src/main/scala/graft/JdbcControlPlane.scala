@@ -397,14 +397,33 @@ final class JdbcQueueWorker(
       .map(r => (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4))).toList
     finally { rs.close(); sel.close() }
     expired.foreach { case (seq, jobId, by, at) =>
-      if (store.get(jobId).exists(_.state == JobState.Pending)) {
-        val up = c.prepareStatement(
-          "UPDATE graft_queue SET claimed_by = NULL, claimed_at = NULL " +
-            "WHERE seq = ? AND claimed_by = ? AND claimed_at = ?")
-        up.setLong(1, seq); up.setString(2, by); up.setLong(3, at)
-        try up.executeUpdate() finally up.close()
+      store.get(jobId) match {
+        case Some(st) if st.state == JobState.Pending =>
+          val up = c.prepareStatement(
+            "UPDATE graft_queue SET claimed_by = NULL, claimed_at = NULL " +
+              "WHERE seq = ? AND claimed_by = ? AND claimed_at = ?")
+          up.setLong(1, seq); up.setString(2, by); up.setLong(3, at)
+          try up.executeUpdate() finally up.close()
+        case Some(st) if st.state == JobState.Success || st.state == JobState.Failure =>
+          // owner died AFTER execution completed but before deleting its
+          // row: nobody will ever claim or delete it, and awaitQuiescence
+          // counts every graft_queue row — reap it here (conditional on the
+          // observed claim so a re-enqueued duplicate seq can't be hit)
+          deleteClaimRow(c, seq, by, at)
+        case None =>
+          // job canceled (store entry purged) while the claim was held —
+          // same leak, same reap
+          deleteClaimRow(c, seq, by, at)
+        case _ => () // Started/Retry: owner is (or may be) live past lease
       }
     }
+  }
+
+  private def deleteClaimRow(c: Connection, seq: Long, by: String, at: Long): Unit = {
+    val del = c.prepareStatement(
+      "DELETE FROM graft_queue WHERE seq = ? AND claimed_by = ? AND claimed_at = ?")
+    del.setLong(1, seq); del.setString(2, by); del.setLong(3, at)
+    try del.executeUpdate() finally del.close()
   }
 
   private def claimOne(): Option[(Long, Job, Long)] = withConn { c =>
@@ -501,16 +520,34 @@ private[graft] object JdbcControlPlane {
   def isDuplicateKey(e: SQLException): Boolean =
     Option(e.getSQLState).exists(_.startsWith("23"))
 
-  /** Table-already-exists: Derby X0Y32; Postgres 42P07; MySQL 42S01. */
+  /** Table-already-exists: Derby X0Y32; Postgres 42P07; MySQL 42S01; H2
+    * 42S01/42101. ONLY these — the broader 42xxx class covers every syntax
+    * error and access violation, and swallowing those in ensureSchema turns
+    * a real DDL failure (permissions, reserved word on a new engine) into a
+    * confusing table-not-found much later. */
   private def isTableExists(e: SQLException): Boolean =
     Option(e.getSQLState).exists(s =>
-      s == "X0Y32" || s == "42P07" || s == "42S01" || s.startsWith("42"))
+      s == "X0Y32" || s == "42P07" || s == "42S01" || s == "42101")
 
-  /** Args travel URL-encoded and comma-joined — any arg content survives. */
+  /** Args travel URL-encoded and comma-joined, with a count prefix so the
+    * wire round-trips EVERY arg vector faithfully — without the prefix,
+    * Seq("") encodes to "" which decodes as Nil, a wire-fidelity divergence
+    * from the file-queue broker (a task invoked with one empty-string arg
+    * would silently run with zero args). */
   def encodeArgs(args: Seq[String]): String =
-    args.map(a => java.net.URLEncoder.encode(a, "UTF-8")).mkString(",")
+    args.size + ";" +
+      args.map(a => java.net.URLEncoder.encode(a, "UTF-8")).mkString(",")
 
-  def decodeArgs(s: String): Seq[String] =
-    if (s == null || s.isEmpty) Nil
-    else s.split(",", -1).toSeq.map(a => java.net.URLDecoder.decode(a, "UTF-8"))
+  def decodeArgs(s: String): Seq[String] = {
+    if (s == null || s.isEmpty) return Nil
+    val sep = s.indexOf(';')
+    // legacy form without the count prefix (rows enqueued by an older
+    // worker): keep the old best-effort decode
+    if (sep < 0 || !s.substring(0, sep).forall(_.isDigit))
+      return s.split(",", -1).toSeq.map(a => java.net.URLDecoder.decode(a, "UTF-8"))
+    val n = s.substring(0, sep).toInt
+    if (n == 0) Nil
+    else s.substring(sep + 1).split(",", -1).toSeq
+      .map(a => java.net.URLDecoder.decode(a, "UTF-8"))
+  }
 }

@@ -132,14 +132,19 @@ object AnalyticsOps {
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         size(col("ws")).cast(LongType).as("n_words"),
+        // the 'fst' flag marks the seed state: seeding prev='' alone would
+        // conflate a genuine empty-string word (doubled/leading spaces in
+        // text) with the initial state and undercount n_distinct by one —
+        // the oracle's GROUP BY counts '' as a word group like any other
         expr(
           """aggregate(array_sort(ws),
-               named_struct('prev', '', 'run', 0L, 'nd', 0L, 'ss', 0L),
+               named_struct('fst', true, 'prev', '', 'run', 0L, 'nd', 0L, 'ss', 0L),
                (a, w) -> named_struct(
+                 'fst', false,
                  'prev', w,
-                 'run', IF(w = a.prev, a.run + 1, 1L),
-                 'nd',  a.nd + IF(w = a.prev, 0L, 1L),
-                 'ss',  a.ss + IF(w = a.prev, 2L * a.run + 1L, 1L)))""").as("f"))
+                 'run', IF(NOT a.fst AND w = a.prev, a.run + 1, 1L),
+                 'nd',  a.nd + IF(NOT a.fst AND w = a.prev, 0L, 1L),
+                 'ss',  a.ss + IF(NOT a.fst AND w = a.prev, 2L * a.run + 1L, 1L)))""").as("f"))
       .select(col("doc_id"), col("n_words"),
         col("f.nd").as("n_distinct"), col("f.ss").as("sum_sq"),
         round(lit(1.0) - col("f.ss").cast(DoubleType) /

@@ -189,6 +189,15 @@ object DedupOps {
     pairs
       .join(txt.select(col("doc_id").as("a"), col("text").as("ta")), "a")
       .join(txt.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+      // length-gap prefilter: |len(ta) − len(tb)| lower-bounds the edit
+      // distance (each insertion/deletion changes length by 1), so any pair
+      // whose length gap alone exceeds the 30% threshold fails WITHOUT
+      // running the DP — an O(1) cut on exactly the candidate pairs whose
+      // DP is most expensive (LSH-similar prefix, very different lengths).
+      // Provably identical result: the dropped pairs could never pass
+      // `dist * 10 <= max_len * 3` since dist ≥ the gap.
+      .filter(abs(length(col("ta")) - length(col("tb"))).cast(LongType) * 10 <=
+        greatest(length(col("ta")), length(col("tb"))).cast(LongType) * 3)
       // exact-copy short-circuit: equal texts are dist 0 by an O(len)
       // compare instead of the O(len²) DP — on a duplicate-heavy corpus
       // (exactly where dedup runs) most candidate pairs ARE exact copies,

@@ -63,8 +63,13 @@ object ScaleFixture {
       "l_orderkey" -> ordOff, "l_partkey" -> partOff, "l_suppkey" -> suppOff))
 
     val ev = raw("events")
+    // user_id shares the customer key domain (events sample a subset of
+    // customers), so copied events must shift by the SAME custOff as
+    // o_custkey — shifting by max(events.user_id)+1 would land copied
+    // events on ORIGINAL customers and skew the events↔orders join
+    // distribution in the 2× fixture.
     doubled("events", ev, Map(
-      "event_id" -> off(ev, "event_id"), "user_id" -> off(ev, "user_id")))
+      "event_id" -> off(ev, "event_id"), "user_id" -> custOff))
 
     doubled("documents", raw("documents"), Map("doc_id" -> off(raw("documents"), "doc_id")))
     doubled("embeddings", raw("embeddings"), Map("vec_id" -> off(raw("embeddings"), "vec_id")))

@@ -165,6 +165,45 @@ class JdbcControlPlaneSpec extends AnyFunSuite {
     } finally worker.stop()
   }
 
+  test("expired claims with a terminal or purged store entry are reaped, not stranded") {
+    val (url, tasks, _, _, _) = fixture()
+    val store = new JdbcJobStateStore(url)
+    val broker = new JdbcQueueBroker(url, store)
+    // job 1: owner died AFTER completing (store says Success, row never deleted)
+    val j1 = JobFactory.make(JobReq("count_events", jobId = "jq-reap-done"), tasks("count_events"))
+    assert(broker.submit(j1, tasks("count_events")))
+    store.set("jq-reap-done", JobState.Success, 1)
+    // job 2: canceled while claimed (store entry purged, row left behind)
+    val j2 = JobFactory.make(JobReq("count_events", jobId = "jq-reap-gone"), tasks("count_events"))
+    assert(broker.submit(j2, tasks("count_events")))
+    store.remove("jq-reap-gone")
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val up = c.prepareStatement(
+        "UPDATE graft_queue SET claimed_by = 'dead-host-2', claimed_at = ?")
+      up.setLong(1, System.currentTimeMillis - 3600000L)
+      assert(up.executeUpdate() == 2); up.close()
+    } finally c.close()
+    // without reaping, awaitQuiescence could never return true: both rows
+    // stay in graft_queue forever (nobody re-claims a terminal/purged job)
+    val worker = new JdbcQueueWorker(spark, tasks, new JdbcJobStateStore(url), url,
+      claimLeaseMs = 1000)
+    try assert(broker.awaitQuiescence(15000), "stranded claim rows were not reaped")
+    finally worker.stop()
+  }
+
+  test("arg wire codec round-trips empty and delimiter-laden arg vectors") {
+    val vectors = Seq(Seq.empty[String], Seq(""), Seq("", ""), Seq("a,b", "", "c%;="),
+      Seq("plain"), Seq("x", "y z"))
+    vectors.foreach { v =>
+      assert(JdbcControlPlane.decodeArgs(JdbcControlPlane.encodeArgs(v)) == v,
+        s"round-trip broke for $v")
+    }
+    // legacy rows (no count prefix) still decode best-effort
+    assert(JdbcControlPlane.decodeArgs("x,y+z") == Seq("x", "y z"))
+    assert(JdbcControlPlane.decodeArgs("") == Nil)
+  }
+
   test("a worker lacking the task marks the job FAILURE instead of losing it") {
     val (url, tasks, _, _, _) = fixture()
     val store = new JdbcJobStateStore(url)
