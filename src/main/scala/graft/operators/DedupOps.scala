@@ -576,8 +576,73 @@ object DedupOps {
     labels.select(col("doc_id"), col("lbl"))
   }
 
+  // --------------------------------------------------- substring dedup
+  /** Token length of the repeated-span detection window: a span must cover
+    * at least this many tokens (one full shingle) to be reported. */
+  val substringK = 8
+
+  /** Exact substring dedup — cross-document repeated-span detection, the
+    * suffix-array-style curation op of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") re-expressed as a
+    * shingle inverted index: a 200-token license header repeated inside
+    * otherwise-distinct documents is invisible to whole-document near-dup
+    * (minhash/simhash) but lights up here as a maximal repeated span.
+    *
+    * Shape: (1) one map-side pass emits ([[substringK]]-token window,
+    * position) per token with the window PolyHash'd to an int64 — the
+    * shuffle never carries shingle text; (2) one aggregate computes each
+    * window-hash's document frequency and keeps hashes seen in ≥2 docs
+    * (vocabulary-sized, like the [[dedupNgramJaccard]] df-cut); (3) matched
+    * positions merge into maximal spans per document by interval merge
+    * (gaps-and-islands over consecutive token positions — the
+    * [[graft.streaming.Sessionize]] trick, here as `pos − row_number`).
+    * Never all-pairs: cost is O(total tokens) map-side + one int64-keyed
+    * shuffle + a per-document window sort; a span shared by a million docs
+    * costs one df row and a million interval rows, not 10¹² pairs.
+    *
+    * Output: (doc_id, span_start, span_len, n_docs) per maximal repeated
+    * span occurrence — positions are 1-based token indices; `n_docs` is the
+    * MINIMUM window document-frequency across the span (every token window
+    * inside the span appears in at least `n_docs` documents; the span as a
+    * whole appears in at most that many).
+    *
+    * The reference has no analog (its core delegates SQL verbatim,
+    * internal/core/core.go:496) — this ranks on curation impact, not
+    * parity. */
+  val dedupSubstring: Q = (s, d) => {
+    val k = substringK
+    val tok = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+    // (doc_id, pos, h): h = PolyHash of the k-token window starting at pos.
+    // One codegen'd projection; only (long, long, long) rows ever shuffle.
+    val sh = tok
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - (k - 1)),
+        i => struct(i.cast(LongType).as("pos"),
+          graft.functions.PolyHash.poly_hash(
+            concat_ws(" ", slice(col("w"), i, lit(k)))).as("h")))).as("sp"))
+      .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
+    // window-hash document frequency, kept only for cross-doc repeats
+    val dfq = sh.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    // interval merge: consecutive matched positions collapse into one
+    // maximal span (pos − row_number is constant within a run)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    sh.join(dfq, "h")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).as("span_len"),
+        min(col("df")).as("n_docs"))
+      .select(col("doc_id"), col("span_start"), col("span_len"), col("n_docs"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_substring" -> dedupSubstring,
     "dedup_clusters" -> dedupClusters,
     "dedup_cluster_stats" -> dedupClusterStats,
     "dedup_keep_best" -> dedupKeepBest,
@@ -872,6 +937,34 @@ object DedupOps {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    // full replay of the substring pipeline: same k-token windows, same
+    // PolyHash (so even a hash collision merges the same groups in both
+    // engines), same gaps-and-islands interval merge
+    "dedup_substring" -> {
+      import graft.functions.PolyHash
+      val k = substringK
+      s"""WITH ws AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= $k),
+         sh0 AS (
+           SELECT doc_id, i AS pos, array_to_string(w[i:i + ${k - 1}], ' ') AS win
+           FROM ws, UNNEST(generate_series(1, len(w) - ${k - 1})) AS t(i)),
+         -- hash in a separate CTE: duckSql's fold comprehension binds its
+         -- own `i`, which would capture the window index if inlined
+         sh AS (SELECT doc_id, pos, ${PolyHash.duckSql("win")} AS h FROM sh0),
+         dfq AS (
+           SELECT h, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY h
+           HAVING COUNT(DISTINCT doc_id) >= 2),
+         m AS (SELECT s.doc_id, s.pos, d.df FROM sh s JOIN dfq d USING (h)),
+         isl AS (
+           SELECT doc_id, pos, df,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM m)
+         SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + $k AS BIGINT) AS span_len,
+           CAST(MIN(df) AS BIGINT) AS n_docs
+         FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start"""
+    },
     "dedup_clusters" ->
       s"""WITH $shingleCtes,
          $ngramInterCtes,

@@ -40,6 +40,31 @@ class ExtensionOpsSpec extends AnyFunSuite {
     d
   }
 
+  test("dedup_substring finds a planted boilerplate span at its exact offsets") {
+    val d = Files.createTempDirectory("graft-substr").toString
+    // a 12-token boilerplate block planted inside three otherwise-distinct
+    // documents at different offsets; a fourth document shares nothing
+    val boiler = (0 until 12).map(i => s"B$i").mkString(" ")
+    val uniq = (tag: String, n: Int) => (0 until n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"${uniq("a", 10)} $boiler ${uniq("c", 10)}", "en", "s0", 0L), // offset 11
+      (1L, s"$boiler ${uniq("d", 20)}", "en", "s1", 0L),                  // offset 1
+      (2L, s"${uniq("e", 25)} $boiler", "en", "s2", 0L),                  // offset 26
+      (3L, uniq("z", 40), "en", "s3", 0L))                                // clean
+    spark.createDataFrame(docs).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.parquet(s"$d/documents.parquet")
+    val rows = DedupOps.dedupSubstring(spark, d).collect()
+    // exactly one maximal span per planted doc, none for the clean doc
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(0L, 1L, 2L), rows.mkString(";"))
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("span_start"), r.getAs[Long]("span_len"), r.getAs[Long]("n_docs")))).toMap
+    // span covers exactly the 12 boilerplate tokens (5 consecutive 8-token
+    // windows merge into one island of length 4+8)
+    assert(byDoc(0L) == ((11L, 12L, 3L)), byDoc.toString)
+    assert(byDoc(1L) == ((1L, 12L, 3L)), byDoc.toString)
+    assert(byDoc(2L) == ((26L, 12L, 3L)), byDoc.toString)
+  }
+
   test("dedup_exact groups identical texts, keeps min doc_id") {
     val rows = DedupOps.dedupExact(spark, dir).collect()
     assert(rows.length == 4) // 5 docs, one exact-dup pair
