@@ -29,6 +29,11 @@ object GraftFunctions {
       case _ => throw new IllegalArgumentException(
         "word_shingles(text[, k]) takes 1 or 2 arguments")
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("bpe_token_count", exprs => exprs match {
+      case Seq(text) => BpeTokenCount(text)
+      case _ => throw new IllegalArgumentException(
+        "bpe_token_count(text) takes 1 argument")
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("cosine_similarity", exprs => exprs match {
       case Seq(a, b) => CosineSimilarity(a, b)
       case _ => throw new IllegalArgumentException(

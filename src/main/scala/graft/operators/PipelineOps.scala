@@ -79,10 +79,12 @@ object PipelineOps {
     * parallelizes across shards and no single task owns a whole language's
     * corpus. At 100 TB the shard count is the scale knob (shards ∝ corpus /
     * target-shard-size); the bins a data loader reads are keyed (lang,
-    * shard, bin_id) either way. Token count is the whitespace tokenization
-    * shared with `text_token_count`. */
+    * shard, bin_id) either way. Token count is the embedded ordered-merge
+    * BPE tokenizer ([[graft.functions.BpeTable]]) shared with
+    * `text_token_count` — bins are budgeted in the subword tokens a
+    * training run actually consumes, not whitespace words. */
   val packSequences: Q = (s, d) => {
-    val tok = size(split(col("text"), " ")).cast(LongType)
+    val tok = graft.functions.BpeTable.bpe_token_count(col("text"))
     val w = Window.partitionBy(col("lang"), col("shard"))
       .orderBy(prio(col("doc_id")), col("doc_id"))
     docs(s, d)
@@ -262,7 +264,7 @@ object PipelineOps {
     "pack_sequences" ->
       s"""WITH t AS (
            SELECT lang, ($prioSql) % $packShards AS shard, doc_id,
-                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+                  ${graft.functions.BpeTable.duckCountSql("text")} AS tok,
                   $prioSql AS pri
            FROM documents),
          c AS (

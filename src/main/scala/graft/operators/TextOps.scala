@@ -45,14 +45,15 @@ object TextOps {
         round(least(lit(1.0), col("n_words").cast(DoubleType) / 100) * (lit(1.0) - col("stop_ratio")), 6))
       .orderBy(col("doc_id"))
 
-  /** BPE-ish token counting: alpha runs, digit runs, and lone symbols each
-    * count as one token (whitespace is not a token). */
+  /** Token counting with the embedded ordered-merge BPE tokenizer
+    * ([[graft.functions.BpeTable]]): `n_bpe_tokens` is the subword count a
+    * training pipeline budgets by, `n_ws_tokens` the whitespace word count
+    * for comparison. One codegen'd map-side pass, zero shuffle. */
   val textTokenCount: Q = (s, d) =>
     docs(s, d).select(
         col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_ws_tokens"),
-        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-          .cast(LongType).as("n_bpe_tokens"))
+        graft.functions.BpeTable.bpe_token_count(col("text")).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
   /** Marker-word language ID: count hits from tiny per-language marker sets,
@@ -393,9 +394,9 @@ object TextOps {
            / len(string_split(text, ' '))), 6) AS quality
          FROM documents ORDER BY doc_id""",
     "text_token_count" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+         ${graft.functions.BpeTable.duckCountSql("text")} AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
     "text_lang_id" ->
       """WITH c AS (
