@@ -79,13 +79,25 @@ object AnalyticsOps {
                                'w2', element_at(w, i + 1),
                                'w3', element_at(w, i + 2)))""")).as("t"))
       .select(col("t.w1"), col("t.w2"), col("t.w3"))
-      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
-    // context sums ride a (w1,w2)-partitioned window (parallel, hash-keyed);
+      // group and window on PolyHash int64 keys: the count exchange and the
+      // context-window exchange both hash/compare 24 bytes of longs instead
+      // of three variable-length strings (the words survive as MIN
+      // aggregates, collapsed map-side to one value per distinct key — on a
+      // collision both engines merge the same groups since the oracle
+      // replays the hash)
+      .select(col("w1"), col("w2"), col("w3"),
+        graft.functions.PolyHash.poly_hash(col("w1")).as("h1"),
+        graft.functions.PolyHash.poly_hash(col("w2")).as("h2"),
+        graft.functions.PolyHash.poly_hash(col("w3")).as("h3"))
+      .groupBy(col("h1"), col("h2"), col("h3"))
+      .agg(min(col("w1")).as("w1"), min(col("w2")).as("w2"),
+        min(col("w3")).as("w3"), count(lit(1)).as("c3"))
+    // context sums ride an (h1,h2)-partitioned window (parallel, hash-keyed);
     // the global top-20 is orderBy+limit — TakeOrderedAndProject keeps a
     // 20-row heap per partition instead of a single-partition sort of the
     // whole vocabulary — and only the 20 survivors enter the rank window.
     tri
-      .withColumn("ctx", sum(col("c3")).over(Window.partitionBy(col("w1"), col("w2"))))
+      .withColumn("ctx", sum(col("c3")).over(Window.partitionBy(col("h1"), col("h2"))))
       .orderBy(col("c3").desc, col("w1"), col("w2"), col("w3"))
       .limit(20)
       .withColumn("rn", row_number().over(
@@ -109,8 +121,15 @@ object AnalyticsOps {
         "transform(sequence(1, size(w), 8), i -> array_join(slice(w, i, 8), ' '))"))
         .as("chunk"))
     chunks
-      .groupBy(col("chunk"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      // aggregate on the chunk's PolyHash: both phases of the two-phase
+      // count-distinct exchange long keys; the chunk text survives as a
+      // map-side-collapsed MIN (oracle replays the hash, so collisions
+      // merge identically)
+      .select(col("doc_id"), col("chunk"),
+        graft.functions.PolyHash.poly_hash(col("chunk")).as("ch"))
+      .groupBy(col("ch"))
+      .agg(min(col("chunk")).as("chunk"),
+        countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= 2)
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("chunk"))
       .limit(20)
@@ -223,6 +242,12 @@ object AnalyticsOps {
     * trigram key (vocabulary-sized, shuffles once); novelty is one rounded
     * division of exact integers. */
   val textNovelty: Q = (s, d) => {
+    // the trigram string never leaves the map side: every shuffle (the
+    // dedup distinct, the df aggregate, the tally join) is keyed on the
+    // trigram's PolyHash int64 — ~8 bytes per row in the Exchange instead
+    // of a 20-40 byte string, a several-fold shuffle-byte cut at corpus
+    // scale. The DuckDB oracle replays the identical hash, so even a hash
+    // collision merges the same df groups in both engines.
     val tri = docs(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
@@ -230,9 +255,10 @@ object AnalyticsOps {
         """transform(sequence(1, size(w) - 2),
              i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
                             element_at(w, i + 2)))""")).as("tri"))
-    val df = tri.select(col("doc_id"), col("tri")).distinct()
-      .groupBy(col("tri")).agg(count(lit(1)).as("tri_df"))
-    tri.join(df, "tri")
+      .select(col("doc_id"), graft.functions.PolyHash.poly_hash(col("tri")).as("th"))
+    val df = tri.select(col("doc_id"), col("th")).distinct()
+      .groupBy(col("th")).agg(count(lit(1)).as("tri_df"))
+    tri.join(df, "th")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tri"),
         sum(when(col("tri_df") >= 2, 1L).otherwise(0L)).as("n_shared"))
@@ -408,20 +434,26 @@ object AnalyticsOps {
              AS zscore
          FROM trail WHERE t_cnt = 7
          ORDER BY event_type, day""",
+    // keyed on the trigram's PolyHash like the Spark plan (hash computed in
+    // its own CTE — duckSql's fold binds an `i` that would capture the
+    // UNNEST index if inlined)
     "text_novelty" ->
-      """WITH ws AS (
+      s"""WITH ws AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents
            WHERE len(string_split(text, ' ')) >= 3),
-         tri AS (
+         tri0 AS (
            SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tri
            FROM ws, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+         tri AS (
+           SELECT doc_id, ${graft.functions.PolyHash.duckSql("tri")} AS th
+           FROM tri0),
          dfq AS (
-           SELECT tri, COUNT(DISTINCT doc_id) AS tri_df FROM tri GROUP BY tri)
+           SELECT th, COUNT(DISTINCT doc_id) AS tri_df FROM tri GROUP BY th)
          SELECT t.doc_id, COUNT(*) AS n_tri,
            CAST(SUM(CASE WHEN d.tri_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
            round(1.0 - CAST(SUM(CASE WHEN d.tri_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS novelty
-         FROM tri t JOIN dfq d USING (tri)
+         FROM tri t JOIN dfq d USING (th)
          GROUP BY t.doc_id ORDER BY t.doc_id""",
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts
@@ -449,16 +481,25 @@ object AnalyticsOps {
            COUNT(*) AS n_users
          FROM active JOIN firsts USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // grouped/windowed on per-word PolyHash keys like the Spark plan; the
+    // words survive as MINs (identical under collision in both engines)
     "lm_trigram" ->
-      """WITH ws AS (
+      s"""WITH ws AS (
            SELECT string_split(text, ' ') AS w FROM documents
            WHERE len(string_split(text, ' ')) >= 3),
-         tri AS (
+         tri0 AS (
            SELECT w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
            FROM ws, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
-         cnt AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+         tri AS (
+           SELECT w1, w2, w3,
+             ${graft.functions.PolyHash.duckSql("w1")} AS h1,
+             ${graft.functions.PolyHash.duckSql("w2")} AS h2,
+             ${graft.functions.PolyHash.duckSql("w3")} AS h3
+           FROM tri0),
+         cnt AS (SELECT h1, h2, h3, MIN(w1) AS w1, MIN(w2) AS w2, MIN(w3) AS w3,
+                   COUNT(*) AS c3 FROM tri GROUP BY 1, 2, 3),
          ctxd AS (SELECT w1, w2, w3, c3,
-                    SUM(c3) OVER (PARTITION BY w1, w2) AS ctx FROM cnt),
+                    SUM(c3) OVER (PARTITION BY h1, h2) AS ctx FROM cnt),
          rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY c3 DESC, w1, w2, w3) AS rn
                 FROM ctxd)
          SELECT CAST(rn AS BIGINT) AS rn, w1, w2, w3, c3,
@@ -505,14 +546,19 @@ object AnalyticsOps {
          SELECT user_id, event_type AS state, ts AS valid_from,
            LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
          FROM chg ORDER BY user_id, valid_from""",
+    // aggregated on the chunk's PolyHash like the Spark plan
     "text_boilerplate" ->
-      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          chunks AS (
            SELECT doc_id, array_to_string(w[i:i + 7], ' ') AS chunk
            FROM ws, UNNEST(generate_series(1, len(w), 8)) AS t(i)),
+         hashed AS (
+           SELECT doc_id, chunk, ${graft.functions.PolyHash.duckSql("chunk")} AS ch
+           FROM chunks),
          cnt AS (
-           SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
-           FROM chunks GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2),
+           SELECT ch, MIN(chunk) AS chunk, COUNT(DISTINCT doc_id) AS n_docs,
+             COUNT(*) AS n_occ
+           FROM hashed GROUP BY ch HAVING COUNT(DISTINCT doc_id) >= 2),
          rk AS (SELECT *, ROW_NUMBER() OVER
                   (ORDER BY n_docs DESC, n_occ DESC, chunk) AS rn FROM cnt)
          SELECT CAST(rn AS BIGINT) AS rn, chunk, n_docs, n_occ

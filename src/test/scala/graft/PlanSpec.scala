@@ -182,4 +182,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("text_novelty: every exchange is keyed on hashed longs or doc_id, never the trigram string") {
+    // the n-gram string must stay map-side — shuffles carry its PolyHash
+    val df = SparkEntry.queries("text_novelty")(spark, sf)
+    val exchanges = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(e.contains("th#") || e.contains("doc_id#"),
+        s"exchange keyed on a non-hash column: $e")
+      assert(!e.contains("tri#"), s"trigram string in exchange keys: $e")
+    }
+  }
+
+  test("lm_trigram: count aggregate exchanges on the h1/h2/h3 long keys") {
+    val df = SparkEntry.queries("lm_trigram")(spark, sf)
+    val ex = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.exists(e => e.contains("h1#") && e.contains("h3#")),
+      s"no hashed-key exchange found:\n${ex.mkString("\n")}")
+    assert(!ex.exists(e => e.contains("w1#") && e.contains("w3#")),
+      s"word strings still key an exchange:\n${ex.mkString("\n")}")
+  }
 }
