@@ -152,18 +152,34 @@ object SimilarityOps {
         aggregate(col("qv"), lit(0L), (a, x) => a + x).as("qsum"))
       .orderBy(col("vec_id"))
 
+  /** Lloyd's update-iteration cap for [[embeddingKmeans]]. */
+  val kmeansMaxIters = 4
+
+  /** Update iterations the LAST [[embeddingKmeans]] invocation executed
+    * (≤ [[kmeansMaxIters]]; fewer when the exact fixpoint hit early) —
+    * spec observability, the [[graft.plans.ArtifactCache.builds]] pattern. */
+  val kmeansItersRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Deterministic k-means (Lloyd's algorithm) over the embeddings — the
     * corpus-organization pass in front of semantic dedup and IVF index
-    * builds: k=8 clusters seeded from the embeddings of vec_id 0..7, two
-    * assignment iterations, squared-L2 distance, ties to the lowest cluster
-    * id. Each iteration has the MLlib shape: the k×d centroid matrix is
-    * collected to the driver (k·d doubles — constant size at any corpus
-    * scale, the same literal-rebroadcast pattern as [[graft.plans.IvfIndex]])
-    * so assignment is a ZERO-shuffle whole-stage-codegen pass over the
-    * corpus, and the centroid update is posexplode + partially-aggregated
-    * avg (k·d rows per partition on the wire). Pure double arithmetic — the
-    * DuckDB oracle replays both iterations exactly (same ~1e-15 summation
-    * jitter budget as [[ivfOracle]], far below the cluster separation). */
+    * builds: k=8 clusters seeded from the embeddings of vec_id 0..7,
+    * squared-L2 distance, ties to the lowest cluster id. Update iterations
+    * run to convergence with an EXACT fixpoint guard: the loop stops when
+    * an update reproduces the previous centroids bit-for-bit, or after
+    * [[kmeansMaxIters]] updates. The guard is ε = 0 deliberately — once
+    * centroids are a fixpoint, every further update is a no-op, so the
+    * DuckDB oracle can replay an unconditional [[kmeansMaxIters]]
+    * iterations and land on the identical result (a positive ε would stop
+    * on centroids the oracle never sees). Each iteration has the MLlib
+    * shape: the k×d centroid matrix is collected to the driver (k·d
+    * doubles — constant size at any corpus scale, capped via
+    * [[graft.Limits.maxDriverCentroids]], the same literal-rebroadcast
+    * pattern as [[graft.plans.IvfIndex]]) so assignment is a ZERO-shuffle
+    * whole-stage-codegen pass over the corpus, and the centroid update is
+    * posexplode + partially-aggregated avg (k·d rows per partition on the
+    * wire). Pure double arithmetic — the oracle replays every iteration
+    * exactly (same ~1e-15 summation jitter budget as [[ivfOracle]], far
+    * below the cluster separation). */
   val embeddingKmeans: Q = (s, d) => {
     val k = 8
     // Lloyd's inherently round-trips the k centroids through the driver
@@ -189,21 +205,31 @@ object SimilarityOps {
         .drop("d2s")
 
     val seedRows = e.filter(col("vec_id") < k).orderBy(col("vec_id")).collect()
-    val seedCents: Seq[Seq[Double]] = seedRows.map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq
-    val seedIds: Seq[Long] = seedRows.map(_.getLong(0)).toIndexedSeq
+    var cents: Seq[Seq[Double]] = seedRows.map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq
+    var cids: Seq[Long] = seedRows.map(_.getLong(0)).toIndexedSeq
 
-    val cent1Rows = assign(seedCents, seedIds)
-      .select(col("cluster"), posexplode(col("ev")).as(Seq("i", "x")))
-      .groupBy(col("cluster"), col("i")).agg(avg(col("x")).as("cx"))
-      .groupBy(col("cluster"))
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
-        t => t.getField("cx")).as("cv"))
-      .orderBy(col("cluster"))
-      .collect()
-    val cents1: Seq[Seq[Double]] = cent1Rows.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-    val cids1: Seq[Long] = cent1Rows.map(_.getLong(0)).toIndexedSeq
+    var iters = 0
+    var converged = false
+    while (iters < kmeansMaxIters && !converged) {
+      val centRows = assign(cents, cids)
+        .select(col("cluster"), posexplode(col("ev")).as(Seq("i", "x")))
+        .groupBy(col("cluster"), col("i")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+          t => t.getField("cx")).as("cv"))
+        .orderBy(col("cluster"))
+        .collect()
+      val newCents: Seq[Seq[Double]] = centRows.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      val newCids: Seq[Long] = centRows.map(_.getLong(0)).toIndexedSeq
+      // exact fixpoint: this update reproduced its inputs, so every further
+      // update is a no-op (see the doc comment for why ε must be 0)
+      converged = newCids == cids && newCents == cents
+      cents = newCents; cids = newCids
+      iters += 1
+    }
+    kmeansItersRun.set(iters)
 
-    assign(cents1, cids1)
+    assign(cents, cids)
       .select(col("vec_id"), col("label"), col("cluster"),
         round(col("dist2"), 6).as("dist2"))
       .orderBy(col("vec_id"))
@@ -353,6 +379,49 @@ object SimilarityOps {
     "sim_search_ivf_indexed" -> simSearchIvfIndexed,
   )
 
+  /** Generated [[kmeansMaxIters]]-iteration replay of [[embeddingKmeans]]:
+    * an unconditional chain of assign/update CTE pairs. The Spark side may
+    * stop early, but only at an EXACT fixpoint, where the oracle's surplus
+    * iterations are no-ops — so both engines land on the same assignment
+    * (see the ε = 0 rationale on [[embeddingKmeans]]). */
+  private def kmeansOracle: String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH flat AS (
+           SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         c0 AS (SELECT vec_id AS cid, val AS cval, i FROM flat WHERE vec_id < 8)"""
+    for (n <- 1 to kmeansMaxIters) {
+      sb ++= s""",
+         d$n AS (
+           SELECT f.vec_id, s.cid, SUM((f.val - s.cval) * (f.val - s.cval)) AS d2
+           FROM flat f JOIN c${n - 1} s ON f.i = s.i GROUP BY f.vec_id, s.cid),
+         a$n AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM d$n) WHERE rn = 1),
+         c$n AS (
+           SELECT a.cid, f.i, AVG(f.val) AS cval
+           FROM a$n a JOIN flat f ON a.vec_id = f.vec_id
+           GROUP BY a.cid, f.i)"""
+    }
+    sb ++= s""",
+         df AS (
+           SELECT f.vec_id, c.cid, SUM((f.val - c.cval) * (f.val - c.cval)) AS d2
+           FROM flat f JOIN c$kmeansMaxIters c ON f.i = c.i GROUP BY f.vec_id, c.cid),
+         af AS (
+           SELECT vec_id, cid, d2 FROM (
+             SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM df) WHERE rn = 1)
+         SELECT a.vec_id, e.label, a.cid AS cluster, ROUND(a.d2, 6) AS dist2
+         FROM af a JOIN embeddings e ON a.vec_id = e.vec_id
+         ORDER BY a.vec_id"""
+    sb.toString
+  }
+
   /** Oracle for the exact variant; DuckDB computes the same double-precision
     * dot/norm via UNNEST + per-index products summed in index order. */
   private val topkOracle: String =
@@ -432,35 +501,7 @@ object SimilarityOps {
                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
            FROM embeddings)
          GROUP BY label, i ORDER BY label, i""",
-    "embedding_kmeans" ->
-      """WITH flat AS (
-           SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,
-                  generate_subscripts(embedding, 1) AS i
-           FROM embeddings),
-         seeds AS (SELECT vec_id AS cid, val AS cval, i FROM flat WHERE vec_id < 8),
-         d1 AS (
-           SELECT f.vec_id, s.cid, SUM((f.val - s.cval) * (f.val - s.cval)) AS d2
-           FROM flat f JOIN seeds s ON f.i = s.i GROUP BY f.vec_id, s.cid),
-         a1 AS (
-           SELECT vec_id, cid FROM (
-             SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-             FROM d1) WHERE rn = 1),
-         c1 AS (
-           SELECT a.cid, f.i, AVG(f.val) AS cval
-           FROM a1 a JOIN flat f ON a.vec_id = f.vec_id
-           GROUP BY a.cid, f.i),
-         d2s AS (
-           SELECT f.vec_id, c.cid, SUM((f.val - c.cval) * (f.val - c.cval)) AS d2
-           FROM flat f JOIN c1 c ON f.i = c.i GROUP BY f.vec_id, c.cid),
-         a2 AS (
-           SELECT vec_id, cid, d2 FROM (
-             SELECT vec_id, cid, d2,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-             FROM d2s) WHERE rn = 1)
-         SELECT a.vec_id, e.label, a.cid AS cluster, ROUND(a.d2, 6) AS dist2
-         FROM a2 a JOIN embeddings e ON a.vec_id = e.vec_id
-         ORDER BY a.vec_id""",
+    "embedding_kmeans" -> kmeansOracle,
     "embedding_quantize" ->
       """WITH m AS (
            SELECT vec_id, embedding,

@@ -40,6 +40,27 @@ class ExtensionOpsSpec extends AnyFunSuite {
     d
   }
 
+  test("embedding_kmeans stops at the exact fixpoint, within the iteration cap") {
+    val d = Files.createTempDirectory("graft-kmeans").toString
+    // 8 vectors, seeds = all of them: every point is its own nearest
+    // centroid with distance 0, so the FIRST update reproduces the seeds
+    // bit-for-bit and the loop must stop after exactly one iteration
+    val embs = (0 until 8).map(i =>
+      (i.toLong, Array.tabulate(16)(j => (i * 100 + j).toFloat).toSeq, i))
+    embs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val rows = SimilarityOps.embeddingKmeans(spark, d).collect()
+    assert(SimilarityOps.kmeansItersRun.get() == 1,
+      s"expected fixpoint after 1 update, ran ${SimilarityOps.kmeansItersRun.get()}")
+    assert(rows.length == 8)
+    assert(rows.forall(r => r.getAs[Double]("dist2") == 0.0 &&
+      r.getAs[Long]("cluster") == r.getAs[Long]("vec_id")), rows.mkString(";"))
+    // the cap itself: the real fixture never exceeds kmeansMaxIters
+    SimilarityOps.embeddingKmeans(spark, TestSpark.sf0001).collect()
+    val n = SimilarityOps.kmeansItersRun.get()
+    assert(n >= 1 && n <= SimilarityOps.kmeansMaxIters, s"iters=$n")
+  }
+
   test("dedup_substring finds a planted boilerplate span at its exact offsets") {
     val d = Files.createTempDirectory("graft-substr").toString
     // a 12-token boilerplate block planted inside three otherwise-distinct
