@@ -56,7 +56,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     val packedTokens = rows.map(_.getLong(4)).sum
     val corpusTokens = graft.Tables.load(spark, sf, "documents")
-      .select(sum(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+      .select(sum(graft.functions.BpeTable.bpe_token_count(col("text"))))
+      .collect()(0).getLong(0)
     assert(packedTokens == corpusTokens, s"$packedTokens != $corpusTokens")
   }
 
