@@ -186,7 +186,17 @@ object DedupOps {
       .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
     val txt = docs(s, d).join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text")).localCheckpoint()
-    pairs
+    // banded-DP threshold: any pair can pass the filter only with
+    // dist ≤ 0.3 · max_len ≤ 0.3 · corpusMaxLen, so capping the DP there
+    // (Spark's thresholded levenshtein runs the O(thr·len) band and
+    // returns −1 beyond it) is result-identical — a −1 row could never
+    // have passed. One O(candidate-texts) max() job prices the cap.
+    val corpusMaxLen = txt.agg(max(length(col("text")))).head.get(0) match {
+      case null => 0
+      case n: Int => n
+    }
+    val thr = math.max(1, (corpusMaxLen * 3 + 9) / 10)
+    val cand = pairs
       .join(txt.select(col("doc_id").as("a"), col("text").as("ta")), "a")
       .join(txt.select(col("doc_id").as("b"), col("text").as("tb")), "b")
       // length-gap prefilter: |len(ta) − len(tb)| lower-bounds the edit
@@ -198,16 +208,38 @@ object DedupOps {
       // `dist * 10 <= max_len * 3` since dist ≥ the gap.
       .filter(abs(length(col("ta")) - length(col("tb"))).cast(LongType) * 10 <=
         greatest(length(col("ta")), length(col("tb"))).cast(LongType) * 3)
-      // exact-copy short-circuit: equal texts are dist 0 by an O(len)
-      // compare instead of the O(len²) DP — on a duplicate-heavy corpus
-      // (exactly where dedup runs) most candidate pairs ARE exact copies,
-      // and this cut measured 8.0s -> 3.1s on a fixture with every doc
-      // duplicated. Result is identical (levenshtein(x, x) = 0).
-      .select(col("a"), col("b"),
-        when(col("ta") === col("tb"), lit(0L))
-          .otherwise(levenshtein(col("ta"), col("tb")).cast(LongType)).as("dist"),
+    // exact-copy short-circuit: equal texts are dist 0 by an O(len) compare
+    // instead of the O(len²) DP — on a duplicate-heavy corpus (exactly
+    // where dedup runs) most candidate pairs ARE exact copies. Result is
+    // identical (levenshtein(x, x) = 0), and every exact pair passes the
+    // 30% filter trivially.
+    val exact = cand.filter(col("ta") === col("tb"))
+      .select(col("a"), col("b"), lit(0L).as("dist"),
         greatest(length(col("ta")), length(col("tb"))).cast(LongType).as("max_len"))
-      .filter(col("dist") * 10 <= col("max_len") * 3) // dist/max_len ≤ 0.3, exact integers
+    // edit distance depends only on the TEXTS, so the DP runs once per
+    // distinct (content, content) pair and the verdict joins back to the
+    // id pairs. On duplicate-heavy corpora the id-pair count explodes
+    // combinatorially (m copies of each of two near-dup texts → m² id
+    // pairs, ONE distinct text pair) — measured on the 2× exact-copy
+    // fixture: 2184 DP-needing id pairs collapse to the base 546 text
+    // pairs, making DP work flat across the doubling instead of 4×. Keys
+    // are md5 digests (16 B) so the dedup exchange sorts fixed-width keys,
+    // with the texts collapsing map-side via the partial min().
+    val near = cand.filter(col("ta") =!= col("tb"))
+      .select(col("a"), col("b"), md5(col("ta")).as("ka"), md5(col("tb")).as("kb"),
+        col("ta"), col("tb"))
+    val dists = near.groupBy(col("ka"), col("kb"))
+      .agg(min(col("ta")).as("ta"), min(col("tb")).as("tb"))
+      .select(col("ka"), col("kb"),
+        levenshtein(col("ta"), col("tb"), thr).cast(LongType).as("dist"),
+        greatest(length(col("ta")), length(col("tb"))).cast(LongType).as("max_len"))
+      // dist/max_len ≤ 0.3, exact integers; dist ≥ 0 drops the −1
+      // beyond-threshold sentinel (those fail the 30% bound a fortiori)
+      .filter(col("dist") >= 0 && col("dist") * 10 <= col("max_len") * 3)
+    exact.unionAll(
+        near.select(col("a"), col("b"), col("ka"), col("kb"))
+          .join(dists, Seq("ka", "kb"))
+          .select(col("a"), col("b"), col("dist"), col("max_len")))
       .orderBy(col("a"), col("b"))
   }
 

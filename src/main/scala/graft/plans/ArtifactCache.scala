@@ -34,14 +34,19 @@ object ArtifactCache {
     r
   }
 
-  /** Identity stamp of the class that encodes the build logic: classfile
-    * location + modification time. A recompile of that class (sbt's zinc is
-    * per-class incremental) changes the stamp, so cached artifacts built by
-    * older logic are never served after the logic changes — at the cost of
-    * one rebuild after any recompile of the owning class. */
+  /** Identity stamp of the class that encodes the build logic: an MD5 of
+    * the classfile BYTES. Content-based on purpose — launchers repackage
+    * the same classes into fresh jars per invocation (sbt's forked `run`
+    * serves them from a per-job jar whose entry mtimes are the packaging
+    * time), so an mtime stamp churns every JVM and defeats the cross-
+    * process pay-once contract entirely (measured: every bench invocation
+    * rebuilt all 10 artifacts). The byte hash is identical across
+    * repackaging and changes exactly when a recompile changes the logic.
+    * Memoized per class per JVM. */
   private val stampWarned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val stampMemo = new java.util.concurrent.ConcurrentHashMap[Class[_], String]()
 
-  def codeStamp(cls: Class[_]): String = {
+  def codeStamp(cls: Class[_]): String = stampMemo.computeIfAbsent(cls, { cls =>
     val res = cls.getResource(cls.getSimpleName + ".class")
     if (res == null) {
       // name-only stamp: the stale-logic invalidation guard is OFF for this
@@ -53,11 +58,16 @@ object ArtifactCache {
           "(recompiles of it will NOT invalidate cached artifacts)")
       cls.getName
     } else {
-      val conn = res.openConnection()
-      try s"${cls.getName}:${conn.getLastModified}"
-      finally scala.util.Try(conn.getInputStream.close())
+      val in = res.openStream()
+      try {
+        val md = MessageDigest.getInstance("MD5")
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+        s"${cls.getName}:${md.digest().map("%02x".format(_)).mkString.take(16)}"
+      } finally in.close()
     }
-  }
+  })
 
   /** Stable fingerprint of a set of source tables under `sfDir`, plus the
     * [[codeStamp]] of EVERY class whose code defines the artifact's content
