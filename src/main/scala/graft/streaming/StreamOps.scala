@@ -32,14 +32,26 @@ object StreamOps {
   private[graft] def eventStreamPublic(s: SparkSession, d: String): DataFrame =
     eventStream(s, d)
 
+  /** File-stream source for `<d>/<name>.parquet`, handling BOTH physical
+    * layouts: a single file (the generator's fixture shape — the file
+    * stream source only accepts directories, so stream the parent with a
+    * leaf-name glob) and a Spark-written DIRECTORY of part-files (any real
+    * deployment's shape — here the glob must NOT be used: `pathGlobFilter`
+    * matches leaf file names, so filtering on `<name>.parquet` over a
+    * directory of `part-*.parquet` silently streams ZERO rows; this
+    * exactly bit the 2× scale fixture, where every stream query replayed
+    * an empty source and benched as fixed cost). */
+  private def streamSource(s: SparkSession, d: String, name: String,
+      schema: StructType): DataFrame = {
+    val f = new java.io.File(d, s"$name.parquet")
+    if (f.isDirectory) s.readStream.schema(schema).parquet(f.getPath)
+    else s.readStream.schema(schema)
+      .option("pathGlobFilter", s"$name.parquet").parquet(d)
+  }
+
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the fixture is a single file and the file stream source only accepts
-    // directories: stream the parent dir with a glob filter instead
-    s.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    streamSource(s, d, "events", eventsSchema)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -357,8 +369,7 @@ object StreamOps {
     * replay the result equals the batch group-by, which the oracle replays
     * shingle-for-shingle in SQL. */
   val streamNearDedup: Q = (s, d) => {
-    val src = s.readStream.schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val src = streamSource(s, d, "documents", docsSchema)
     val agg = src
       .select(col("doc_id"),
         graft.functions.MinHashBands.minhash_bands(

@@ -8,6 +8,24 @@ import graft.streaming.{Sessionize, StreamOps}
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("stream sources read a Spark-written DIRECTORY fixture, not just single files") {
+    // pathGlobFilter matches leaf names — over a directory of part-files a
+    // '<table>.parquet' glob silently streams ZERO rows (this hid all
+    // stream work on the 2× scale fixture). Rewrite the events fixture as
+    // a directory and assert the replay still sees every row.
+    val d = java.nio.file.Files.createTempDirectory("graft-dirfix").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read
+      .format("parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .load(TestSpark.sf0001)
+    ev.repartition(2).write.parquet(s"$d/events.parquet")
+    val streamed = StreamOps.streamTumbling(spark, d)
+    val viaFile = StreamOps.streamTumbling(spark, TestSpark.sf0001)
+    assert(streamed.collect().sameElements(viaFile.collect()),
+      "directory-layout replay diverged from single-file replay")
+  }
+
   test("stream_tumbling equals the batch aggregation (exactly-once contract)") {
     val streamed = StreamOps.streamTumbling(spark, TestSpark.sf0001)
     val batch = Tables.load(spark, TestSpark.sf0001, "events")
