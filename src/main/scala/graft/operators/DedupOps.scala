@@ -646,15 +646,27 @@ object DedupOps {
     val tok = docs(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= k)
-    // (doc_id, pos, h): h = PolyHash of the k-token window starting at pos.
-    // One codegen'd projection; only (long, long, long) rows ever shuffle.
+    // (doc_id, pos, h): h = polynomial fold of the k word-hashes starting
+    // at pos. Each WORD hashes once (PolyHash over its characters); a
+    // window key is then 8 long multiply-mods over the precomputed word
+    // hashes — O(tokens·k) integer ops total instead of re-decoding ~50
+    // characters per window position. Only (long, long, long) rows ever
+    // shuffle. Fold stays overflow-free: acc < P < 2³¹, B ≈ 2²⁰ ⇒
+    // acc·B + h < 2⁵², ANSI-safe in both engines.
+    val B = graft.functions.PolyHash.B
+    val P = graft.functions.PolyHash.P
     val sh = tok
+      .select(col("doc_id"),
+        transform(col("w"), w => graft.functions.PolyHash.poly_hash(w)).as("wh"))
       .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("w")) - (k - 1)),
+        sequence(lit(1), size(col("wh")) - (k - 1)),
         i => struct(i.cast(LongType).as("pos"),
-          graft.functions.PolyHash.poly_hash(
-            concat_ws(" ", slice(col("w"), i, lit(k)))).as("h")))).as("sp"))
+          aggregate(slice(col("wh"), i, lit(k)), lit(0L),
+            (a, h) => pmod(a * lit(B) + h, lit(P))).as("h")))).as("sp"))
       .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
+      // two consumers (df aggregate + match join) — materialize the 24 B/row
+      // position frame once instead of re-exploding the corpus per consumer
+      .localCheckpoint()
     // window-hash document frequency, kept only for cross-doc repeats
     val dfq = sh.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -978,12 +990,17 @@ object DedupOps {
       s"""WITH ws AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents
            WHERE len(string_split(text, ' ')) >= $k),
-         sh0 AS (
-           SELECT doc_id, i AS pos, array_to_string(w[i:i + ${k - 1}], ' ') AS win
-           FROM ws, UNNEST(generate_series(1, len(w) - ${k - 1})) AS t(i)),
-         -- hash in a separate CTE: duckSql's fold comprehension binds its
-         -- own `i`, which would capture the window index if inlined
-         sh AS (SELECT doc_id, pos, ${PolyHash.duckSql("win")} AS h FROM sh0),
+         -- per-word hashes once (duckSql's fold binds its own `i`, so it
+         -- lives in a CTE with no positional variable in scope), then each
+         -- window key folds k word-hashes — same arithmetic as Spark
+         whc AS (
+           SELECT doc_id, list_transform(w, ww -> ${PolyHash.duckSql("ww")}) AS wh
+           FROM ws),
+         sh AS (
+           SELECT doc_id, i AS pos,
+             list_reduce(list_prepend(0::BIGINT, wh[i:i + ${k - 1}]),
+               (a, h) -> (a * ${PolyHash.B} + h) % ${PolyHash.P}) AS h
+           FROM whc, UNNEST(generate_series(1, len(wh) - ${k - 1})) AS t(i)),
          dfq AS (
            SELECT h, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY h
            HAVING COUNT(DISTINCT doc_id) >= 2),
