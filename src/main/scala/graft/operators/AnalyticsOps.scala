@@ -338,7 +338,73 @@ object AnalyticsOps {
         round(col("n_kept").cast(DoubleType) / col("n_docs"), 6).as("kept_share"))
   }
 
+  /** Columns profiled by [[dataProfile]] — string/integer only: their
+    * to-string casts render identically in both engines, unlike doubles
+    * (shortest-repr vs Java formatting) or timestamps (fraction padding). */
+  private val profileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  /** Table profiling (the ANALYZE-style report a pipeline runs before
+    * trusting a new drop): per column, row/null/distinct counts and
+    * min/max rendered as strings for a uniform schema. ONE scan computes
+    * every column's stats in a single multi-distinct aggregate (Catalyst
+    * plans the distinct aggregates with one Expand — k columns cost one
+    * pass over the data, not k); the per-column rows then unfold from the
+    * single result row driver-side-free via an array explode. At 100 TB
+    * the exact per-column distincts would swap to approx_count_distinct
+    * sketches — same plan shape, constant memory. */
+  val dataProfile: Q = (s, d) => {
+    val t = Tables.load(s, d, "orders")
+    val aggExprs = count(lit(1)).as("n_rows") +: profileCols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast(StringType).as(s"mn_$c"),
+      max(col(c)).cast(StringType).as(s"mx_$c")))
+    t.agg(aggExprs.head, aggExprs.tail: _*)
+      .select(explode(array(profileCols.map(c => struct(
+        lit(c).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        col(s"mn_$c").as("min_v"), col(s"mx_$c").as("max_v"))): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Per-document perplexity under the corpus unigram LM — the
+    * model-free quality prior curation pipelines rank documents by
+    * (rare-word soup scores high, natural prose low). Exactness follows
+    * the house float rule: each distinct corpus count c_w takes ONE
+    * `round(ln c_w, 6)` (safe to an engine's ulp), the per-doc sum
+    * Σ c_dw·ln(c_w) accumulates in DECIMAL — exact and order-free under
+    * any partitioning — and the final cross-entropy/perplexity floats
+    * compute once from exact inputs with identical formula text in both
+    * engines. Plan: tokens collapse map-side to per-doc distinct-word
+    * counts; every exchange (the count aggregate, the vocabulary join)
+    * keys on the word's PolyHash int64, never the string; the corpus
+    * total rides in as a broadcast one-row aggregate. */
+  val textPerplexity: Q = (s, d) => {
+    val occ = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), graft.functions.PolyHash.poly_hash(col("word")).as("th"))
+    val perDoc = occ.groupBy(col("doc_id"), col("th")).agg(count(lit(1)).as("c_dw"))
+    val cw = perDoc.groupBy(col("th")).agg(sum(col("c_dw")).as("cw"))
+    val tot = cw.agg(sum(col("cw")).as("n_total"))
+    val term = round(log(col("cw").cast(DoubleType)), 6).cast(DecimalType(18, 6))
+    perDoc.join(cw, "th")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c_dw")).as("n_words"),
+        sum(term * col("c_dw")).as("s"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_words"),
+        round(log(col("n_total").cast(DoubleType))
+          - col("s").cast(DoubleType) / col("n_words"), 6).as("cross_entropy"),
+        round(exp(log(col("n_total").cast(DoubleType))
+          - col("s").cast(DoubleType) / col("n_words")), 6).as("perplexity"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "data_profile" -> dataProfile,
+    "text_perplexity" -> textPerplexity,
     "events_error_burst" -> eventsErrorBurst,
     "corpus_report" -> corpusReport,
     "events_dau_wau" -> eventsDauWau,
@@ -354,6 +420,35 @@ object AnalyticsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "data_profile" -> profileCols.map(c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           COUNT(DISTINCT $c) AS n_distinct,
+           CAST(MIN($c) AS VARCHAR) AS min_v, CAST(MAX($c) AS VARCHAR) AS max_v
+         FROM orders""").mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY col_name"),
+    // keyed on the word's PolyHash like the Spark plan; the per-occurrence
+    // ln term rounds once per distinct count, sums exactly in DECIMAL, and
+    // the final floats share formula text with the Spark side
+    "text_perplexity" ->
+      s"""WITH occ AS (
+           SELECT doc_id, ${graft.functions.PolyHash.duckSql("word")} AS th
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents)),
+         per_doc AS (
+           SELECT doc_id, th, COUNT(*) AS c_dw FROM occ GROUP BY doc_id, th),
+         cw AS (SELECT th, CAST(SUM(c_dw) AS BIGINT) AS cw FROM per_doc GROUP BY th),
+         tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_total FROM cw),
+         agg AS (
+           SELECT p.doc_id, CAST(SUM(p.c_dw) AS BIGINT) AS n_words,
+             SUM(CAST(round(ln(CAST(c.cw AS DOUBLE)), 6) AS DECIMAL(18,6)) * p.c_dw) AS s
+           FROM per_doc p JOIN cw c USING (th) GROUP BY p.doc_id)
+         SELECT doc_id, n_words,
+           round(ln(CAST(n_total AS DOUBLE)) - CAST(s AS DOUBLE) / n_words, 6)
+             AS cross_entropy,
+           round(exp(ln(CAST(n_total AS DOUBLE)) - CAST(s AS DOUBLE) / n_words), 6)
+             AS perplexity
+         FROM agg CROSS JOIN tot ORDER BY doc_id""",
     "events_error_burst" ->
       """WITH e AS (
            SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type,

@@ -196,6 +196,48 @@ object PipelineOps {
         .write.mode("overwrite").parquet(dir)
     }
 
+  // ------------------------------------------------------- dataset splits
+  /** Leakage-aware train/valid/test split (80/10/10): the split key is a
+    * deterministic hash of the document CONTENT, not the doc id, so exact
+    * duplicates land in the same split by construction — the subtle
+    * train/test-contamination bug (one copy in train, one in test) cannot
+    * happen. Pure map-side column arithmetic: at 100 TB this is one scan
+    * with zero shuffle, and re-running the job (or running it on another
+    * engine) assigns every document identically. */
+  val splitDataset: Q = (s, d) => {
+    val h = graft.functions.PolyHash.poly_hash(md5(col("text"))) % 100
+    docs(s, d)
+      .select(col("doc_id"),
+        when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------- mixture build
+  /** Balanced corpus mix: downsample every language to the size of the
+    * rarest one (the equal-share mixture a multilingual training run
+    * starts from), choosing the survivors by the deterministic hash
+    * priority. The quota is a one-row aggregate that broadcasts; the
+    * per-language pick reuses the [[sampleStratified]] window shape (one
+    * shuffle on the stratum key). Output is the per-language mix report:
+    * corpus size, quota, kept count, kept chars. */
+  val corpusMix: Q = (s, d) => {
+    val counts = docs(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    val quota = counts.agg(min(col("n_total")).as("quota"))
+    val w = Window.partitionBy(col("lang")).orderBy(prio(col("doc_id")), col("doc_id"))
+    val kept = docs(s, d)
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(quota))
+      .filter(col("rn") <= col("quota"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+    counts.join(kept, "lang")
+      .crossJoin(broadcast(quota))
+      .select(col("lang"), col("n_total"), col("quota"), col("n_kept"),
+        col("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** The corpus report card: per (lang, source) document counts, size
     * totals, token totals, and mean length — the first query every curation
     * run executes before and after a filter pass. One two-phase aggregate
@@ -223,6 +265,8 @@ object PipelineOps {
     "decontaminate" -> decontaminate,
     "quality_filter" -> qualityFilter,
     "sim_search_range" -> simSearchRange,
+    "split_dataset" -> splitDataset,
+    "corpus_mix" -> corpusMix,
   )
 
   /** Word 5-gram shingle CTE (DuckDB replay of [[graft.functions.WordShingles]]
@@ -297,6 +341,28 @@ object PipelineOps {
          SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_shared
          FROM corpus c JOIN bench b ON b.s = c.s
          GROUP BY c.doc_id ORDER BY c.doc_id""",
+    "split_dataset" -> {
+      val h = s"(${graft.functions.PolyHash.duckSql("md5(text)")}) % 100"
+      s"""SELECT doc_id,
+           CASE WHEN $h < 80 THEN 'train'
+                WHEN $h < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           n_chars
+         FROM documents ORDER BY doc_id"""
+    },
+    "corpus_mix" ->
+      s"""WITH cnt AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+         q AS (SELECT MIN(n_total) AS quota FROM cnt),
+         rk AS (
+           SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY $prioSql, doc_id) AS rn
+           FROM documents),
+         kept AS (
+           SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+           FROM rk, q WHERE rn <= quota GROUP BY lang)
+         SELECT c.lang, c.n_total, (SELECT quota FROM q) AS quota,
+           k.n_kept, k.kept_chars
+         FROM cnt c JOIN kept k USING (lang) ORDER BY c.lang""",
     "sim_search_range" ->
       """WITH q AS (
            SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i

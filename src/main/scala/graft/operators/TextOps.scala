@@ -264,7 +264,35 @@ object TextOps {
       .select(col("lang"), col("rn").cast(LongType).as("rn"), col("bigram"), col("n"))
       .orderBy(col("lang"), col("rn"))
 
+  /** Linear quality classifier — the fastText-scorer shape (a learned
+    * linear model over cheap lexical features) with fixed public weights.
+    * The margin is EXACT integer arithmetic over four features (capped
+    * length, stopword hits, symbol chars, repeated words), so the
+    * keep/drop decision is bit-identical on any engine; the calibrated
+    * probability is ONE sigmoid computed from the exact margin with
+    * identical formula text both sides (the events_anomaly float rule).
+    * One codegen'd map-side pass, zero shuffle at any corpus size. */
+  val qualityScoreLinear: Q = (s, d) => {
+    val ws = words(col("text"))
+    val nWords = size(ws).cast(LongType)
+    val fLen = least(nWords, lit(200L))
+    val fStop = size(filter(ws, w => w.isin(stopwords.map(x => x: Any): _*)))
+      .cast(LongType)
+    val fSym = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast(LongType)
+    val fRep = nWords - size(array_distinct(ws)).cast(LongType)
+    val margin = fLen * 4 + fStop * 8 - fSym * 2 - fRep * 3 - 256
+    docs(s, d)
+      .select(col("doc_id"),
+        fLen.as("f_len"), fStop.as("f_stop"), fSym.as("f_sym"), fRep.as("f_rep"),
+        margin.as("margin"),
+        round(lit(1.0) / (lit(1.0) + exp(margin.cast(DoubleType) / -256.0)), 6)
+          .as("p_keep"),
+        (margin >= 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "quality_score_linear" -> qualityScoreLinear,
     "text_chunk" -> textChunk,
     "text_ngram_freq" -> textNgramFreq,
     "text_stats" -> textStats,
@@ -280,6 +308,25 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "quality_score_linear" ->
+      """WITH f AS (
+           SELECT doc_id,
+             LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 200) AS f_len,
+             CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+               AS BIGINT) AS f_stop,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+               AS f_sym,
+             CAST(len(string_split(text, ' '))
+               - len(list_distinct(string_split(text, ' '))) AS BIGINT) AS f_rep
+           FROM documents),
+         m AS (
+           SELECT doc_id, f_len, f_stop, f_sym, f_rep,
+             f_len * 4 + f_stop * 8 - f_sym * 2 - f_rep * 3 - 256 AS margin
+           FROM f)
+         SELECT doc_id, f_len, f_stop, f_sym, f_rep, margin,
+           round(1.0 / (1.0 + exp(CAST(margin AS DOUBLE) / -256.0)), 6) AS p_keep,
+           margin >= 0 AS keep
+         FROM m ORDER BY doc_id""",
     "text_keywords" ->
       """WITH occ AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
