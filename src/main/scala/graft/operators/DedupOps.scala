@@ -364,11 +364,16 @@ object DedupOps {
   }
 
   // ------------------------------------------------- n-gram Jaccard (exact)
-  /** Exact n-gram Jaccard dedup via inverted index: explode shingles, group
-    * postings by shingle, expand each group's doc list into (a < b) pairs,
-    * count per pair, derive Jaccard from set sizes.
+  /** Exact n-gram Jaccard dedup via inverted index: fold exact copies into
+    * distinct contents, explode each content's shingles, group postings by
+    * shingle (df = Σ copy multiplicity), expand each group's rep list into
+    * (a < b) content pairs, count per pair, derive Jaccard from set sizes,
+    * then expand content pairs back to document pairs.
     *
-    * Two scale choices over the naive posting self-join: (1) group on the
+    * Three scale choices over the naive posting self-join: (0) the content
+    * fold — on the corpora dedup exists for, a large share of candidate
+    * pairs are exact copies, and m copies of two near-dup texts must cost
+    * ONE set comparison, not m²; (1) group on the
     * 64-bit `xxhash64` of the shingle, so the wide shuffle moves 8-byte keys
     * instead of strings (a hash collision needs two distinct shingles of the
     * corpus to collide in 2⁶⁴ — odds ~n²/2⁶⁴, vanishing, and production
@@ -379,40 +384,84 @@ object DedupOps {
     * (a row per document) they become shuffle joins on the already-small
     * candidate-pair set, not on the posting list. */
   val dedupNgramJaccard: Q = (s, d) => {
-    // one shingling pass serves both consumers (set sizes + posting list) —
-    // the materialized-intermediate pattern a production pipeline writes to
-    // storage between stages
-    val sh = docs(s, d).select(col("doc_id"), shingles(col("text")).as("sh")).localCheckpoint()
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val inter = sh
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
-      .groupBy(col("shash")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      // df-cut: a shingle in M docs emits M²/2 pairs in ONE task, so a single
-      // stock phrase at corpus scale is a shuffle bomb. Shingles above the
-      // document-frequency cut are dropped before any pair materializes.
-      // Honest trade-off: cut shingles leave the intersection count but not
-      // the union denominator, so a pair whose similarity rests on
-      // corpus-wide boilerplate reads LOW and can fall below threshold — for
-      // ordinary text a df>256 shingle moves |A∩B| by 1 against ~50+, noise;
-      // a duplicate CLASS wider than the cut shares ALL its shingles above
-      // df and is invisible to this exact variant — which is why the LSH
-      // variants keep oversized buckets alive via the anchor star
-      // ([[candidatePairs]]) and remain the instrument for mega-clusters.
-      // The DuckDB oracle applies the identical cut, so the check stays exact.
-      .filter(size(col("ids")).between(2, dfCut))
-      // native pair expansion (codegen'd, one tight loop) instead of the
-      // interpreted nested-lambda flatten/transform spelling
-      .select(explode(graft.functions.LongPairs.long_pairs(col("ids"))).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    // ---- content fold: m exact copies of a text are ONE unit of work ----
+    // Group by content hash up front (the dedup_exact pass every curation
+    // pipeline runs anyway): each distinct content shingles once, builds
+    // posting lists once, and pair-expands once — m copies of two near-dup
+    // texts cost ONE content pair, not m². Document frequency keeps copy
+    // multiplicity (df = Σ m over the posting list), so results are
+    // value-identical to the per-doc spelling and the per-doc DuckDB oracle
+    // still replays them. Member ids ride a bounded aggregate (cap+1
+    // smallest + exact count): a duplicate class wider than the df-cut can
+    // never appear in any output pair (every one of its shingles has
+    // df ≥ m > cut), so its truncated id list is never expanded.
+    val grp = docs(s, d)
+      .groupBy(md5(col("text")).as("ch"))
+      .agg(
+        graft.functions.BucketMembersAgg.bucket_members(dfCut + 1, col("doc_id")).as("g"),
+        min_by(col("text"), col("doc_id")).as("text"))
+      .select(element_at(col("g._1"), 1).as("rid"), col("g._1").as("ids"),
+        col("g._2").as("m"), shingles(col("text")).as("sh"))
+      .localCheckpoint() // feeds postings, sizes, and both pair expansions
+    val sizes = grp.select(col("rid"), size(col("sh")).as("n"))
+    // posting lists over DISTINCT contents; df carries copy multiplicity.
+    // df-cut: a shingle in M docs emits M²/2 pairs in ONE task, so a single
+    // stock phrase at corpus scale is a shuffle bomb. Shingles above the
+    // document-frequency cut are dropped before any pair materializes.
+    // Honest trade-off: cut shingles leave the intersection count but not
+    // the union denominator, so a pair whose similarity rests on
+    // corpus-wide boilerplate reads LOW and can fall below threshold — for
+    // ordinary text a df>256 shingle moves |A∩B| by 1 against ~50+, noise;
+    // a duplicate CLASS wider than the cut shares ALL its shingles above
+    // df and is invisible to this exact variant — which is why the LSH
+    // variants keep oversized buckets alive via the anchor star
+    // ([[candidatePairs]]) and remain the instrument for mega-clusters.
+    // The DuckDB oracle applies the identical cut, so the check stays exact.
+    val posting = grp
+      .select(col("rid"), col("m"), explode(col("sh")).as("shingle"))
+      .select(col("rid"), col("m"), xxhash64(col("shingle")).as("shash"))
+      .groupBy(col("shash"))
+      .agg(sort_array(collect_list(struct(col("rid"), col("m")))).as("reps"),
+        sum(col("m")).as("df"))
+      .filter(col("df").between(2, dfCut))
+      .localCheckpoint() // feeds cross-content pairs + same-content counts
+    // cross-content pairs: native pair expansion (codegen'd, one tight
+    // loop) over the ≤ dfCut reps per kept shingle
+    val cross = posting
+      .select(explode(graft.functions.LongPairs.long_pairs(
+        expr("transform(reps, r -> r.rid)"))).as("p"))
+      .groupBy(col("p.a").as("ra"), col("p.b").as("rb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-      .select(col("a"), col("b"),
+      .join(sizes.select(col("rid").as("ra"), col("n").as("na")), "ra")
+      .join(sizes.select(col("rid").as("rb"), col("n").as("nb")), "rb")
+      .select(col("ra"), col("rb"),
         (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy(col("a"), col("b"))
+    val gids = grp.select(col("rid"), col("ids"))
+    val crossIds = cross
+      .join(gids.select(col("rid").as("ra"), col("ids").as("ids_a")), "ra")
+      .join(gids.select(col("rid").as("rb"), col("ids").as("ids_b")), "rb")
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("jaccard"))
+    // same-content pairs: copies share ALL shingles, so the intersection is
+    // the content's kept-shingle count (every shingle of an m ≥ 2 group has
+    // df ≥ m ≥ 2 — only the upper cut can drop it) and the union is 2n − kept
+    val keptCnt = posting
+      .select(explode(col("reps")).as("r"))
+      .filter(col("r.m") >= 2)
+      .groupBy(col("r.rid").as("rid")).agg(count(lit(1)).as("inter"))
+    val same = grp.filter(col("m").between(2, dfCut))
+      .join(keptCnt, "rid")
+      .join(sizes, "rid")
+      .select(col("ids"),
+        (col("inter").cast(DoubleType) / (lit(2) * col("n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .select(explode(graft.functions.LongPairs.long_pairs(col("ids"))).as("p"),
+        col("jaccard"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("jaccard"))
+    crossIds.unionAll(same).orderBy(col("a"), col("b"))
   }
 
   // --------------------------------------------- embedding cosine near-dup
@@ -650,10 +699,12 @@ object DedupOps {
     * otherwise-distinct documents is invisible to whole-document near-dup
     * (minhash/simhash) but lights up here as a maximal repeated span.
     *
-    * Shape: (1) one map-side pass emits ([[substringK]]-token window,
-    * position) per token with the window PolyHash'd to an int64 — the
-    * shuffle never carries shingle text; (2) one aggregate computes each
-    * window-hash's document frequency and keeps hashes seen in ≥2 docs
+    * Shape: (0) exact copies fold to one distinct content each (rep
+    * pipeline + span join-back — copies never re-hash); (1) one map-side
+    * pass emits ([[substringK]]-token window, position) per token with the
+    * window PolyHash'd to an int64 — the shuffle never carries shingle
+    * text; (2) one aggregate computes each window-hash's document frequency
+    * (copy multiplicity included) and keeps hashes seen in ≥2 docs
     * (vocabulary-sized, like the [[dedupNgramJaccard]] df-cut); (3) matched
     * positions merge into maximal spans per document by interval merge
     * (gaps-and-islands over consecutive token positions — the
@@ -673,43 +724,62 @@ object DedupOps {
     * parity. */
   val dedupSubstring: Q = (s, d) => {
     val k = substringK
-    val tok = docs(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    // content fold (as in [[dedupNgramJaccard]]): exact copies share every
+    // window at every position, so the hash/df/interval-merge pipeline runs
+    // once per DISTINCT content and the finished spans join back to the
+    // copies. Document frequency keeps copy multiplicity (df = Σ m), so
+    // results are value-identical to the per-doc spelling and the per-doc
+    // oracle still replays them. Unlike the pair ops there is no bucket
+    // cap: output is per-document (linear), so a mega duplicate class costs
+    // one rep pipeline + linear join-back rows, never a collected id list.
+    val grp = docs(s, d)
+      .groupBy(md5(col("text")).as("ch"))
+      .agg(min(col("doc_id")).as("rid"), count(lit(1)).as("m"),
+        min_by(col("text"), col("doc_id")).as("text"))
+      .localCheckpoint() // feeds the rep pipeline + the membership join
+    val membership = docs(s, d)
+      .select(col("doc_id"), md5(col("text")).as("ch"))
+      .join(grp.select(col("ch"), col("rid")), "ch")
+      .select(col("doc_id"), col("rid"))
+    val tok = grp
+      .select(col("rid"), col("m"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= k)
-    // (doc_id, pos, h): h = polynomial fold of the k word-hashes starting
+    // (rid, m, pos, h): h = polynomial fold of the k word-hashes starting
     // at pos. Each WORD hashes once (PolyHash over its characters); a
     // window key is then 8 long multiply-mods over the precomputed word
     // hashes — O(tokens·k) integer ops total instead of re-decoding ~50
-    // characters per window position. Only (long, long, long) rows ever
+    // characters per window position. Only fixed-width long rows ever
     // shuffle. Fold stays overflow-free: acc < P < 2³¹, B ≈ 2²⁰ ⇒
     // acc·B + h < 2⁵², ANSI-safe in both engines.
     val B = graft.functions.PolyHash.B
     val P = graft.functions.PolyHash.P
     val sh = tok
-      .select(col("doc_id"),
+      .select(col("rid"), col("m"),
         transform(col("w"), w => graft.functions.PolyHash.poly_hash(w)).as("wh"))
-      .select(col("doc_id"), explode(transform(
+      .select(col("rid"), col("m"), explode(transform(
         sequence(lit(1), size(col("wh")) - (k - 1)),
         i => struct(i.cast(LongType).as("pos"),
           aggregate(slice(col("wh"), i, lit(k)), lit(0L),
             (a, h) => pmod(a * lit(B) + h, lit(P))).as("h")))).as("sp"))
-      .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
-      // two consumers (df aggregate + match join) — materialize the 24 B/row
-      // position frame once instead of re-exploding the corpus per consumer
+      .select(col("rid"), col("m"), col("sp.pos").as("pos"), col("sp.h").as("h"))
+      // two consumers (df aggregate + match join) — materialize the
+      // fixed-width position frame once instead of re-exploding per consumer
       .localCheckpoint()
-    // window-hash document frequency, kept only for cross-doc repeats
-    val dfq = sh.select(col("doc_id"), col("h")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // window-hash document frequency (copies included via m), kept only for
+    // cross-doc repeats
+    val dfq = sh.select(col("rid"), col("m"), col("h")).distinct()
+      .groupBy(col("h")).agg(sum(col("m")).as("df"))
       .filter(col("df") >= 2)
     // interval merge: consecutive matched positions collapse into one
     // maximal span (pos − row_number is constant within a run)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val w = Window.partitionBy(col("rid")).orderBy(col("pos"))
     sh.join(dfq, "h")
       .withColumn("grp", col("pos") - row_number().over(w))
-      .groupBy(col("doc_id"), col("grp"))
+      .groupBy(col("rid"), col("grp"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) - min(col("pos")) + k).as("span_len"),
         min(col("df")).as("n_docs"))
+      .join(membership, "rid")
       .select(col("doc_id"), col("span_start"), col("span_len"), col("n_docs"))
       .orderBy(col("doc_id"), col("span_start"))
   }
