@@ -205,4 +205,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!ex.exists(e => e.contains("w1#") && e.contains("w3#")),
       s"word strings still key an exchange:\n${ex.mkString("\n")}")
   }
+
+  test("split_dataset / quality_score_linear: zero exchanges before the output sort") {
+    // both are pure map-side passes — any hashpartitioning exchange means a
+    // shuffle crept into what must run at parquet-scan speed at 100 TB
+    for (q <- Seq("split_dataset", "quality_score_linear")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val ex = df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(ex.isEmpty, s"$q shuffles before its sort:\n${ex.mkString("\n")}")
+    }
+  }
+
+  test("data_profile: all columns profile in ONE scan of the table") {
+    val df = SparkEntry.queries("data_profile")(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // formatted mode prints each scan twice (tree line + detail header);
+    // count the numbered detail headers only
+    val scans = plan.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"expected one table scan, found $scans:\n$plan")
+    // the multi-distinct strategy: one Expand feeding two-phase aggregates
+    assert(plan.contains("Expand"), plan)
+  }
+
+  test("text_perplexity: every exchange keys on the word's hash or doc_id, never the word") {
+    val df = SparkEntry.queries("text_perplexity")(spark, sf)
+    val ex = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.nonEmpty)
+    ex.foreach { e =>
+      assert(e.contains("th#") || e.contains("doc_id#"),
+        s"exchange keyed on a non-hash column: $e")
+      assert(!e.contains("word#"), s"word string in exchange keys: $e")
+    }
+  }
 }
