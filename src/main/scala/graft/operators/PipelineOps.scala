@@ -255,6 +255,142 @@ object PipelineOps {
         (col("total_chars").cast(DoubleType) / col("n_docs")).as("mean_chars"))
       .orderBy(col("lang"), col("source"))
 
+  // ------------------------------------------------------ Gopher rules
+  /** Gopher-style quality rules (Rae et al. 2021, appendix A1.1), the
+    * second of the two published keep/drop rule sets ([[qualityFilter]] is
+    * the C4 shape): word count in [25, 1000], mean word length in [3, 10],
+    * must contain the two corpus stopwords ('the' AND 'a' — the ≥2-distinct-
+    * stopwords rule at this corpus's vocabulary), and the most frequent
+    * word may claim at most 20% of the document (the repetition rule).
+    * Every signal is integer arithmetic — counts and cross-multiplied
+    * thresholds — so the verdict is bit-exact on any engine, and the top-
+    * word count folds over the row's own SORTED word array (longest equal-
+    * adjacent run = max multiplicity, the [[TextOps.textRepetition]]
+    * spelling): one codegen'd map-side pass, zero shuffle at any corpus
+    * size. Reasons bitmask: 1 = word-count outlier, 2 = word-length
+    * outlier, 4 = stopwords missing, 8 = repetition-heavy. */
+  val qualityGopher: Q = (s, d) => {
+    val ws = split(col("text"), " ")
+    val nWords = size(ws).cast(LongType)
+    val nonSpace = length(regexp_replace(col("text"), " ", "")).cast(LongType)
+    val symbols = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast(LongType)
+    val alpha = nonSpace - symbols
+    // seed prev with ' ' — impossible as a word after splitting on ' ' —
+    // so an empty-string word is counted as a run like any other
+    val topCnt = expr(
+      """aggregate(array_sort(split(text, ' ')), named_struct('prev', ' ', 'run', 0, 'best', 0),
+           (acc, w) -> named_struct(
+             'prev', w,
+             'run', IF(w = acc.prev, acc.run + 1, 1),
+             'best', GREATEST(acc.best, IF(w = acc.prev, acc.run + 1, 1))),
+           acc -> acc.best)""").cast(LongType)
+    val wcOut = nWords < 25 || nWords > 1000
+    val wlenOut = alpha < nWords * 3 || alpha > nWords * 10
+    val stopMiss = !(array_contains(ws, "the") && array_contains(ws, "a"))
+    val repHeavy = topCnt * 5 > nWords
+    docs(s, d)
+      .select(col("doc_id"), nWords.as("n_words"), topCnt.as("top_word_cnt"),
+        (!wcOut && !wlenOut && !stopMiss && !repHeavy).as("keep"),
+        (when(wcOut, 1L).otherwise(0L)
+          .bitwiseOR(when(wlenOut, 2L).otherwise(0L))
+          .bitwiseOR(when(stopMiss, 4L).otherwise(0L))
+          .bitwiseOR(when(repHeavy, 8L).otherwise(0L))).as("reasons"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------- end-to-end curation
+  /** The end-to-end curation funnel — the composition every training-data
+    * run actually executes, as ONE query: raw corpus (benchmark source
+    * `src0` excluded) → C4 quality gate ([[qualityFilter]]'s exact integer
+    * rules) → exact dedup (keep the lowest-id copy among quality
+    * survivors, keyed on the md5 of the CONTENT) → benchmark
+    * decontamination (drop docs sharing any word 5-gram with `src0`).
+    * Emits the per-stage attrition report (docs + chars surviving each
+    * stage) — the number a curation run is judged by.
+    *
+    * Scale shape: quality flags are map-side; the dedup window shuffles
+    * 16-byte content digests + flags, never text; the benchmark shingle
+    * set BROADCASTS (it is benchmark-sized) so the corpus-side probe is
+    * one map-side scan; the funnel itself is a 4-conditional-count
+    * aggregate folded map-side into partials. One corpus shuffle total. */
+  val curationPipeline: Q = (s, d) => {
+    val nWords = size(split(col("text"), " ")).cast(LongType)
+    val nonSpace = length(regexp_replace(col("text"), " ", "")).cast(LongType)
+    val symbols = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast(LongType)
+    val total = length(col("text")).cast(LongType)
+    val alpha = nonSpace - symbols
+    val q = !(nWords < 30) && !(alpha < nWords * 3 || alpha > nWords * 10) &&
+      !(symbols * 10 >= total)
+
+    val base = docs(s, d).filter(col("source") =!= "src0")
+    val sh5 = graft.functions.WordShingles.word_shingles(col("text"), 5)
+    val bench = docs(s, d).filter(col("source") === "src0")
+      .select(explode(sh5).as("sh")).distinct()
+    val contam = base.select(col("doc_id"), explode(sh5).as("sh"))
+      .join(broadcast(bench), "sh").select(col("doc_id")).distinct()
+      .withColumn("contam", lit(true))
+
+    // project text down to its digest BEFORE the dedup exchange
+    val wC = Window.partitionBy(col("ck"))
+    val flagged = base
+      .select(col("doc_id"), col("n_chars"), md5(col("text")).as("ck"), q.as("q"))
+      .withColumn("first_q", min(when(col("q"), col("doc_id"))).over(wC))
+      .withColumn("keep2", col("q") && col("doc_id") === col("first_q"))
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("keep3", col("keep2") && col("contam").isNull)
+
+    flagged
+      .agg(
+        count(lit(1)).as("n0"), coalesce(sum(col("n_chars")), lit(0L)).as("c0"),
+        count(when(col("q"), lit(1))).as("n1"),
+        coalesce(sum(when(col("q"), col("n_chars"))), lit(0L)).as("c1"),
+        count(when(col("keep2"), lit(1))).as("n2"),
+        coalesce(sum(when(col("keep2"), col("n_chars"))), lit(0L)).as("c2"),
+        count(when(col("keep3"), lit(1))).as("n3"),
+        coalesce(sum(when(col("keep3"), col("n_chars"))), lit(0L)).as("c3"))
+      .selectExpr(
+        """stack(4,
+             0L, 'raw',            n0, c0,
+             1L, 'quality',        n1, c1,
+             2L, 'dedup',          n2, c2,
+             3L, 'decontaminated', n3, c3) AS (stage, stage_name, n_docs, total_chars)""")
+      .orderBy(col("stage"))
+  }
+
+  // ------------------------------------------------- token-budget sample
+  /** Deterministic token-budget sample: the first documents in the
+    * deterministic hash-priority order whose cumulative BPE-token count
+    * stays under the budget (a doc is kept when the tokens BEFORE it are
+    * under budget — the greedy take real eval/calibration subsets use, so
+    * the budget is always reached, never undershot). The prefix sum is the
+    * scalable two-phase spelling: range-partition on the priority order,
+    * per-partition running sums in parallel windows, then a partition-
+    * offset table (#partitions rows, broadcast back) — no global single-
+    * partition window ever sees the corpus, so the shape survives 100 TB.
+    * The boundary placement cannot affect results: (priority, doc_id) is a
+    * total order and prefix sums are cut-point-invariant. */
+  val sampleTokenBudget: Q = (s, d) => {
+    val budget = 10000L
+    val tok = graft.functions.BpeTable.bpe_token_count(col("text")).cast(LongType)
+    val base = docs(s, d)
+      .select(col("doc_id"), prio(col("doc_id")).as("pri"), tok.as("tok"))
+      .repartitionByRange(32, col("pri"), col("doc_id"))
+      .withColumn("part", spark_partition_id())
+    val wIn = Window.partitionBy(col("part")).orderBy(col("pri"), col("doc_id"))
+    val local = base.withColumn("cum_in", sum(col("tok")).over(wIn))
+    // offsets: one row per partition — the single-partition window below
+    // touches #partitions rows, never corpus rows
+    val wOff = Window.orderBy(col("part")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("part")).agg(sum(col("tok")).as("part_tok"))
+      .withColumn("offset", coalesce(sum(col("part_tok")).over(wOff), lit(0L)))
+      .select(col("part"), col("offset"))
+    local.join(broadcast(offsets), "part")
+      .withColumn("cum_tokens", col("cum_in") + col("offset"))
+      .filter(col("cum_tokens") - col("tok") < budget)
+      .select(col("doc_id"), col("tok"), col("cum_tokens"))
+      .orderBy(col("cum_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
     "compact_cluster" -> compactCluster,
     "corpus_stats" -> corpusStats,
@@ -267,6 +403,9 @@ object PipelineOps {
     "sim_search_range" -> simSearchRange,
     "split_dataset" -> splitDataset,
     "corpus_mix" -> corpusMix,
+    "quality_gopher" -> qualityGopher,
+    "curation_pipeline" -> curationPipeline,
+    "sample_token_budget" -> sampleTokenBudget,
   )
 
   /** Word 5-gram shingle CTE (DuckDB replay of [[graft.functions.WordShingles]]
@@ -363,6 +502,81 @@ object PipelineOps {
          SELECT c.lang, c.n_total, (SELECT quota FROM q) AS quota,
            k.n_kept, k.kept_chars
          FROM cnt c JOIN kept k USING (lang) ORDER BY c.lang""",
+    "quality_gopher" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT)
+               - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS alpha,
+             list_contains(string_split(text, ' '), 'the')
+               AND list_contains(string_split(text, ' '), 'a') AS has_stop
+           FROM documents),
+         top AS (
+           SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+             SELECT doc_id, word, COUNT(*) AS cnt
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+             GROUP BY doc_id, word)
+           GROUP BY doc_id)
+         SELECT m.doc_id, m.n_words, CAST(t.top_cnt AS BIGINT) AS top_word_cnt,
+           (NOT (n_words < 25 OR n_words > 1000)
+            AND NOT (alpha < n_words * 3 OR alpha > n_words * 10)
+            AND has_stop AND NOT (t.top_cnt * 5 > n_words)) AS keep,
+           ((CASE WHEN n_words < 25 OR n_words > 1000 THEN 1 ELSE 0 END)
+            | (CASE WHEN alpha < n_words * 3 OR alpha > n_words * 10 THEN 2 ELSE 0 END)
+            | (CASE WHEN NOT has_stop THEN 4 ELSE 0 END)
+            | (CASE WHEN t.top_cnt * 5 > n_words THEN 8 ELSE 0 END))::BIGINT AS reasons
+         FROM m JOIN top t ON m.doc_id = t.doc_id ORDER BY m.doc_id""",
+    "curation_pipeline" ->
+      s"""WITH $sh5Cte,
+         m AS (
+           SELECT doc_id, text, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT)
+               - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS alpha,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS symbols,
+             CAST(length(text) AS BIGINT) AS total
+           FROM documents WHERE source <> 'src0'),
+         f AS (
+           SELECT doc_id, text, n_chars,
+             (NOT (n_words < 30) AND NOT (alpha < n_words * 3 OR alpha > n_words * 10)
+              AND NOT (symbols * 10 >= total)) AS q
+           FROM m),
+         fq AS (
+           SELECT *, MIN(CASE WHEN q THEN doc_id END)
+             OVER (PARTITION BY md5(text)) AS first_q
+           FROM f),
+         contam AS (
+           SELECT DISTINCT c.doc_id
+           FROM (SELECT doc_id, unnest(sh) AS s FROM sh5 WHERE source <> 'src0') c
+           JOIN (SELECT DISTINCT unnest(sh) AS s FROM sh5 WHERE source = 'src0') b
+             ON b.s = c.s),
+         g AS (
+           SELECT doc_id, n_chars, q,
+             (q AND doc_id = first_q) AS keep2,
+             (q AND doc_id = first_q
+              AND doc_id NOT IN (SELECT doc_id FROM contam)) AS keep3
+           FROM fq)
+         SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+           COUNT(*) AS n_docs, COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) AS total_chars FROM g
+         UNION ALL SELECT 1, 'quality', COUNT(*),
+           COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) FROM g WHERE q
+         UNION ALL SELECT 2, 'dedup', COUNT(*),
+           COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) FROM g WHERE keep2
+         UNION ALL SELECT 3, 'decontaminated', COUNT(*),
+           COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) FROM g WHERE keep3
+         ORDER BY stage""",
+    "sample_token_budget" ->
+      s"""WITH t AS (
+           SELECT doc_id, $prioSql AS pri,
+             ${graft.functions.BpeTable.duckCountSql("text")} AS tok
+           FROM documents),
+         c AS (
+           SELECT doc_id, tok,
+             SUM(tok) OVER (ORDER BY pri, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+           FROM t)
+         SELECT doc_id, CAST(tok AS BIGINT) AS tok,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+         FROM c WHERE cum_tokens - tok < 10000 ORDER BY cum_tokens""",
     "sim_search_range" ->
       """WITH q AS (
            SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i

@@ -167,7 +167,9 @@ object TextOps {
           "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
           .otherwise(expr("array()")))
       .withColumn("top_cnt", expr(
-        """aggregate(array_sort(ws), named_struct('prev', '', 'run', 0, 'best', 0),
+        // seed prev with ' ' — impossible as a word after splitting on
+        // ' ' — so an empty-string word starts a run like any other
+        """aggregate(array_sort(ws), named_struct('prev', ' ', 'run', 0, 'best', 0),
              (acc, w) -> named_struct(
                'prev', w,
                'run', IF(w = acc.prev, acc.run + 1, 1),

@@ -209,7 +209,7 @@ class PlanSpec extends AnyFunSuite {
   test("split_dataset / quality_score_linear: zero exchanges before the output sort") {
     // both are pure map-side passes — any hashpartitioning exchange means a
     // shuffle crept into what must run at parquet-scan speed at 100 TB
-    for (q <- Seq("split_dataset", "quality_score_linear")) {
+    for (q <- Seq("split_dataset", "quality_score_linear", "quality_gopher")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val ex = df.queryExecution.executedPlan.toString.linesIterator
         .filter(_.contains("Exchange hashpartitioning")).toSeq
@@ -239,5 +239,32 @@ class PlanSpec extends AnyFunSuite {
         s"exchange keyed on a non-hash column: $e")
       assert(!e.contains("word#"), s"word string in exchange keys: $e")
     }
+  }
+
+  test("curation_pipeline: benchmark broadcasts; the dedup exchange carries digests, not text") {
+    val df = SparkEntry.queries("curation_pipeline")(spark, sf)
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+    // the benchmark shingle set must reach the corpus probe as a broadcast
+    assert(lines.exists(_.contains("BroadcastExchange")),
+      s"benchmark side not broadcast:\n${lines.mkString("\n")}")
+    // the dedup window shuffles on the md5 digest column, never raw text
+    val ex = lines.filter(_.contains("Exchange hashpartitioning"))
+    assert(ex.exists(_.contains("ck#")), s"no digest-keyed exchange:\n${ex.mkString("\n")}")
+    assert(!ex.exists(_.contains("text#")),
+      s"document text in exchange keys:\n${ex.mkString("\n")}")
+  }
+
+  test("sample_token_budget: the corpus prefix sum is partition-parallel, not one global window") {
+    val df = SparkEntry.queries("sample_token_budget")(spark, sf)
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+    // the corpus-sized running sum must window by partition id; a Window
+    // whose partition spec is empty would drag the corpus to one task
+    val windows = lines.filter(_.contains("Window [sum"))
+    assert(windows.exists(_.contains("], [part#")),
+      s"no partition-parallel window:\n${windows.mkString("\n")}")
+    // the order is established by ONE range partitioning of (pri, doc_id)
+    assert(lines.exists(l => l.contains("Exchange rangepartitioning") &&
+      l.contains("pri#") && l.contains("doc_id#")),
+      s"no range exchange on the priority order:\n${lines.mkString("\n")}")
   }
 }

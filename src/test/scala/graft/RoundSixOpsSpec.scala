@@ -119,4 +119,78 @@ class RoundSixOpsSpec extends AnyFunSuite {
     assert(sorted.map(_.getAs[Double]("p_keep")).toSeq ==
       sorted.map(_.getAs[Double]("p_keep")).sorted.toSeq)
   }
+
+  test("quality_gopher: each rule drops exactly the doc planted to break it") {
+    val d = Files.createTempDirectory("graft-gopher").toString
+    val filler = (0 until 28).map(i => s"word$i") // 28 distinct 5-6 char words
+    val keeper = (filler ++ Seq("the", "a")).mkString(" ")          // 30 words, clean
+    val short = "the a tiny doc"                                    // < 25 words
+    val noStop = filler.mkString(" ") ++ " extra two"               // no 'the'/'a'
+    val repeat = (Seq.fill(10)("spam") ++ filler.take(18) ++ Seq("the", "a")).mkString(" ")
+    Seq(
+      (0L, keeper, "en", "s0", keeper.length.toLong),
+      (1L, short, "en", "s1", short.length.toLong),
+      (2L, noStop, "en", "s2", noStop.length.toLong),
+      (3L, repeat, "en", "s3", repeat.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = PipelineOps.qualityGopher(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(0L).getAs[Boolean]("keep") && rows(0L).getAs[Long]("reasons") == 0L)
+    assert(!rows(1L).getAs[Boolean]("keep") &&
+      (rows(1L).getAs[Long]("reasons") & 1L) != 0L, rows(1L).toString)
+    assert(!rows(2L).getAs[Boolean]("keep") &&
+      rows(2L).getAs[Long]("reasons") == 4L, rows(2L).toString)
+    // 10 'spam' in 30 words = 33% > 20%: repetition bit, and ONLY that bit
+    assert(!rows(3L).getAs[Boolean]("keep") &&
+      rows(3L).getAs[Long]("reasons") == 8L, rows(3L).toString)
+    assert(rows(3L).getAs[Long]("top_word_cnt") == 10L)
+  }
+
+  test("curation_pipeline: the funnel attributes each planted doc to its stage") {
+    val d = Files.createTempDirectory("graft-funnel").toString
+    val clean = (0 until 40).map(i => s"alpha$i").mkString(" ")
+    val benched = (0 until 35).map(i => s"beta$i").mkString(" ") + " b1 b2 b3 b4 b5"
+    Seq(
+      (0L, "b1 b2 b3 b4 b5 b6", "en", "src0", 17L),   // the benchmark itself
+      (10L, clean, "en", "s1", clean.length.toLong),   // survives everything
+      (11L, clean, "en", "s2", clean.length.toLong),   // exact dup → stage 2
+      (12L, "way too short", "en", "s3", 13L),         // quality fail → stage 1
+      (13L, benched, "en", "s4", benched.length.toLong)) // contaminated → stage 3
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = PipelineOps.curationPipeline(spark, d).collect()
+      .map(r => r.getAs[String]("stage_name") -> r.getAs[Long]("n_docs")).toMap
+    assert(rows == Map("raw" -> 4L, "quality" -> 3L, "dedup" -> 2L,
+      "decontaminated" -> 1L), rows.toString)
+  }
+
+  test("sample_token_budget: greedy prefix matches a locally-computed reference") {
+    import graft.functions.PolyHash.{Mult, P}
+    val d = Files.createTempDirectory("graft-budget").toString
+    // ~12k+ BPE tokens so the 10k budget genuinely cuts
+    val docs = (0L until 120L).map { i =>
+      val t = (0 until 100).map(j => s"tk${(i * 7 + j) % 300}").mkString(" ")
+      (i, t, "en", "s0", t.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(5).write.parquet(s"$d/documents.parquet")
+    val out = PipelineOps.sampleTokenBudget(spark, d).collect()
+    val keptIds = out.map(_.getAs[Long]("doc_id")).toSet
+    // local reference: same tokenizer, same priority order, greedy scan
+    val toks = spark.read.parquet(s"$d/documents.parquet")
+      .select($"doc_id", graft.functions.BpeTable.bpe_token_count($"text").cast("long").as("tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val order = docs.map(_._1).sortBy(id => ((id % P) * Mult % P, id))
+    var cum = 0L
+    val expect = scala.collection.mutable.Set[Long]()
+    order.foreach { id => if (cum < 10000L) expect += id; cum += toks(id) }
+    assert(keptIds == expect.toSet,
+      s"kept=${keptIds.size} expected=${expect.size}")
+    // the two-phase prefix must equal the naive running sum
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens")).toMap
+    var run = 0L
+    order.takeWhile { id => val before = run; run += toks(id); before < 10000L }
+      .foreach { id => assert(byId(id) == order.takeWhile(_ != id).map(toks).sum + toks(id)) }
+  }
 }

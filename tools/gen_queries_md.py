@@ -22,7 +22,8 @@ fams = [
      'Relational scalars, reshaping & sources'),
     ('dedup_', 'Deduplication'),
     ('sim_|embedding_', 'Similarity & embeddings'),
-    ('text_|corpus_|sample_|pack_|decontaminate|quality_', 'Text analysis & corpus curation'),
+    ('text_|corpus_|sample_|pack_|decontaminate|quality_|split_|data_profile|curation_',
+     'Text analysis & corpus curation'),
     ('mm_', 'Multimodal'),
     ('stream_', 'Structured Streaming'),
 ]
