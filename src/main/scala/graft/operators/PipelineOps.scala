@@ -238,6 +238,47 @@ object PipelineOps {
       .orderBy(col("lang"))
   }
 
+  /** Temperature-weighted corpus mix (α = 0.5): the mixing rule
+    * multilingual training runs actually use — rather than flattening every
+    * language to the rarest one's size ([[corpusMix]]), sample language l
+    * proportional to n_l^α, which upweights low-resource languages without
+    * drowning high-resource ones. quota_l = min(n_l, floor(B · w_l)) with
+    * w_l = √n_l / Σ√n_l and budget B = half the corpus.
+    *
+    * Float exactness across engines: α = 0.5 so the power is `sqrt` —
+    * correctly rounded per IEEE-754, bit-identical on any engine (a general
+    * `pow` is NOT) — and the denominator Σ√n_l folds LEFT over the
+    * lang-sorted count list on both sides, pinning summation order. The
+    * quota then derives from exact longs through one fixed formula. The
+    * count list is #languages long — a one-row broadcast; the survivor pick
+    * is the stratified-window shape, one shuffle on the stratum key. */
+  val corpusMixTemperature: Q = (s, d) => {
+    val counts = docs(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    val tot = counts.agg(
+      sort_array(collect_list(struct(col("lang"), col("n_total")))).as("cs"))
+      .select(
+        aggregate(col("cs"), lit(0.0), (a, x) => a + sqrt(x.getField("n_total"))).as("denom"),
+        aggregate(col("cs"), lit(0L), (a, x) => a + x.getField("n_total")).as("total"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .withColumn("weight", sqrt(col("n_total")) / col("denom"))
+      .withColumn("quota",
+        least(col("n_total"),
+          floor(floor(col("total") / lit(2)) * col("weight")).cast(LongType)))
+      .select(col("lang"), col("n_total"), col("weight"), col("quota"))
+    val w = Window.partitionBy(col("lang")).orderBy(prio(col("doc_id")), col("doc_id"))
+    val kept = docs(s, d)
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas.select(col("lang"), col("quota"))), "lang")
+      .filter(col("rn") <= col("quota"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+    quotas.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"), round(col("weight"), 6).as("weight"),
+        col("quota"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** The corpus report card: per (lang, source) document counts, size
     * totals, token totals, and mean length — the first query every curation
     * run executes before and after a filter pass. One two-phase aggregate
@@ -406,6 +447,7 @@ object PipelineOps {
     "quality_gopher" -> qualityGopher,
     "curation_pipeline" -> curationPipeline,
     "sample_token_budget" -> sampleTokenBudget,
+    "corpus_mix_temperature" -> corpusMixTemperature,
   )
 
   /** Word 5-gram shingle CTE (DuckDB replay of [[graft.functions.WordShingles]]
@@ -502,6 +544,31 @@ object PipelineOps {
          SELECT c.lang, c.n_total, (SELECT quota FROM q) AS quota,
            k.n_kept, k.kept_chars
          FROM cnt c JOIN kept k USING (lang) ORDER BY c.lang""",
+    "corpus_mix_temperature" ->
+      s"""WITH cnt AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+         agg AS (
+           SELECT
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list(sqrt(n_total) ORDER BY lang)), (a, b) -> a + b) AS denom,
+             CAST(SUM(n_total) AS BIGINT) AS total
+           FROM cnt),
+         q AS (
+           SELECT c.lang, c.n_total,
+             sqrt(c.n_total) / a.denom AS weight,
+             LEAST(c.n_total,
+               CAST(FLOOR(FLOOR(a.total / 2) * (sqrt(c.n_total) / a.denom)) AS BIGINT)) AS quota
+           FROM cnt c, agg a),
+         rk AS (
+           SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY $prioSql, doc_id) AS rn
+           FROM documents),
+         kept AS (
+           SELECT r.lang, COUNT(*) AS n_kept, CAST(SUM(r.n_chars) AS BIGINT) AS kept_chars
+           FROM rk r JOIN q ON q.lang = r.lang
+           WHERE r.rn <= q.quota GROUP BY r.lang)
+         SELECT q.lang, q.n_total, round(q.weight, 6) AS weight, q.quota,
+           COALESCE(k.n_kept, 0) AS n_kept, COALESCE(k.kept_chars, 0) AS kept_chars
+         FROM q LEFT JOIN kept k ON k.lang = q.lang ORDER BY q.lang""",
     "quality_gopher" ->
       """WITH m AS (
            SELECT doc_id,

@@ -180,7 +180,16 @@ object SimilarityOps {
     * wire). Pure double arithmetic — the oracle replays every iteration
     * exactly (same ~1e-15 summation jitter budget as [[ivfOracle]], far
     * below the cluster separation). */
-  val embeddingKmeans: Q = (s, d) => {
+  val embeddingKmeans: Q = (s, d) =>
+    kmeansAssignment(s, d)
+      .select(col("vec_id"), col("label"), col("cluster"),
+        round(col("dist2"), 6).as("dist2"))
+      .orderBy(col("vec_id"))
+
+  /** The converged Lloyd's assignment [[embeddingKmeans]] publishes, kept
+    * as a reusable frame (vec_id, label, ev, dist2, cluster) so profile /
+    * audit queries ([[clusterProfile]]) share one fixpoint definition. */
+  private[graft] def kmeansAssignment(s: SparkSession, d: String): DataFrame = {
     val k = 8
     // Lloyd's inherently round-trips the k centroids through the driver
     // (seed collect + per-iteration centroid collect) — bounded by k, and
@@ -230,9 +239,31 @@ object SimilarityOps {
     kmeansItersRun.set(iters)
 
     assign(cents, cids)
-      .select(col("vec_id"), col("label"), col("cluster"),
-        round(col("dist2"), 6).as("dist2"))
-      .orderBy(col("vec_id"))
+  }
+
+  /** Per-cluster corpus composition — the cluster-balance report a
+    * SemDeDup/cluster-curation pass reads before setting per-cluster
+    * dedup budgets: document count, language/source diversity, and size
+    * totals per converged k-means cluster. The assignment is the shared
+    * [[kmeansAssignment]] fixpoint (zero-shuffle scoring pass); the
+    * embeddings↔documents join keys on the stable id (vec_id = doc_id in
+    * the fixture's contract), one co-partitioned corpus join; the profile
+    * aggregate is k-bounded. Mean derives from exact long totals with one
+    * final division. */
+  val clusterProfile: Q = (s, d) => {
+    val a = kmeansAssignment(s, d).select(col("vec_id"), col("cluster"))
+    val doc = Tables.load(s, d, "documents")
+    a.join(doc, a("vec_id") === doc("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("cluster"), col("n_docs"), col("n_langs"), col("n_sources"),
+        col("total_chars"),
+        (col("total_chars").cast(DoubleType) / col("n_docs")).as("mean_chars"))
+      .orderBy(col("cluster"))
   }
 
   /** Batched k-NN join: every vector in a query set gets its top-3 cosine
@@ -372,6 +403,7 @@ object SimilarityOps {
     "embedding_centroid" -> embeddingCentroid,
     "embedding_quantize" -> embeddingQuantize,
     "embedding_kmeans" -> embeddingKmeans,
+    "cluster_profile" -> clusterProfile,
     "sim_join_knn" -> simJoinKnn,
     "sim_search_topk" -> simSearchTopK,
     "sim_search_topk_native" -> simSearchTopKNative,
@@ -420,6 +452,23 @@ object SimilarityOps {
          FROM af a JOIN embeddings e ON a.vec_id = e.vec_id
          ORDER BY a.vec_id"""
     sb.toString
+  }
+
+  /** [[kmeansOracle]] with its final select swapped for the per-cluster
+    * corpus profile: same generated assignment CTEs (the shared-fixpoint
+    * contract [[clusterProfile]] relies on), joined to `documents` on the
+    * stable id. */
+  private def clusterProfileOracle: String = {
+    val base = kmeansOracle
+    val cut = base.lastIndexOf("SELECT a.vec_id")
+    base.substring(0, cut) +
+      """SELECT a.cid AS cluster, COUNT(*) AS n_docs,
+           COUNT(DISTINCT d.lang) AS n_langs,
+           COUNT(DISTINCT d.source) AS n_sources,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+         FROM af a JOIN documents d ON a.vec_id = d.doc_id
+         GROUP BY a.cid ORDER BY cluster"""
   }
 
   /** Oracle for the exact variant; DuckDB computes the same double-precision
@@ -502,6 +551,7 @@ object SimilarityOps {
            FROM embeddings)
          GROUP BY label, i ORDER BY label, i""",
     "embedding_kmeans" -> kmeansOracle,
+    "cluster_profile" -> clusterProfileOracle,
     "embedding_quantize" ->
       """WITH m AS (
            SELECT vec_id, embedding,

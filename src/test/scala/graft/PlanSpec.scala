@@ -266,5 +266,11 @@ class PlanSpec extends AnyFunSuite {
     assert(lines.exists(l => l.contains("Exchange rangepartitioning") &&
       l.contains("pri#") && l.contains("doc_id#")),
       s"no range exchange on the priority order:\n${lines.mkString("\n")}")
+    // at runtime AQE must REUSE that exchange for the offset branch — the
+    // corpus is scanned and BPE-tokenized once, not once per branch
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.linesIterator.exists(_.contains("ReusedExchange")),
+      s"offset branch re-reads the corpus instead of reusing the exchange:\n$finalPlan")
   }
 }

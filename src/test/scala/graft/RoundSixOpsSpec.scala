@@ -193,4 +193,44 @@ class RoundSixOpsSpec extends AnyFunSuite {
     order.takeWhile { id => val before = run; run += toks(id); before < 10000L }
       .foreach { id => assert(byId(id) == order.takeWhile(_ != id).map(toks).sum + toks(id)) }
   }
+
+  test("corpus_mix_temperature: sqrt weights flatten the mix toward rare languages") {
+    val rows = PipelineOps.corpusMixTemperature(spark, TestSpark.sf001).collect()
+    assert(rows.length >= 2)
+    val total = rows.map(_.getAs[Long]("n_total")).sum
+    val budget = total / 2
+    // quotas respect the budget and never exceed a language's supply
+    assert(rows.map(_.getAs[Long]("quota")).sum <= budget)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("quota") <= r.getAs[Long]("n_total"))
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("quota"),
+        s"window pick must fill the quota exactly: $r")
+    }
+    // temperature flattening: every language's mix share exceeds its raw
+    // share iff it is below-average-sized (sqrt compresses the range)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights must normalize, got $wsum")
+    val rare = rows.minBy(_.getAs[Long]("n_total"))
+    val big = rows.maxBy(_.getAs[Long]("n_total"))
+    assert(rare.getAs[Double]("weight") > rare.getAs[Long]("n_total").toDouble / total)
+    assert(big.getAs[Double]("weight") < big.getAs[Long]("n_total").toDouble / total)
+    // deterministic on re-run
+    val again = PipelineOps.corpusMixTemperature(spark, TestSpark.sf001).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("cluster_profile agrees with the kmeans assignment it shares") {
+    import graft.operators.SimilarityOps
+    val prof = SimilarityOps.clusterProfile(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n_docs")).toMap
+    val fromAssign = SimilarityOps.embeddingKmeans(spark, TestSpark.sf0001).collect()
+      .groupBy(_.getAs[Long]("cluster")).view.mapValues(_.length.toLong).toMap
+    assert(prof == fromAssign, s"profile=$prof assign=$fromAssign")
+    val rows = SimilarityOps.clusterProfile(spark, TestSpark.sf0001).collect()
+    rows.foreach { r =>
+      val mean = r.getAs[Double]("mean_chars")
+      assert(mean == r.getAs[Long]("total_chars").toDouble / r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_langs") >= 1L && r.getAs[Long]("n_sources") >= 1L)
+    }
+  }
 }

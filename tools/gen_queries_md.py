@@ -21,7 +21,7 @@ fams = [
     ('set_|distinct_|pivot_|unpivot_|explode_|array_|json_|scalar_|result_|source_|compact_',
      'Relational scalars, reshaping & sources'),
     ('dedup_', 'Deduplication'),
-    ('sim_|embedding_', 'Similarity & embeddings'),
+    ('sim_|embedding_|cluster_profile', 'Similarity & embeddings'),
     ('text_|corpus_|sample_|pack_|decontaminate|quality_|split_|data_profile|curation_',
      'Text analysis & corpus curation'),
     ('mm_', 'Multimodal'),
