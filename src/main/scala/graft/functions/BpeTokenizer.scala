@@ -70,11 +70,15 @@ object BpeTable {
   private val memoCap = 1 << 16
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  /** Token count of one word (no spaces), by ordered-merge BPE. */
-  def countWord(word: String): Long = {
-    if (word.isEmpty) return 0L
-    val cached = memo.get(word)
-    if (cached ne null) return cached.longValue()
+  /** The ordered-merge pass: one word (no spaces) → its final symbol
+    * sequence. Shared by the count path ([[countWord]]) and the sequence
+    * path ([[tokenizeWord]]). */
+  private def mergeWord(word: String): scala.collection.mutable.ArrayBuffer[String] =
+    mergeWordN(word, merges.length)
+
+  /** [[mergeWord]] under only the first `nRules` merges — a mid-training
+    * tokenizer state (used by the trainer-step pair statistic). */
+  private def mergeWordN(word: String, nRules: Int): scala.collection.mutable.ArrayBuffer[String] = {
     // symbols start as codepoints
     var syms = new scala.collection.mutable.ArrayBuffer[String](word.length)
     var i = 0
@@ -84,7 +88,7 @@ object BpeTable {
       syms += word.substring(i, i + n)
       i += n
     }
-    merges.foreach { case (x, y) =>
+    merges.take(nRules).foreach { case (x, y) =>
       if (syms.length >= 2) {
         var changed = false
         var j = 0
@@ -104,9 +108,32 @@ object BpeTable {
         }
       }
     }
-    val n = syms.length.toLong
+    syms
+  }
+
+  /** Token count of one word (no spaces), by ordered-merge BPE. */
+  def countWord(word: String): Long = {
+    if (word.isEmpty) return 0L
+    val cached = memo.get(word)
+    if (cached ne null) return cached.longValue()
+    val n = mergeWord(word).length.toLong
     if (memo.size < memoCap) memo.put(word, n)
     n
+  }
+
+  /** Symbol sequence of one word under the first `nRules` merges — the
+    * expression body of [[BpeTokens]], static-forwardable for generated
+    * code. Empty word → empty array. `nRules = merges.length` is the full
+    * tokenizer; a smaller value is a mid-training state. */
+  def tokenizeWord(word: UTF8String, nRules: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val w = word.toString
+    if (w.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val syms = mergeWordN(w, nRules)
+    val out = new Array[Any](syms.length)
+    var i = 0
+    while (i < syms.length) { out(i) = UTF8String.fromString(syms(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Token count of a text: sum over its single-space-split words. Called
@@ -145,26 +172,46 @@ object BpeTable {
     * `replace`, then count symbols. Variable names are chosen not to
     * collide when nested (the fold binds `bacc`/`brule`; the comprehensions
     * bind `bwrd`/`bj`). */
-  def duckCountSql(textExpr: String): String = {
-    val rules = merges.map { case (x, y) => s"'$x $y'" }.mkString("[", ", ", "]")
+  def duckCountSql(textExpr: String): String =
     s"""list_reduce(list_prepend(0::BIGINT,
          [CASE WHEN bwrd = '' THEN 0::BIGINT ELSE
-            len(string_split(trim(
-              list_reduce(list_prepend(
-                ' ' || array_to_string([bwrd[bj:bj] FOR bj IN range(1, len(bwrd) + 1)], '  ') || ' ',
-                $rules),
-                (bacc, brule) -> replace(bacc,
-                  ' ' || replace(brule, ' ', '  ') || ' ',
-                  ' ' || replace(brule, ' ', '') || ' '))),
-              '  '))::BIGINT END
+            len(${duckSymbolsSql("bwrd")})::BIGINT END
           FOR bwrd IN string_split($textExpr, ' ')]),
        (a, c) -> a + c)"""
+
+  /** DuckDB replay of [[tokenizeWord]] for a one-word SQL expression: the
+    * merges fold over the double-separator framing, split back into the
+    * symbol list. `wordExpr` must not contain spaces (pre-split upstream)
+    * and must be non-empty (guard upstream — '' yields a 1-element list in
+    * SQL where [[tokenizeWord]] yields an empty array). */
+  def duckSymbolsSql(wordExpr: String, nRules: Int = merges.length): String = {
+    val rules = merges.take(nRules).map { case (x, y) => s"'$x $y'" }.mkString("[", ", ", "]")
+    s"""string_split(trim(
+          list_reduce(list_prepend(
+            ' ' || array_to_string([($wordExpr)[bj:bj] FOR bj IN range(1, len($wordExpr) + 1)], '  ') || ' ',
+            $rules),
+            (bacc, brule) -> replace(bacc,
+              ' ' || replace(brule, ' ', '  ') || ' ',
+              ' ' || replace(brule, ' ', '') || ' '))),
+          '  ')"""
   }
 
   /** Column-API entry point. */
   def bpe_token_count(c: Column): Column = {
     import org.apache.spark.sql.GraftColumnShim
     GraftColumnShim.column(BpeTokenCount(GraftColumnShim.expression(c)))
+  }
+
+  /** The number of plain character-pair rules heading [[merges]] (the
+    * compositions start after them) — the mid-training state the
+    * trainer-step statistic evaluates. */
+  val charPairRules: Int = 28
+
+  /** Column-API entry point: symbol sequence of a single WORD under the
+    * first `nRules` merges. */
+  def bpe_tokens(c: Column, nRules: Int = merges.length): Column = {
+    import org.apache.spark.sql.GraftColumnShim
+    GraftColumnShim.column(BpeTokens(GraftColumnShim.expression(c), nRules))
   }
 }
 
@@ -182,5 +229,25 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.BpeTable.countTokens($c)")
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
+/** `bpe_tokens(word)`: the ordered-merge BPE symbol sequence of one word
+  * (see [[BpeTable.tokenizeWord]]). The sequence form feeds pair
+  * statistics — the per-merge-step count a BPE *trainer* computes — where
+  * [[BpeTokenCount]] only needs the length. Codegen is a static call, so
+  * the expression stays inside whole-stage codegen. */
+case class BpeTokens(child: Expression, nRules: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeTable.tokenizeWord(input.asInstanceOf[UTF8String], nRules)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeTable.tokenizeWord($c, $nRules)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
     copy(child = newChild)
 }

@@ -56,6 +56,32 @@ object TextOps {
         graft.functions.BpeTable.bpe_token_count(col("text")).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** BPE-trainer step statistic: the corpus-wide adjacent-symbol-pair
+    * frequencies a BPE trainer (Sennrich et al. 2016) computes to choose
+    * its next merge rule — evaluated at the mid-training state after the
+    * [[graft.functions.BpeTable.charPairRules]] character-pair merges, so
+    * the top of the ranking is literally the composition rule the embedded
+    * table learns next. Top 20 pairs, count-desc with a deterministic pair
+    * tiebreak. The tokenize + pair expansion is one codegen'd map-side
+    * pass (explode words → native [[graft.functions.BpeTokens]] → adjacent
+    * zip); the count aggregate partial-aggregates map-side, so the
+    * exchange carries distinct pairs per partition — symbol-pair
+    * vocabulary, not corpus — and the top-20 is a TakeOrdered k-merge.
+    * Pairs never cross word boundaries (BPE's pre-tokenizer contract). */
+  val textBpePairs: Q = (s, d) =>
+    docs(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(graft.functions.BpeTable.bpe_tokens(col("w"),
+        graft.functions.BpeTable.charPairRules).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ss) - 1), i -> concat(element_at(ss, i), ' ', element_at(ss, i + 1)))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+
   /** Marker-word language ID: count hits from tiny per-language marker sets,
     * argmax with a fixed tie order (en > de > es > fr > zh). A real system
     * would use char-trigram profiles; the *shape* — one pass, per-row column
@@ -301,6 +327,7 @@ object TextOps {
     "text_normalize" -> textNormalize,
     "text_quality" -> textQuality,
     "text_token_count" -> textTokenCount,
+    "text_bpe_pairs" -> textBpePairs,
     "text_lang_id" -> textLangId,
     "text_fingerprint" -> textFingerprint,
     "text_scrub_pii" -> textScrubPii,
@@ -447,6 +474,18 @@ object TextOps {
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
          ${graft.functions.BpeTable.duckCountSql("text")} AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
+    "text_bpe_pairs" ->
+      s"""WITH words AS (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         syms AS (
+           SELECT ${graft.functions.BpeTable.duckSymbolsSql(
+             "w", graft.functions.BpeTable.charPairRules)} AS ss
+           FROM words WHERE w <> ''),
+         pairs AS (
+           SELECT unnest([ss[bi] || ' ' || ss[bi + 1] FOR bi IN range(1, len(ss))]) AS pair
+           FROM syms WHERE len(ss) >= 2)
+         SELECT pair, COUNT(*) AS cnt FROM pairs
+         GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
     "text_lang_id" ->
       """WITH c AS (
            SELECT doc_id, lang AS true_lang,

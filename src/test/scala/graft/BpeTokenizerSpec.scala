@@ -57,4 +57,45 @@ class BpeTokenizerSpec extends AnyFunSuite {
       count(s) == BpeTable.countTokensViaReplace(s)
     })
   }
+
+  test("tokenizeWord symbol sequences: length equals countWord, order is the merge pass") {
+    def toks(w: String): Seq[String] = {
+      val a = BpeTable.tokenizeWord(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), BpeTable.merges.length)
+      (0 until a.numElements()).map(i =>
+        a.getUTF8String(i).toString)
+    }
+    // vocabulary word: one symbol, itself
+    assert(toks("window") == Seq("window"))
+    // composed word: known split (window is merged, x stays a residue)
+    assert(toks("windowx") == Seq("window", "x"))
+    assert(toks("") == Seq.empty)
+    // property: sequence length always equals the count path
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    check(Prop.forAll(word) { w => toks(w).length.toLong == BpeTable.countWord(w) })
+    // property: concatenating symbols reproduces the word (merges never
+    // drop or reorder characters)
+    check(Prop.forAll(word) { w => toks(w).mkString == w })
+  }
+
+  test("text_bpe_pairs recovers the next merge the embedded table actually learns") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-bpepairs").toString
+    // at the 28-char-pair mid-training state, 'the' is (th, e): a corpus
+    // dominated by 'the' must rank that pair first — and ('th','e') IS
+    // rule 29 of the embedded table, the composition a trainer learns next
+    val t1 = (Seq.fill(30)("the") ++ Seq.fill(10)("key")).mkString(" ")
+    Seq((0L, t1, "en", "s0", t1.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = graft.operators.TextOps.textBpePairs(spark, d).collect()
+    assert(rows.head.getAs[String]("pair") == "th e" &&
+      rows.head.getAs[Long]("cnt") == 30L, rows.mkString(";"))
+    assert(BpeTable.merges(BpeTable.charPairRules) == ("th", "e"))
+    // 'key' at 28 rules: (k, ey) — the ey char-pair merge applied, no
+    // composition yet
+    val key = rows.find(_.getAs[String]("pair") == "k ey").get
+    assert(key.getAs[Long]("cnt") == 10L)
+  }
 }
