@@ -383,7 +383,40 @@ object DedupOps {
     * joins are left to AQE: locally the sizes side auto-broadcasts; at scale
     * (a row per document) they become shuffle joins on the already-small
     * candidate-pair set, not on the posting list. */
-  val dedupNgramJaccard: Q = (s, d) => {
+  val dedupNgramJaccard: Q = (s, d) =>
+    ngramIndexDedup(s, d, "jaccard",
+      crossScore = (i, na, nb) => i.cast(DoubleType) / (na + nb - i),
+      sameScore = (i, n) => i.cast(DoubleType) / (lit(2) * n - i),
+      keep = _ >= 0.5)
+
+  /** Containment near-dup: |A∩B| / min(|A|, |B|) ≥ 0.8 over the same exact
+    * shingle index. Containment is the ASYMMETRIC cousin of Jaccard — a
+    * 200-word snippet pasted verbatim into a 5 000-word page scores
+    * containment ≈ 1 while its Jaccard is ≈ 0.04 — so this is the variant
+    * that catches sub-document duplication (quotes, mirrors with added
+    * chrome, template wrappers) which whole-document Jaccard structurally
+    * cannot; [[dedupSubstring]] finds the shared SPANS, this op scores the
+    * document PAIRS. Same index, same df-cut, same content fold, same
+    * 100 TB shape as [[dedupNgramJaccard]] — only the score differs (for
+    * exact copies min(|A|,|B|) = |A| = |B| = n, so the same-content score
+    * is kept/n). */
+  val dedupContainment: Q = (s, d) =>
+    ngramIndexDedup(s, d, "containment",
+      crossScore = (i, na, nb) => i.cast(DoubleType) / least(na, nb),
+      sameScore = (i, n) => i.cast(DoubleType) / n,
+      keep = _ >= 0.8)
+
+  /** The shared inverted-index near-dup pipeline behind
+    * [[dedupNgramJaccard]] and [[dedupContainment]]: content fold →
+    * df-cut posting lists → bounded pair expansion → per-pair set score.
+    * `crossScore(inter, na, nb)` scores a pair of DISTINCT contents from
+    * intersection + full set sizes; `sameScore(inter, n)` scores an
+    * exact-copy pair (both sizes n, intersection = the content's kept
+    * shingles); `keep` is the threshold predicate, applied to either. */
+  private def ngramIndexDedup(s: SparkSession, d: String, outCol: String,
+      crossScore: (Column, Column, Column) => Column,
+      sameScore: (Column, Column) => Column,
+      keep: Column => Column): DataFrame = {
     // ---- content fold: m exact copies of a text are ONE unit of work ----
     // Group by content hash up front (the dedup_exact pass every curation
     // pipeline runs anyway): each distinct content shingles once, builds
@@ -435,16 +468,16 @@ object DedupOps {
       .join(sizes.select(col("rid").as("ra"), col("n").as("na")), "ra")
       .join(sizes.select(col("rid").as("rb"), col("n").as("nb")), "rb")
       .select(col("ra"), col("rb"),
-        (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+        crossScore(col("inter"), col("na"), col("nb")).as(outCol))
+      .filter(keep(col(outCol)))
     val gids = grp.select(col("rid"), col("ids"))
     val crossIds = cross
       .join(gids.select(col("rid").as("ra"), col("ids").as("ids_a")), "ra")
       .join(gids.select(col("rid").as("rb"), col("ids").as("ids_b")), "rb")
-      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
-      .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col(outCol))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col(outCol))
       .select(least(col("ia"), col("ib")).as("a"),
-        greatest(col("ia"), col("ib")).as("b"), col("jaccard"))
+        greatest(col("ia"), col("ib")).as("b"), col(outCol))
     // same-content pairs: copies share ALL shingles, so the intersection is
     // the content's kept-shingle count (every shingle of an m ≥ 2 group has
     // df ≥ m ≥ 2 — only the upper cut can drop it) and the union is 2n − kept
@@ -455,12 +488,11 @@ object DedupOps {
     val same = grp.filter(col("m").between(2, dfCut))
       .join(keptCnt, "rid")
       .join(sizes, "rid")
-      .select(col("ids"),
-        (col("inter").cast(DoubleType) / (lit(2) * col("n") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .select(col("ids"), sameScore(col("inter"), col("n")).as(outCol))
+      .filter(keep(col(outCol)))
       .select(explode(graft.functions.LongPairs.long_pairs(col("ids"))).as("p"),
-        col("jaccard"))
-      .select(col("p.a").as("a"), col("p.b").as("b"), col("jaccard"))
+        col(outCol))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col(outCol))
     crossIds.unionAll(same).orderBy(col("a"), col("b"))
   }
 
@@ -797,6 +829,7 @@ object DedupOps {
     "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_containment" -> dedupContainment,
     "dedup_embedding" -> dedupEmbedding,
   )
 
@@ -1149,6 +1182,14 @@ object DedupOps {
          FROM inter JOIN sizes na ON inter.a = na.doc_id
                     JOIN sizes nb ON inter.b = nb.doc_id
          WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+         ORDER BY a, b""",
+    "dedup_containment" ->
+      s"""WITH $shingleCtes,
+         $ngramInterCtes
+         SELECT inter.a, inter.b, CAST(i AS DOUBLE) / LEAST(na.n, nb.n) AS containment
+         FROM inter JOIN sizes na ON inter.a = na.doc_id
+                    JOIN sizes nb ON inter.b = nb.doc_id
+         WHERE CAST(i AS DOUBLE) / LEAST(na.n, nb.n) >= 0.8
          ORDER BY a, b""",
     "dedup_minhash" -> minhashOracle,
     "dedup_fuzzy" -> fuzzyOracle,

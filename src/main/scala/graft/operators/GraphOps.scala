@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Graph analytics over a co-occurrence graph derived from the fixtures:
+  * two parts are connected when some order contains both (the market-basket
+  * projection of the order/part bipartite graph — the same construction
+  * recommendation and fraud pipelines run on transaction logs). The
+  * reference delegates arbitrary SQL to its backing stores
+  * (internal/core/core.go:496) and has no graph operators; this family is
+  * part of the beyond-reference analytics surface, next to the dedup
+  * cluster resolution ([[DedupOps]]) which is itself a connected-components
+  * pass.
+  *
+  * 100 TB shape, stage by stage:
+  *  1. Edge derivation never self-joins the fact table: lineitem groups by
+  *     order (one shuffle with map-side partials), each order's distinct
+  *     part set expands (a < b) pairs through the native codegen'd
+  *     [[graft.functions.LongPairs]] — per-task work is bounded by order
+  *     WIDTH (≤ 13 parts here, bounded small in any real basket log), never
+  *     by corpus size.
+  *  2. `distinct` on the pair stream is the edge shuffle — 16 bytes/row.
+  *  3. Triangle counting uses DEGREE ORIENTATION (order each edge from its
+  *     lower-(degree, id) endpoint to its higher one): every vertex's
+  *     out-degree is O(√m), so the wedge join materializes O(m^1.5) rows
+  *     worst case instead of Σ deg² — the standard compact-forward bound,
+  *     and the difference between a hub vertex emitting deg² wedge rows and
+  *     the same vertex emitting a bounded out-neighborhood square. Skewed
+  *     hubs (a part in every order) land on the HIGH side of every one of
+  *     their edges and therefore never fan out.
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct co-occurrence edges (a < b), derived per the class doc. */
+  private def edges(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(graft.functions.LongPairs.long_pairs(col("ps"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .distinct()
+
+  /** Per-vertex degree of the undirected edge set: explode both endpoints,
+    * one count aggregate. Output is vertex-table-sized (the parts dim), not
+    * edge-sized. */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+
+  /** Co-occurrence degree per part: how many distinct parts each part was
+    * ever ordered together with. */
+  val graphDegree: Q = (s, d) =>
+    degrees(edges(s, d)).orderBy(col("v"))
+
+  /** Global triangle census: vertices, edges, wedges (open two-paths,
+    * Σ d(d−1)/2 — exact integer), and triangles via the degree-oriented
+    * closure join. One row out; the wedge/triangle ratio is the global
+    * clustering coefficient, left to the reader as exact integers rather
+    * than an engine-dependent float. */
+  val graphTriangles: Q = (s, d) => {
+    val e = edges(s, d).localCheckpoint() // feeds degrees + orientation
+    val deg = degrees(e)
+    val da = deg.select(col("v").as("a"), col("degree").as("da"))
+    val db = deg.select(col("v").as("b"), col("degree").as("db"))
+    // orient each edge low→high by (degree, id); both joins are vertex-sized
+    // (the parts dim) — broadcast locally, AQE-planned at scale
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = e.join(da, "a").join(db, "b")
+      .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint() // feeds the wedge join twice + the closure probe
+    val wedge = o.as("e1").join(o.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("wu"), col("e2.v").as("ww"))
+    val tri = wedge.join(o.as("e3"),
+        col("wu") === col("e3.u") && col("ww") === col("e3.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nv = deg.agg(count(lit(1)).as("n_vertices"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val nw = deg.agg(expr("sum(degree * (degree - 1)) DIV 2")
+      .cast(LongType).as("n_wedges")) // DIV keeps it exact integer end-to-end
+    // one-row-aggregate stitching (same pattern as corpus_stats et al.)
+    nv.crossJoin(ne).crossJoin(nw).crossJoin(tri)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "graph_degree" -> graphDegree,
+    "graph_triangles" -> graphTriangles,
+  )
+
+  /** Shared edge/degree CTEs: DuckDB derives the same distinct (a < b)
+    * co-occurrence edges by per-order self-join (equivalent to the
+    * pair-expansion spelling for a DISTINCT result). */
+  private val edgeCtes: String =
+    """e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+            FROM lineitem x JOIN lineitem y
+              ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       deg AS (SELECT v, COUNT(*) AS degree
+               FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+               GROUP BY v)"""
+
+  val oracle: Map[String, String] = Map(
+    "graph_degree" ->
+      s"""WITH $edgeCtes
+         SELECT v, degree FROM deg ORDER BY v""",
+    "graph_triangles" ->
+      s"""WITH $edgeCtes,
+         o AS (SELECT CASE WHEN (da.degree, e.a) < (db.degree, e.b)
+                           THEN e.a ELSE e.b END AS u,
+                      CASE WHEN (da.degree, e.a) < (db.degree, e.b)
+                           THEN e.b ELSE e.a END AS v
+               FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+         tri AS (SELECT COUNT(*) AS n_triangles
+                 FROM o e1 JOIN o e2 ON e1.v = e2.u
+                           JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v)
+         SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+                (SELECT COUNT(*) FROM e)   AS n_edges,
+                (SELECT CAST(SUM(degree * (degree - 1)) AS BIGINT) // 2
+                   FROM deg)               AS n_wedges,
+                (SELECT n_triangles FROM tri) AS n_triangles""",
+  )
+}

@@ -432,6 +432,34 @@ object PipelineOps {
       .orderBy(col("cum_tokens"))
   }
 
+  // ----------------------------------------------------------- sharding
+  /** Shard count for [[shardExport]] — at 100 TB this is the scale knob
+    * (shards ∝ corpus / target-file-size), like [[packShards]]. */
+  val exportShards = 64
+
+  /** Deterministic training-shard manifest: every document is assigned a
+    * shard by the same hash priority the samplers use, and the query emits
+    * the per-shard manifest row a shard writer publishes next to its files
+    * (doc count, BPE-token count, char count, doc-id range). Assignment is
+    * a pure map-side expression — the actual export is then ONE
+    * `write.partitionBy(shard_id)` whose files are reproducible across
+    * runs, engines, and cluster shapes because shard membership depends
+    * only on doc_id. The aggregate is [[exportShards]] rows regardless of
+    * corpus size; min/max ride the same partial aggregation as the sums. */
+  val shardExport: Q = (s, d) => {
+    val tok = graft.functions.BpeTable.bpe_token_count(col("text")).cast(LongType)
+    docs(s, d)
+      .select((prio(col("doc_id")) % exportShards).as("shard_id"),
+        col("doc_id"), col("n_chars"), tok.as("tok"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "compact_cluster" -> compactCluster,
     "corpus_stats" -> corpusStats,
@@ -448,6 +476,7 @@ object PipelineOps {
     "curation_pipeline" -> curationPipeline,
     "sample_token_budget" -> sampleTokenBudget,
     "corpus_mix_temperature" -> corpusMixTemperature,
+    "shard_export" -> shardExport,
   )
 
   /** Word 5-gram shingle CTE (DuckDB replay of [[graft.functions.WordShingles]]
@@ -661,5 +690,12 @@ object PipelineOps {
            GROUP BY f.vec_id)
          SELECT vec_id, label, score FROM scored
          WHERE score >= 0.2 ORDER BY score DESC, vec_id""",
+    "shard_export" ->
+      s"""SELECT ($prioSql) % $exportShards AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(${graft.functions.BpeTable.duckCountSql("text")}) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         FROM documents GROUP BY 1 ORDER BY 1""",
   )
 }

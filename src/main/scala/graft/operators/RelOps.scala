@@ -925,6 +925,33 @@ object RelOps {
       .orderBy($"revenue".desc, $"n_name")
   }
 
+  /** TPC-H Q18 shape: large-volume orders (the group-by-HAVING semi-filter
+    * pattern). The lineitem aggregate runs FIRST — one shuffle on the
+    * natural key with map-side partials — and the HAVING cut reduces it to
+    * a tiny set of qualifying orders (~0.3% here), which then drives both
+    * remaining joins as the broadcast side. Neither orders nor customer is
+    * ever shuffled: the plan is one fact-table aggregate plus two
+    * broadcast probes, and the already-computed `sum_qty` is reused instead
+    * of re-scanning lineitem (the textbook Q18 re-join). Quantity sums in
+    * exact decimal; the output cast is BIGINT because quantities are
+    * integral. */
+  val tpchQ18: Q = (s, d) => {
+    val big = t(s, d, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum(dec($"l_quantity")).as("qty_dec"))
+      .filter($"qty_dec" > 300)
+      .select($"l_orderkey", $"qty_dec".cast(LongType).as("sum_qty"))
+    val ord = t(s, d, "orders")
+      .join(broadcast(big), $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice", $"sum_qty")
+    t(s, d, "customer")
+      .join(broadcast(ord), $"c_custkey" === $"o_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        $"o_orderdate".cast(DateType).as("o_orderdate"), $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
   // $"..." interpolator without a per-query implicits import
   private implicit class Str(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
@@ -1001,6 +1028,7 @@ object RelOps {
     "sessionize_native" -> sessionizeNative,
     "tpch_q3" -> tpchQ3,
     "tpch_q5" -> tpchQ5,
+    "tpch_q18" -> tpchQ18,
   )
 
   /** DuckDB oracle SQL per query (same column names, same total order, same
@@ -1460,5 +1488,17 @@ object RelOps {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate <  TIMESTAMP '1997-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "tpch_q18" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+         SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, sum_qty
+         FROM big
+         JOIN orders   ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
   )
 }

@@ -149,6 +149,25 @@ class PlanSpec extends AnyFunSuite {
       "top-10 must plan as TakeOrderedAndProject, not a global sort")
   }
 
+  test("tpch_q18: HAVING cut drives broadcasts — neither orders nor customer shuffles") {
+    val plan = formatted("tpch_q18")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 2,
+      s"both probe joins must broadcast the qualifying-order side (found $nBroadcast):\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"a fact table shuffled for a join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-100 must plan as TakeOrderedAndProject, not a global sort")
+  }
+
+  test("graph_triangles: wedge and closure join on keys; only 1-row stitches nest-loop") {
+    val plan = formatted("graph_triangles")
+    // degree ×2 + wedge + closure — every edge-scale join must be hash-keyed
+    val keyed = "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length
+    assert(keyed >= 4, s"expected ≥4 keyed joins, found $keyed:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"an edge-scale join degenerated to a cartesian product:\n$plan")
+  }
+
   test("merge_upsert: snapshot side never sorts (broadcast anti-join, not SMJ)") {
     val plan = formatted("merge_upsert")
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
