@@ -402,6 +402,92 @@ object AnalyticsOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Global-rank helper: the [[RelOps.sortGlobalIndex]] spelling factored
+    * for reuse — range-partitioned sort + `zipWithIndex` (one
+    * count-per-partition job + offset add), appending a 0-based `rankName`
+    * column in the given sort order. Fully parallel at any size; the
+    * empty-PARTITION-BY window alternative funnels the frame through one
+    * task. */
+  private def withGlobalRank(s: SparkSession, df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column], rankName: String): DataFrame = {
+    val sorted = df.orderBy(sortCols: _*)
+    val schema = sorted.schema.add(StructField(rankName, LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    s.createDataFrame(indexed, schema)
+  }
+
+  /** RFM customer segmentation — the classic lifecycle-marketing cut of the
+    * orders table: recency (days since the customer's last order, against
+    * the corpus-wide max date), frequency (order count), monetary (exact
+    * decimal revenue), each quartile-scored 1–4 and concatenated into a
+    * segment code. Scores derive from GLOBAL ranks ([[withGlobalRank]] —
+    * three range-sorts of the per-customer aggregate, never an
+    * empty-PARTITION window) with the quartile boundary as pure integer
+    * arithmetic, `rank·4 DIV n + 1`, deterministic under the (metric,
+    * custkey) total order and replayed verbatim by the oracle's
+    * row_number spelling. The fact table is touched once (the per-customer
+    * aggregate); everything after is customer-bounded. */
+  val rfmSegment: Q = (s, d) => {
+    val ord = Tables.load(s, d, "orders")
+    val maxd = ord.agg(max(col("o_orderdate")).as("maxd"))
+    val base = ord.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast(DecimalType(18, 6))).as("monetary_dec"))
+      .crossJoin(broadcast(maxd))
+      .select(col("o_custkey").as("c_custkey"),
+        datediff(col("maxd"), col("last_order")).cast(LongType).as("recency_days"),
+        col("frequency"), col("monetary_dec"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val ranked = withGlobalRank(s,
+      withGlobalRank(s,
+        withGlobalRank(s, base,
+          Seq(col("recency_days"), col("c_custkey")), "r_rank"),
+        Seq(col("frequency").desc, col("c_custkey")), "f_rank"),
+      Seq(col("monetary_dec").desc, col("c_custkey")), "m_rank")
+    ranked.crossJoin(broadcast(n))
+      .select(col("c_custkey"), col("recency_days"), col("frequency"),
+        round(col("monetary_dec").cast(DoubleType), 6).as("monetary"),
+        expr("r_rank * 4 DIV n + 1").as("r_score"),
+        expr("f_rank * 4 DIV n + 1").as("f_score"),
+        expr("m_rank * 4 DIV n + 1").as("m_score"),
+        concat(expr("r_rank * 4 DIV n + 1"), lit("-"),
+          expr("f_rank * 4 DIV n + 1"), lit("-"),
+          expr("m_rank * 4 DIV n + 1")).as("segment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Vocabulary-growth curve (Heaps' law measurement) — the corpus
+    * statistic that tells a tokenizer/dedup team whether more data still
+    * buys new vocabulary: docs bucketed into 10 equal id-ranges, and per
+    * bucket the cumulative token count vs cumulative DISTINCT words seen
+    * so far. The "distinct so far" prefix is computed without any
+    * per-prefix rescan: each word's FIRST bucket is one min-aggregate,
+    * new-word counts group by that, and the 10-row bucket frame takes a
+    * running sum — corpus cost is one tokenize pass + two word-keyed
+    * aggregates regardless of bucket count. The final window runs over 10
+    * rows (bucket-bounded, never corpus-bounded). */
+  val textVocabGrowth: Q = (s, d) => {
+    val nd = docs(s, d).agg((max(col("doc_id")) + 1).as("nd"))
+    val db = docs(s, d).crossJoin(broadcast(nd))
+      .select(expr("least(doc_id * 10 DIV nd, 9)").as("bucket"),
+        explode(split(col("text"), " ")).as("word"))
+    val tok = db.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val nw = db.groupBy(col("word")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_words"))
+    val w = Window.orderBy(col("bucket")) // 10 rows — bucket-bounded
+    tok.join(nw, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_words"), lit(0L)).as("new_words"))
+      .select(col("bucket"), col("n_tokens"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"),
+        col("new_words"),
+        sum(col("new_words")).over(w).as("cum_distinct_words"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
     "data_profile" -> dataProfile,
     "text_perplexity" -> textPerplexity,
@@ -417,6 +503,8 @@ object AnalyticsOps {
     "text_diversity" -> textDiversity,
     "events_pathing" -> eventsPathing,
     "scd2_build" -> scd2Build,
+    "rfm_segment" -> rfmSegment,
+    "text_vocab_growth" -> textVocabGrowth,
   )
 
   val oracle: Map[String, String] = Map(
@@ -641,6 +729,48 @@ object AnalyticsOps {
          SELECT user_id, event_type AS state, ts AS valid_from,
            LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
          FROM chg ORDER BY user_id, valid_from""",
+    "rfm_segment" ->
+      """WITH base AS (
+           SELECT o_custkey AS c_custkey,
+             CAST(datediff('day', MAX(o_orderdate),
+               (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary_dec
+           FROM orders GROUP BY o_custkey),
+         rk AS (
+           SELECT c_custkey, recency_days, frequency, monetary_dec,
+             ROW_NUMBER() OVER (ORDER BY recency_days, c_custkey) - 1 AS r_rank,
+             ROW_NUMBER() OVER (ORDER BY frequency DESC, c_custkey) - 1 AS f_rank,
+             ROW_NUMBER() OVER (ORDER BY monetary_dec DESC, c_custkey) - 1 AS m_rank,
+             (SELECT COUNT(*) FROM base) AS n
+           FROM base)
+         SELECT c_custkey, recency_days, frequency,
+           round(CAST(monetary_dec AS DOUBLE), 6) AS monetary,
+           r_rank * 4 // n + 1 AS r_score,
+           f_rank * 4 // n + 1 AS f_score,
+           m_rank * 4 // n + 1 AS m_score,
+           CAST(r_rank * 4 // n + 1 AS VARCHAR) || '-' ||
+             CAST(f_rank * 4 // n + 1 AS VARCHAR) || '-' ||
+             CAST(m_rank * 4 // n + 1 AS VARCHAR) AS segment
+         FROM rk ORDER BY c_custkey""",
+    "text_vocab_growth" ->
+      """WITH nd AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+         db AS (
+           SELECT LEAST(doc_id * 10 // (SELECT nd FROM nd), 9) AS bucket,
+             unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         tok AS (SELECT bucket, COUNT(*) AS n_tokens FROM db GROUP BY bucket),
+         nw AS (
+           SELECT bucket, COUNT(*) AS new_words FROM (
+             SELECT word, MIN(bucket) AS bucket FROM db GROUP BY word)
+           GROUP BY bucket)
+         SELECT t.bucket, t.n_tokens,
+           CAST(SUM(t.n_tokens) OVER (ORDER BY t.bucket) AS BIGINT) AS cum_tokens,
+           COALESCE(nw.new_words, 0) AS new_words,
+           CAST(SUM(COALESCE(nw.new_words, 0)) OVER (ORDER BY t.bucket) AS BIGINT)
+             AS cum_distinct_words
+         FROM tok t LEFT JOIN nw ON t.bucket = nw.bucket
+         ORDER BY t.bucket""",
     // aggregated on the chunk's PolyHash like the Spark plan
     "text_boilerplate" ->
       s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

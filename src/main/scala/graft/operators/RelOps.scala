@@ -952,6 +952,83 @@ object RelOps {
       .limit(100)
   }
 
+  /** TPC-H Q1 shape: the pricing summary — the canonical full-scan
+    * two-phase aggregate (6 distinct-key groups absorb ~50k rows map-side;
+    * at 100 TB the exchange carries 6 partial-state rows per task). All
+    * money sums run in exact DECIMAL(18,6); the charge factor
+    * `(1-disc)·(1+tax)` is computed ONCE in IEEE double (two correctly
+    * rounded ops, identical op tree in the oracle) and then cast to
+    * decimal, because chaining three decimal multiplies overflows
+    * precision 38 and engines disagree on the overflow rounding. Averages
+    * derive from the exact sums with one final double division. */
+  val tpchQ1: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter($"l_shipdate" <= lit("2000-09-02").cast(TimestampType))
+      .select($"l_returnflag", $"l_linestatus",
+        dec($"l_quantity").as("qty"),
+        dec($"l_extendedprice").as("price"),
+        (dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("disc_price"),
+        (dec($"l_extendedprice") *
+          ((lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).cast(DecimalType(18, 6)))
+          .as("charge"),
+        dec($"l_discount").as("disc"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum($"qty").as("qty_dec"), sum($"price").as("base_dec"),
+        sum($"disc_price").as("disc_dec"), sum($"charge").as("charge_dec"),
+        sum($"disc").as("donly_dec"), count(lit(1)).as("count_order"))
+      .select($"l_returnflag", $"l_linestatus",
+        $"qty_dec".cast(LongType).as("sum_qty"),
+        round($"base_dec".cast(DoubleType), 6).as("sum_base_price"),
+        round($"disc_dec".cast(DoubleType), 6).as("sum_disc_price"),
+        round($"charge_dec".cast(DoubleType), 6).as("sum_charge"),
+        round($"qty_dec".cast(DoubleType) / $"count_order", 6).as("avg_qty"),
+        round($"base_dec".cast(DoubleType) / $"count_order", 6).as("avg_price"),
+        round($"donly_dec".cast(DoubleType) / $"count_order", 6).as("avg_disc"),
+        $"count_order")
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  /** TPC-H Q6 shape: the forecast-revenue scan — pure filter + one global
+    * sum, the query whose entire cost is how much of the scan the
+    * predicates skip. All three predicates reach the parquet reader
+    * (min/max row-group pruning on shipdate does the real work at scale);
+    * the aggregate is a single decimal sum folding to one row per task. */
+  val tpchQ6: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType) &&
+              $"l_shipdate" <  lit("1997-01-01").cast(TimestampType) &&
+              $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(coalesce(sum(dec($"l_extendedprice") * dec($"l_discount")),
+        lit(0).cast(DecimalType(18, 6))).as("rev_dec"))
+      .select(round($"rev_dec".cast(DoubleType), 6).as("revenue"))
+
+  /** TPC-H Q10 shape: returned-item reporting — top-20 customers by
+    * lost revenue in one quarter. The quarter's order slice broadcasts to
+    * lineitem (never the reverse), revenue aggregates by custkey BEFORE
+    * touching the wide customer table — the fact stream meets `customer`
+    * only as a per-customer one-row aggregate — and nation broadcasts.
+    * Ordering carries a custkey tiebreak so the limit is deterministic. */
+  val tpchQ10: Q = (s, d) => {
+    val ord = t(s, d, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast(TimestampType) &&
+              $"o_orderdate" <  lit("1996-04-01").cast(TimestampType))
+      .select($"o_orderkey", $"o_custkey")
+    val rev = t(s, d, "lineitem")
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey",
+        (dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("rev"))
+      .join(broadcast(ord), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey").agg(sum($"rev").as("rev_dec"))
+    t(s, d, "customer")
+      .join(rev, $"c_custkey" === $"o_custkey")
+      .join(broadcast(t(s, d, "nation").select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name",
+        round($"rev_dec".cast(DoubleType), 6).as("revenue"),
+        $"c_acctbal", $"n_name")
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
   // $"..." interpolator without a per-query implicits import
   private implicit class Str(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
@@ -1026,8 +1103,11 @@ object RelOps {
     "resample_gapfill" -> resampleGapfill,
     "sessionize_batch" -> sessionizeBatch,
     "sessionize_native" -> sessionizeNative,
+    "tpch_q1" -> tpchQ1,
     "tpch_q3" -> tpchQ3,
     "tpch_q5" -> tpchQ5,
+    "tpch_q6" -> tpchQ6,
+    "tpch_q10" -> tpchQ10,
     "tpch_q18" -> tpchQ18,
   )
 
@@ -1462,6 +1542,51 @@ object RelOps {
            COUNT(*) AS n_events
          FROM se GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT) AS sum_qty,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sum_base_price,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                          (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 6)
+             AS sum_disc_price,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                          CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))
+                 AS DOUBLE), 6) AS sum_charge,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_qty,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price,
+           round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "tpch_q6" ->
+      """SELECT round(CAST(COALESCE(
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                 CAST(l_discount AS DECIMAL(18,6))),
+             CAST(0 AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                          (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 6)
+             AS revenue,
+           c_acctbal, n_name
+         FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1996-04-01'
+           AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "tpch_q3" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
            o_orderpriority,

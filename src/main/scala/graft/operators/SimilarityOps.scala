@@ -266,6 +266,29 @@ object SimilarityOps {
       .orderBy(col("cluster"))
   }
 
+  /** Embedding-space outlier report — the fixture-anomaly sweep a curation
+    * pass runs after clustering (mislabeled documents, encoder glitches,
+    * adversarial inserts all land far from every centroid): each vector's
+    * squared distance to its converged k-means centroid
+    * ([[kmeansAssignment]], the shared fixpoint), flagged when it exceeds
+    * 3× its cluster's mean. The comparison is integer cross-multiplied on
+    * the micro-quantized distance (`floor(d²·10⁶ + 0.5)`, the
+    * [[embeddingCentroid]] grid) — `d·n > 3·Σd` — so the verdict never
+    * divides and both engines decide boundary rows identically. The
+    * k-row cluster-stats table broadcasts; the scoring pass stays
+    * zero-shuffle over the corpus. */
+  val embeddingOutliers: Q = (s, d) => {
+    val a = kmeansAssignment(s, d)
+      .select(col("vec_id"), col("cluster"),
+        floor(col("dist2") * 1000000.0d + 0.5d).cast(LongType).as("d2_micro"))
+    val stats = a.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("d2_micro")).as("sum_micro"))
+    a.join(broadcast(stats), "cluster")
+      .select(col("vec_id"), col("cluster"), col("d2_micro"),
+        (col("d2_micro") * col("n") > col("sum_micro") * 3).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Batched k-NN join: every vector in a query set gets its top-3 cosine
     * neighbors from the corpus in ONE pass. The query batch broadcasts (it is
     * always the small side), the corpus never shuffles, and the per-query
@@ -404,6 +427,7 @@ object SimilarityOps {
     "embedding_quantize" -> embeddingQuantize,
     "embedding_kmeans" -> embeddingKmeans,
     "cluster_profile" -> clusterProfile,
+    "embedding_outliers" -> embeddingOutliers,
     "sim_join_knn" -> simJoinKnn,
     "sim_search_topk" -> simSearchTopK,
     "sim_search_topk_native" -> simSearchTopKNative,
@@ -469,6 +493,28 @@ object SimilarityOps {
            CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
          FROM af a JOIN documents d ON a.vec_id = d.doc_id
          GROUP BY a.cid ORDER BY cluster"""
+  }
+
+  /** [[kmeansOracle]] with its final select swapped for the outlier
+    * verdict: micro-quantize the converged assignment's d², per-cluster
+    * stats, integer cross-multiplied flag — the identical arithmetic as
+    * [[embeddingOutliers]]. */
+  private def embeddingOutliersOracle: String = {
+    val base = kmeansOracle
+    val cut = base.lastIndexOf("SELECT a.vec_id")
+    base.substring(0, cut) +
+      """, m AS (
+           SELECT vec_id, cid AS cluster,
+             CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS d2_micro
+           FROM af),
+         st AS (
+           SELECT cluster, COUNT(*) AS n,
+             CAST(SUM(d2_micro) AS BIGINT) AS sum_micro
+           FROM m GROUP BY cluster)
+         SELECT m.vec_id, m.cluster, m.d2_micro,
+           (m.d2_micro * st.n > st.sum_micro * 3) AS is_outlier
+         FROM m JOIN st ON m.cluster = st.cluster
+         ORDER BY m.vec_id"""
   }
 
   /** Oracle for the exact variant; DuckDB computes the same double-precision
@@ -552,6 +598,7 @@ object SimilarityOps {
          GROUP BY label, i ORDER BY label, i""",
     "embedding_kmeans" -> kmeansOracle,
     "cluster_profile" -> clusterProfileOracle,
+    "embedding_outliers" -> embeddingOutliersOracle,
     "embedding_quantize" ->
       """WITH m AS (
            SELECT vec_id, embedding,
