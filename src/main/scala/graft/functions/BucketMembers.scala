@@ -119,3 +119,69 @@ object LongPairs {
   def long_pairs(c: Column): Column =
     GraftColumnShim.column(LongPairs(GraftColumnShim.expression(c)))
 }
+
+/** [[LongPairs]] with each pair packed into ONE bigint, `(a << 32) | b` —
+  * for pair streams that are immediately shuffled and aggregated (wedge
+  * counting, co-occurrence candidate generation): a primitive-long array
+  * costs no per-pair row allocation at expansion time, the downstream
+  * exchange carries an 8-byte key instead of a 16-byte struct, and the hash
+  * aggregate runs on a primitive key. Requires every id to fit in an
+  * unsigned 31-bit slot (`0 <= id < 2^31` — dimension keys, not row ids);
+  * out-of-range input fails fast rather than aliasing two pairs.
+  */
+case class LongPairsPacked(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "long_pairs_packed"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"long_pairs_packed expects array<bigint>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    LongPairsPacked.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LongPairsPacked.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LongPairsPacked =
+    copy(child = newChild)
+}
+
+object LongPairsPacked {
+  /** Static (forwardable) evaluation shared by interpreted and generated
+    * paths. One primitive array out; no per-pair allocation. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      require(v >= 0L && v < (1L << 31),
+        s"long_pairs_packed id out of 31-bit range: $v")
+      i += 1
+    }
+    val out = new Array[Long](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      val hi = arr.getLong(i) << 32
+      var j = i + 1
+      while (j < n) {
+        out(k) = hi | arr.getLong(j)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column-API entry point. */
+  def long_pairs_packed(c: Column): Column =
+    GraftColumnShim.column(LongPairsPacked(GraftColumnShim.expression(c)))
+}

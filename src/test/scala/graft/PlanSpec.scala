@@ -168,6 +168,19 @@ class PlanSpec extends AnyFunSuite {
       s"an edge-scale join degenerated to a cartesian product:\n$plan")
   }
 
+  test("graph_common_neighbors: edge filter broadcasts pre-count; pairs shuffle exactly once") {
+    val plan = formatted("graph_common_neighbors")
+    // existing edges are removed from the wedge stream map-side, BEFORE the
+    // count — never by re-shuffling the counted-pair stream afterwards
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    // one exchange for the adjacency lists, ONE for the raw packed keys —
+    // no map-side partial exchange, no post-aggregate shuffle
+    val nExchange = "(?<!Broadcast)Exchange \\(".r.findAllIn(plan).length
+    assert(nExchange == 2, s"expected 2 shuffle exchanges, found $nExchange:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 must plan as TakeOrderedAndProject, not a global sort")
+  }
+
   test("merge_upsert: snapshot side never sorts (broadcast anti-join, not SMJ)") {
     val plan = formatted("merge_upsert")
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)

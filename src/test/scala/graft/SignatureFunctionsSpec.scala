@@ -99,6 +99,25 @@ class SignatureFunctionsSpec extends AnyFunSuite {
     assert(LongPairs.compute(new GenericArrayData(Array[Any](42L))).numElements() == 0)
   }
 
+  test("LongPairsPacked == LongPairs with each pair packed (a<<32)|b; rejects 32-bit overflow") {
+    val ids: Gen[List[Long]] = Gen.listOf(Gen.choose(0L, Int.MaxValue.toLong))
+      .map(_.distinct.sorted)
+    check(Prop.forAll(ids) { xs =>
+      val arr = new GenericArrayData(xs.toArray[Any])
+      val packed = graft.functions.LongPairsPacked.compute(arr)
+      val viaStructs = LongPairs.compute(arr)
+      val want = (0 until viaStructs.numElements()).map { i =>
+        val r = viaStructs.getStruct(i, 2); (r.getLong(0) << 32) | r.getLong(1)
+      }
+      (0 until packed.numElements()).map(packed.getLong) == want
+    })
+    // ids past the 31-bit slot would alias two pairs — must fail fast
+    intercept[IllegalArgumentException] {
+      graft.functions.LongPairsPacked.compute(
+        new GenericArrayData(Array[Any](1L, 1L << 31)))
+    }
+  }
+
   test("BucketMembersAgg: any split/merge order yields the cap-smallest ids + exact count") {
     val agg = new graft.functions.BucketMembersAgg(5)
     val members: Gen[List[Long]] = Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct)
