@@ -159,11 +159,96 @@ object GraphOps {
       .orderBy(col("common_neighbors").desc, col("a"), col("b"))
   }
 
+  /** Association-rule mining over order baskets (the market-basket rules a
+    * recommender bootstrap runs): for every directed part pair (a → b)
+    * co-ordered at least [[minRuleSupport]] times, support / confidence /
+    * lift from exact integer counts, floats computed ONCE at the end.
+    *
+    * 100 TB shape: pair counts come from the same width-bounded per-order
+    * [[graft.functions.LongPairs]] expansion as the edge derivation (never
+    * a fact self-join); the per-item order counts are a part-dimension-sized
+    * table, so both enrichment joins broadcast; the final ranking is a
+    * TakeOrdered top-20. */
+  val minRuleSupport = 3
+
+  val basketRules: Q = (s, d) => {
+    val op = Tables.load(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint() // feeds baskets + item counts + the order count
+    val nOrders = op.select(col("l_orderkey")).distinct().count()
+    val pairN = op
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(graft.functions.LongPairs.long_pairs(col("ps"))).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minRuleSupport)
+    val itemN = op.groupBy(col("l_partkey").as("v"))
+      .agg(count(lit(1)).as("n_v"))
+    // both rule directions from each undirected pair, then exact-int ratios
+    val rules = pairN
+      .select(col("a").as("antecedent"), col("b").as("consequent"), col("n_ab"))
+      .unionAll(pairN.select(col("b"), col("a"), col("n_ab")))
+      .join(broadcast(itemN.withColumnRenamed("v", "antecedent")
+        .withColumnRenamed("n_v", "n_ante")), "antecedent")
+      .join(broadcast(itemN.withColumnRenamed("v", "consequent")
+        .withColumnRenamed("n_v", "n_cons")), "consequent")
+    rules.select(col("antecedent"), col("consequent"), col("n_ab"),
+        round(col("n_ab").cast("double") / lit(nOrders.toDouble), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_ante").cast("double"), 6)
+          .as("confidence"),
+        round((col("n_ab") * lit(nOrders)).cast("double") /
+          (col("n_ante") * col("n_cons")).cast("double"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(20)
+  }
+
+  /** Fixed-point integer PageRank, [[pagerankIters]] Jacobi sweeps over the
+    * co-occurrence graph. ALL iteration arithmetic is 64-bit integer (ranks
+    * scaled by 1e12, contributions by integer division, damping as
+    * `(85 · Σ) DIV 100`), so partial-aggregation order cannot perturb a
+    * single bit and the DuckDB oracle replays the sweeps exactly — the same
+    * trick a distributed engine needs anyway to make PageRank runs
+    * reproducible across topologies. The float rank appears once, as one
+    * IEEE division per vertex on output.
+    *
+    * 100 TB shape: each sweep is one shuffle of (dst, contrib) pairs keyed
+    * by vertex; the rank/degree state is vertex-table-sized and co-partitions
+    * with the adjacency on the same key, so AQE plans the per-sweep join
+    * shuffle-free once the adjacency is bucketed. No driver state: the only
+    * scalar is the vertex count. */
+  val pagerankIters = 2
+  val pagerankScale = 1000000000000L
+
+  val graphPagerank: Q = (s, d) => {
+    val e = edges(s, d).localCheckpoint()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = degrees(e).localCheckpoint() // (v, degree): out-degree = degree
+    val n = deg.count()
+    val base = (15L * (pagerankScale / n)) / 100L
+    var pr = deg.select(col("v"), lit(pagerankScale / n).as("pr"))
+    for (_ <- 1 to pagerankIters) {
+      val contrib = pr.join(deg, "v")
+        .select(col("v"), expr("pr DIV degree").as("contrib"))
+      pr = sym.join(contrib.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(sum(col("contrib")).as("in_sum"))
+        .select(col("v"),
+          (lit(base) + expr("(85 * in_sum) DIV 100")).as("pr"))
+    }
+    pr.select(col("v"), col("pr").as("pr_scaled"),
+        round(col("pr").cast("double") / lit(1.0e12), 15).as("pr"))
+      .orderBy(col("v"))
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_degree" -> graphDegree,
     "graph_triangles" -> graphTriangles,
     "graph_components" -> graphComponents,
     "graph_common_neighbors" -> graphCommonNeighbors,
+    "basket_rules" -> basketRules,
+    "graph_pagerank" -> graphPagerank,
   )
 
   /** Shared edge/degree CTEs: DuckDB derives the same distinct (a < b)
@@ -220,5 +305,49 @@ object GraphOps {
          SELECT a, b, common_neighbors FROM cn
          WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.a AND e.b = cn.b)
          ORDER BY common_neighbors DESC, a, b LIMIT 20""",
+    "basket_rules" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         n_ord AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op),
+         pairs AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+                          COUNT(*) AS n_ab
+                   FROM op x JOIN op y
+                     ON x.l_orderkey = y.l_orderkey
+                    AND x.l_partkey < y.l_partkey
+                   GROUP BY 1, 2 HAVING COUNT(*) >= $minRuleSupport),
+         item AS (SELECT l_partkey AS v, COUNT(*) AS n_v FROM op GROUP BY 1),
+         dir AS (SELECT a AS antecedent, b AS consequent, n_ab FROM pairs
+                 UNION ALL SELECT b, a, n_ab FROM pairs)
+         SELECT antecedent, consequent, n_ab,
+           round(CAST(n_ab AS DOUBLE) / CAST(n_ord.n AS DOUBLE), 6) AS support,
+           round(CAST(n_ab AS DOUBLE) / CAST(ia.n_v AS DOUBLE), 6) AS confidence,
+           round(CAST(n_ab * n_ord.n AS DOUBLE) /
+                 CAST(ia.n_v * ic.n_v AS DOUBLE), 6) AS lift
+         FROM dir
+         JOIN item ia ON ia.v = dir.antecedent
+         JOIN item ic ON ic.v = dir.consequent
+         CROSS JOIN n_ord
+         ORDER BY lift DESC, antecedent, consequent LIMIT 20""",
+    "graph_pagerank" ->
+      s"""WITH $edgeCtes,
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION ALL SELECT b, a FROM e),
+         nv AS (SELECT COUNT(*) AS n FROM deg),
+         pr0 AS (SELECT v, $pagerankScale // (SELECT n FROM nv) AS pr
+                 FROM deg),
+         pr1 AS (SELECT s.dst AS v,
+                   (15 * ($pagerankScale // (SELECT n FROM nv))) // 100
+                   + (85 * SUM(p.pr // d.degree)) // 100 AS pr
+                 FROM sym s
+                 JOIN pr0 p ON p.v = s.src JOIN deg d ON d.v = s.src
+                 GROUP BY s.dst),
+         pr2 AS (SELECT s.dst AS v,
+                   (15 * ($pagerankScale // (SELECT n FROM nv))) // 100
+                   + (85 * SUM(p.pr // d.degree)) // 100 AS pr
+                 FROM sym s
+                 JOIN pr1 p ON p.v = s.src JOIN deg d ON d.v = s.src
+                 GROUP BY s.dst)
+         SELECT v, pr AS pr_scaled,
+           round(CAST(pr AS DOUBLE) / 1.0e12, 15) AS pr
+         FROM pr2 ORDER BY v""",
   )
 }

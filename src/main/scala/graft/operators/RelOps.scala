@@ -1029,6 +1029,50 @@ object RelOps {
       .limit(20)
   }
 
+  /** TPC-H Q4 shape: order-priority checking — orders in one quarter with at
+    * least one late-shipping lineitem, counted by priority. (The fixture
+    * lacks commit/receipt dates, so "late" is l_shipdate more than 60 days
+    * after o_orderdate — the same EXISTS-correlated shape as the official
+    * spelling.) The quarter's order slice broadcasts into a LEFT SEMI join
+    * whose condition spans both sides (shipdate vs orderdate): each fact row
+    * probes the broadcast hash table on orderkey and checks the date bound
+    * in place, so the fact table never shuffles and the semi-join emits each
+    * qualifying order at most once — no post-join distinct needed. */
+  val tpchQ4: Q = (s, d) => {
+    val ord = t(s, d, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast(TimestampType) &&
+              $"o_orderdate" <  lit("1996-04-01").cast(TimestampType))
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderdate")
+    val late = ord.join(
+      t(s, d, "lineitem").select($"l_orderkey", $"l_shipdate"),
+      $"o_orderkey" === $"l_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+      "left_semi")
+    late.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** TPC-H Q14 shape: promotion-effect — the share of one month's revenue
+    * from promo parts. The part dimension broadcasts (two columns after
+    * pruning), the month filter reaches the parquet scan, and both the
+    * promo and total sums fold in ONE pass as conditional decimal
+    * aggregates; the percentage is a single float division at the end. */
+  val tpchQ14: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-03-01").cast(TimestampType) &&
+              $"l_shipdate" <  lit("1996-04-01").cast(TimestampType))
+      .select($"l_partkey",
+        (dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("rev"))
+      .join(broadcast(t(s, d, "part").select($"p_partkey", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+      .agg(
+        sum(when($"p_type" === "PROMO", $"rev")
+          .otherwise(lit(0).cast(DecimalType(18, 6)))).as("promo_dec"),
+        sum($"rev").as("total_dec"))
+      .select(round(lit(100.0) * $"promo_dec".cast(DoubleType) /
+        $"total_dec".cast(DoubleType), 6).as("promo_revenue_pct"))
+
   // $"..." interpolator without a per-query implicits import
   private implicit class Str(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
@@ -1109,6 +1153,8 @@ object RelOps {
     "tpch_q6" -> tpchQ6,
     "tpch_q10" -> tpchQ10,
     "tpch_q18" -> tpchQ18,
+    "tpch_q4" -> tpchQ4,
+    "tpch_q14" -> tpchQ14,
   )
 
   /** DuckDB oracle SQL per query (same column names, same total order, same
@@ -1625,5 +1671,26 @@ object RelOps {
          JOIN orders   ON o_orderkey = l_orderkey
          JOIN customer ON c_custkey = o_custkey
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "tpch_q14" ->
+      """SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice AS DECIMAL(18,6)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,6)))
+               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                        (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 6)
+             AS promo_revenue_pct
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND l_shipdate >= TIMESTAMP '1996-03-01'
+           AND l_shipdate <  TIMESTAMP '1996-04-01'""",
   )
 }
