@@ -13,4 +13,13 @@ object Limits {
     * a 4-KB embedding ≈ 16 MB — far below any driver heap, far above any
     * sane nlist/k for the corpus sizes a single index shard serves. */
   val maxDriverCentroids = 4096
+
+  /** Max edges broadcast as a packed-long hash filter (graph link
+    * prediction): 16 M packed 8-byte keys ≈ 128 MB raw, comfortably inside
+    * executor/driver broadcast reach. Past this, the existing-edge
+    * anti-join flips from a map-side broadcast probe (wedge-stream-sized
+    * input, zero extra shuffle) to a shuffle anti-join AFTER the candidate
+    * count (candidate-pair-bounded input) — the gate makes the documented
+    * fallback real code instead of a comment. */
+  val maxBroadcastEdges = 16L * 1000 * 1000
 }

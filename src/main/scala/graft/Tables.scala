@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Named table loaders over the driver-generated parquet fixtures.
   *
@@ -32,13 +33,16 @@ object Tables {
 
   private def loadUncached(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     if (table == "events" && exists(sfDir, table, "parquet")) {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read it as a raw long and truncate to microsecond
-      // TimestampType. `ts div 1000` stays in integer arithmetic (a double
-      // division would lose precision: epoch-nanos > 2^53).
+      // Fixture generations have shipped events.ts as TIMESTAMP(NANOS),
+      // TIMESTAMP(MICROS) and raw epoch longs — adapt to whatever arrives
+      // instead of assuming one unit (the reference's schema-on-read
+      // canonicalization: dungbeetle sqldb.go:254-281 adapts to whatever
+      // the driver reports at runtime). nanosAsLong lets a NANOS fixture
+      // load at all (the vectorized reader rejects it otherwise) and is a
+      // no-op for every other generation.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$table.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$sfDir/$table.parquet")
+      normalizeTs(df, df)
     } else if (exists(sfDir, table, "parquet")) {
       spark.read.parquet(s"$sfDir/$table.parquet")
     } else if (exists(sfDir, table, "csv")) {
@@ -58,6 +62,48 @@ object Tables {
 
   private def exists(dir: String, table: String, ext: String): Boolean =
     new java.io.File(s"$dir/$table.$ext").exists()
+
+  /** Canonicalize `column` of `df` to microsecond TimestampType, whatever
+    * physical type the source carries. `decideFrom` must be a BATCH frame
+    * over the same files: the decision may need one sampled value (to pick
+    * the epoch unit of a raw long), which a streaming frame can't provide —
+    * the stream path passes its batch twin here so batch and stream can
+    * never disagree on the unit again.
+    */
+  private[graft] def normalizeTs(df: DataFrame, decideFrom: DataFrame,
+      column: String = "ts"): DataFrame =
+    tsCanonExpr(decideFrom, column).fold(df)(e => df.withColumn(column, expr(e)))
+
+  /** SQL expression canonicalizing `column` to TimestampType, or None when
+    * it already is one. TIMESTAMP_NTZ is reinterpreted as UTC instants —
+    * every entrypoint pins `spark.sql.session.timeZone=UTC`, so this matches
+    * the oracle's naive-timestamp arithmetic. A raw long is an epoch count
+    * whose unit is detected from one non-null value's magnitude.
+    */
+  private[graft] def tsCanonExpr(batch: DataFrame, column: String): Option[String] =
+    batch.schema.collectFirst { case f if f.name == column => f.dataType }.flatMap {
+      case TimestampType => None
+      case TimestampNTZType => Some(s"cast($column as timestamp)")
+      case LongType =>
+        val sample = batch.select(column).na.drop().head(1)
+        val v = if (sample.isEmpty) 0L else sample(0).getLong(0)
+        Some(s"timestamp_micros(${epochToMicrosSql(column, v)})")
+      case _ => None
+    }
+
+  /** Integer arithmetic taking an epoch-long to microseconds, unit chosen by
+    * magnitude: contemporary dates are ~1.7e9 s / 1.7e12 ms / 1.7e15 µs /
+    * 1.7e18 ns, so boundaries at 1e11 / 1e14 / 1e17 classify every date
+    * between 1973 and 5138 unambiguously. Integer (not double) arithmetic:
+    * epoch-nanos exceed 2^53 and would lose precision in a float divide.
+    */
+  private[graft] def epochToMicrosSql(column: String, sampleValue: Long): String = {
+    val a = math.abs(sampleValue)
+    if (a >= 100000000000000000L) s"$column div 1000" // nanoseconds
+    else if (a >= 100000000000000L) column // already microseconds
+    else if (a >= 100000000000L) s"$column * 1000" // milliseconds
+    else s"$column * 1000000" // seconds
+  }
 
   /** The concrete file/dir `load` would read for a table — same resolution
     * order. Errors like `load` when no format is present (callers such as

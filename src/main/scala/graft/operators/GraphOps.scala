@@ -138,19 +138,33 @@ object GraphOps {
     *     tiebreak order), unpacked on 20 rows. */
   val graphCommonNeighbors: Q = (s, d) => {
     val e = edges(s, d).localCheckpoint() // feeds adjacency twice + the filter
+    // eager checkpoint already materialized the edge set, so this count is a
+    // metadata-cheap job — it gates which side of the broadcast-reach flip
+    // below actually runs
+    val nEdges = e.count()
     val adj = e.select(col("a").as("w"), col("b").as("n"))
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
     val ep = e.select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("p"))
-    adj
+    val wedges = adj
       .groupBy(col("w")).agg(sort_array(collect_set(col("n"))).as("ns"))
       .filter(size(col("ns")) <= wedgeDegreeCap)
       .select(explode(
         graft.functions.LongPairsPacked.long_pairs_packed(col("ns"))).as("p"))
-      .join(broadcast(ep), Seq("p"), "left_anti")
-      // 2× parallelism keeps each task's aggregation map in cache
-      // (measured: halving partition width is worth 1.7× on the stage)
-      .repartition(2 * s.sparkContext.defaultParallelism, col("p"))
-      .groupBy(col("p")).agg(count(lit(1)).as("common_neighbors"))
+    // 2× parallelism keeps each task's aggregation map in cache
+    // (measured: halving partition width is worth 1.7× on the stage)
+    val counted =
+      if (nEdges <= graft.Limits.maxBroadcastEdges)
+        wedges.join(broadcast(ep), Seq("p"), "left_anti")
+          .repartition(2 * s.sparkContext.defaultParallelism, col("p"))
+          .groupBy(col("p")).agg(count(lit(1)).as("common_neighbors"))
+      else
+        // past broadcast reach the anti-join moves AFTER the count, where
+        // its input is candidate-pair-bounded instead of wedge-stream-sized
+        wedges
+          .repartition(2 * s.sparkContext.defaultParallelism, col("p"))
+          .groupBy(col("p")).agg(count(lit(1)).as("common_neighbors"))
+          .join(ep, Seq("p"), "left_anti")
+    counted
       .orderBy(col("common_neighbors").desc, col("p"))
       .limit(20)
       .select(shiftright(col("p"), 32).as("a"),
@@ -238,7 +252,10 @@ object GraphOps {
           (lit(base) + expr("(85 * in_sum) DIV 100")).as("pr"))
     }
     pr.select(col("v"), col("pr").as("pr_scaled"),
-        round(col("pr").cast("double") / lit(1.0e12), 15).as("pr"))
+        // round to 6 (the repo-wide float-output convention): at 15 places
+        // the rounding happens in the double's last ulps, where Spark's
+        // BigDecimal HALF_UP and DuckDB's float arithmetic can disagree
+        round(col("pr").cast("double") / lit(1.0e12), 6).as("pr"))
       .orderBy(col("v"))
   }
 
@@ -346,8 +363,8 @@ object GraphOps {
                  FROM sym s
                  JOIN pr1 p ON p.v = s.src JOIN deg d ON d.v = s.src
                  GROUP BY s.dst)
-         SELECT v, pr AS pr_scaled,
-           round(CAST(pr AS DOUBLE) / 1.0e12, 15) AS pr
+         SELECT v, CAST(pr AS BIGINT) AS pr_scaled,
+           round(CAST(pr AS DOUBLE) / 1.0e12, 6) AS pr
          FROM pr2 ORDER BY v""",
   )
 }

@@ -10,12 +10,15 @@ import graft.Tables
   * columns + typed metadata, with decode/feature-extraction as partition-wise
   * batch functions.
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic stub (`StubDecode`); everything around it —
-  * the binary column, the metadata struct schema, the `mapPartitions` batch
-  * shape (the Scala analog of `mapInPandas`: one iterator in, one iterator
-  * out, schema declared up front), and the partitioning story — is real and
-  * is exactly what a production pipeline swaps a JNI/FFI decoder into.
+  * The feature path (`mm_decode_features`) runs a REAL pure-JVM image codec:
+  * `javax.imageio` BMP encode + decode ([[MultimodalOps.BmpCodec]]) — only
+  * the pixel CONTENT is synthesized (the container ships no media files).
+  * The resize/frame-sample paths still use the clearly-marked deterministic
+  * stub (`StubDecode`); everything around both — the binary column, the
+  * metadata struct schema, the `mapPartitions` batch shape (the Scala analog
+  * of `mapInPandas`: one iterator in, one iterator out, schema declared up
+  * front), and the partitioning story — is real and is exactly what a
+  * production pipeline swaps a JNI/FFI video/audio decoder into.
   */
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
@@ -69,38 +72,107 @@ object MultimodalOps {
         col("meta.source").as("source"), col("meta.lang").as("lang"))
       .orderBy(col("doc_id"))
 
-  /** Partition-wise batch decode + feature extraction over the binary
-    * payload: the mapInPandas-shaped path. Schema is declared up front;
-    * each partition streams rows through the (stub) decoder — no collect,
-    * no per-row JVM↔driver hops; at 100 TB this is embarrassingly parallel
-    * and bounded by decode CPU. The stub's arithmetic is mod-prime, so the
-    * DuckDB oracle replays it; MultimodalOpsSpec pins determinism + schema
-    * besides. The feature vector stays
-    * an array inside the pipeline; the query surface reduces it to scalars
-    * (dim + L2 norm) because downstream result comparison is column-wise
+  /** REAL pure-JVM image codec behind the batch plumbing: BMP encode/decode
+    * through `javax.imageio` (the JDK's built-in BMPImageReader — actual
+    * header parsing + raster decode, not arithmetic on the payload hash).
+    * The fixture carries no media, so the image BYTES are synthesized
+    * deterministically (dims + fill color from the content hash — the one
+    * permitted fake is the pixel CONTENT); everything after that is a
+    * genuine bytes→pixels decode that a production pipeline points at its
+    * real binary column unchanged. `setUseCache(false)` keeps ImageIO off
+    * its disk-backed stream cache (a temp file per image would dominate). */
+  object BmpCodec {
+    import java.awt.image.BufferedImage
+    def encode(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_3BYTE_BGR)
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.setUseCache(false)
+      javax.imageio.ImageIO.write(img, "bmp", baos)
+      baos.toByteArray
+    }
+    /** Decode + full raster scan: per-channel sums and min/max over every
+      * pixel. Returns (width, height, meanR, meanG, meanB, uniform). */
+    def decodeStats(bytes: Array[Byte]): (Int, Int, Int, Int, Int, Boolean) = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var (mn, mx) = (0xFFFFFF, 0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y) & 0xFFFFFF
+          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+          if (p < mn) mn = p
+          if (p > mx) mx = p
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      ((w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt, mn == mx))
+    }
+  }
+
+  /** Partition-wise batch decode + feature extraction over a binary image
+    * column: the mapInPandas-shaped path, now through the REAL
+    * [[BmpCodec]]. Stage 1 synthesizes the BMP payload (hash-derived dims
+    * 8–31 px and fill color — bounded bytes/row); stage 2 ImageIO-decodes
+    * every payload and reduces the raster to per-channel means + a
+    * uniformity proof (min pixel == max pixel — true only if the decoder
+    * actually visited every pixel of a correctly-parsed raster). Schema
+    * declared up front; no collect, no per-row driver hops; at 100 TB this
+    * is embarrassingly parallel and bounded by decode CPU. The synthesis
+    * arithmetic is mod-prime on the content hash, so the DuckDB oracle
+    * derives the same dims/colors and the expected feature norm in SQL —
+    * the decode path is hash-gated end-to-end. The feature vector (channel
+    * means / 255) stays an array inside the pipeline; the query surface
+    * reduces it to dim + L2 norm because result comparison is column-wise
     * and cannot sort array cells. */
   val mmDecodeFeatures: Q = (s, d) => {
     val in = Tables.load(s, d, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val imgSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("img", BinaryType, nullable = false)))
+    val imgEnc = RowEncoder.encoderFor(imgSchema)
+    val images = in.mapPartitions { rows =>
+      rows.map { r =>
+        val h = StubDecode.contentHash(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), BmpCodec.encode(
+          8 + (h % 24).toInt, 8 + ((h >> 5) % 24).toInt,
+          (h % 256).toInt, ((h >> 8) % 256).toInt, ((h >> 16) % 256).toInt))
+      }
+    }(imgEnc)
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
       StructField("n_channels", IntegerType, nullable = false),
-      StructField("feature", ArrayType(FloatType), nullable = false)))
+      StructField("feature", ArrayType(FloatType), nullable = false),
+      StructField("uniform", BooleanType, nullable = false)))
     val enc = RowEncoder.encoderFor(outSchema)
-    in.mapPartitions { rows =>
+    images.mapPartitions { rows =>
       rows.map { r =>
-        val id = r.getLong(0)
-        val dec = StubDecode(r.getAs[Array[Byte]](1))
-        Row(id, dec.width, dec.height, dec.nChannels, dec.feature.toSeq)
+        val (w, ht, mr, mg, mb, uni) = BmpCodec.decodeStats(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), w, ht, 3,
+          Seq(mr.toFloat / 255f, mg.toFloat / 255f, mb.toFloat / 255f), uni)
       }
     }(enc)
       .select(col("doc_id"), col("width"), col("height"), col("n_channels"),
         size(col("feature")).as("feature_dim"),
         round(sqrt(aggregate(col("feature"), lit(0.0d),
           (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))), 6)
-          .as("feature_norm"))
+          .as("feature_norm"),
+        col("uniform"))
       .orderBy(col("doc_id"))
   }
 
@@ -174,17 +246,23 @@ object MultimodalOps {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          source, lang
          FROM documents ORDER BY doc_id""",
+    // Replays the payload SYNTHESIS arithmetic (dims + fill color from the
+    // content hash) and the expected feature norm; the Spark side only gets
+    // there by actually encoding the BMP and ImageIO-decoding it back, with
+    // `uniform` pinning a full-raster scan — so a decode bug breaks the hash.
     "mm_decode_features" ->
       s"""$hashCte
          SELECT doc_id,
-           CAST(64 + h % 1024 AS INT) AS width,
-           CAST(64 + (h >> 10) % 1024 AS INT) AS height,
+           CAST(8 + h % 24 AS INT) AS width,
+           CAST(8 + (h >> 5) % 24 AS INT) AS height,
            CAST(3 AS INT) AS n_channels,
-           CAST(8 AS INT) AS feature_dim,
+           CAST(3 AS INT) AS feature_dim,
            ROUND(SQRT(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             [CAST(CAST((h >> (j * 3)) % 997 AS FLOAT) / CAST(997 AS FLOAT) AS DOUBLE)
-              FOR j IN range(0, 8)]),
-             (a, x) -> a + x * x)), 6) AS feature_norm
+             [CAST(CAST(h % 256 AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE),
+              CAST(CAST((h >> 8) % 256 AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE),
+              CAST(CAST((h >> 16) % 256 AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE)]),
+             (a, x) -> a + x * x)), 6) AS feature_norm,
+           true AS uniform
          FROM h ORDER BY doc_id""",
     "mm_resize" ->
       s"""$hashCte,

@@ -703,24 +703,30 @@ object RelOps {
   /** Global row index over a total order WITHOUT the single-task trap. A
     * `row_number() OVER (ORDER BY …)` window has an empty PARTITION BY —
     * Spark funnels the whole table through ONE task. The distributed
-    * spelling: range-partitioned sort (orderBy), then `zipWithIndex`, which
-    * runs one lightweight count-per-partition job and assigns each row
-    * offset(partition) + position — two passes, fully parallel, the
-    * standard global-index idiom at 100 TB. No final orderBy: rows leave
-    * zipWithIndex already in global pos order (range-partitioned, sorted
-    * within, indexed in partition sequence), so re-sorting would only add
-    * a full exchange — sortWithinPartitions documents the invariant and
-    * costs no shuffle. */
+    * spelling is the same two-phase prefix the token-budget sampler uses
+    * ([[graft.operators.PipelineOps.sampleTokenBudget]]): range-partition
+    * on the sort key so partition ids follow the global order, row_number
+    * in parallel per-partition windows, then a partition-offset table
+    * (#partitions rows, broadcast back) — `pos = offset(part) + rn - 1`.
+    * Everything stays in DataFrame land / whole-stage codegen; the earlier
+    * `rdd.zipWithIndex` spelling deserialized every row to `GenericRow`,
+    * exited codegen, and ran zipWithIndex's extra count job (5.7 s vs
+    * ~1 s at sf0.1). The single-partition offset window touches
+    * #partitions rows, never corpus rows, so the shape survives 100 TB. */
   val sortGlobalIndex: Q = (s, d) => {
-    val sorted = t(s, d, "lineitem")
+    val base = t(s, d, "lineitem")
       .select($"l_orderkey", $"l_linenumber", $"l_shipdate")
+      .repartitionByRange(32, $"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .withColumn("part", spark_partition_id())
+    val wIn = Window.partitionBy($"part")
       .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
-    val schema = sorted.schema.add(StructField("pos", LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-    }
-    s.createDataFrame(indexed, schema)
-      .select($"pos", $"l_orderkey", $"l_linenumber")
+    val local = base.withColumn("rn", row_number().over(wIn).cast(LongType))
+    val wOff = Window.orderBy($"part").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy($"part").agg(count(lit(1)).as("part_n"))
+      .withColumn("offset", coalesce(sum($"part_n").over(wOff), lit(0L)))
+      .select($"part", $"offset")
+    local.join(broadcast(offsets), "part")
+      .select(($"offset" + $"rn" - 1L).as("pos"), $"l_orderkey", $"l_linenumber")
       .sortWithinPartitions($"pos")
   }
 

@@ -19,16 +19,6 @@ import org.apache.spark.sql.types._
 object StreamOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** events.ts is parquet TIMESTAMP(NANOS); declare it long and convert,
-    * exactly like the batch-side Tables.load. */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   private[graft] def eventStreamPublic(s: SparkSession, d: String): DataFrame =
     eventStream(s, d)
 
@@ -49,10 +39,18 @@ object StreamOps {
       .option("pathGlobFilter", s"$name.parquet").parquet(d)
   }
 
+  /** The stream's schema AND the `ts` epoch unit are derived from a batch
+    * read of the same files, through the same [[graft.Tables.normalizeTs]]
+    * the batch loader uses — never a hard-coded schema: fixture generations
+    * have shipped ts as TIMESTAMP(NANOS), TIMESTAMP(MICROS) and raw longs,
+    * and a declared-schema mismatch is silent corruption (a micros column
+    * read as nanos lands every timestamp 1000× too small). nanosAsLong lets
+    * a NANOS fixture load at all; no-op otherwise. */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    streamSource(s, d, "events", eventsSchema)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val f = new java.io.File(d, "events.parquet")
+    val batch = s.read.parquet(f.getPath)
+    graft.Tables.normalizeTs(streamSource(s, d, "events", batch.schema), batch)
   }
 
   /** Size of the events source backing a stream replay (the state-volume

@@ -243,20 +243,32 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(fp == fp2, "fingerprint must be run-deterministic")
   }
 
-  test("mm_decode_features: declared schema, deterministic stub decode") {
+  test("mm_decode_features: declared schema, real ImageIO round-trip decode") {
     val out = MultimodalOps.mmDecodeFeatures(spark, dir)
     // query surface is scalar-only (array cells aren't comparable downstream);
-    // the 8-dim feature vector lives inside the pipeline, summarized as dim+norm
+    // the channel-mean feature vector lives inside the pipeline, as dim+norm
     assert(out.schema.fieldNames.toSeq ==
-      Seq("doc_id", "width", "height", "n_channels", "feature_dim", "feature_norm"))
+      Seq("doc_id", "width", "height", "n_channels", "feature_dim",
+        "feature_norm", "uniform"))
     val r1 = out.collect()
     val r2 = MultimodalOps.mmDecodeFeatures(spark, dir).collect()
     assert(r1.sameElements(r2))
-    assert(r1.forall(_.getAs[Int]("feature_dim") == 8))
+    assert(r1.forall(_.getAs[Int]("feature_dim") == 3))
     assert(r1.forall(_.getAs[Double]("feature_norm") >= 0.0))
+    // the raster scan saw one uniform fill color in every decoded image —
+    // only true if the BMP header/raster parse is correct end-to-end
+    assert(r1.forall(_.getAs[Boolean]("uniform")))
     // identical payloads decode identically
     val byId = r1.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("width")).toMap
     assert(byId(0L) == byId(1L))
+  }
+
+  test("BmpCodec round-trips dims and fill color exactly") {
+    val bytes = MultimodalOps.BmpCodec.encode(13, 9, 200, 50, 7)
+    // real BMP on the wire: 'BM' magic + declared dims in the header
+    assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+    val (w, h, mr, mg, mb, uni) = MultimodalOps.BmpCodec.decodeStats(bytes)
+    assert((w, h, mr, mg, mb, uni) == ((13, 9, 200, 50, 7, true)))
   }
 
   test("mm_resize fits the 256 box, preserves aspect, never upscales") {
