@@ -99,6 +99,14 @@ object Bench {
     // triggers an artifact build mid-loop is individually attributed.
     var strayBuilds = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Reclaim the PREVIOUS query's unreferenced state before timing this
+      // one: localCheckpoint blocks and shuffle dependencies are only
+      // released when the driver GCs (ContextCleaner acts on weak refs),
+      // and a large heap GCs rarely — measured at sf0.1: graph_components
+      // pays 2.4× its own cost when the preceding query's 70 M-row shuffle
+      // debt lands on it. Untimed cross-query hygiene, not warming: the
+      // first timed run still carries this query's own codegen/JIT.
+      System.gc()
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }

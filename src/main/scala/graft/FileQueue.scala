@@ -143,6 +143,26 @@ final class FileQueueWorker(
   private val claimedDir = queueRoot.toPath.resolve("_claimed")
   Files.createDirectories(claimedDir)
   @volatile private var stopped = false
+  private val retrySeq = new java.util.concurrent.atomic.AtomicLong()
+
+  // Retryable failures re-publish through the SHARED queue directory (state
+  // Retry is already stamped in the shared store by the scheduler): any
+  // worker in the fleet — not just this one — claims the next attempt, so a
+  // worker that is sick (full disk, bad mount, dying JVM) doesn't pin the
+  // job's remaining retries to itself. The queue poll cadence is the
+  // backoff. Publish failure → return false → the scheduler falls back to
+  // retrying locally, so the attempt is never dropped either way.
+  scheduler.retryPublisher = (job, nextAttempt, epoch) => {
+    if (stopped) false
+    else {
+      val qd = queueRoot.toPath.resolve(FileQueue.safe(job.queue))
+      Files.createDirectories(qd)
+      val name = f"${System.currentTimeMillis()}%013d_${retrySeq.incrementAndGet()}%06d_" +
+        s"${ProcessHandle.current().pid()}_${FileQueue.safe(job.id)}.props"
+      FileQueue.writeJob(qd.resolve(name), job, epoch, nextAttempt)
+      true
+    }
+  }
 
   // Crash recovery: claims are named <claimerPid>__<queueDir>__<file>, so a
   // starting worker can detect claims whose owner died between claim and
@@ -195,9 +215,9 @@ final class FileQueueWorker(
           try { Files.move(p, mine, StandardCopyOption.ATOMIC_MOVE); true }
           catch { case _: java.io.IOException => false }
         if (won) FileQueue.readJob(mine) match {
-          case Some((job, epoch)) =>
+          case Some((job, epoch, attempt)) =>
             tasks.get(job.taskName) match {
-              case Some(task) => scheduler.executeClaimed(job, task, epoch)
+              case Some(task) => scheduler.executeClaimed(job, task, epoch, attempt)
               case None => // this worker doesn't carry the task dir: refuse
                 store.setIfPresent(job.id, JobState.Failure, -1,
                   s"worker has no task '${job.taskName}'")
@@ -226,8 +246,9 @@ private[graft] object FileQueue {
     s.replaceAll("[^A-Za-z0-9_-]", "_").take(48) + "_" + md
   }
 
-  def writeJob(p: Path, job: Job, epoch: Long): Unit = {
+  def writeJob(p: Path, job: Job, epoch: Long, attempt: Int = 1): Unit = {
     val props = new Properties()
+    props.setProperty("attempt", attempt.toString)
     props.setProperty("id", job.id)
     props.setProperty("task", job.taskName)
     props.setProperty("queue", job.queue)
@@ -244,7 +265,10 @@ private[graft] object FileQueue {
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  def readJob(p: Path): Option[(Job, Long)] =
+  /** (job, admission epoch, attempt) — attempt is 1 on first publish and
+    * N+1 on a cross-worker retry re-publish, so the claiming worker resumes
+    * the retry budget where the failing worker left off. */
+  def readJob(p: Path): Option[(Job, Long, Int)] =
     if (!Files.exists(p)) None
     else try {
       val in = Files.newInputStream(p)
@@ -261,6 +285,7 @@ private[graft] object FileQueue {
         props.getProperty("ttlSec", "60").toInt,
         args,
         Option(props.getProperty("db"))),
-        props.getProperty("epoch", "0").toLong))
+        props.getProperty("epoch", "0").toLong,
+        props.getProperty("attempt", "1").toInt))
     } catch { case _: Exception => None }
 }

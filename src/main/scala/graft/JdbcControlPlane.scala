@@ -238,8 +238,8 @@ final class JdbcQueueBroker(url: String, store: JobStateStore) extends JobBroker
     if (epoch < 0) return false
     try withConn { c =>
       val ps = c.prepareStatement(
-        "INSERT INTO graft_queue(job_id, queue, task, eta, retries, ttl, args, db, epoch) " +
-          "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)")
+        "INSERT INTO graft_queue(job_id, queue, task, eta, retries, ttl, args, db, epoch, attempt) " +
+          "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, 1)")
       ps.setString(1, job.id); ps.setString(2, job.queue); ps.setString(3, job.taskName)
       ps.setString(4, job.eta.map(_.toString).orNull)
       ps.setInt(5, job.retries); ps.setInt(6, job.ttlSec)
@@ -343,6 +343,25 @@ final class JdbcQueueWorker(
     try f(c) finally c.close()
   }
 
+  // Retryable failures re-insert the queue row (attempt+1, same admission
+  // epoch) instead of retrying on this worker's timers: the retry is visible
+  // in the shared table and ANY worker claims the next attempt — mirrors
+  // [[FileQueueWorker]]'s re-publish; see [[Scheduler.retryPublisher]].
+  scheduler.retryPublisher = (job, nextAttempt, epoch) => {
+    if (stopped) false
+    else withConn { c =>
+      val ps = c.prepareStatement(
+        "INSERT INTO graft_queue(job_id, queue, task, eta, retries, ttl, args, db, epoch, attempt) " +
+          "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?)")
+      ps.setString(1, job.id); ps.setString(2, job.queue); ps.setString(3, job.taskName)
+      ps.setString(4, job.eta.map(_.toString).orNull)
+      ps.setInt(5, job.retries); ps.setInt(6, job.ttlSec)
+      ps.setString(7, JdbcControlPlane.encodeArgs(job.args))
+      ps.setString(8, job.db.orNull); ps.setLong(9, epoch); ps.setInt(10, nextAttempt)
+      try { ps.executeUpdate(); true } finally ps.close()
+    }
+  }
+
   private val loop = new Thread(() => {
     while (!stopped) {
       try pollOnce() catch {
@@ -363,9 +382,9 @@ final class JdbcQueueWorker(
     var more = true
     while (more && !stopped) {
       more = claimOne() match {
-        case Some((seq, job, epoch)) =>
+        case Some((seq, job, epoch, attempt)) =>
           tasks.get(job.taskName) match {
-            case Some(task) => scheduler.executeClaimed(job, task, epoch)
+            case Some(task) => scheduler.executeClaimed(job, task, epoch, attempt)
             case None => store.setIfPresent(job.id, JobState.Failure, -1,
               s"worker has no task '${job.taskName}'")
           }
@@ -426,7 +445,7 @@ final class JdbcQueueWorker(
     try del.executeUpdate() finally del.close()
   }
 
-  private def claimOne(): Option[(Long, Job, Long)] = withConn { c =>
+  private def claimOne(): Option[(Long, Job, Long, Int)] = withConn { c =>
     val sel = c.prepareStatement(
       s"SELECT MIN(seq) FROM graft_queue WHERE claimed_by IS NULL$queueFilter")
     queues.getOrElse(Nil).zipWithIndex.foreach { case (q, i) => sel.setString(i + 1, q) }
@@ -445,7 +464,7 @@ final class JdbcQueueWorker(
       if (!won) None // another worker raced us: next poll tries the next row
       else {
         val get = c.prepareStatement(
-          "SELECT job_id, queue, task, eta, retries, ttl, args, db, epoch " +
+          "SELECT job_id, queue, task, eta, retries, ttl, args, db, epoch, attempt " +
             "FROM graft_queue WHERE seq = ?")
         get.setLong(1, seq)
         val r = get.executeQuery()
@@ -456,7 +475,7 @@ final class JdbcQueueWorker(
             Option(r.getString(4)).map(LocalDateTime.parse),
             r.getInt(5), r.getInt(6),
             JdbcControlPlane.decodeArgs(r.getString(7)),
-            Option(r.getString(8))), r.getLong(9)))
+            Option(r.getString(8))), r.getLong(9), r.getInt(10)))
         } finally { r.close(); get.close() }
       }
     }
@@ -505,12 +524,23 @@ private[graft] object JdbcControlPlane {
              args VARCHAR(20000),
              db VARCHAR(255),
              epoch BIGINT NOT NULL,
+             attempt INT DEFAULT 1 NOT NULL,
              claimed_by VARCHAR(128),
              claimed_at BIGINT)""")
       ddl.foreach { sql =>
         val st = c.createStatement()
         try st.executeUpdate(sql)
         catch { case e: SQLException if isTableExists(e) => () }
+        finally st.close()
+      }
+      // migrate a pre-`attempt` queue table in place (column-exists and
+      // other dialect quirks are benign — the INSERT/SELECT paths name the
+      // column explicitly and fail loudly if it's genuinely absent)
+      locally {
+        val st = c.createStatement()
+        try st.executeUpdate(
+          "ALTER TABLE graft_queue ADD COLUMN attempt INT DEFAULT 1 NOT NULL")
+        catch { case _: SQLException => () }
         finally st.close()
       }
     } finally c.close()

@@ -33,6 +33,20 @@ final class Scheduler(spark: SparkSession, store: JobStateStore) extends JobBrok
   private val timers = Executors.newScheduledThreadPool(2, daemonFactory("graft-timer"))
   @volatile private var closed = false
 
+  /** Cross-process retry hop (set by a queue worker, e.g.
+    * [[FileQueueWorker]]): when non-null, a retryable failure re-publishes
+    * the job THROUGH THE BROKER (`(job, nextAttempt) => published`) instead
+    * of re-running on this process's timers — so the retry is visible in
+    * the shared queue and ANY worker in the fleet can claim the next
+    * attempt (the reference gets this from tasqueue re-enqueueing through
+    * Redis, core.go:389-394). The queue's poll cadence plays the role of
+    * the local backoff. Returning false (broker closed, disk error) falls
+    * back to the local timer path so the attempt is never lost. The
+    * attempt's admission epoch rides along so a cancel+resubmit during the
+    * failure window can't be resurrected under a newer epoch (and the
+    * claim side re-checks the epoch against the shared store anyway). */
+  @volatile private[graft] var retryPublisher: (Job, Int, Long) => Boolean = null
+
   private def daemonFactory(prefix: String): ThreadFactory = new ThreadFactory {
     private val n = new java.util.concurrent.atomic.AtomicInteger
     def newThread(r: Runnable): Thread = {
@@ -155,16 +169,22 @@ final class Scheduler(spark: SparkSession, store: JobStateStore) extends JobBrok
           }
           else if (attempt <= job.retries) {
             store.setIfPresent(job.id, JobState.Retry)
-            val delay = math.min(250L * attempt, 2000L) // capped backoff
-            // the admission generation rides along from submit(): if the job
-            // is canceled and the same ID re-submitted as a NEW job during
-            // the backoff, the stale timer must not resurrect the old one
-            // (runAttempt re-checks the epoch after winning the slot too)
-            timers.schedule(
-              (() => poolExecuteOrFail(job, task, myEpoch, (() => {
-                if (store.epoch(job.id) == myEpoch) runWithRetries(job, task, attempt + 1, myEpoch)
-              }): Runnable)): Runnable,
-              delay, TimeUnit.MILLISECONDS)
+            val rp = retryPublisher
+            val published =
+              try rp != null && rp(job, attempt + 1, myEpoch)
+              catch { case _: Exception => false }
+            if (!published) {
+              val delay = math.min(250L * attempt, 2000L) // capped backoff
+              // the admission generation rides along from submit(): if the job
+              // is canceled and the same ID re-submitted as a NEW job during
+              // the backoff, the stale timer must not resurrect the old one
+              // (runAttempt re-checks the epoch after winning the slot too)
+              timers.schedule(
+                (() => poolExecuteOrFail(job, task, myEpoch, (() => {
+                  if (store.epoch(job.id) == myEpoch) runWithRetries(job, task, attempt + 1, myEpoch)
+                }): Runnable)): Runnable,
+                delay, TimeUnit.MILLISECONDS)
+            }
           }
           else store.setIfPresent(job.id, JobState.Failure, -1, safeMsg(e))
       } finally Thread.interrupted() // drop any stray TTL interrupt
@@ -244,13 +264,14 @@ final class Scheduler(spark: SparkSession, store: JobStateStore) extends JobBrok
     * cancellation check inside `runWithRetries` reads the SHARED store, so
     * a cancel issued by any process stops the claimed job before it starts
     * (and stops its retries after). ETA honored like submit(). */
-  private[graft] def executeClaimed(job: Job, task: Task, epoch: Long): Unit = {
+  private[graft] def executeClaimed(job: Job, task: Task, epoch: Long,
+      attempt: Int = 1): Unit = {
     require(!closed, "scheduler stopped")
     backlog(job.queue).addLast(job.id)
     val delayMs = job.eta
       .map(e => Duration.between(LocalDateTime.now, e).toMillis.max(0L))
       .getOrElse(0L)
-    val runnable: Runnable = () => runWithRetries(job, task, 1, epoch)
+    val runnable: Runnable = () => runWithRetries(job, task, attempt, epoch)
     if (delayMs > 0)
       timers.schedule(
         (() => poolExecuteOrFail(job, task, epoch, runnable)): Runnable,

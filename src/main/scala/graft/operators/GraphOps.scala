@@ -150,16 +150,36 @@ object GraphOps {
       .filter(size(col("ns")) <= wedgeDegreeCap)
       .select(explode(
         graft.functions.LongPairsPacked.long_pairs_packed(col("ns"))).as("p"))
-    // 2× parallelism keeps each task's aggregation map in cache
-    // (measured: halving partition width is worth 1.7× on the stage)
+    // Count spelling, measured head-to-head on the 70.6 M-pair stream at
+    // sf0.1 (local[32], isolated):
+    //   - two-phase groupBy (map-side partial):            56.6 s — the
+    //     partial agg hashes near-unique keys (70.6 M pairs, multiplicity
+    //     ~1) only to shuffle the same cardinality, and its map spills;
+    //   - repartition(2×cores) + single-phase HashAggregate: 10.8 s, but
+    //     the per-task hash map (~1.1 M entries × ~64 B) is what spilled
+    //     to sort fallback under the 8 GB bench JVM (23.9 s there);
+    //   - repartition + partition-local SORT + run-length count: 8.0 s —
+    //     radix sort of bare 8-byte keys is compact (16 B/row), spills
+    //     gracefully, and the count is a sequential scan.
+    // The sorted spelling also lets the per-partition TOP-20 fuse into the
+    // same pass (hash partitioning by p makes per-key counts complete, so
+    // a local top-k by the GLOBAL order (count desc, p asc) can only drop
+    // rows the global top-k would drop) — 20 rows/partition reach the
+    // final orderBy instead of 70 M.
     val counted =
-      if (nEdges <= graft.Limits.maxBroadcastEdges)
+      if (nEdges <= graft.Limits.maxBroadcastEdges) {
+        import s.implicits._
         wedges.join(broadcast(ep), Seq("p"), "left_anti")
           .repartition(2 * s.sparkContext.defaultParallelism, col("p"))
-          .groupBy(col("p")).agg(count(lit(1)).as("common_neighbors"))
-      else
+          .sortWithinPartitions(col("p"))
+          .as[Long]
+          .mapPartitions(it => rleTopK(it, 20))
+          .toDF("p", "common_neighbors")
+      } else
         // past broadcast reach the anti-join moves AFTER the count, where
         // its input is candidate-pair-bounded instead of wedge-stream-sized
+        // (no local top-k before the anti-join: a top pair might BE an
+        // existing edge, and dropping the 21st here would lose its runner-up)
         wedges
           .repartition(2 * s.sparkContext.defaultParallelism, col("p"))
           .groupBy(col("p")).agg(count(lit(1)).as("common_neighbors"))
@@ -171,6 +191,37 @@ object GraphOps {
         (col("p").bitwiseAND(lit(0xFFFFFFFFL))).as("b"),
         col("common_neighbors"))
       .orderBy(col("common_neighbors").desc, col("a"), col("b"))
+  }
+
+  /** Run-length count over a p-sorted partition iterator, keeping only the
+    * partition's top-k by the global ranking (count desc, p asc). Bounded
+    * state: two k-element arrays; the replace path rescans k=20 entries
+    * only when a candidate beats the current worst, which the rising
+    * threshold makes rare. */
+  private[graft] def rleTopK(it: Iterator[Long], k: Int): Iterator[(Long, Long)] = {
+    val ps = new Array[Long](k); val cs = new Array[Long](k)
+    var n = 0; var worst = 0
+    def recompute(): Unit = {
+      worst = 0; var i = 1
+      while (i < n) {
+        if (cs(i) < cs(worst) || (cs(i) == cs(worst) && ps(i) > ps(worst))) worst = i
+        i += 1
+      }
+    }
+    def offer(p: Long, c: Long): Unit =
+      if (n < k) { ps(n) = p; cs(n) = c; n += 1; if (n == k) recompute() }
+      else if (c > cs(worst) || (c == cs(worst) && p < ps(worst))) {
+        ps(worst) = p; cs(worst) = c; recompute()
+      }
+    var cur = 0L; var cnt = 0L; var has = false
+    while (it.hasNext) {
+      val v = it.next()
+      if (!has) { cur = v; cnt = 1; has = true }
+      else if (v == cur) cnt += 1
+      else { offer(cur, cnt); cur = v; cnt = 1 }
+    }
+    if (has) offer(cur, cnt)
+    (0 until n).iterator.map(i => (ps(i), cs(i)))
   }
 
   /** Association-rule mining over order baskets (the market-basket rules a
@@ -189,7 +240,10 @@ object GraphOps {
     val op = Tables.load(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .localCheckpoint() // feeds baskets + item counts + the order count
-    val nOrders = op.select(col("l_orderkey")).distinct().count()
+    // the total-order count rides as a broadcast 1-row frame (scalar-
+    // subquery spelling) instead of a blocking driver-side .count() at
+    // query-construction time
+    val nOrders = op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
     val pairN = op
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
@@ -207,11 +261,13 @@ object GraphOps {
         .withColumnRenamed("n_v", "n_ante")), "antecedent")
       .join(broadcast(itemN.withColumnRenamed("v", "consequent")
         .withColumnRenamed("n_v", "n_cons")), "consequent")
+      .crossJoin(broadcast(nOrders))
     rules.select(col("antecedent"), col("consequent"), col("n_ab"),
-        round(col("n_ab").cast("double") / lit(nOrders.toDouble), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_orders").cast("double"), 6)
+          .as("support"),
         round(col("n_ab").cast("double") / col("n_ante").cast("double"), 6)
           .as("confidence"),
-        round((col("n_ab") * lit(nOrders)).cast("double") /
+        round((col("n_ab") * col("n_orders")).cast("double") /
           (col("n_ante") * col("n_cons")).cast("double"), 6).as("lift"))
       .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
       .limit(20)
@@ -239,17 +295,23 @@ object GraphOps {
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
     val deg = degrees(e).localCheckpoint() // (v, degree): out-degree = degree
-    val n = deg.count()
-    val base = (15L * (pagerankScale / n)) / 100L
-    var pr = deg.select(col("v"), lit(pagerankScale / n).as("pr"))
+    // vertex count as a broadcast 1-row frame (scalar-subquery spelling):
+    // no blocking .count() at construction; the integer init/damping
+    // arithmetic is unchanged, just expressed over the nv column
+    val nv = deg.agg(count(lit(1)).as("nv"))
+    val initExpr = s"CAST($pagerankScale AS BIGINT) DIV nv"
+    var pr = deg.crossJoin(broadcast(nv))
+      .select(col("v"), expr(initExpr).as("pr"))
     for (_ <- 1 to pagerankIters) {
       val contrib = pr.join(deg, "v")
         .select(col("v"), expr("pr DIV degree").as("contrib"))
       pr = sym.join(contrib.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
         .agg(sum(col("contrib")).as("in_sum"))
+        .crossJoin(broadcast(nv))
         .select(col("v"),
-          (lit(base) + expr("(85 * in_sum) DIV 100")).as("pr"))
+          (expr(s"(15 * ($initExpr)) DIV 100") +
+            expr("(85 * in_sum) DIV 100")).as("pr"))
     }
     pr.select(col("v"), col("pr").as("pr_scaled"),
         // round to 6 (the repo-wide float-output convention): at 15 places
