@@ -816,7 +816,68 @@ object DedupOps {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Bloom-filter bits for [[dedupBloomPrefilter]]: 2^20 bits as 2^15
+    * bit_or-aggregated words (32 bits used per 8-byte word: DuckDB's `<<`
+    * overflow-checks bit 63, so both engines shift at most 31). At 100 TB size M ∝ corpus (billions of
+    * docs → GBs of bits): the filter lives as a (word → bits) TABLE, so
+    * probing stays a plain join — broadcast while the filter is small,
+    * ordinary shuffle join when it outgrows broadcast reach; nothing in
+    * the spelling changes. */
+  val bloomBits = 1 << 20
+  val bloomHashes = 4
+
+  /** Bloom-filter ingest prefilter — the cheap membership gate a corpus
+    * ingest runs BEFORE the exact/near dedup machinery: build a Bloom
+    * filter over the corpus' content hashes (k=[[bloomHashes]] affine
+    * rehashes into [[bloomBits]] bits, aggregated with `bit_or` into
+    * 8-byte words — one narrow shuffle of (word, mask) pairs), then probe
+    * each incoming batch document; only "maybe present" docs proceed to
+    * the expensive verify. No false negatives by construction; the false-
+    * positive rate is AUDITED in-query against exact content-hash
+    * membership (the [[dedupLshRecall]] self-validation pattern). All
+    * integer arithmetic (PolyHash + affine + mod/shift), so the DuckDB
+    * oracle replays filter construction, probing, and the audit exactly.
+    *
+    * Corpus = doc_id % 10 ≠ 0, batch = doc_id % 7 = 0 — overlapping by
+    * construction, so the audit sees true dups AND fresh docs. */
+  val dedupBloomPrefilter: Q = (s, d) => {
+    import graft.functions.PolyHash
+    val h = docs(s, d).select(col("doc_id"),
+      PolyHash.poly_hash(col("text")).as("h"))
+    val corpus = h.filter(col("doc_id") % 10 =!= 0)
+    val batch = h.filter(col("doc_id") % 7 === 0)
+    val posArr = array((0 until bloomHashes).map(t =>
+      PolyHash.affine(t, col("h")) % lit(bloomBits.toLong)): _*)
+    val bloom = corpus
+      .select(explode(posArr).as("pos"))
+      .select(expr("pos DIV 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+    val verdicts = batch
+      .select(col("doc_id"), col("h"), explode(posArr).as("pos"))
+      .withColumn("word", expr("pos DIV 32"))
+      .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+      .join(broadcast(bloom), Seq("word"), "left")
+      .withColumn("hit", col("bits").isNotNull &&
+        (col("bits").bitwiseAND(col("mask")) =!= 0))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(expr("bool_and(hit)").as("maybe"))
+      .join(corpus.select(col("h")).distinct().withColumn("is_dup", lit(true)),
+        Seq("h"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+    verdicts.agg(
+        count(lit(1)).as("n_batch"),
+        count(when(col("maybe"), lit(1))).as("n_maybe"),
+        count(when(col("is_dup"), lit(1))).as("n_exact_dup"),
+        count(when(col("maybe") && !col("is_dup"), lit(1))).as("n_false_pos"))
+      .select(col("n_batch"), col("n_maybe"), col("n_exact_dup"), col("n_false_pos"),
+        round(col("n_false_pos").cast(DoubleType) /
+          greatest(col("n_batch") - col("n_exact_dup"), lit(1L)).cast(DoubleType), 6)
+          .as("fp_rate"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_bloom_prefilter" -> dedupBloomPrefilter,
     "dedup_exact" -> dedupExact,
     "dedup_substring" -> dedupSubstring,
     "dedup_clusters" -> dedupClusters,
@@ -1111,6 +1172,36 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // full replay: same affine rehashes into the same bit positions, same
+    // bit_or word construction, same probe and exact-membership audit
+    "dedup_bloom_prefilter" -> {
+      val pos = s"(${graft.functions.PolyHash.affineSql("t", "h")}) % $bloomBits"
+      s"""WITH hsh AS (SELECT doc_id, ${graft.functions.PolyHash.duckSql("text")} AS h FROM documents),
+         corpus AS (SELECT doc_id, h FROM hsh WHERE doc_id % 10 != 0),
+         batch AS (SELECT doc_id, h FROM hsh WHERE doc_id % 7 = 0),
+         ts AS (SELECT unnest(range(0, $bloomHashes)) AS t),
+         cpos AS (SELECT ($pos) AS pos FROM corpus CROSS JOIN ts),
+         bloom AS (SELECT pos // 32 AS word,
+                     BIT_OR(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+                   FROM cpos GROUP BY pos // 32),
+         probe AS (SELECT doc_id, h, ($pos) AS pos FROM batch CROSS JOIN ts),
+         hits AS (SELECT p.doc_id, p.h,
+                    BOOL_AND(bl.bits IS NOT NULL AND
+                      (bl.bits & (1::BIGINT << CAST(p.pos % 32 AS INT))) != 0) AS maybe
+                  FROM probe p LEFT JOIN bloom bl ON bl.word = p.pos // 32
+                  GROUP BY p.doc_id, p.h),
+         verdict AS (SELECT doc_id, maybe,
+                       h IN (SELECT h FROM corpus) AS is_dup FROM hits)
+         SELECT COUNT(*) AS n_batch,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+           CAST(SUM(CASE WHEN maybe AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           ROUND(CAST(SUM(CASE WHEN maybe AND NOT is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+             / GREATEST(COUNT(*) - SUM(CASE WHEN is_dup THEN 1 ELSE 0 END), 1), 6)
+             AS fp_rate
+         FROM verdict"""
+    },
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",

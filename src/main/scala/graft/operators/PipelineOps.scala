@@ -196,6 +196,48 @@ object PipelineOps {
         .write.mode("overwrite").parquet(dir)
     }
 
+  /** Bucket count for [[layoutZorder]] — at 100 TB this is files-per-table
+    * (buckets ∝ table / target-file-size), like [[exportShards]]. */
+  val zorderBuckets = 64
+
+  /** Z-ORDER layout audit — the MULTI-column companion to
+    * [[compactCluster]]'s single-key clustering: interleave the bits of two
+    * filter dimensions (Morton code) so that files clustered on the code
+    * bound BOTH columns' min/max spans at once, and predicates on EITHER
+    * dimension (or both) skip files via parquet footer stats — the layout
+    * Delta/Iceberg `OPTIMIZE ZORDER BY` builds, computed here as plain
+    * codegen'd column arithmetic. Each dimension is first normalized to
+    * the full 16-bit range with exact integer arithmetic from a broadcast
+    * 1-row min/max frame (the scalar-subquery spelling — a raw key that
+    * only fills the low bits would leave the interleave degenerate), then
+    * the 32-bit code's top 6 bits assign one of [[zorderBuckets]] buckets
+    * = prospective files. The query emits the per-bucket proof the judge
+    * of any layout cares about: row count plus BOTH dimensions' min/max
+    * (span ≪ domain on both axes ⇒ 2-D file skipping works; a 1-D sort
+    * bounds only its own key). `RoundSevenOpsSpec` asserts the spans.
+    *
+    * 100 TB shape: the code is one map-side expression (zero shuffle); the
+    * real rewrite is `repartitionByRange(z) + write` exactly like
+    * [[clusteredLayout]], and the audit aggregate is bucket-count-sized. */
+  val layoutZorder: Q = (s, d) => {
+    val li = Tables.load(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+    val bounds = li.agg(
+      min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+      min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+    val interleave = (0 until 16).map(b =>
+      s"shiftleft(shiftright(p16, $b) & 1, ${2 * b}) | " +
+        s"shiftleft(shiftright(s16, $b) & 1, ${2 * b + 1})").mkString("(", " | ", ")")
+    li.crossJoin(broadcast(bounds))
+      .withColumn("p16", expr("(l_partkey - pmin) * 65535 DIV greatest(pmax - pmin, 1)"))
+      .withColumn("s16", expr("(l_suppkey - smin) * 65535 DIV greatest(smax - smin, 1)"))
+      .withColumn("bucket", expr(s"shiftright($interleave, 26)").cast(IntegerType))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+        min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+      .orderBy(col("bucket"))
+  }
+
   // ------------------------------------------------------- dataset splits
   /** Leakage-aware train/valid/test split (80/10/10): the split key is a
     * deterministic hash of the document CONTENT, not the doc id, so exact
@@ -462,6 +504,7 @@ object PipelineOps {
 
   val queries: Map[String, Q] = Map(
     "compact_cluster" -> compactCluster,
+    "layout_zorder" -> layoutZorder,
     "corpus_stats" -> corpusStats,
     "sample_hash" -> sampleHash,
     "sample_stratified" -> sampleStratified,
@@ -495,6 +538,24 @@ object PipelineOps {
     "compact_cluster" ->
       """SELECT * FROM lineitem
          ORDER BY l_shipdate, l_orderkey, l_linenumber""",
+    // same normalize-interleave-bucket integer arithmetic, unrolled
+    "layout_zorder" -> {
+      val interleave = (0 until 16).map(b =>
+        s"(((p16 >> $b) & 1) << ${2 * b}) | (((s16 >> $b) & 1) << ${2 * b + 1})")
+        .mkString("(", " | ", ")")
+      s"""WITH b AS (SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+                      MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax FROM lineitem),
+         n AS (SELECT l_partkey, l_suppkey,
+                 (l_partkey - pmin) * 65535 // GREATEST(pmax - pmin, 1) AS p16,
+                 (l_suppkey - smin) * 65535 // GREATEST(smax - smin, 1) AS s16
+               FROM lineitem CROSS JOIN b),
+         z AS (SELECT l_partkey, l_suppkey,
+                 CAST($interleave >> 26 AS INT) AS bucket FROM n)
+         SELECT bucket, COUNT(*) AS n_rows,
+           MIN(l_partkey) AS p_min, MAX(l_partkey) AS p_max,
+           MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max
+         FROM z GROUP BY bucket ORDER BY bucket"""
+    },
     "corpus_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,

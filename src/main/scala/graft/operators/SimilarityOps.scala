@@ -152,6 +152,43 @@ object SimilarityOps {
         aggregate(col("qv"), lit(0L), (a, x) => a + x).as("qsum"))
       .orderBy(col("vec_id"))
 
+  /** Output dimensionality of [[embeddingProject]]. */
+  val projectDims = 16
+
+  /** Signed random projection (Johnson–Lindenstrauss with a ±1 matrix, per
+    * Achlioptas 2003): reduce each embedding to [[projectDims]] dims with a
+    * DERIVED projection matrix — sign(j,i) from integer arithmetic on the
+    * (output, input) coordinate pair, so no matrix is stored, shipped, or
+    * broadcast; every row recomputes its signs inside one codegen'd
+    * map-side expression. The training-data uses: cheap pre-cluster keys,
+    * LSH-adjacent bucketing, and bandwidth reduction before an exact
+    * rerank. Arithmetic is exact end-to-end: inputs quantize to integer
+    * micro-units (`floor(x·10⁶+0.5)`, the [[embeddingCentroid]] trick),
+    * the signed sums run in int64 (order-free, partial-agg-proof), and the
+    * ONE float division per output coordinate happens at the end — the
+    * DuckDB oracle replays it bit-for-bit.
+    *
+    * 100 TB shape: zero shuffle — projection is embarrassingly parallel
+    * per row (k·d multiply-adds inside whole-stage codegen); output is the
+    * long-format (vec_id, j, y) frame downstream ops group/bucket on. */
+  val embeddingProject: Q = (s, d) =>
+    emb(s, d)
+      .select(col("vec_id"),
+        // pair each element with its index once, then fold per output dim
+        zip_with(asD(col("embedding")),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => struct(x.as("x"), i.as("i"))).as("xi"))
+      .select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(projectDims - 1)), j =>
+          aggregate(col("xi"), lit(0L), (acc, e) => {
+            val q = floor(e.getField("x") * lit(1000000.0d) + lit(0.5d)).cast(LongType)
+            acc + when(((j * 73 + e.getField("i") * 179) % 97) % 2 === 0, q)
+              .otherwise(-q)
+          }))))
+      .select(col("vec_id"), col("pos").cast(IntegerType).as("j"),
+        round(col("col").cast(DoubleType) / lit(1000000.0d), 6).as("y"))
+      .orderBy(col("vec_id"), col("j"))
+
   /** Lloyd's update-iteration cap for [[embeddingKmeans]]. */
   val kmeansMaxIters = 4
 
@@ -424,6 +461,7 @@ object SimilarityOps {
     "sim_rerank" -> simRerank,
     "dedup_semantic" -> dedupSemantic,
     "embedding_centroid" -> embeddingCentroid,
+    "embedding_project" -> embeddingProject,
     "embedding_quantize" -> embeddingQuantize,
     "embedding_kmeans" -> embeddingKmeans,
     "cluster_profile" -> clusterProfile,
@@ -599,6 +637,22 @@ object SimilarityOps {
     "embedding_kmeans" -> kmeansOracle,
     "cluster_profile" -> clusterProfileOracle,
     "embedding_outliers" -> embeddingOutliersOracle,
+    // replays the derived ±1 matrix (same integer sign arithmetic) over the
+    // micro-unit-quantized inputs; the signed sums are exact int64
+    "embedding_project" ->
+      s"""WITH flat AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+           FROM embeddings),
+         dims AS (SELECT unnest(range(0, $projectDims)) AS j),
+         proj AS (
+           SELECT vec_id, j,
+             CAST(SUM(CASE WHEN ((j * 73 + i * 179) % 97) % 2 = 0 THEN q ELSE -q END)
+               AS BIGINT) AS yint
+           FROM flat CROSS JOIN dims GROUP BY vec_id, j)
+         SELECT vec_id, CAST(j AS INT) AS j,
+           ROUND(CAST(yint AS DOUBLE) / 1000000, 6) AS y
+         FROM proj ORDER BY vec_id, j""",
     "embedding_quantize" ->
       """WITH m AS (
            SELECT vec_id, embedding,
