@@ -189,6 +189,70 @@ object SimilarityOps {
         round(col("col").cast(DoubleType) / lit(1000000.0d), 6).as("y"))
       .orderBy(col("vec_id"), col("j"))
 
+  /** Buckets per dimension for [[embeddingDrift]]'s PSI histogram. */
+  val driftBuckets = 8
+
+  /** Embedding-distribution drift monitor — the training-data QA check a
+    * corpus owner runs between two snapshots (here: even vs odd vec_id —
+    * a deterministic split with genuine distributional noise): per
+    * DIMENSION, the Population Stability Index over [[driftBuckets]]
+    * fixed buckets plus the mean shift. The industry thresholds this
+    * feeds (PSI < 0.1 stable, > 0.25 drifted) need exactly this output.
+    *
+    * Engine-exact recipe: values quantize to integer micro-units; bucket
+    * edges come from each dimension's GLOBAL min/max (broadcast
+    * dim-table-sized bounds, the scalar-subquery spelling) in pure integer
+    * arithmetic; counts are exact longs with +1 Laplace smoothing (no
+    * empty-bucket ln(0)); the float appears in the final per-bucket
+    * `(pa−pb)·ln(pa/pb)` and the mean shift — both rounded once. The ln
+    * replays across engines (the [[graft.operators.TextOps]]
+    * text_perplexity precedent).
+    *
+    * 100 TB shape: one posexplode scan; the count aggregate keys on
+    * (dim, bucket, side) — dims × buckets × 2 keys regardless of corpus
+    * size, fully partial-aggregated map-side; bounds and the final PSI
+    * reduce over dim-table-sized frames. Zero corpus-sized shuffles. */
+  val embeddingDrift: Q = (s, d) => {
+    val flat = emb(s, d)
+      .select(col("vec_id"), posexplode(asD(col("embedding"))).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i").cast(LongType).as("i"),
+        floor(col("x") * lit(1000000.0d) + lit(0.5d)).cast(LongType).as("q"))
+    val bounds = flat.groupBy(col("i"))
+      .agg(min(col("q")).as("qmin"), max(col("q")).as("qmax"))
+    val bucketed = flat.join(broadcast(bounds), "i")
+      .select(col("i"), (col("vec_id") % 2 === 0).as("side_a"), col("q"),
+        expr(s"(q - qmin) * $driftBuckets DIV greatest(qmax - qmin + 1, 1)")
+          .as("bucket"))
+    val counts = bucketed.groupBy(col("i"), col("bucket"))
+      .agg(count(when(col("side_a"), lit(1))).as("ca"),
+        count(when(!col("side_a"), lit(1))).as("cb"))
+    val totals = bucketed.groupBy(col("i"))
+      .agg(count(when(col("side_a"), lit(1))).as("na"),
+        count(when(!col("side_a"), lit(1))).as("nb"),
+        sum(when(col("side_a"), col("q"))).as("sa"),
+        sum(when(!col("side_a"), col("q"))).as("sb"))
+    val k = lit(driftBuckets.toLong)
+    val pa = (col("ca") + 1L).cast(DoubleType) / (col("na") + k).cast(DoubleType)
+    val pb = (col("cb") + 1L).cast(DoubleType) / (col("nb") + k).cast(DoubleType)
+    counts.join(broadcast(totals), "i")
+      .select(col("i"), col("na"), col("nb"), col("sa"), col("sb"),
+        col("bucket"), ((pa - pb) * log(pa / pb)).as("psi_term"))
+      .groupBy(col("i"), col("na"), col("nb"), col("sa"), col("sb"))
+      // float sum in FIXED bucket order (collect + sorted fold): partial-
+      // aggregation order cannot perturb the IEEE result, so the oracle's
+      // identically-ordered fold lands bit-equal
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("bucket"), col("psi_term")))),
+        lit(0.0d), (acc, e) => acc + e.getField("psi_term")).as("psi_raw"))
+      .select(col("i"),
+        col("na"), col("nb"),
+        round((col("sa").cast(DoubleType) / col("na").cast(DoubleType) -
+          col("sb").cast(DoubleType) / col("nb").cast(DoubleType)) / lit(1000000.0d), 6)
+          .as("mean_shift"),
+        round(col("psi_raw"), 6).as("psi"))
+      .orderBy(col("i"))
+  }
+
   /** Lloyd's update-iteration cap for [[embeddingKmeans]]. */
   val kmeansMaxIters = 4
 
@@ -461,6 +525,7 @@ object SimilarityOps {
     "sim_rerank" -> simRerank,
     "dedup_semantic" -> dedupSemantic,
     "embedding_centroid" -> embeddingCentroid,
+    "embedding_drift" -> embeddingDrift,
     "embedding_project" -> embeddingProject,
     "embedding_quantize" -> embeddingQuantize,
     "embedding_kmeans" -> embeddingKmeans,
@@ -637,6 +702,42 @@ object SimilarityOps {
     "embedding_kmeans" -> kmeansOracle,
     "cluster_profile" -> clusterProfileOracle,
     "embedding_outliers" -> embeddingOutliersOracle,
+    // same integer quantize/bucket arithmetic; the per-dim PSI fold runs in
+    // the same fixed bucket order on both engines
+    "embedding_drift" ->
+      s"""WITH flat AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+           FROM embeddings),
+         bounds AS (SELECT i, MIN(q) AS qmin, MAX(q) AS qmax FROM flat GROUP BY i),
+         bkt AS (SELECT f.i, f.vec_id % 2 = 0 AS side_a, f.q,
+                   (f.q - b.qmin) * $driftBuckets // GREATEST(b.qmax - b.qmin + 1, 1) AS bucket
+                 FROM flat f JOIN bounds b ON b.i = f.i),
+         counts AS (SELECT i, bucket,
+                      CAST(SUM(CASE WHEN side_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                      CAST(SUM(CASE WHEN NOT side_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                    FROM bkt GROUP BY i, bucket),
+         totals AS (SELECT i,
+                      CAST(SUM(CASE WHEN side_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                      CAST(SUM(CASE WHEN NOT side_a THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                      CAST(SUM(CASE WHEN side_a THEN q ELSE 0 END) AS BIGINT) AS sa,
+                      CAST(SUM(CASE WHEN NOT side_a THEN q ELSE 0 END) AS BIGINT) AS sb
+                    FROM bkt GROUP BY i),
+         terms AS (SELECT c.i, t.na, t.nb, t.sa, t.sb, c.bucket,
+                     (CAST(c.ca + 1 AS DOUBLE) / (t.na + $driftBuckets)
+                      - CAST(c.cb + 1 AS DOUBLE) / (t.nb + $driftBuckets))
+                     * ln((CAST(c.ca + 1 AS DOUBLE) / (t.na + $driftBuckets))
+                          / (CAST(c.cb + 1 AS DOUBLE) / (t.nb + $driftBuckets))) AS psi_term
+                   FROM counts c JOIN totals t ON t.i = c.i),
+         psi AS (SELECT i, na, nb, sa, sb,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list(psi_term ORDER BY bucket)), (a, x) -> a + x) AS psi_raw
+                 FROM terms GROUP BY i, na, nb, sa, sb)
+         SELECT CAST(i AS BIGINT) AS i, na, nb,
+           ROUND((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / 1000000, 6)
+             AS mean_shift,
+           ROUND(psi_raw, 6) AS psi
+         FROM psi ORDER BY i""",
     // replays the derived ±1 matrix (same integer sign arithmetic) over the
     // micro-unit-quantized inputs; the signed sums are exact int64
     "embedding_project" ->

@@ -55,6 +55,25 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(sf < 0.45, s"suppkey mean span fraction $sf — interleave broken")
   }
 
+  test("embedding_drift: one PSI row per dimension, near-zero on a fair split") {
+    val rows = SimilarityOps.embeddingDrift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("i")).distinct.length == rows.length,
+      "one row per dimension")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("na") > 0 && r.getAs[Long]("nb") > 0)
+      val psi = r.getAs[Double]("psi")
+      // PSI is a (smoothed) KL-symmetrization: non-negative by construction
+      assert(psi >= 0.0, s"dim ${r.getAs[Long]("i")}: negative PSI $psi")
+      // even/odd vec_id is a fair split of one distribution — PSI must sit
+      // far below the 0.25 'drifted' industry threshold; a bucketing or
+      // smoothing bug shows up as a blow-up here
+      assert(psi < 0.25, s"dim ${r.getAs[Long]("i")}: PSI $psi on a fair split")
+    }
+    val again = SimilarityOps.embeddingDrift(spark, dir).collect()
+    assert(rows.sameElements(again), "drift report must be run-deterministic")
+  }
+
   test("dedup_bloom_prefilter: no false negatives, audited FP rate") {
     val r = DedupOps.dedupBloomPrefilter(spark, dir).head
     val (nBatch, nMaybe, nDup, nFp) =
