@@ -36,6 +36,7 @@ object Bench {
     "clustered_layout" -> ((s, d) => operators.PipelineOps.clusteredLayout(s, d)),
     "minhash_cand" -> ((s, d) => operators.DedupOps.minhashCandPath(s, d)),
     "corpus_index" -> ((s, d) => operators.DedupOps.corpusIndexPath(s, d)),
+    "graph_edges" -> ((s, d) => operators.GraphOps.edgesPath(s, d)),
   )
 
   /** Build (or cache-hit) every artifact, returning

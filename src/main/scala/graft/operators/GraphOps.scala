@@ -35,8 +35,25 @@ import graft.Tables
 object GraphOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct co-occurrence edges (a < b), derived per the class doc. */
+  /** Distinct co-occurrence edges (a < b), derived per the class doc.
+    * Pay-once via [[graft.plans.ArtifactCache]]: six graph queries (degree,
+    * triangles, components, link prediction, pagerank, basket rules) all
+    * start from this exact edge set, and re-deriving it per query repeats
+    * the basket groupBy + pair explode + distinct shuffle six times. The
+    * artifact is the graph analog of the dedup candidate-pair artifacts —
+    * built on first use per data version, auto-invalidated when lineitem
+    * changes, and attributed separately by the bench. */
   private def edges(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${edgesPath(s, d)}/edges")
+
+  private[graft] def edgesPath(s: SparkSession, d: String): String =
+    graft.plans.ArtifactCache.getOrBuild("graph_edges", d, Seq("lineitem"),
+      Seq(GraphOps.getClass, graft.functions.LongPairs.getClass,
+        Tables.getClass)) { dir =>
+      deriveEdges(s, d).write.parquet(s"$dir/edges")
+    }
+
+  private def deriveEdges(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
