@@ -840,31 +840,32 @@ object DedupOps {
     *
     * Corpus = doc_id % 10 ≠ 0, batch = doc_id % 7 = 0 — overlapping by
     * construction, so the audit sees true dups AND fresh docs. */
-  val dedupBloomPrefilter: Q = (s, d) => {
-    import graft.functions.PolyHash
-    val h = docs(s, d).select(col("doc_id"),
-      PolyHash.poly_hash(col("text")).as("h"))
-    val corpus = h.filter(col("doc_id") % 10 =!= 0)
-    val batch = h.filter(col("doc_id") % 7 === 0)
-    val posArr = array((0 until bloomHashes).map(t =>
-      PolyHash.affine(t, col("h")) % lit(bloomBits.toLong)): _*)
-    val bloom = corpus
-      .select(explode(posArr).as("pos"))
+  /** (doc_id, h) content hashes — input to both the batch prefilter and
+    * its streaming twin. */
+  private[graft] def contentHashes(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      graft.functions.PolyHash.poly_hash(col("text")).as("h"))
+
+  /** The k bloom bit positions of a content-hash column. */
+  private[graft] def bloomPositions(h: Column): Column =
+    array((0 until bloomHashes).map(t =>
+      graft.functions.PolyHash.affine(t, h) % lit(bloomBits.toLong)): _*)
+
+  /** Corpus predicate / incoming-batch predicate (overlapping by
+    * construction so the audit sees true dups AND fresh docs). */
+  private[graft] def bloomCorpusPred: Column = col("doc_id") % 10 =!= 0
+  private[graft] def bloomBatchPred: Column = col("doc_id") % 7 === 0
+
+  /** The (word → bits) bloom table over the corpus content hashes. */
+  private[graft] def bloomTable(s: SparkSession, d: String): DataFrame =
+    contentHashes(s, d).filter(bloomCorpusPred)
+      .select(explode(bloomPositions(col("h"))).as("pos"))
       .select(expr("pos DIV 32").as("word"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mask"))
       .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
-    val verdicts = batch
-      .select(col("doc_id"), col("h"), explode(posArr).as("pos"))
-      .withColumn("word", expr("pos DIV 32"))
-      .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
-      .join(broadcast(bloom), Seq("word"), "left")
-      .withColumn("hit", col("bits").isNotNull &&
-        (col("bits").bitwiseAND(col("mask")) =!= 0))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(expr("bool_and(hit)").as("maybe"))
-      .join(corpus.select(col("h")).distinct().withColumn("is_dup", lit(true)),
-        Seq("h"), "left")
-      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+
+  /** Reduce per-doc (maybe, is_dup) verdicts to the one-row audit report. */
+  private[graft] def bloomStats(verdicts: DataFrame): DataFrame =
     verdicts.agg(
         count(lit(1)).as("n_batch"),
         count(when(col("maybe"), lit(1))).as("n_maybe"),
@@ -874,6 +875,28 @@ object DedupOps {
         round(col("n_false_pos").cast(DoubleType) /
           greatest(col("n_batch") - col("n_exact_dup"), lit(1L)).cast(DoubleType), 6)
           .as("fp_rate"))
+
+  /** Tag per-doc probe verdicts with exact corpus membership (the audit's
+    * ground truth). */
+  private[graft] def bloomWithExact(s: SparkSession, d: String,
+      probed: DataFrame): DataFrame =
+    probed
+      .join(contentHashes(s, d).filter(bloomCorpusPred).select(col("h"))
+        .distinct().withColumn("is_dup", lit(true)), Seq("h"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+
+  val dedupBloomPrefilter: Q = (s, d) => {
+    val batch = contentHashes(s, d).filter(bloomBatchPred)
+    val probed = batch
+      .select(col("doc_id"), col("h"), explode(bloomPositions(col("h"))).as("pos"))
+      .withColumn("word", expr("pos DIV 32"))
+      .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+      .join(broadcast(bloomTable(s, d)), Seq("word"), "left")
+      .withColumn("hit", col("bits").isNotNull &&
+        (col("bits").bitwiseAND(col("mask")) =!= 0))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(expr("bool_and(hit)").as("maybe"))
+    bloomStats(bloomWithExact(s, d, probed))
   }
 
   val queries: Map[String, Q] = Map(

@@ -384,7 +384,44 @@ object StreamOps {
       .orderBy(col("keep_id"))
   }
 
+  /** Streaming twin of [[graft.operators.DedupOps.dedupBloomPrefilter]]:
+    * the corpus Bloom filter is STATIC (built once from the at-rest
+    * corpus — in production via ArtifactCache next to the batch index
+    * artifacts) and every arriving document probes it through a stateless
+    * stream-static broadcast join; only the per-doc verdict aggregation
+    * holds state, one entry per incoming batch document — bounded by
+    * ingest-window size, never corpus size. The exact-membership audit and
+    * the one-row report run downstream of the sink on the replayed
+    * verdicts (the [[streamDedup]] analyze-downstream shape), so on a
+    * finite replay the result equals the batch prefilter and SHARES its
+    * oracle verbatim. */
+  val streamBloom: Q = (s, d) => {
+    import graft.operators.DedupOps
+    val bloom = DedupOps.bloomTable(s, d)
+    val agg = streamSource(s, d, "documents", docsSchema)
+      .filter(DedupOps.bloomBatchPred)
+      .select(col("doc_id"),
+        graft.functions.PolyHash.poly_hash(col("text")).as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(DedupOps.bloomPositions(col("h"))).as("pos"))
+      .withColumn("word", expr("pos DIV 32"))
+      .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+      .join(broadcast(bloom), Seq("word"), "left")
+      .withColumn("hit", col("bits").isNotNull &&
+        (col("bits").bitwiseAND(col("mask")) =!= 0))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(expr("bool_and(hit)").as("maybe"))
+    val bytes = {
+      val f = new java.io.File(d, "documents.parquet")
+      if (f.isFile) f.length else -1L
+    }
+    val probed = runToCompletion(s, agg,
+      s"graft_stream_bloom_${System.nanoTime()}", inputBytes = bytes)
+    DedupOps.bloomStats(DedupOps.bloomWithExact(s, d, probed))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_bloom" -> streamBloom,
     "stream_near_dedup" -> streamNearDedup,
     "stream_upsert" -> streamUpsert,
     "stream_tumbling" -> streamTumbling,
@@ -399,6 +436,8 @@ object StreamOps {
     * two half-hour-offset tumbling grids. ts is truncated to microseconds on
     * the DuckDB side to match the stream's nanos→micros conversion. */
   val oracle: Map[String, String] = Map(
+    // a finite replay must equal the batch prefilter exactly — same oracle
+    "stream_bloom" -> graft.operators.DedupOps.oracle("dedup_bloom_prefilter"),
     // batch replay of the signature fold (shingles → 32 affine mins →
     // per-band PolyHash) composed from the DedupOps oracle fragments
     "stream_near_dedup" ->

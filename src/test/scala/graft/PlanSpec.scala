@@ -286,6 +286,32 @@ class PlanSpec extends AnyFunSuite {
       s"document text in exchange keys:\n${ex.mkString("\n")}")
   }
 
+  test("embedding_project: projection is map-side — no shuffle before the output sort") {
+    val plan = formatted("embedding_project")
+    // the k·d multiply-adds fold inside a Generate/Project pipeline; the
+    // ONLY wide exchange is the final (vec_id, j) presentation sort
+    val nExchange = "(?<!Broadcast)Exchange \\(".r.findAllIn(plan).length
+    assert(nExchange == 1, s"projection must not shuffle; found $nExchange exchanges:\n$plan")
+    assert(plan.contains("Generate"), "posexplode of the projected dims expected")
+  }
+
+  test("layout_zorder: bounds broadcast back; bucket counts aggregate two-phase") {
+    val plan = formatted("layout_zorder")
+    // the per-dimension min/max frame is a 1-row broadcast, never a join
+    // that shuffles the fact side
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    // bucket counts reduce map-side before the exchange (64 buckets on the wire)
+    assert(plan.contains("partial_count") || plan.contains("Partial"), plan)
+  }
+
+  test("dedup_bloom_prefilter: the batch probes a BROADCAST bloom table") {
+    val plan = formatted("dedup_bloom_prefilter")
+    // filter words join to the probe stream map-side; the batch side must
+    // not shuffle just to look up membership bits
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("bit_or"), "filter words must build via bit_or aggregation")
+  }
+
   test("sample_token_budget: the corpus prefix sum is partition-parallel, not one global window") {
     val df = SparkEntry.queries("sample_token_budget")(spark, sf)
     val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
