@@ -16,7 +16,7 @@ object SparkEntry {
     RelOps.queries ++ TextOps.queries ++ DedupOps.queries ++ PipelineOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++ MaterializeOps.queries ++
       AsOfOps.queries ++ SourceFormatOps.queries ++ AnalyticsOps.queries ++
-      GraphOps.queries ++ graft.streaming.StreamOps.queries
+      GraphOps.queries ++ TpchOps.queries ++ graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +24,5 @@ object SparkEntry {
     RelOps.oracle ++ TextOps.oracle ++ DedupOps.oracle ++ PipelineOps.oracle ++
       SimilarityOps.oracle ++ MultimodalOps.oracle ++ MaterializeOps.oracle ++
       AsOfOps.oracle ++ SourceFormatOps.oracle ++ AnalyticsOps.oracle ++
-      GraphOps.oracle ++ graft.streaming.StreamOps.oracle
+      GraphOps.oracle ++ TpchOps.oracle ++ graft.streaming.StreamOps.oracle
 }

@@ -1,0 +1,641 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** The remaining TPC-H query shapes (Q2/Q7/Q8/Q9/Q11/Q12/Q13/Q15/Q16/Q17/
+  * Q19/Q20/Q21/Q22), adapted to the fixture's simplified star schema.
+  *
+  * The reference executes arbitrary delegated SQL (dungbeetle
+  * `internal/core/core.go:496`), so the TPC-H set is the canonical coverage
+  * proof for "any analytic SQL a task file could carry". The fixture schema
+  * drops `partsupp`, ship mode/instruction, commit/receipt dates and
+  * comments, so the queries that touch those (Q2/Q11/Q12/Q16/Q19/Q20/Q21)
+  * keep their relational SHAPE (correlated min, scalar-subquery HAVING,
+  * CASE-bucketed counts, distinct-count matrix, OR-of-conjunctions scan,
+  * nested semi-joins, exists/not-exists wait chain) over the columns that
+  * exist; the adaptation is noted per query.
+  *
+  * Determinism/exactness rules are RelOps': money math in DECIMAL(18,6)
+  * (associative, partial-agg-order-proof), float emitted once via
+  * round(…, 6), every output totally ordered, years cast to BIGINT.
+  * Thresholds that the official spec states as ratios (Q11's 0.0001,
+  * Q17's 0.2·avg, Q22's avg(acctbal)) are compared by exact decimal
+  * cross-multiplication — never by a float division whose rounding could
+  * disagree between engines.
+  *
+  * Scale notes: every query touches `lineitem` (the 100 TB table) at most
+  * twice, never shuffled except on its natural join/aggregate key;
+  * dimension legs (`part`, `supplier`, `nation`, filtered `customer`
+  * slices, per-part aggregate frames) broadcast explicitly. AQE re-plans
+  * the orders⋈lineitem exchanges at runtime.
+  */
+object TpchOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+  private def rev(p: Column, disc: Column): Column = dec(p) * (lit(1) - dec(disc))
+
+  // $"..." interpolator without a per-query implicits import
+  private implicit class Str(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+
+  /** Q7 volume shipping: revenue flowing between two nations, by supplier
+    * nation × customer nation × ship year. Both nation slices broadcast
+    * (supplier and the two-nation customer slice are dimension-sized); the
+    * only shuffle is orders⋈lineitem on the shared natural key. The
+    * cross-pair predicate ((N1→N2) ∨ (N2→N1)) rides the joined row. */
+  val tpchQ7: Q = (s, d) => {
+    val nat = t(s, d, "nation")
+      .filter($"n_name".isin("NATION_1", "NATION_2"))
+      .select($"n_nationkey", $"n_name")
+    val supp = t(s, d, "supplier").join(broadcast(nat),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val cust = t(s, d, "customer").join(broadcast(nat),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val ord = t(s, d, "orders").select($"o_orderkey", $"o_custkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"cust_nation")
+    t(s, d, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType) &&
+              $"l_shipdate" <  lit("1998-01-01").cast(TimestampType))
+      .select($"l_orderkey", $"l_suppkey",
+        year($"l_shipdate").cast(LongType).as("l_year"),
+        rev($"l_extendedprice", $"l_discount").as("vol"))
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+              ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation", $"l_year")
+      .agg(sum($"vol").as("rev_dec"))
+      .select($"supp_nation", $"cust_nation", $"l_year",
+        round($"rev_dec".cast(DoubleType), 6).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** Q8 national market share: NATION_2's share of ASIA's STANDARD-part
+    * revenue by order year. Both sums fold in ONE aggregate pass as
+    * conditional decimal sums; the share is a single float division at the
+    * end (float-once). part/supplier/customer-slice broadcast; the fact
+    * tables meet on their natural key. */
+  val tpchQ8: Q = (s, d) => {
+    val asiaNations = t(s, d, "nation")
+      .join(broadcast(t(s, d, "region").filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey")
+    val cust = t(s, d, "customer").join(broadcast(asiaNations),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val supp = t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation").select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val ord = t(s, d, "orders")
+      .filter($"o_orderdate" >= lit("1995-01-01").cast(TimestampType) &&
+              $"o_orderdate" <  lit("1997-01-01").cast(TimestampType))
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", year($"o_orderdate").cast(LongType).as("o_year"))
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").filter($"p_type" === "STANDARD")
+        .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"l_suppkey",
+        rev($"l_extendedprice", $"l_discount").as("vol"))
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"o_year")
+      .agg(
+        sum(when($"supp_nation" === "NATION_2", $"vol")
+          .otherwise(lit(0).cast(DecimalType(18, 6)))).as("nat_dec"),
+        sum($"vol").as("tot_dec"))
+      .select($"o_year",
+        round($"nat_dec".cast(DoubleType) / $"tot_dec".cast(DoubleType), 6)
+          .as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  /** Q9 product-type profit by nation × year. The fixture has no
+    * `partsupp.ps_supplycost`, so cost is adapted to half the part's
+    * retail price per unit (0.5·p_retailprice is IEEE-exact — the factor
+    * is a power of two — then cast once to decimal). Part filter is the
+    * official name-LIKE. lineitem meets orders on the natural key; every
+    * dimension broadcasts. */
+  val tpchQ9: Q = (s, d) => {
+    val parts = t(s, d, "part").filter($"p_name".like("%gear%"))
+      .select($"p_partkey",
+        (lit(0.5) * $"p_retailprice").cast(DecimalType(18, 6)).as("unit_cost"))
+    val supp = t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation").select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("nation"))
+    t(s, d, "lineitem")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(t(s, d, "orders")
+        .select($"o_orderkey", year($"o_orderdate").cast(LongType).as("o_year")),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"nation", $"o_year",
+        (rev($"l_extendedprice", $"l_discount") -
+          $"unit_cost" * dec($"l_quantity")).as("amount"))
+      .groupBy($"nation", $"o_year")
+      .agg(sum($"amount").as("profit_dec"))
+      .select($"nation", $"o_year",
+        round($"profit_dec".cast(DoubleType), 6).as("sum_profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  /** Q11 important part values: parts whose scoped revenue exceeds a fixed
+    * fraction of the scope total (NATION_3's suppliers stand in for the
+    * missing partsupp stock). The HAVING threshold is the official
+    * scalar-subquery shape; the comparison stays in exact decimal
+    * (total × 0.001 as a decimal multiply, never a float). The scope
+    * aggregate is computed ONCE and reused for both the total and the
+    * cut (self-agg on a frame that is already small). */
+  val tpchQ11: Q = (s, d) => {
+    val supp = t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation").filter($"n_name" === "NATION_3")
+        .select($"n_nationkey")), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val scoped = t(s, d, "lineitem")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey")
+      .agg(sum(rev($"l_extendedprice", $"l_discount")).as("val_dec"))
+    val total = scoped.agg(sum($"val_dec").as("tot_dec"))
+    scoped.join(broadcast(total),
+        $"val_dec" > $"tot_dec" * lit(0.001).cast(DecimalType(18, 6)))
+      .select($"l_partkey".as("p_partkey"),
+        round($"val_dec".cast(DoubleType), 6).as("part_value"))
+      .orderBy($"part_value".desc, $"p_partkey")
+  }
+
+  /** Q12 shipping-priority classes: the fixture lacks l_shipmode, so the
+    * group key is the ship-delay bucket (late = shipped >60 days after
+    * order — the same derived predicate Q4/Q21 use); the measure is the
+    * official high-vs-low priority CASE counts. One fact⋈fact join on the
+    * natural key, then a two-group aggregate. */
+  val tpchQ12: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType) &&
+              $"l_shipdate" <  lit("1997-01-01").cast(TimestampType))
+      .select($"l_orderkey", $"l_shipdate")
+      .join(t(s, d, "orders")
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(
+        when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), "late")
+          .otherwise("on-time").as("ship_class"),
+        $"o_orderpriority")
+      .groupBy($"ship_class")
+      .agg(
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy($"ship_class")
+
+  /** Q13 customer order-count distribution: LEFT join so zero-order
+    * customers survive into the c_count=0 bucket (the official shape; the
+    * priority exclusion stands in for the dropped comment filter). Two
+    * aggregates: per-customer counts, then the distribution — the second
+    * input is one row per customer, so the second exchange is tiny. */
+  val tpchQ13: Q = (s, d) =>
+    t(s, d, "customer").select($"c_custkey")
+      .join(t(s, d, "orders")
+        .filter($"o_orderpriority" =!= "4-NOT SPECIFIED")
+        .select($"o_custkey", $"o_orderkey"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+
+  /** Q15 top supplier: one quarter's per-supplier revenue vs its maximum.
+    * The revenue frame is 100 rows (one per supplier), so the max is a
+    * broadcast scalar joined back by EXACT decimal equality — the
+    * official view + scalar-subquery shape without a second lineitem
+    * scan. */
+  val tpchQ15: Q = (s, d) => {
+    val revenue = t(s, d, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType) &&
+              $"l_shipdate" <  lit("1996-04-01").cast(TimestampType))
+      .groupBy($"l_suppkey")
+      .agg(sum(rev($"l_extendedprice", $"l_discount")).as("total_dec"))
+    val mx = revenue.agg(max($"total_dec").as("mx_dec"))
+    revenue.join(broadcast(mx), $"total_dec" === $"mx_dec")
+      .join(broadcast(t(s, d, "supplier").select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name",
+        round($"total_dec".cast(DoubleType), 6).as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** Q16 parts/supplier relationship: distinct suppliers per surviving
+    * (brand, type, size) cell — lineitem's observed suppliers stand in for
+    * the missing partsupp. The part slice broadcasts; the distinct-count
+    * shuffles once on the (brand,type,size,suppkey) expanded key with
+    * map-side partials. */
+  val tpchQ16: Q = (s, d) =>
+    t(s, d, "lineitem").select($"l_partkey", $"l_suppkey")
+      .join(broadcast(t(s, d, "part")
+        .filter($"p_brand" =!= "Brand#1" &&
+          $"p_size".isin(1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49))
+        .select($"p_partkey", $"p_brand", $"p_type", $"p_size")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+
+  /** Q17 small-quantity-order revenue: lineitems under 20% of their part's
+    * average quantity, for one brand. The 0.2·avg comparison is exact
+    * cross-multiplication (5·n·qty < Σqty in decimal — no division, no
+    * float). The per-part aggregate frame (≤ #parts rows) broadcasts back
+    * onto the same filtered fact slice; lineitem is scanned twice but
+    * never shuffled. */
+  val tpchQ17: Q = (s, d) => {
+    val parts = t(s, d, "part").filter($"p_brand" === "Brand#5")
+      .select($"p_partkey")
+    val li = t(s, d, "lineitem")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+    val perPart = li.groupBy($"l_partkey")
+      .agg(sum(dec($"l_quantity")).as("qty_dec"), count(lit(1)).as("n"))
+      .select($"l_partkey".as("agg_partkey"), $"qty_dec", $"n")
+    li.join(broadcast(perPart), $"l_partkey" === $"agg_partkey")
+      .filter(dec($"l_quantity") * lit(5) * $"n" < $"qty_dec")
+      .agg(coalesce(sum(dec($"l_extendedprice")),
+        lit(0).cast(DecimalType(18, 6))).as("sum_dec"))
+      .select(round($"sum_dec".cast(DoubleType) / 7.0, 6).as("avg_yearly"))
+  }
+
+  /** Q19 discounted revenue, OR-of-conjunctions: three (brand, size,
+    * quantity) windows replace the official brand/container/shipmode
+    * triples. One scan, one broadcast part probe; the whole disjunction is
+    * a single codegen'd predicate on the joined row. */
+  val tpchQ19: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .select($"l_partkey", $"l_quantity",
+        rev($"l_extendedprice", $"l_discount").as("vol"))
+      .join(broadcast(t(s, d, "part")
+        .select($"p_partkey", $"p_brand", $"p_size")),
+        $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
+          $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) &&
+          $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#4" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(20, 30)))
+      .agg(coalesce(sum($"vol"),
+        lit(0).cast(DecimalType(18, 6))).as("rev_dec"))
+      .select(round($"rev_dec".cast(DoubleType), 6).as("revenue"))
+
+  /** Q20 excess-supply suppliers: suppliers in one region who shipped more
+    * than 50 units of some bolt part in 1996 (shipped volume stands in for
+    * partsupp availability). The nested-IN chain becomes two stacked
+    * LEFT SEMI probes: the per-(supplier, part) aggregate drives the
+    * supplier semi-join as its broadcast side, so `supplier` never
+    * shuffles and each qualifying supplier emits exactly once. */
+  val tpchQ20: Q = (s, d) => {
+    val qualParts = t(s, d, "part").filter($"p_name".like("%bolt%"))
+      .select($"p_partkey")
+    val shippedEnough = t(s, d, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType) &&
+              $"l_shipdate" <  lit("1997-01-01").cast(TimestampType))
+      .join(broadcast(qualParts), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_suppkey", $"l_partkey")
+      .agg(sum(dec($"l_quantity")).as("shipped_dec"))
+      .filter($"shipped_dec" > 50)
+      .select($"l_suppkey")
+    val regionNations = t(s, d, "nation")
+      .join(broadcast(t(s, d, "region").filter($"r_name" === "EUROPE")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey")
+    t(s, d, "supplier")
+      .join(broadcast(regionNations), $"s_nationkey" === $"n_nationkey", "left_semi")
+      .join(broadcast(shippedEnough), $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+      .orderBy($"s_suppkey")
+  }
+
+  /** Q21 suppliers who kept orders waiting: late lineitems (shipped >60
+    * days after order — the derived lateness Q4/Q12 use) on finished
+    * multi-supplier orders where this supplier was the ONLY late one.
+    * The official EXISTS / NOT-EXISTS pair over l2/l3 is re-spelled as one
+    * per-order aggregate (distinct suppliers, distinct LATE suppliers) —
+    * the scalable spelling: the double self-join becomes a single
+    * two-distinct aggregate on the already-shuffled order key, and the
+    * late rows re-join that tiny verdict frame on the same key (no new
+    * exchange; the oracle replays the identical aggregate form). */
+  val tpchQ21: Q = (s, d) => {
+    val l = t(s, d, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .join(t(s, d, "orders").filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), 1)
+          .otherwise(0).as("late"))
+    val perOrder = l.groupBy($"l_orderkey")
+      .agg(countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct(when($"late" === 1, $"l_suppkey")).as("n_late"))
+      .filter($"n_supp" >= 2 && $"n_late" === 1)
+      .select($"l_orderkey".as("ok"))
+    l.filter($"late" === 1)
+      .join(perOrder, $"l_orderkey" === $"ok")
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(s, d, "supplier").select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+  }
+
+  /** Q22 global sales opportunity: rich-but-dormant customers — account
+    * balance above the positive-balance average of their nation group, no
+    * orders in the trailing window (every fixture customer has SOME order,
+    * so dormancy is "none since 1999"; the nation-key group stands in for
+    * the phone country code). The average threshold is compared by exact
+    * cross-multiplication (bal·n > Σbal in decimal); the dormancy test is
+    * a broadcast LEFT ANTI join keyed on the customer. */
+  val tpchQ22: Q = (s, d) => {
+    val codes = Seq(1, 3, 5, 7, 9, 11)
+    val slice = t(s, d, "customer").filter($"c_nationkey".isin(codes: _*))
+    val avgFrame = slice.filter($"c_acctbal" > 0)
+      .agg(sum(dec($"c_acctbal")).as("bal_dec"), count(lit(1)).as("n_pos"))
+    val recent = t(s, d, "orders")
+      .filter($"o_orderdate" >= lit("1999-01-01").cast(TimestampType))
+      .select($"o_custkey")
+    slice.join(broadcast(avgFrame),
+        dec($"c_acctbal") * $"n_pos" > $"bal_dec")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec($"c_acctbal")).as("bal_sum_dec"))
+      .select($"c_nationkey".cast(LongType).as("cntrycode"), $"numcust",
+        round($"bal_sum_dec".cast(DoubleType), 6).as("totacctbal"))
+      .orderBy($"cntrycode")
+  }
+
+  /** Q2 minimum-cost supplier: for each part in a type/size slice, the
+    * supplier(s) whose lineitem hit the part's MINIMUM extended price
+    * (observed price stands in for the missing partsupp supply cost).
+    * The correlated-min subquery becomes a per-part decimal MIN frame
+    * broadcast back onto the same slice; ties keep every achieving
+    * supplier, exactly like the official query. */
+  val tpchQ2: Q = (s, d) => {
+    val parts = t(s, d, "part")
+      .filter($"p_type" === "LARGE" && $"p_size".between(10, 15))
+      .select($"p_partkey", $"p_brand", $"p_size")
+    val li = t(s, d, "lineitem")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_suppkey", dec($"l_extendedprice").as("price_dec"),
+        $"p_brand", $"p_size")
+    val minPrice = li.groupBy($"l_partkey")
+      .agg(min($"price_dec").as("min_dec"))
+      .select($"l_partkey".as("mp_partkey"), $"min_dec")
+    li.join(broadcast(minPrice),
+        $"l_partkey" === $"mp_partkey" && $"price_dec" === $"min_dec")
+      .select($"l_partkey", $"l_suppkey", $"p_brand", $"p_size", $"min_dec")
+      .distinct()
+      .join(broadcast(t(s, d, "supplier")
+        .select($"s_suppkey", $"s_name", $"s_acctbal")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_acctbal", $"s_name", $"l_partkey".as("p_partkey"),
+        $"p_brand", $"p_size",
+        round($"min_dec".cast(DoubleType), 6).as("min_price"))
+      .orderBy($"s_acctbal".desc, $"p_partkey", $"s_name")
+      .limit(100)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "tpch_q2" -> tpchQ2,
+    "tpch_q7" -> tpchQ7,
+    "tpch_q8" -> tpchQ8,
+    "tpch_q9" -> tpchQ9,
+    "tpch_q11" -> tpchQ11,
+    "tpch_q12" -> tpchQ12,
+    "tpch_q13" -> tpchQ13,
+    "tpch_q15" -> tpchQ15,
+    "tpch_q16" -> tpchQ16,
+    "tpch_q17" -> tpchQ17,
+    "tpch_q19" -> tpchQ19,
+    "tpch_q20" -> tpchQ20,
+    "tpch_q21" -> tpchQ21,
+    "tpch_q22" -> tpchQ22,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+           round(CAST(SUM(vol) AS DOUBLE), 6) AS revenue
+         FROM (
+           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,6)) *
+               (1 - CAST(l_discount AS DECIMAL(18,6))) AS vol
+           FROM supplier, lineitem, orders, customer, nation n1, nation n2
+           WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+             AND c_custkey = o_custkey
+             AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+             AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+                  (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             AND l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1998-01-01') shipping
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "tpch_q8" ->
+      """SELECT o_year,
+           round(CAST(SUM(CASE WHEN nation = 'NATION_2' THEN vol
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+                 CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share
+         FROM (
+           SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,6)) *
+               (1 - CAST(l_discount AS DECIMAL(18,6))) AS vol,
+             n2.n_name AS nation
+           FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+                region
+           WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+             AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+             AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+             AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+             AND o_orderdate >= TIMESTAMP '1995-01-01'
+             AND o_orderdate <  TIMESTAMP '1997-01-01'
+             AND p_type = 'STANDARD') all_nations
+         GROUP BY o_year ORDER BY o_year""",
+    "tpch_q9" ->
+      """SELECT nation, o_year, round(CAST(SUM(amount) AS DOUBLE), 6) AS sum_profit
+         FROM (
+           SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,6)) *
+               (1 - CAST(l_discount AS DECIMAL(18,6))) -
+             CAST(0.5 * p_retailprice AS DECIMAL(18,6)) *
+               CAST(l_quantity AS DECIMAL(18,6)) AS amount
+           FROM part, supplier, lineitem, orders, nation
+           WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+             AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+             AND p_name LIKE '%gear%') profit
+         GROUP BY nation, o_year
+         ORDER BY nation, o_year DESC""",
+    "tpch_q11" ->
+      """WITH scoped AS (
+           SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,6)))) AS val_dec
+           FROM lineitem, supplier, nation
+           WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             AND n_name = 'NATION_3'
+           GROUP BY l_partkey)
+         SELECT l_partkey AS p_partkey,
+           round(CAST(val_dec AS DOUBLE), 6) AS part_value
+         FROM scoped
+         WHERE val_dec > (SELECT SUM(val_dec) FROM scoped) *
+                         CAST(0.001 AS DECIMAL(18,6))
+         ORDER BY part_value DESC, p_partkey""",
+    "tpch_q12" ->
+      """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+               THEN 'late' ELSE 'on-time' END AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem, orders
+         WHERE l_orderkey = o_orderkey
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY 1""",
+    "tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+         FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+           GROUP BY c_custkey) c_orders
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "tpch_q15" ->
+      """WITH revenue AS (
+           SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,6)))) AS total_dec
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name,
+           round(CAST(total_dec AS DOUBLE), 6) AS total_revenue
+         FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+         WHERE total_dec = (SELECT MAX(total_dec) FROM revenue)
+         ORDER BY s_suppkey""",
+    "tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey AND p_brand <> 'Brand#1'
+           AND p_size IN (1,5,9,13,17,21,25,29,33,37,41,45,49)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "tpch_q17" ->
+      """WITH li AS (
+           SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE p_brand = 'Brand#5'),
+         per_part AS (
+           SELECT l_partkey AS agg_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty_dec,
+             COUNT(*) AS n
+           FROM li GROUP BY l_partkey)
+         SELECT round(CAST(COALESCE(
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))),
+             CAST(0 AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+         FROM li JOIN per_part ON l_partkey = agg_partkey
+         WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * n < qty_dec""",
+    "tpch_q19" ->
+      """SELECT round(CAST(COALESCE(
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,6)))),
+             CAST(0 AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey AND (
+           (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+              AND l_quantity BETWEEN 1 AND 11) OR
+           (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+              AND l_quantity BETWEEN 10 AND 20) OR
+           (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 20 AND 30))""",
+    "tpch_q20" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (
+             SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+             WHERE p_name LIKE '%bolt%'
+               AND l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate <  TIMESTAMP '1997-01-01'
+             GROUP BY l_suppkey, l_partkey
+             HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 50)
+           AND s_nationkey IN (
+             SELECT n_nationkey FROM nation JOIN region
+               ON n_regionkey = r_regionkey
+             WHERE r_name = 'EUROPE')
+         ORDER BY s_suppkey""",
+    "tpch_q21" ->
+      """WITH l AS (
+           SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+               THEN 1 ELSE 0 END AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'),
+         per_order AS (
+           SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+           FROM l GROUP BY l_orderkey
+           HAVING COUNT(DISTINCT l_suppkey) >= 2
+              AND COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) = 1)
+         SELECT s_name, COUNT(*) AS numwait
+         FROM l JOIN per_order USING (l_orderkey)
+              JOIN supplier ON l_suppkey = s_suppkey
+         WHERE late = 1
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 20""",
+    "tpch_q22" ->
+      """WITH slice AS (
+           SELECT * FROM customer WHERE c_nationkey IN (1,3,5,7,9,11)),
+         avg_frame AS (
+           SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS bal_dec,
+             COUNT(*) AS n_pos
+           FROM slice WHERE c_acctbal > 0)
+         SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, COUNT(*) AS numcust,
+           round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS totacctbal
+         FROM slice, avg_frame
+         WHERE CAST(c_acctbal AS DECIMAL(18,6)) * n_pos > bal_dec
+           AND NOT EXISTS (
+             SELECT 1 FROM orders WHERE o_custkey = c_custkey
+               AND o_orderdate >= TIMESTAMP '1999-01-01')
+         GROUP BY c_nationkey ORDER BY cntrycode""",
+    "tpch_q2" ->
+      """WITH li AS (
+           SELECT l_partkey, l_suppkey,
+             CAST(l_extendedprice AS DECIMAL(18,6)) AS price_dec,
+             p_brand, p_size
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 15),
+         min_price AS (
+           SELECT l_partkey AS mp_partkey, MIN(price_dec) AS min_dec
+           FROM li GROUP BY l_partkey)
+         SELECT s_acctbal, s_name, l_partkey AS p_partkey, p_brand, p_size,
+           round(CAST(min_dec AS DOUBLE), 6) AS min_price
+         FROM (
+           SELECT DISTINCT l_partkey, l_suppkey, p_brand, p_size, min_dec
+           FROM li JOIN min_price
+             ON l_partkey = mp_partkey AND price_dec = min_dec) winners
+         JOIN supplier ON l_suppkey = s_suppkey
+         ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""",
+  )
+}
