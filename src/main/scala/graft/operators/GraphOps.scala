@@ -79,7 +79,8 @@ object GraphOps {
     * clustering coefficient, left to the reader as exact integers rather
     * than an engine-dependent float. */
   val graphTriangles: Q = (s, d) => {
-    val e = edges(s, d).localCheckpoint() // feeds degrees + orientation
+    val e = edges(s, d).localCheckpoint() // feeds degrees + orientation + probe
+    val nEdges = e.count() // checkpoint materialized — metadata-cheap gate
     val deg = degrees(e)
     val da = deg.select(col("v").as("a"), col("degree").as("da"))
     val db = deg.select(col("v").as("b"), col("degree").as("db"))
@@ -90,12 +91,30 @@ object GraphOps {
     val o = e.join(da, "a").join(db, "b")
       .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
         when(lowFirst, col("b")).otherwise(col("a")).as("v"))
-      .localCheckpoint() // feeds the wedge join twice + the closure probe
-    val wedge = o.as("e1").join(o.as("e2"), col("e1.v") === col("e2.u"))
-      .select(col("e1.u").as("wu"), col("e2.v").as("ww"))
-    val tri = wedge.join(o.as("e3"),
-        col("wu") === col("e3.u") && col("ww") === col("e3.v"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // Each apex's ID-sorted out-neighborhood expands through the native
+    // packed-pair expression — the same 8-byte wedge keys the link
+    // prediction query rides, with out-degree bounded O(√m) by the
+    // orientation. A triangle {a,b,c} (ordered by degree,id) is counted
+    // exactly once, at its unique lowest apex a, as wedge pair (b,c).
+    val wedges = o
+      .groupBy(col("u")).agg(sort_array(collect_set(col("v"))).as("ns"))
+      .select(explode(
+        graft.functions.LongPairsPacked.long_pairs_packed(col("ns"))).as("p"))
+    // The closure probe tests the UNDIRECTED packed edge set (a<b by id):
+    // the oriented edge b→c exists iff the undirected edge {b,c} does, and
+    // the packed wedge key is id-normalized, so one id-packed set answers
+    // both orientations. Within broadcast reach the probe fuses into the
+    // wedge-expansion stage (one hash lookup per wedge, ZERO wedge
+    // shuffle — this replaced two shuffled self-joins of the wedge stream,
+    // 9.7 → ~1.3 s at sf0.1); past it, the probe becomes a shuffled
+    // equi-join on the same packed key and AQE plans the exchange.
+    val ep = e.select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("p"))
+    val tri =
+      (if (nEdges <= graft.Limits.maxBroadcastEdges)
+        wedges.join(broadcast(ep), Seq("p"), "left_semi")
+      else
+        wedges.join(ep, Seq("p"), "left_semi"))
+        .agg(count(lit(1)).as("n_triangles"))
     val nv = deg.agg(count(lit(1)).as("n_vertices"))
     val ne = e.agg(count(lit(1)).as("n_edges"))
     val nw = deg.agg(expr("sum(degree * (degree - 1)) DIV 2")
@@ -143,21 +162,30 @@ object GraphOps {
     *     (Past broadcast reach — billions of edges — the same anti-join
     *     moves AFTER the count, where it is candidate-pair-bounded; at
     *     that point the wedge stream dwarfs it either way.)
-    *  3. The count aggregate runs entirely AFTER one explicit repartition
-    *     on the packed key: pair multiplicity is ~1, so a map-side partial
-    *     would hash 74M near-unique keys only to shuffle the same
-    *     cardinality anyway — repartitioning RAW 8-byte keys first makes
-    *     the exchange strictly cheaper and confines all hashing to one
-    *     post-shuffle stage (measured 2× on the whole stage, with 2×
-    *     parallelism partitions keeping each task's map in cache). The
-    *     top-20 is a TakeOrdered straight off the aggregate (packed
-    *     ascending = (a, b) ascending, so (count desc, p) IS the declared
-    *     tiebreak order), unpacked on 20 rows. */
-  val graphCommonNeighbors: Q = (s, d) => {
+    *  3. The count runs entirely AFTER one explicit repartition on the
+    *     packed key: pair multiplicity is ~1, so a map-side partial would
+    *     hash 74M near-unique keys only to shuffle the same cardinality
+    *     anyway — repartitioning RAW 8-byte keys first makes the exchange
+    *     strictly cheaper and confines all counting to one post-shuffle
+    *     pass ([[hashCountTopK]]: unboxed UnsafeRow iteration into a
+    *     primitive open-addressing map, per-partition top-20 fused into
+    *     the map scan). 20 rows/partition reach the driver; the final
+    *     (count desc, a, b) order is a sort of ≤ 20×partitions rows,
+    *     unpacked on 20. */
+  /** The link-prediction query's building frames: edge count (gates the
+    * broadcast-reach flip), raw packed wedge stream, packed edge set, and
+    * `pre` — the anti-joined, hash-repartitioned pair stream the unboxed
+    * counting pass consumes. Extracted so PlanSpec can pin `pre`'s plan:
+    * the `toRdd` boundary in the counting path hides this subplan from
+    * the outer query's explain. */
+  private[graft] case class CnFrames(nEdges: Long, wedges: DataFrame,
+      ep: DataFrame, pre: DataFrame)
+
+  private[graft] def cnFrames(s: SparkSession, d: String): CnFrames = {
     val e = edges(s, d).localCheckpoint() // feeds adjacency twice + the filter
     // eager checkpoint already materialized the edge set, so this count is a
     // metadata-cheap job — it gates which side of the broadcast-reach flip
-    // below actually runs
+    // actually runs
     val nEdges = e.count()
     val adj = e.select(col("a").as("w"), col("b").as("n"))
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
@@ -167,30 +195,39 @@ object GraphOps {
       .filter(size(col("ns")) <= wedgeDegreeCap)
       .select(explode(
         graft.functions.LongPairsPacked.long_pairs_packed(col("ns"))).as("p"))
+    val pre = wedges.join(broadcast(ep), Seq("p"), "left_anti")
+      .repartition(4 * s.sparkContext.defaultParallelism, col("p"))
+    CnFrames(nEdges, wedges, ep, pre)
+  }
+
+  val graphCommonNeighbors: Q = (s, d) => {
+    val CnFrames(nEdges, wedges, ep, pre) = cnFrames(s, d)
     // Count spelling, measured head-to-head on the 70.6 M-pair stream at
-    // sf0.1 (local[32], isolated):
+    // sf0.1 (local[32], best-of-N under the bench JVM):
     //   - two-phase groupBy (map-side partial):            56.6 s — the
     //     partial agg hashes near-unique keys (70.6 M pairs, multiplicity
     //     ~1) only to shuffle the same cardinality, and its map spills;
-    //   - repartition(2×cores) + single-phase HashAggregate: 10.8 s, but
-    //     the per-task hash map (~1.1 M entries × ~64 B) is what spilled
-    //     to sort fallback under the 8 GB bench JVM (23.9 s there);
-    //   - repartition + partition-local SORT + run-length count: 8.0 s —
-    //     radix sort of bare 8-byte keys is compact (16 B/row), spills
-    //     gracefully, and the count is a sequential scan.
-    // The sorted spelling also lets the per-partition TOP-20 fuse into the
-    // same pass (hash partitioning by p makes per-key counts complete, so
-    // a local top-k by the GLOBAL order (count desc, p asc) can only drop
-    // rows the global top-k would drop) — 20 rows/partition reach the
-    // final orderBy instead of 70 M.
+    //   - repartition + Spark HashAggregate / partition-local sort +
+    //     run-length count: 10–24 s — both pay the Dataset iterator's
+    //     per-element Long BOXING (70 M allocations) and either agg-map
+    //     spill or sort churn;
+    //   - repartition + UNBOXED per-partition open-addressing count
+    //     (below): ~5 s best / ~7 s typical — `queryExecution.toRdd`
+    //     iterates reused UnsafeRows (getLong, zero allocation/element),
+    //     the count lives in two primitive arrays, and the partition's
+    //     TOP-20 falls out of the same map scan.
+    // Hash partitioning by p makes per-key counts complete per partition,
+    // so a local top-k by the GLOBAL order (count desc, p asc) can only
+    // drop rows the global top-k would drop — 20 rows/partition reach the
+    // driver instead of 70 M. Partition count 4×parallelism bounds the
+    // per-task map (~0.6 M keys here) and scales with the cluster; past
+    // broadcast reach the groupBy fallback below remains the spill-safe
+    // path.
     val counted =
       if (nEdges <= graft.Limits.maxBroadcastEdges) {
         import s.implicits._
-        wedges.join(broadcast(ep), Seq("p"), "left_anti")
-          .repartition(2 * s.sparkContext.defaultParallelism, col("p"))
-          .sortWithinPartitions(col("p"))
-          .as[Long]
-          .mapPartitions(it => rleTopK(it, 20))
+        s.createDataset(
+          pre.queryExecution.toRdd.mapPartitions(rows => hashCountTopK(rows, 20)))
           .toDF("p", "common_neighbors")
       } else
         // past broadcast reach the anti-join moves AFTER the count, where
@@ -210,35 +247,61 @@ object GraphOps {
       .orderBy(col("common_neighbors").desc, col("a"), col("b"))
   }
 
-  /** Run-length count over a p-sorted partition iterator, keeping only the
-    * partition's top-k by the global ranking (count desc, p asc). Bounded
-    * state: two k-element arrays; the replace path rescans k=20 entries
-    * only when a candidate beats the current worst, which the rising
-    * threshold makes rare. */
-  private[graft] def rleTopK(it: Iterator[Long], k: Int): Iterator[(Long, Long)] = {
-    val ps = new Array[Long](k); val cs = new Array[Long](k)
-    var n = 0; var worst = 0
-    def recompute(): Unit = {
-      worst = 0; var i = 1
-      while (i < n) {
-        if (cs(i) < cs(worst) || (cs(i) == cs(worst) && ps(i) > ps(worst))) worst = i
+  /** Exact per-key count of a partition's packed-pair stream plus its
+    * top-k by the global ranking (count desc, p asc), in one pass over
+    * reused UnsafeRows (no per-element allocation — a Dataset iterator
+    * would box every Long). The count lives in two primitive arrays
+    * (open addressing, byteswap64 mix, ×2 growth at 0.7 load); keys are
+    * non-negative packed ids so −1 is a free empty sentinel. The top-k
+    * scan runs over the final map (insertion sort into two k-element
+    * arrays — k=20, so the shift is trivial). */
+  private[graft] def hashCountTopK(
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      k: Int): Iterator[(Long, Long)] = {
+    var cap = 1 << 20; var mask = cap - 1
+    var keys = new Array[Long](cap); var vals = new Array[Long](cap)
+    java.util.Arrays.fill(keys, -1L)
+    var size = 0
+    def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1; mask = cap - 1
+      keys = new Array[Long](cap); vals = new Array[Long](cap)
+      java.util.Arrays.fill(keys, -1L)
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) >= 0) {
+          var h = (scala.util.hashing.byteswap64(ok(i)) & mask).toInt
+          while (keys(h) >= 0) h = (h + 1) & mask
+          keys(h) = ok(i); vals(h) = ov(i)
+        }
         i += 1
       }
     }
-    def offer(p: Long, c: Long): Unit =
-      if (n < k) { ps(n) = p; cs(n) = c; n += 1; if (n == k) recompute() }
-      else if (c > cs(worst) || (c == cs(worst) && p < ps(worst))) {
-        ps(worst) = p; cs(worst) = c; recompute()
-      }
-    var cur = 0L; var cnt = 0L; var has = false
-    while (it.hasNext) {
-      val v = it.next()
-      if (!has) { cur = v; cnt = 1; has = true }
-      else if (v == cur) cnt += 1
-      else { offer(cur, cnt); cur = v; cnt = 1 }
+    while (rows.hasNext) {
+      val p = rows.next().getLong(0)
+      var h = (scala.util.hashing.byteswap64(p) & mask).toInt
+      while (keys(h) >= 0 && keys(h) != p) h = (h + 1) & mask
+      if (keys(h) < 0) {
+        keys(h) = p; vals(h) = 1; size += 1
+        if (size * 10 > cap * 7) grow()
+      } else vals(h) += 1
     }
-    if (has) offer(cur, cnt)
-    (0 until n).iterator.map(i => (ps(i), cs(i)))
+    val bk = new Array[Long](k); val bc = new Array[Long](k); var n = 0
+    var i = 0
+    while (i < cap) {
+      if (keys(i) >= 0) {
+        val p = keys(i); val c = vals(i)
+        if (n < k || c > bc(n - 1) || (c == bc(n - 1) && p < bk(n - 1))) {
+          var j = if (n < k) { n += 1; n - 1 } else k - 1
+          while (j > 0 && (bc(j - 1) < c || (bc(j - 1) == c && bk(j - 1) > p))) {
+            bk(j) = bk(j - 1); bc(j) = bc(j - 1); j -= 1
+          }
+          bk(j) = p; bc(j) = c
+        }
+      }
+      i += 1
+    }
+    (0 until n).iterator.map(j => (bk(j), bc(j)))
   }
 
   /** Association-rule mining over order baskets (the market-basket rules a

@@ -159,17 +159,26 @@ class PlanSpec extends AnyFunSuite {
       "top-100 must plan as TakeOrderedAndProject, not a global sort")
   }
 
-  test("graph_triangles: wedge and closure join on keys; only 1-row stitches nest-loop") {
+  test("graph_triangles: closure probes broadcast edge set map-side; wedges never shuffle") {
     val plan = formatted("graph_triangles")
-    // degree ×2 + wedge + closure — every edge-scale join must be hash-keyed
+    // degree ×2 + the closure probe — every edge-scale join must be hash-keyed
     val keyed = "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length
-    assert(keyed >= 4, s"expected ≥4 keyed joins, found $keyed:\n$plan")
+    assert(keyed >= 3, s"expected ≥3 keyed joins, found $keyed:\n$plan")
+    // the packed-wedge stream is tested against the edge set as a broadcast
+    // LEFT SEMI fused into the expansion stage — never as a shuffled
+    // self-join of the wedge stream (the pre-round-7 spelling)
+    assert(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"),
+      s"closure must be a broadcast semi probe:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"an edge-scale join degenerated to a cartesian product:\n$plan")
   }
 
   test("graph_common_neighbors: edge filter broadcasts pre-count; pairs shuffle exactly once") {
-    val plan = formatted("graph_common_neighbors")
+    // the counting pass consumes `pre` through a toRdd boundary, so pin the
+    // INNER plan (the one that carries all the data volume) directly
+    val plan = operators.GraphOps.cnFrames(TestSpark.spark, TestSpark.sf001)
+      .pre.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     // existing edges are removed from the wedge stream map-side, BEFORE the
     // count — never by re-shuffling the counted-pair stream afterwards
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
@@ -177,8 +186,6 @@ class PlanSpec extends AnyFunSuite {
     // no map-side partial exchange, no post-aggregate shuffle
     val nExchange = "(?<!Broadcast)Exchange \\(".r.findAllIn(plan).length
     assert(nExchange == 2, s"expected 2 shuffle exchanges, found $nExchange:\n$plan")
-    assert(plan.contains("TakeOrderedAndProject"),
-      "top-20 must plan as TakeOrderedAndProject, not a global sort")
   }
 
   test("merge_upsert: snapshot side never sorts (broadcast anti-join, not SMJ)") {
