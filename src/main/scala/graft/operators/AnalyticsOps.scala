@@ -488,7 +488,46 @@ object AnalyticsOps {
       .orderBy(col("bucket"))
   }
 
+  /** Last-touch marketing attribution: every purchase is credited to the
+    * user's most recent PRECEDING click's channel (props.k bucketed into 4
+    * channels), provided the click is at most 7 days stale — the standard
+    * conversion-attribution query over a click/purchase event log.
+    *
+    * Spelled as ONE pass over the merged touch/conversion stream: a
+    * per-user event-time window carries the last click's channel and time
+    * forward (`last(..., ignoreNulls)` over ROWS UNBOUNDED PRECEDING), so
+    * the plan is a single user-keyed sort-window — no click×purchase range
+    * join whose output would be quadratic in a user's activity. At scale
+    * the one exchange is the user-key window sort; the final per-channel
+    * rollup is 4 groups with map-side partials. Ties are impossible in the
+    * (ts, event_id) order — event_id is unique — so both engines walk the
+    * identical sequence. */
+  val eventsAttribution: Q = (s, d) => {
+    val e = events(s, d).filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"),
+        when(col("event_type") === "click",
+          concat(lit("ch_"), expr(
+            "cast(get_json_object(props, '$.k') as bigint) div 25")))
+          .as("ch"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_ch", last(col("ch"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when(col("ch").isNotNull, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("last_ch").isNotNull &&
+        col("ts") <= col("last_click_ts") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("last_ch").as("channel"))
+      .agg(count(lit(1)).as("conversions"),
+        sum(col("value").cast(DecimalType(18, 6))).as("val_dec"))
+      .select(col("channel"), col("conversions"),
+        round(col("val_dec").cast(DoubleType), 6).as("attributed_value"))
+      .orderBy(col("channel"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_attribution" -> eventsAttribution,
     "data_profile" -> dataProfile,
     "text_perplexity" -> textPerplexity,
     "events_error_burst" -> eventsErrorBurst,
@@ -508,6 +547,29 @@ object AnalyticsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_attribution" ->
+      """WITH e AS (
+           SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
+             event_type, value,
+             CASE WHEN event_type = 'click' THEN 'ch_' || CAST(
+               CAST(json_extract_string(props, '$.k') AS BIGINT) // 25
+               AS VARCHAR) END AS ch
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         a AS (
+           SELECT *,
+             LAST_VALUE(ch IGNORE NULLS) OVER w AS last_ch,
+             LAST_VALUE(CASE WHEN ch IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER w AS last_click_ts
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT last_ch AS channel, COUNT(*) AS conversions,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS attributed_value
+         FROM a
+         WHERE event_type = 'purchase' AND last_ch IS NOT NULL
+           AND ts <= last_click_ts + INTERVAL 7 DAY
+         GROUP BY last_ch ORDER BY last_ch""",
     "data_profile" -> profileCols.map(c =>
       s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
            CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,

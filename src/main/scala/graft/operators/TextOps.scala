@@ -319,7 +319,33 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document character-level Shannon entropy — the cheap gibberish /
+    * compression-ratio prior (low entropy → repeated filler, high →
+    * random noise; prose sits in a narrow band). H = ln L − (Σ c·ln c)/L
+    * over per-character counts c, length L. Engine-exactness is the
+    * [[AnalyticsOps.textPerplexity]] recipe: each ln(c) is rounded ONCE
+    * per distinct integer count (stable to an engine's ulp) and the
+    * weighted sum accumulates in DECIMAL — exact and order-free under
+    * partial aggregation — with ONE float finish. The per-(doc, char)
+    * aggregate is the only corpus-scale shuffle; its key domain is
+    * docs × alphabet. */
+  val textEntropy: Q = (s, d) => {
+    val counts = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val term = round(log(col("c").cast(DoubleType)), 6).cast(DecimalType(18, 6))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("len"),
+        count(lit(1)).as("distinct_chars"),
+        sum(term * col("c")).as("s"))
+      .select(col("doc_id"), col("len"), col("distinct_chars"),
+        round(log(col("len").cast(DoubleType))
+          - col("s").cast(DoubleType) / col("len"), 6).as("entropy_nats"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_entropy" -> textEntropy,
     "quality_score_linear" -> qualityScoreLinear,
     "text_chunk" -> textChunk,
     "text_ngram_freq" -> textNgramFreq,
@@ -337,6 +363,22 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_entropy" ->
+      """WITH c AS (
+           SELECT doc_id, ch, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                 FROM documents)
+           GROUP BY doc_id, ch),
+         agg AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len,
+             COUNT(*) AS distinct_chars,
+             SUM(CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) * c)
+               AS s
+           FROM c GROUP BY doc_id)
+         SELECT doc_id, len, distinct_chars,
+           round(ln(CAST(len AS DOUBLE)) - CAST(s AS DOUBLE) / len, 6)
+             AS entropy_nats
+         FROM agg ORDER BY doc_id""",
     "quality_score_linear" ->
       """WITH f AS (
            SELECT doc_id,

@@ -190,6 +190,30 @@ object StreamOps {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** Streaming heavy hitters: top-3 event types per tumbling hour by count
+    * (the live "what is trending this hour" board). The STREAM carries only
+    * the windowed count aggregate — state bounded by watermark × type
+    * cardinality, identical to [[streamTumbling]]; the per-window rank runs
+    * as a batch post-pass on the replay result, which is windows×types
+    * rows, nothing like event volume. Ties break to the lexicographically
+    * first type so the board is deterministic. */
+  val streamTopk: Q = (s, d) => {
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val counts = runToCompletion(s, agg,
+      s"graft_stream_topk_${System.nanoTime()}", inputBytes = eventsBytes(d))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 3)
+      .orderBy(col("hour_start"), col("rk"))
+  }
+
   /** Sliding-window streaming aggregation (1h window, 30m slide): each event
     * lands in 2 windows; state is 2× the tumbling case, still bounded by the
     * watermark. */
@@ -425,6 +449,7 @@ object StreamOps {
     "stream_near_dedup" -> streamNearDedup,
     "stream_upsert" -> streamUpsert,
     "stream_tumbling" -> streamTumbling,
+    "stream_topk" -> streamTopk,
     "stream_sliding" -> streamSliding,
     "stream_dedup" -> streamDedup,
     "stream_sessionize" -> streamSessionize,
@@ -468,6 +493,18 @@ object StreamOps {
          COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "stream_topk" ->
+      """WITH c AS (
+           SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             event_type, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT *, CAST(ROW_NUMBER() OVER (
+             PARTITION BY hour_start ORDER BY n DESC, event_type) AS BIGINT)
+             AS rk
+           FROM c)
+         SELECT hour_start, event_type, n, rk FROM r
+         WHERE rk <= 3 ORDER BY hour_start, rk""",
     "stream_sliding" ->
       """WITH f AS (
            SELECT time_bucket(INTERVAL 30 MINUTES,

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+import graft.operators.{AnalyticsOps, TextOps}
+
+/** Round-7 second batch: last-touch attribution, character entropy,
+  * streaming heavy hitters. Values are oracle-pinned; these specs pin the
+  * semantic invariants. */
+class RoundSevenBOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  test("events_attribution: channels bounded; every conversion replays by hand") {
+    val rows = AnalyticsOps.eventsAttribution(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set("ch_0", "ch_1", "ch_2", "ch_3")(r.getString(0))))
+    // independent driver-side replay of the last-touch walk
+    val evs = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .collect()
+    val sevenDaysUs = 7L * 24 * 3600 * 1000000
+    val expected = scala.collection.mutable.Map.empty[String, Long]
+    evs.groupBy(_.getLong(0)).values.foreach { userRows =>
+      val sorted = userRows.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+      var lastCh: String = null; var lastTs = 0L
+      sorted.foreach { r =>
+        if (r.getString(3) == "click") {
+          lastCh = "ch_" + (r.getLong(5) / 25); lastTs = r.getTimestamp(1).getTime
+        } else if (lastCh != null &&
+            r.getTimestamp(1).getTime - lastTs <= sevenDaysUs / 1000)
+          expected(lastCh) = expected.getOrElse(lastCh, 0L) + 1
+      }
+    }
+    val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected.toMap, s"got $got expected $expected")
+  }
+
+  test("text_entropy: uniform text hits ln(k); constant text hits zero") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-entropy").toString
+    Seq((1L, "aaaa", "en", "s", 4L), (2L, "abab", "en", "s", 4L),
+        (3L, "abcd", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = TextOps.textEntropy(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows(1L) == 0.0, s"constant text must have zero entropy: $rows")
+    assert(math.abs(rows(2L) - math.log(2)) < 1e-5, rows.toString)
+    assert(math.abs(rows(3L) - math.log(4)) < 1e-5, rows.toString)
+  }
+
+  test("stream_topk: ranks are 1..3 per window, counts non-increasing, equals batch") {
+    val rows = graft.streaming.StreamOps.streamTopk(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getTimestamp(0)).values.foreach { win =>
+      val byRk = win.sortBy(_.getLong(3))
+      assert(byRk.map(_.getLong(3)).toSeq == (1L to byRk.length).toSeq)
+      val counts = byRk.map(_.getLong(2))
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+        s"counts must be non-increasing in rank: ${byRk.mkString(",")}")
+    }
+    // exactly-once replay contract: equals the batch top-3 per hour
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("n").desc, col("event_type"))
+    val expected = batch.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).orderBy(col("h"), col("rk"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val got = rows.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+  }
+}
