@@ -57,7 +57,7 @@ object DedupOps {
     * M²/2 pairs in one task, but its members still reach exact verification
     * and stay connected through the anchor for cluster resolution — unlike a
     * dropped bucket, which silently loses the whole duplicate class. */
-  private def candidatePairs(buckets0: DataFrame): DataFrame = {
+  private[graft] def candidatePairs(buckets0: DataFrame): DataFrame = {
     import graft.functions.{BucketMembersAgg, LongPairs}
     // The bucket frame feeds two consumers (the membership aggregation and
     // the big-bucket join-back); without materializing it once, Spark

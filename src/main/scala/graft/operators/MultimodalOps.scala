@@ -227,7 +227,67 @@ object MultimodalOps {
     }(enc).orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** 64-bit "perceptual hash" of a decoded raster, derived from the stub
+    * codec's content hash: block j's stub brightness is the multiplied-mod
+    * avalanche `(h · (48271 + 2j)) mod P` — a DISTINCT odd multiplier per
+    * block; an additive-j spelling makes adjacent bits deterministic
+    * complements — and the bit is a middle bit (>> 15) of that product,
+    * never the parity (the parity of consecutive affine steps alternates).
+    * With a real decoder the same slot computes a genuine blockhash
+    * (per-block mean vs image median) over the pixel raster. Pure
+    * positive-range mod-prime arithmetic, so the DuckDB oracle replays
+    * every bit. */
+  def phash64(h: Long): Long = {
+    val P = graft.functions.PolyHash.P
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      sig |= (((h * (48271L + 2 * j)) % P >> 15) & 1L) << j
+      j += 1
+    }
+    sig
+  }
+
+  /** Perceptual-hash image dedup — the near-duplicate-image removal stage
+    * of a multimodal curation pipeline (screenshot re-crops, re-encodes,
+    * thumbnails). Pipeline: binary payload → partition-wise batch decode →
+    * 64-bit [[phash64]] → the SAME banded-LSH machinery as text simhash
+    * (16-bit chunk pigeonhole buckets → bounded candidate expansion →
+    * exact hamming ≤ 3 verify). Per doc the stream carries one 8-byte
+    * signature; no shuffle before the chunk-bucket exchange. The stub
+    * phash varies only with payload CONTENT, so at fixture level the
+    * detected class is exact payload copies — the LSH plumbing (banding,
+    * overflow anchor-stars, pair expansion, verify joins) is the real,
+    * decoder-independent part a production pipeline keeps. */
+  val mmDedupPhash: Q = (s, d) => {
+    val in = Tables.load(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val sigSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(sigSchema)
+    val sigs = in.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(0), phash64(StubDecode.contentHash(r.getAs[Array[Byte]](1))))
+      }
+    }(enc).localCheckpoint() // feeds banding + both verify joins
+    val chunked = sigs.select(col("doc_id"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("phash"), c * 16).bitwiseAND(lit(65535L))): _*))
+          .as(Seq("chunk", "h")))
+      .select(struct(col("chunk"), col("h")).as("bucket"), col("doc_id"))
+    val pairs = DedupOps.candidatePairs(chunked)
+    val sa = sigs.select(col("doc_id").as("a"), col("phash").as("pa"))
+    val sb = sigs.select(col("doc_id").as("b"), col("phash").as("pb"))
+    pairs.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_dedup_phash" -> mmDedupPhash,
     "mm_meta" -> mmMeta,
     "mm_decode_features" -> mmDecodeFeatures,
     "mm_resize" -> mmResize,
@@ -242,6 +302,40 @@ object MultimodalOps {
     s"WITH h AS (SELECT doc_id, ${graft.functions.PolyHash.duckSql("text")} AS h FROM documents)"
 
   val oracle: Map[String, String] = Map(
+    "mm_dedup_phash" -> {
+      val P = graft.functions.PolyHash.P
+      val mb = DedupOps.maxBucket
+      s"""$hashCte,
+         bits AS (SELECT doc_id, j, ((h * (48271 + 2 * j)) % $P >> 15) & 1 AS bit
+                  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS j) bitsrc),
+         chunks AS (SELECT doc_id, j // 16 AS chunk,
+                      (SUM(bit << (j % 16)))::BIGINT AS ch
+                    FROM bits GROUP BY doc_id, j // 16),
+         docsig AS (SELECT doc_id,
+                      MAX(CASE WHEN chunk = 0 THEN ch END) AS c0,
+                      MAX(CASE WHEN chunk = 1 THEN ch END) AS c1,
+                      MAX(CASE WHEN chunk = 2 THEN ch END) AS c2,
+                      MAX(CASE WHEN chunk = 3 THEN ch END) AS c3
+                    FROM chunks GROUP BY doc_id),
+         bsize AS (SELECT chunk, ch, COUNT(*) AS n, MIN(doc_id) AS anchor
+                   FROM chunks GROUP BY chunk, ch),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                  FROM chunks x JOIN chunks y
+                    ON x.chunk = y.chunk AND x.ch = y.ch AND x.doc_id < y.doc_id
+                  JOIN bsize s ON s.chunk = x.chunk AND s.ch = x.ch
+                  WHERE s.n BETWEEN 2 AND $mb
+                  UNION
+                  SELECT s.anchor AS a, m.doc_id AS b
+                  FROM chunks m JOIN bsize s ON s.chunk = m.chunk AND s.ch = m.ch
+                  WHERE s.n > $mb AND m.doc_id <> s.anchor),
+         ham AS (SELECT c.a, c.b,
+                   (bit_count(xor(xa.c0, xb.c0)) + bit_count(xor(xa.c1, xb.c1)) +
+                    bit_count(xor(xa.c2, xb.c2)) + bit_count(xor(xa.c3, xb.c3)))::BIGINT
+                     AS hamming
+                 FROM cand c JOIN docsig xa ON xa.doc_id = c.a
+                             JOIN docsig xb ON xb.doc_id = c.b)
+         SELECT a, b, hamming FROM ham WHERE hamming <= 3 ORDER BY a, b"""
+    },
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          source, lang

@@ -314,12 +314,32 @@ object RelOps {
   /** Equi + range join (ts ≥ bound residual). The equi key keeps it a hash
     * join at scale; the range term is a post-join filter, never a
     * BroadcastNestedLoop over the fact table. */
-  val joinRange: Q = (s, d) =>
-    t(s, d, "events").join(t(s, d, "orders"),
-        $"user_id" === $"o_custkey" && $"ts" >= $"o_orderdate")
-      .groupBy($"o_orderkey")
-      .agg(count(lit(1)).as("n_events"))
+  val joinRange: Q = (s, d) => {
+    // Semantics: per order, how many of the customer's events fall at or
+    // after the order date (the range-join shape). The naive spelling —
+    // equi-join on user + range post-filter — materializes events×orders
+    // rows PER USER before aggregating (quadratic in a user's activity;
+    // 7.5 M intermediate rows at sf0.1, unbounded for a hot user at
+    // corpus scale). Re-spelled as the linear merge: union both streams,
+    // one per-user window ordered by time DESCENDING with events sorting
+    // before same-instant orders (the >= bound), and each order row reads
+    // its answer as the running event count. One exchange on the user
+    // key, O(n log n) in the user's row count, no pair blowup — the same
+    // carry-forward pattern as events_attribution/the as-of family.
+    val ev = t(s, d, "events")
+      .select($"user_id".as("u"), $"ts".as("tt"),
+        lit(1L).as("inc"), lit(null).cast(LongType).as("o_orderkey"))
+    val ord = t(s, d, "orders")
+      .select($"o_custkey".as("u"), $"o_orderdate".as("tt"),
+        lit(0L).as("inc"), $"o_orderkey")
+    val w = Window.partitionBy($"u").orderBy($"tt".desc, $"inc".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionAll(ord)
+      .withColumn("n_events", sum($"inc").over(w))
+      .filter($"o_orderkey".isNotNull && $"n_events" >= 1)
+      .select($"o_orderkey", $"n_events")
       .orderBy($"o_orderkey")
+  }
 
   // ------------------------------------------------------- sort / window
   /** ORDER BY + LIMIT → TakeOrderedAndProject (top-k per partition, then

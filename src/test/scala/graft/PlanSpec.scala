@@ -77,13 +77,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
-  test("join_range keeps the equi key (hash join, range as residual)") {
+  test("join_range: linear merge spelling — one user-keyed window, no pair blowup") {
     val plan = formatted("join_range")
-    // positive assertion first so the absence check below can't pass vacuously
-    assert(Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin").exists(plan.contains),
-      s"no equi join in plan:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      s"range join degenerated to nested loop:\n$plan")
+    // the range join runs as union + per-user running count: ONE window
+    // over ONE exchange; no join operator (whose output would be
+    // events×orders per user before the aggregate) and no nested loop
+    assert(plan.contains("Window"), s"expected the merge window:\n$plan")
+    assert(!Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct").exists(plan.contains),
+      s"range semantics must not materialize a pair join:\n$plan")
+    // one exchange feeds the window; the only other is the final ORDER BY
+    val nExchange = "(?<!Broadcast)Exchange \\(".r.findAllIn(plan).length
+    assert(nExchange == 2, s"expected 2 shuffle exchanges, found $nExchange:\n$plan")
   }
 
   test("semi/anti joins plan as real semi/anti, not inner+distinct") {

@@ -54,6 +54,29 @@ class RoundSevenBOpsSpec extends AnyFunSuite {
     assert(math.abs(rows(3L) - math.log(4)) < 1e-5, rows.toString)
   }
 
+  test("mm_dedup_phash: identical payloads pair at hamming 0; disjoint ones don't") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-phash").toString
+    // 1/3 identical payloads, 2 distinct; 4 shares no 16-bit chunk with
+    // the rest with overwhelming probability
+    Seq((1L, "the same exact picture bytes", "en", "s", 28L),
+        (3L, "the same exact picture bytes", "en", "s", 28L),
+        (2L, "a completely different payload", "en", "s", 30L),
+        (4L, "yet another unrelated doc", "en", "s", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val pairs = operators.MultimodalOps.mmDedupPhash(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 3L, 0L)),
+      s"identical payloads must collide at hamming 0: ${pairs.mkString(",")}")
+    assert(pairs.forall { case (a, b, _) => (a, b) == ((1L, 3L)) },
+      s"no cross-content pair may survive the hamming verify: ${pairs.mkString(",")}")
+    // determinism: the signature is a pure content function
+    val again = operators.MultimodalOps.mmDedupPhash(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == again.toSeq)
+  }
+
   test("stream_topk: ranks are 1..3 per window, counts non-increasing, equals batch") {
     val rows = graft.streaming.StreamOps.streamTopk(spark, dir).collect()
     assert(rows.nonEmpty)
