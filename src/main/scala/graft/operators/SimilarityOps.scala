@@ -131,6 +131,73 @@ object SimilarityOps {
     graft.plans.IvfIndex.search(s, path, q, nprobe = 4, k = 10, excludeVecId = 0)
   }
 
+  /** Product-quantization ANN — the memory-compressed index for
+    * billion-vector scale: each 64-dim vector collapses to 8 four-bit
+    * codes (one byte-pair per subspace; 8 bytes/vector vs 256 for float32,
+    * a 32× shrink), and search scores the CODES against a precomputed
+    * query distance table without touching the floats — the FAISS
+    * `IndexPQ` / ADC (asymmetric distance computation) shape.
+    *
+    *  - Codebooks: per 8-dim subspace m, the 16 codewords are the
+    *    subvectors of vec_id 0..15 — the same deterministic stand-in for
+    *    k-means training the IVF family uses, so the full pipeline
+    *    (encode → table → ADC scan → rerank) is oracle-replayable.
+    *  - Encode: ONE zero-shuffle codegen pass computes all 8 codes per
+    *    vector (argmin of 16 squared-L2 distances per subspace, ties to
+    *    the lowest code); the codebook is a driver literal (16×64
+    *    doubles — constant at any corpus size).
+    *  - Search: the query's 8×16 distance table is computed on the driver
+    *    and folded into the scan as literals; the approximate distance is
+    *    the FIXED-ORDER sum of 8 table lookups (codegen'd, no floats from
+    *    the corpus touched — at scale this pass reads ONLY the 8-byte
+    *    code column, an IO-bound scan of 1/32 the data).
+    *  - Rerank audit: the ADC top-10 re-scores EXACTLY against the raw
+    *    vectors (10 rows, broadcast join-back) — surfacing both distances
+    *    is the standard compressed-search quality report. */
+  val simSearchPq: Q = (s, d) => {
+    val M = 8; val K = 16; val sub = 8; val k = 10
+    require(K <= graft.Limits.maxDriverCentroids,
+      s"K=$K exceeds driver-collect cap ${graft.Limits.maxDriverCentroids}")
+    val e = emb(s, d).select(col("vec_id"), asD(col("embedding")).as("ev"))
+    val seedRows = e.filter(col("vec_id") < K).orderBy(col("vec_id")).collect()
+    require(seedRows.length == K, s"need $K codebook seed vectors")
+    // cb(m)(code) = 8-dim codeword; table(m)(code) = d2(query subvector, codeword)
+    val cb: Seq[Seq[Seq[Double]]] = (0 until M).map(m =>
+      seedRows.toSeq.map(_.getSeq[Double](1).slice(m * sub, (m + 1) * sub).toIndexedSeq))
+    val qv: Seq[Double] =
+      seedRows(0).getSeq[Double](1).toIndexedSeq // vec_id 0 is the query
+    val table: Seq[Seq[Double]] = (0 until M).map { m =>
+      val qs = qv.slice(m * sub, (m + 1) * sub)
+      cb(m).map(cw => qs.zip(cw).map { case (x, y) => (x - y) * (x - y) }.sum)
+    }
+    def codeCol(m: Int): Column = {
+      val d2s = transform(sequence(lit(0), lit(K - 1)), kk =>
+        aggregate(
+          zip_with(slice(col("ev"), m * sub + 1, sub),
+            element_at(typedLit(cb(m)), kk + lit(1)), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x))
+      // first-position argmin == lowest code on ties
+      (array_position(d2s, array_min(d2s)) - 1).cast(IntegerType)
+    }
+    val coded = e.filter(col("vec_id") =!= 0)
+      .select(Seq(col("vec_id")) ++ (0 until M).map(m => codeCol(m).as(s"c$m")): _*)
+    // ADC: fixed-order (m = 0..7) sum of table lookups — the only columns
+    // read are the codes
+    val adc = (0 until M).map(m =>
+        element_at(typedLit(table(m)), col(s"c$m") + lit(1)))
+      .reduceLeft(_ + _)
+    val top = coded.select(col("vec_id"), adc.as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(k)
+    val exact = aggregate(
+      zip_with(col("ev"), typedLit(qv), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, x) => a + x)
+    e.join(broadcast(top), Seq("vec_id"))
+      .select(col("vec_id"), round(col("adc_d2"), 6).as("adc_d2"),
+        round(exact, 6).as("exact_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+  }
+
   /** Symmetric int8 quantization per vector (scale = 127 / max|x|) — the
     * compression pass before an ANN index ships to serving: 4× smaller than
     * float32, distance error bounded by the scale. Pure per-row arithmetic,
@@ -521,6 +588,7 @@ object SimilarityOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "sim_search_pq" -> simSearchPq,
     "sim_ivf_recall" -> simIvfRecall,
     "sim_rerank" -> simRerank,
     "dedup_semantic" -> dedupSemantic,
@@ -792,6 +860,41 @@ object SimilarityOps {
     "sim_search_topk" -> topkOracle,
     "sim_search_topk_native" -> topkOracle,
     "sim_search_ivf" -> ivfOracle,
+    "sim_search_pq" ->
+      """WITH flat AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         qv AS (SELECT i, val FROM flat WHERE vec_id = 0),
+         cb AS (
+           SELECT vec_id AS code, (i - 1) // 8 AS m, i, val
+           FROM flat WHERE vec_id < 16),
+         sd AS (
+           SELECT f.vec_id, c.m, c.code,
+             SUM((f.val - c.val) * (f.val - c.val)) AS d2
+           FROM flat f JOIN cb c ON f.i = c.i
+           GROUP BY f.vec_id, c.m, c.code),
+         codes AS (
+           SELECT vec_id, m, code FROM (
+             SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+             FROM sd) WHERE rn = 1),
+         tbl AS (
+           SELECT c.m, c.code, SUM((q.val - c.val) * (q.val - c.val)) AS d2
+           FROM cb c JOIN qv q ON c.i = q.i GROUP BY c.m, c.code),
+         adc AS (
+           SELECT x.vec_id, SUM(t.d2) AS adc_d2
+           FROM codes x JOIN tbl t ON x.m = t.m AND x.code = t.code
+           WHERE x.vec_id <> 0 GROUP BY x.vec_id),
+         top AS (SELECT vec_id, adc_d2 FROM adc ORDER BY adc_d2, vec_id LIMIT 10),
+         ex AS (
+           SELECT f.vec_id, SUM((f.val - q.val) * (f.val - q.val)) AS d2
+           FROM flat f JOIN qv q ON f.i = q.i
+           WHERE f.vec_id IN (SELECT vec_id FROM top)
+           GROUP BY f.vec_id)
+         SELECT t.vec_id, ROUND(t.adc_d2, 6) AS adc_d2, ROUND(e.d2, 6) AS exact_d2
+         FROM top t JOIN ex e ON t.vec_id = e.vec_id
+         ORDER BY t.adc_d2, t.vec_id""",
     "sim_search_ivf_indexed" -> ivfOracle,
     "sim_ivf_recall" ->
       s"""WITH exact AS (SELECT vec_id FROM ($topkOracle) x),

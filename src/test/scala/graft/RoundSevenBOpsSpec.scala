@@ -77,6 +77,36 @@ class RoundSevenBOpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == again.toSeq)
   }
 
+  test("sim_search_pq: ADC answers overlap the exact top-10; distances plausible") {
+    import org.apache.spark.sql.types._
+    val rows = operators.SimilarityOps.simSearchPq(spark, TestSpark.sf001).collect()
+    assert(rows.length == 10)
+    assert(!rows.exists(_.getLong(0) == 0L), "query vector must be excluded")
+    // ADC distance is a 16-code/subspace quantization of the true distance
+    // — on UNclustered random embeddings (the hard case: distances
+    // concentrate) recall vs the exact top-10 is legitimately low, but the
+    // selection must still carry signal: at least one exact-top-10 member
+    // recalled, and the selected set's mean TRUE distance must beat the
+    // corpus mean (i.e. the code-domain scan is better than random)
+    val e = Tables.load(spark, TestSpark.sf001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("ev"))
+    val q = e.filter(col("vec_id") === 0).head.getSeq[Double](1)
+    val allD2 = e.filter(col("vec_id") =!= 0).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).zip(q).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val exactTop = allD2.sortBy { case (id, d2) => (d2, id) }.take(10).map(_._1).toSet
+    val recalled = rows.map(_.getLong(0)).count(exactTop)
+    assert(recalled >= 1, s"ADC recall $recalled/10 vs exact top-10 — coding broken")
+    val corpusMean = allD2.map(_._2).sum / allD2.length
+    val selectedMean = rows.map(_.getDouble(2)).sum / rows.length
+    assert(selectedMean < corpusMean,
+      s"ADC selection (mean $selectedMean) must beat random (corpus mean $corpusMean)")
+    // adc_d2 must be sorted ascending and exact_d2 non-negative
+    val adcs = rows.map(_.getDouble(1))
+    assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b })
+    assert(rows.forall(_.getDouble(2) >= 0.0))
+  }
+
   test("stream_topk: ranks are 1..3 per window, counts non-increasing, equals batch") {
     val rows = graft.streaming.StreamOps.streamTopk(spark, dir).collect()
     assert(rows.nonEmpty)
