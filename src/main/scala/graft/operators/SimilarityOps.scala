@@ -354,6 +354,26 @@ object SimilarityOps {
         round(col("dist2"), 6).as("dist2"))
       .orderBy(col("vec_id"))
 
+  /** Converged-centroid memo: FOUR queries (kmeans, cluster_profile,
+    * outliers, dedup_semantic's profile sharing) start from the same
+    * Lloyd's fixpoint, and the training loop's per-iteration driver
+    * collects are pure recomputation after the first run. Keyed on
+    * (session, embeddings file identity) — the [[graft.Tables]] plan-cache
+    * pattern — so a rewritten fixture retrains; the value is k×d doubles
+    * plus the iteration count the training run took (restored on hit so
+    * the spec-observability counter stays truthful). */
+  private val centroidMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[Seq[Double]], Seq[Long], Int)]()
+
+  private def embDataKey(s: SparkSession, d: String): String = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    val stamp =
+      if (f.isFile) s"${f.length}:${f.lastModified}"
+      else Option(f.listFiles()).map(_.filter(_.isFile)
+        .map(x => x.length ^ x.lastModified).sum).getOrElse(0L).toString
+    s"${System.identityHashCode(s)}:${f.getCanonicalPath}:$stamp"
+  }
+
   /** The converged Lloyd's assignment [[embeddingKmeans]] publishes, kept
     * as a reusable frame (vec_id, label, ev, dist2, cluster) so profile /
     * audit queries ([[clusterProfile]]) share one fixpoint definition. */
@@ -381,6 +401,13 @@ object SimilarityOps {
           element_at(typedLit(cids), array_position(col("d2s"), col("dist2")).cast(IntegerType)))
         .drop("d2s")
 
+    val memoKey = embDataKey(s, d)
+    val hit = centroidMemo.get(memoKey)
+    if (hit != null) {
+      kmeansItersRun.set(hit._3)
+      return assign(hit._1, hit._2)
+    }
+
     val seedRows = e.filter(col("vec_id") < k).orderBy(col("vec_id")).collect()
     var cents: Seq[Seq[Double]] = seedRows.map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq
     var cids: Seq[Long] = seedRows.map(_.getLong(0)).toIndexedSeq
@@ -405,6 +432,7 @@ object SimilarityOps {
       iters += 1
     }
     kmeansItersRun.set(iters)
+    centroidMemo.put(memoKey, (cents, cids, iters))
 
     assign(cents, cids)
   }
