@@ -27,11 +27,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// 24g default: local[32] runs 32 concurrent tasks in ONE JVM — at 8g the
+// 48g default: local[32] runs 32 concurrent tasks in ONE JVM — at 8g the
 // execution-memory pool starved wide shuffles (the 70M-row link-prediction
-// sort ran 2x slower from spill + GC pressure); the box has 128 GiB.
+// sort ran 2x slower from spill + GC pressure), and at 24g the same query
+// still swung 6 s → 21 s run-to-run from GC pauses under the per-task
+// primitive count maps (measured with ProfileCn); the box has 128 GiB and
+// one forked JVM runs at a time, so half of it is a safe ceiling.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -63,6 +63,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", LocalDirs.shuffleDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warm-up: initialize codegen, parquet reader paths, the shuffle

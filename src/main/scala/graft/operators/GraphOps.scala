@@ -196,7 +196,7 @@ object GraphOps {
       .select(explode(
         graft.functions.LongPairsPacked.long_pairs_packed(col("ns"))).as("p"))
     val pre = wedges.join(broadcast(ep), Seq("p"), "left_anti")
-      .repartition(4 * s.sparkContext.defaultParallelism, col("p"))
+      .repartition(2 * s.sparkContext.defaultParallelism, col("p"))
     CnFrames(nEdges, wedges, ep, pre)
   }
 
@@ -219,8 +219,9 @@ object GraphOps {
     // Hash partitioning by p makes per-key counts complete per partition,
     // so a local top-k by the GLOBAL order (count desc, p asc) can only
     // drop rows the global top-k would drop — 20 rows/partition reach the
-    // driver instead of 70 M. Partition count 4×parallelism bounds the
-    // per-task map (~0.6 M keys here) and scales with the cluster; past
+    // driver instead of 70 M. Partition count 2×parallelism bounds the
+    // per-task map (~0.9 M keys here — the map is presized past it, so no
+    // growth rehash ever runs) and scales with the cluster; past
     // broadcast reach the groupBy fallback below remains the spill-safe
     // path.
     val counted =
@@ -258,7 +259,7 @@ object GraphOps {
   private[graft] def hashCountTopK(
       rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
       k: Int): Iterator[(Long, Long)] = {
-    var cap = 1 << 20; var mask = cap - 1
+    var cap = 1 << 21; var mask = cap - 1
     var keys = new Array[Long](cap); var vals = new Array[Long](cap)
     java.util.Arrays.fill(keys, -1L)
     var size = 0
