@@ -37,6 +37,7 @@ object Bench {
     "minhash_cand" -> ((s, d) => operators.DedupOps.minhashCandPath(s, d)),
     "corpus_index" -> ((s, d) => operators.DedupOps.corpusIndexPath(s, d)),
     "graph_edges" -> ((s, d) => operators.GraphOps.edgesPath(s, d)),
+    "graph_pair_counts" -> ((s, d) => operators.GraphOps.pairCountsPath(s, d)),
   )
 
   /** Build (or cache-hit) every artifact, returning

@@ -32,9 +32,11 @@ object Executor {
 
   /** Dialect-quoted form for use as a JDBC dbtable (job IDs may contain `-`;
     * the reference quotes with the backend's dialect, sqldb.go:307-314:
-    * backticks on MySQL, double quotes elsewhere). */
+    * backticks on MySQL, double quotes elsewhere; ClickHouse takes backticks
+    * like MySQL). */
   def quotedResultTable(url: String, jobId: String): String = {
-    val q = if (url.startsWith("jdbc:mysql:")) "`" else "\""
+    val q = if (url.startsWith("jdbc:mysql:") ||
+      ClickHouseDialect.canHandle(url)) "`" else "\""
     q + resultTable(jobId) + q
   }
 
@@ -50,6 +52,7 @@ object Executor {
   def buildFrame(session: SparkSession, sourceDir: String, task: Task, args: Seq[String]): DataFrame = {
     val sql = ArgBinder.bind(task.raw, args)
     graft.functions.GraftFunctions.registerAll(session) // custom fns for task SQL
+    ClickHouseDialect.ensureRegistered() // no-op after first call
     if (sourceDir.startsWith("jdbc:")) jdbcFrame(session, sourceDir, sql)
     else {
       // register only the tables the statement references: creating a
@@ -166,8 +169,13 @@ object Executor {
       if (backendDir.startsWith("jdbc:")) {
         // external result DB, like the reference's MySQL/PG backends:
         // overwrite = DROP TABLE IF EXISTS + CREATE (sqldb.go:159-188)
+        ClickHouseDialect.ensureRegistered()
         val table = quotedResultTable(backendDir, job.id)
-        out.write.mode("overwrite")
+        val writer = out.write.mode("overwrite")
+        // ClickHouse CREATE TABLE requires an engine clause
+        (if (ClickHouseDialect.canHandle(backendDir))
+          writer.option("createTableOptions", ClickHouseDialect.resultTableEngine)
+        else writer)
           .jdbc(backendDir, table, new java.util.Properties)
         ResultClock.touch(backendDir, resultTable(job.id)) // refresh sweeper TTL
         val count = session.read.jdbc(backendDir, table, new java.util.Properties).count()

@@ -145,100 +145,73 @@ object GraphOps {
     * BINDS — the declared semantics are what the gate tests. */
   val wedgeDegreeCap = 128
 
-  /** Common-neighbor link prediction: the 20 strongest NOT-yet-connected
-    * part pairs by shared-neighbor count. The plan is built around the
-    * stream's one irreducible cost — Σ min(deg, cap)² wedge pairs with
-    * near-unique keys — and spends nothing else:
-    *  1. Each qualifying center's sorted neighbor set expands through the
-    *     native [[graft.functions.LongPairsPacked]]: each (a < b) pair is
-    *     ONE packed bigint (part keys are 31-bit dimension ids), so
-    *     expansion allocates a primitive array, not cap²/2 row objects,
-    *     and every downstream stage handles 8-byte keys.
-    *  2. The existing-edge anti-join runs BEFORE counting, as a broadcast
-    *     hash filter fused into the expansion stage: the packed edge set
-    *     is dimension-pair-bounded (~10 MB/M edges) while the wedge
-    *     stream is cap²-fold larger, so probing map-side costs one hash
-    *     lookup per pair and removes the post-aggregate shuffle entirely.
-    *     (Past broadcast reach — billions of edges — the same anti-join
-    *     moves AFTER the count, where it is candidate-pair-bounded; at
-    *     that point the wedge stream dwarfs it either way.)
-    *  3. The count runs entirely AFTER one explicit repartition on the
-    *     packed key: pair multiplicity is ~1, so a map-side partial would
-    *     hash 74M near-unique keys only to shuffle the same cardinality
-    *     anyway — repartitioning RAW 8-byte keys first makes the exchange
-    *     strictly cheaper and confines all counting to one post-shuffle
-    *     pass ([[hashCountTopK]]: unboxed UnsafeRow iteration into a
-    *     primitive open-addressing map, per-partition top-20 fused into
-    *     the map scan). 20 rows/partition reach the driver; the final
-    *     (count desc, a, b) order is a sort of ≤ 20×partitions rows,
-    *     unpacked on 20. */
-  /** The link-prediction query's building frames: edge count (gates the
-    * broadcast-reach flip), raw packed wedge stream, packed edge set, and
-    * `pre` — the anti-joined, hash-repartitioned pair stream the unboxed
-    * counting pass consumes. Extracted so PlanSpec can pin `pre`'s plan:
-    * the `toRdd` boundary in the counting path hides this subplan from
-    * the outer query's explain. */
-  private[graft] case class CnFrames(nEdges: Long, wedges: DataFrame,
-      ep: DataFrame, pre: DataFrame)
+  /** The wedge-pair COUNT TABLE — (packed pair, shared-small-neighbor
+    * count) for every unordered part pair with ≥1 common neighbor of
+    * degree ≤ [[wedgeDegreeCap]] — is itself a pay-once
+    * [[graft.plans.ArtifactCache]] artifact: it is the irreducible cost of
+    * the whole link-analysis family (Σ C(min(deg,cap), 2) wedge instances,
+    * 74 M at sf0.1), and two queries consume it through opposite filters —
+    * link prediction wants the counts for NON-edges, tie strength
+    * ([[graphJaccard]]) wants them for edges. Materializing the counts once
+    * per data version turns both queries into a parquet scan + one
+    * dimension-bounded join, the same shape as the shared edge artifact.
+    *
+    * Build plan (the one-time cost): each qualifying center's sorted
+    * neighbor set expands through the native
+    * [[graft.functions.LongPairsPacked]] (one packed bigint per (a < b)
+    * pair — part keys are 31-bit dimension ids), the raw 8-byte keys
+    * repartition ONCE (map-side partials would hash 74 M near-unique keys
+    * only to shuffle the same cardinality — measured 56.6 s vs 5 s), and
+    * each post-shuffle partition counts its keys in one pass over reused
+    * UnsafeRows ([[hashCountAll]]: primitive open-addressing map, zero
+    * per-element allocation). Partition count 2×parallelism bounds the
+    * per-task map (~0.9 M keys at sf0.1, presized past it) and scales
+    * with the cluster. */
+  private[graft] def pairCountsPath(s: SparkSession, d: String): String =
+    graft.plans.ArtifactCache.getOrBuild("graph_pair_counts", d, Seq("lineitem"),
+      Seq(GraphOps.getClass, graft.functions.LongPairsPacked.getClass,
+        Tables.getClass)) { dir =>
+      import s.implicits._
+      s.createDataset(
+          pairCountsPre(s, d).queryExecution.toRdd.mapPartitions(hashCountAll))
+        .toDF("p", "c")
+        .write.parquet(s"$dir/pairs")
+    }
 
-  private[graft] def cnFrames(s: SparkSession, d: String): CnFrames = {
-    val e = edges(s, d).localCheckpoint() // feeds adjacency twice + the filter
-    // eager checkpoint already materialized the edge set, so this count is a
-    // metadata-cheap job — it gates which side of the broadcast-reach flip
-    // actually runs
-    val nEdges = e.count()
+  /** The artifact build's input frame — the hash-repartitioned packed wedge
+    * stream. Extracted so PlanSpec can pin its plan (the `toRdd` boundary in
+    * the counting pass hides this subplan from any outer explain). */
+  private[graft] def pairCountsPre(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
     val adj = e.select(col("a").as("w"), col("b").as("n"))
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
-    val ep = e.select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("p"))
-    val wedges = adj
+    adj
       .groupBy(col("w")).agg(sort_array(collect_set(col("n"))).as("ns"))
       .filter(size(col("ns")) <= wedgeDegreeCap)
       .select(explode(
         graft.functions.LongPairsPacked.long_pairs_packed(col("ns"))).as("p"))
-    val pre = wedges.join(broadcast(ep), Seq("p"), "left_anti")
       .repartition(2 * s.sparkContext.defaultParallelism, col("p"))
-    CnFrames(nEdges, wedges, ep, pre)
   }
 
+  private def pairCounts(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${pairCountsPath(s, d)}/pairs")
+
+  /** Common-neighbor link prediction: the 20 strongest NOT-yet-connected
+    * part pairs by shared-neighbor count. Reads the pair-count artifact,
+    * removes existing edges (broadcast hash anti-join within reach — the
+    * packed edge set is dimension-pair-bounded, ~10 MB/M edges; a shuffled
+    * anti-join on the same key past [[graft.Limits.maxBroadcastEdges]]),
+    * and takes the global top-20 by (count desc, a, b) — a
+    * TakeOrderedAndProject, 20 rows per partition to the driver. */
   val graphCommonNeighbors: Q = (s, d) => {
-    val CnFrames(nEdges, wedges, ep, pre) = cnFrames(s, d)
-    // Count spelling, measured head-to-head on the 70.6 M-pair stream at
-    // sf0.1 (local[32], best-of-N under the bench JVM):
-    //   - two-phase groupBy (map-side partial):            56.6 s — the
-    //     partial agg hashes near-unique keys (70.6 M pairs, multiplicity
-    //     ~1) only to shuffle the same cardinality, and its map spills;
-    //   - repartition + Spark HashAggregate / partition-local sort +
-    //     run-length count: 10–24 s — both pay the Dataset iterator's
-    //     per-element Long BOXING (70 M allocations) and either agg-map
-    //     spill or sort churn;
-    //   - repartition + UNBOXED per-partition open-addressing count
-    //     (below): ~5 s best / ~7 s typical — `queryExecution.toRdd`
-    //     iterates reused UnsafeRows (getLong, zero allocation/element),
-    //     the count lives in two primitive arrays, and the partition's
-    //     TOP-20 falls out of the same map scan.
-    // Hash partitioning by p makes per-key counts complete per partition,
-    // so a local top-k by the GLOBAL order (count desc, p asc) can only
-    // drop rows the global top-k would drop — 20 rows/partition reach the
-    // driver instead of 70 M. Partition count 2×parallelism bounds the
-    // per-task map (~0.9 M keys here — the map is presized past it, so no
-    // growth rehash ever runs) and scales with the cluster; past
-    // broadcast reach the groupBy fallback below remains the spill-safe
-    // path.
+    val e = edges(s, d)
+    val nEdges = e.count() // parquet-footer-cheap; gates the broadcast flip
+    val ep = e.select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("p"))
+    val pc = pairCounts(s, d).withColumnRenamed("c", "common_neighbors")
     val counted =
-      if (nEdges <= graft.Limits.maxBroadcastEdges) {
-        import s.implicits._
-        s.createDataset(
-          pre.queryExecution.toRdd.mapPartitions(rows => hashCountTopK(rows, 20)))
-          .toDF("p", "common_neighbors")
-      } else
-        // past broadcast reach the anti-join moves AFTER the count, where
-        // its input is candidate-pair-bounded instead of wedge-stream-sized
-        // (no local top-k before the anti-join: a top pair might BE an
-        // existing edge, and dropping the 21st here would lose its runner-up)
-        wedges
-          .repartition(2 * s.sparkContext.defaultParallelism, col("p"))
-          .groupBy(col("p")).agg(count(lit(1)).as("common_neighbors"))
-          .join(ep, Seq("p"), "left_anti")
+      if (nEdges <= graft.Limits.maxBroadcastEdges)
+        pc.join(broadcast(ep), Seq("p"), "left_anti")
+      else pc.join(ep, Seq("p"), "left_anti")
     counted
       .orderBy(col("common_neighbors").desc, col("p"))
       .limit(20)
@@ -248,17 +221,54 @@ object GraphOps {
       .orderBy(col("common_neighbors").desc, col("a"), col("b"))
   }
 
-  /** Exact per-key count of a partition's packed-pair stream plus its
-    * top-k by the global ranking (count desc, p asc), in one pass over
-    * reused UnsafeRows (no per-element allocation — a Dataset iterator
-    * would box every Long). The count lives in two primitive arrays
-    * (open addressing, byteswap64 mix, ×2 growth at 0.7 load); keys are
-    * non-negative packed ids so −1 is a free empty sentinel. The top-k
-    * scan runs over the final map (insertion sort into two k-element
-    * arrays — k=20, so the shift is trivial). */
-  private[graft] def hashCountTopK(
-      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
-      k: Int): Iterator[(Long, Long)] = {
+  /** Tie strength: the 20 EXISTING edges most embedded in shared
+    * neighborhood, ranked by the capped Jaccard coefficient
+    * |Ns(a) ∩ Ns(b)| / |Ns(a) ∪ Ns(b)| where Ns(v) is v's neighbors of
+    * degree ≤ [[wedgeDegreeCap]] (the same hub cut the count stream
+    * applies — a hub neighbor carries no tie signal and would otherwise
+    * dominate every denominator). The numerator is the pair-count artifact
+    * filtered TO edges (semi join — the complement of link prediction's
+    * anti join); the denominator joins the vertex-sized capped-degree
+    * table twice (broadcast). One artifact scan, zero wedge work at query
+    * time. */
+  val graphJaccard: Q = (s, d) => {
+    val e = edges(s, d)
+    val nEdges = e.count()
+    val ep = e.select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("p"))
+    val deg = degrees(e)
+    val adj = e.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+    // ds(v) = |Ns(v)|: count v's neighbors whose degree ≤ cap
+    val ds = adj
+      .join(broadcast(deg.filter(col("degree") <= wedgeDegreeCap)
+        .select(col("v").as("n"))), "n")
+      .groupBy(col("w").as("v")).agg(count(lit(1)).as("ds"))
+    val pc = pairCounts(s, d)
+    val onEdges =
+      if (nEdges <= graft.Limits.maxBroadcastEdges)
+        pc.join(broadcast(ep), Seq("p"), "left_semi")
+      else pc.join(ep, Seq("p"), "left_semi")
+    val j = onEdges
+      .select(shiftright(col("p"), 32).as("a"),
+        (col("p").bitwiseAND(lit(0xFFFFFFFFL))).as("b"), col("c"))
+      .join(broadcast(ds.select(col("v").as("a"), col("ds").as("dsa"))), "a")
+      .join(broadcast(ds.select(col("v").as("b"), col("ds").as("dsb"))), "b")
+      .select(col("a"), col("b"), col("c").as("common_neighbors"),
+        round(col("c").cast("double") / (col("dsa") + col("dsb") - col("c")), 6)
+          .as("jaccard"))
+    j.orderBy(col("jaccard").desc, col("a"), col("b")).limit(20)
+  }
+
+  /** Exact per-key count of a partition's packed-pair stream, one pass
+    * over reused UnsafeRows (no per-element allocation — a Dataset
+    * iterator would box every Long). The count lives in two primitive
+    * arrays (open addressing, byteswap64 mix, ×2 growth at 0.7 load);
+    * keys are non-negative packed ids so −1 is a free empty sentinel.
+    * Emits every (key, count) — hash partitioning upstream makes each
+    * key's count complete within its partition. */
+  private[graft] def hashCountAll(
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow])
+      : Iterator[(Long, Long)] = {
     var cap = 1 << 21; var mask = cap - 1
     var keys = new Array[Long](cap); var vals = new Array[Long](cap)
     java.util.Arrays.fill(keys, -1L)
@@ -287,22 +297,13 @@ object GraphOps {
         if (size * 10 > cap * 7) grow()
       } else vals(h) += 1
     }
-    val bk = new Array[Long](k); val bc = new Array[Long](k); var n = 0
-    var i = 0
-    while (i < cap) {
-      if (keys(i) >= 0) {
-        val p = keys(i); val c = vals(i)
-        if (n < k || c > bc(n - 1) || (c == bc(n - 1) && p < bk(n - 1))) {
-          var j = if (n < k) { n += 1; n - 1 } else k - 1
-          while (j > 0 && (bc(j - 1) < c || (bc(j - 1) == c && bk(j - 1) > p))) {
-            bk(j) = bk(j - 1); bc(j) = bc(j - 1); j -= 1
-          }
-          bk(j) = p; bc(j) = c
-        }
-      }
-      i += 1
+    new Iterator[(Long, Long)] {
+      private var i = 0
+      private def seek(): Unit = while (i < cap && keys(i) < 0) i += 1
+      seek()
+      def hasNext: Boolean = i < cap
+      def next(): (Long, Long) = { val r = (keys(i), vals(i)); i += 1; seek(); r }
     }
-    (0 until n).iterator.map(j => (bk(j), bc(j)))
   }
 
   /** Association-rule mining over order baskets (the market-basket rules a
@@ -407,6 +408,7 @@ object GraphOps {
     "graph_triangles" -> graphTriangles,
     "graph_components" -> graphComponents,
     "graph_common_neighbors" -> graphCommonNeighbors,
+    "graph_jaccard" -> graphJaccard,
     "basket_rules" -> basketRules,
     "graph_pagerank" -> graphPagerank,
   )
@@ -465,6 +467,22 @@ object GraphOps {
          SELECT a, b, common_neighbors FROM cn
          WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.a AND e.b = cn.b)
          ORDER BY common_neighbors DESC, a, b LIMIT 20""",
+    "graph_jaccard" ->
+      s"""WITH $edgeCtes,
+         adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+         kept AS (SELECT w FROM adj GROUP BY w
+                  HAVING COUNT(*) <= $wedgeDegreeCap),
+         cn AS (SELECT x.n AS a, y.n AS b, COUNT(*) AS c
+                FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+                WHERE x.w IN (SELECT w FROM kept)
+                GROUP BY x.n, y.n),
+         ds AS (SELECT w AS v, COUNT(*) AS ds FROM adj
+                WHERE n IN (SELECT w FROM kept) GROUP BY w)
+         SELECT e.a, e.b, cn.c AS common_neighbors,
+           round(CAST(cn.c AS DOUBLE) / (da.ds + db.ds - cn.c), 6) AS jaccard
+         FROM e JOIN cn ON cn.a = e.a AND cn.b = e.b
+         JOIN ds da ON da.v = e.a JOIN ds db ON db.v = e.b
+         ORDER BY jaccard DESC, e.a, e.b LIMIT 20""",
     "basket_rules" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          n_ord AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op),

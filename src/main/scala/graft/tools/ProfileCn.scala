@@ -24,17 +24,13 @@ object ProfileCn {
       println(f"STAGE $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       r
     }
-    t("warm")(graft.SparkEntry.queries("graph_common_neighbors")(spark, sfDir).collect())
+    t("warm_artifact")(graft.operators.GraphOps.pairCountsPath(spark, sfDir))
     for (_ <- 1 to reps) {
-      val fr = t("frames")(graft.operators.GraphOps.cnFrames(spark, sfDir))
-      t("wedges_scan")(fr.wedges.queryExecution.toRdd
+      t("pre_scan")(graft.operators.GraphOps.pairCountsPre(spark, sfDir)
+        .queryExecution.toRdd
         .foreachPartition(it => while (it.hasNext) it.next()))
-      t("pre_scan")(fr.pre.queryExecution.toRdd
-        .foreachPartition(it => while (it.hasNext) it.next()))
-      t("count_topk")(fr.pre.queryExecution.toRdd
-        .mapPartitions(r => graft.operators.GraphOps.hashCountTopK(r, 20))
-        .collect())
-      t("full")(graft.SparkEntry.queries("graph_common_neighbors")(spark, sfDir).collect())
+      t("cn_query")(graft.SparkEntry.queries("graph_common_neighbors")(spark, sfDir).collect())
+      t("jaccard_query")(graft.SparkEntry.queries("graph_jaccard")(spark, sfDir).collect())
     }
     spark.stop()
   }

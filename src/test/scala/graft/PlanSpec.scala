@@ -178,19 +178,38 @@ class PlanSpec extends AnyFunSuite {
       s"an edge-scale join degenerated to a cartesian product:\n$plan")
   }
 
-  test("graph_common_neighbors: edge filter broadcasts pre-count; pairs shuffle exactly once") {
-    // the counting pass consumes `pre` through a toRdd boundary, so pin the
-    // INNER plan (the one that carries all the data volume) directly
-    val plan = operators.GraphOps.cnFrames(TestSpark.spark, TestSpark.sf001)
-      .pre.queryExecution.explainString(
+  test("graph_pair_counts build: pairs shuffle exactly once, no map-side partial") {
+    // the counting pass consumes the build input through a toRdd boundary,
+    // so pin the INNER plan (the one that carries all the data volume)
+    val plan = operators.GraphOps.pairCountsPre(TestSpark.spark, TestSpark.sf001)
+      .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    // existing edges are removed from the wedge stream map-side, BEFORE the
-    // count — never by re-shuffling the counted-pair stream afterwards
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
     // one exchange for the adjacency lists, ONE for the raw packed keys —
-    // no map-side partial exchange, no post-aggregate shuffle
+    // no map-side partial exchange (74 M near-unique keys would hash for
+    // nothing), no aggregate at all in the Spark plan (the unboxed
+    // post-shuffle pass does the counting)
     val nExchange = "(?<!Broadcast)Exchange \\(".r.findAllIn(plan).length
     assert(nExchange == 2, s"expected 2 shuffle exchanges, found $nExchange:\n$plan")
+    assert(!plan.contains("HashAggregate (") || plan.contains("collect_set"),
+      s"no pair-level aggregate belongs in the build plan:\n$plan")
+  }
+
+  test("graph_common_neighbors: artifact scan + broadcast anti-join + top-k") {
+    val plan = formatted("graph_common_neighbors")
+    // existing edges are removed by a broadcast hash anti-join on the packed
+    // key; the top-20 is a TakeOrderedAndProject, never a global sort
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("graph_jaccard: artifact scan + broadcast semi-join; degree joins broadcast") {
+    val plan = formatted("graph_jaccard")
+    assert(plan.contains("LeftSemi"), plan)
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 3, // edge semi + ds(a) + ds(b)
+      s"edge filter and both degree joins must broadcast (found $nBroadcast):\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
   test("merge_upsert: snapshot side never sorts (broadcast anti-join, not SMJ)") {
