@@ -43,6 +43,26 @@ object PipelineOps {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Weighted sample without replacement: the 50 documents drawn with
+    * probability increasing in length (n_chars), the "sample long documents
+    * preferentially" knob a token-budget-constrained corpus mix needs. Each
+    * doc gets the deterministic hash-uniform u = (prio(doc_id)+1)/(P+1) ∈
+    * (0,1] and priority w/u (weight over uniform); the sample is the global
+    * top-50 by priority. This is the one-division cousin of the
+    * Efraimidis–Spirakis u^(1/w) key: E–S needs ln()/pow(), whose last-ulp
+    * behavior differs between libm implementations and would break the
+    * bit-exact oracle replay, while w/u is a single IEEE division both
+    * engines round identically; heavier docs still win monotonically in w
+    * at fixed u, and the draw is exactly reproducible on any engine.
+    * Map-side priority + TakeOrdered top-50 — no shuffle, no RNG state. */
+  val sampleWeighted: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("n_chars").cast(DoubleType) * (lit(P) + 1) /
+          (prio(col("doc_id")) + 1), 6).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(50)
+
   /** Stratified sample: a fixed quota of 20 docs per language, chosen by
     * the deterministic hash priority (ties broken by doc_id). One shuffle
     * on the stratum key; within each stratum the window keeps 20 rows. At
@@ -507,6 +527,7 @@ object PipelineOps {
     "layout_zorder" -> layoutZorder,
     "corpus_stats" -> corpusStats,
     "sample_hash" -> sampleHash,
+    "sample_weighted" -> sampleWeighted,
     "sample_stratified" -> sampleStratified,
     "agg_histogram" -> aggHistogram,
     "pack_sequences" -> packSequences,
@@ -566,6 +587,12 @@ object PipelineOps {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          WHERE ($prioSql) % 100 < 10
          ORDER BY doc_id""",
+    "sample_weighted" ->
+      s"""SELECT doc_id, lang, n_chars,
+           round(CAST(n_chars AS DOUBLE) * ${P + 1} / (($prioSql) + 1), 6)
+             AS priority
+         FROM documents
+         ORDER BY priority DESC, doc_id LIMIT 50""",
     "sample_stratified" ->
       s"""SELECT lang, doc_id, rn FROM (
            SELECT lang, doc_id,

@@ -341,6 +341,69 @@ object RelOps {
       .orderBy($"o_orderkey")
   }
 
+  /** Interval-overlap join: per customer, how many PAIRS of their order
+    * intervals overlap (each order held open [o_orderdate, o_orderdate+7) —
+    * the concurrent-sessions / double-booking shape). A join spelling is
+    * inherently quadratic per key (every overlapping pair materializes);
+    * the sweep spelling is the classic O(n log n) event decomposition:
+    * each interval becomes a start(+1) and an end(−1) event, events sort
+    * by (time, end-before-start) per key — end-first encodes the
+    * half-open `[s,e)` semantics, s2 = e1 is NOT an overlap — and every
+    * start event contributes the number of currently-open intervals
+    * (the exclusive-prefix sum of the deltas). The per-key total is exact
+    * regardless of tie order inside an instant: k simultaneous starts
+    * contribute C(k,2) however the window orders them. ONE exchange on
+    * the customer key, no pair blowup — the same merge-not-join rule as
+    * [[joinRange]]. The oracle is the quadratic self-join (fine at oracle
+    * scale, the thing this operator exists to avoid at 100 TB). */
+  val joinIntervalOverlap: Q = (s, d) => {
+    val iv = t(s, d, "orders")
+      .select($"o_custkey".as("c"), $"o_orderdate".cast(DateType).as("st"),
+        date_add($"o_orderdate", 7).as("en"))
+    val ev = iv.select($"c", $"st".as("tt"), lit(1L).as("delta"))
+      .unionAll(iv.select($"c", $"en".as("tt"), lit(-1L).as("delta")))
+    val w = Window.partitionBy($"c").orderBy($"tt", $"delta")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("open_before", coalesce(sum($"delta").over(w), lit(0L)))
+      .filter($"delta" === 1L)
+      .groupBy($"c".as("o_custkey"))
+      .agg(sum($"open_before").as("n_overlaps"))
+      .filter($"n_overlaps" > 0)
+      .orderBy($"o_custkey")
+  }
+
+  /** Table fingerprint for migration/replication validation (the job-server
+    * use-case: prove a result table landed intact in another store). Per
+    * table: row count, distinct-content count, an order-insensitive
+    * full-content checksum (SUM of each row's PolyHash over a canonical
+    * `|`-joined string image — exact BIGINT arithmetic, so partial-agg
+    * order can't perturb it), and the min/max MD5 digest as spot probes.
+    * One map-side pass per table, one-row aggregate out — at 100 TB this
+    * is the cheapest possible whole-table integrity check (pure scan, no
+    * shuffle beyond the 1-row final). Doubles are excluded from the row
+    * image: decimal rendering is engine-specific, keys/strings/dates are
+    * not. */
+  val tableChecksum: Q = (s, d) => {
+    def fp(name: String, df: DataFrame, image: Column): DataFrame =
+      df.select(image.as("img"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct($"img").as("n_distinct"),
+          sum(graft.functions.PolyHash.poly_hash($"img")).as("content_sum"),
+          min(md5($"img")).as("md5_min"),
+          max(md5($"img")).as("md5_max"))
+        .select(lit(name).as("tbl"), $"n_rows", $"n_distinct",
+          $"content_sum", $"md5_min", $"md5_max")
+    val o = fp("orders", t(s, d, "orders"),
+      concat_ws("|", $"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"o_orderdate".cast(StringType), $"o_orderpriority"))
+    val c = fp("customer", t(s, d, "customer"),
+      concat_ws("|", $"c_custkey", $"c_name", $"c_mktsegment", $"c_nationkey"))
+    val n = fp("nation", t(s, d, "nation"),
+      concat_ws("|", $"n_nationkey", $"n_name", $"n_regionkey"))
+    o.unionAll(c).unionAll(n).orderBy($"tbl")
+  }
+
   // ------------------------------------------------------- sort / window
   /** ORDER BY + LIMIT → TakeOrderedAndProject (top-k per partition, then
     * k-merge on the driver — no global sort). */
@@ -1130,6 +1193,8 @@ object RelOps {
     "join_bucketed" -> joinBucketed,
     "join_salted" -> joinSalted,
     "join_range" -> joinRange,
+    "join_interval_overlap" -> joinIntervalOverlap,
+    "table_checksum" -> tableChecksum,
     "sort_limit" -> sortLimit,
     "window_rank" -> windowRank,
     "window_running" -> windowRunning,
@@ -1307,6 +1372,34 @@ object RelOps {
          FROM events e JOIN orders o
            ON e.user_id = o.o_custkey AND date_trunc('microseconds', e.ts) >= o.o_orderdate
          GROUP BY o_orderkey ORDER BY o_orderkey""",
+    // the quadratic join spelling the sweep replaces (oracle-scale only)
+    "join_interval_overlap" ->
+      """WITH iv AS (SELECT o_custkey AS c, o_orderkey AS k, o_orderdate AS st,
+                            o_orderdate + INTERVAL 7 DAY AS en
+                     FROM orders)
+         SELECT x.c AS o_custkey, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+         FROM iv x JOIN iv y
+           ON x.c = y.c AND x.k < y.k AND x.st < y.en AND y.st < x.en
+         GROUP BY x.c ORDER BY x.c""",
+    "table_checksum" -> {
+      def fpSql(name: String, tbl: String, image: String): String =
+        s"""SELECT '$name' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT img) AS BIGINT) AS n_distinct,
+             CAST(SUM(${graft.functions.PolyHash.duckSql("img")}) AS BIGINT)
+               AS content_sum,
+             MIN(md5(img)) AS md5_min, MAX(md5(img)) AS md5_max
+           FROM (SELECT $image AS img FROM $tbl)"""
+      fpSql("orders", "orders",
+        """concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_orderdate AS VARCHAR), o_orderpriority)""") +
+        " UNION ALL " +
+        fpSql("customer", "customer",
+          "concat_ws('|', c_custkey, c_name, c_mktsegment, c_nationkey)") +
+        " UNION ALL " +
+        fpSql("nation", "nation",
+          "concat_ws('|', n_nationkey, n_name, n_regionkey)") +
+        " ORDER BY tbl"
+    },
     "sort_limit" ->
       """SELECT * FROM (SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)

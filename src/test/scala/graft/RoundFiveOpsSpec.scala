@@ -49,17 +49,28 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     //  - "start at ...": the stream_* queries — a batch-visible result of a
     //    structured stream IS the stream's execution to a memory sink
     //  - "saveAsTable at ...": the bucketed-layout pay-once artifact build
+    //  - "jdbc at SourceFormatOps...": source_jdbc_scan's pay-once-per-JVM
+    //    load of the embedded source DB (memory-backed, so it cannot be an
+    //    ArtifactCache artifact; the memo makes the second construction
+    //    job-free — asserted below)
     //  - ArtifactCache builds surface through the reader/writer shapes above.
     // Anything else — an eager count()/collect()/head() in a query builder —
     // is the text_keywords bug class and fails here.
     val allowed = Seq("parquet at ", "csv at ", "json at ", "orc at ",
       "localCheckpoint at ", "start at ", "saveAsTable at ",
-      "$anonfun$withThreadLocalCaptured")
+      "jdbc at SourceFormatOps", "$anonfun$withThreadLocalCaptured")
     val (_, jobs) = jobsDuring {
       SparkEntry.queries.foreach { case (_, fn) => fn(spark, sf) }
     }
     val adHoc = jobs.filterNot(n => allowed.exists(n.contains))
     assert(adHoc.isEmpty, s"ad-hoc jobs at query construction: $adHoc")
+  }
+
+  test("source_jdbc_scan's embedded DB load is pay-once per JVM") {
+    SparkEntry.queries("source_jdbc_scan")(spark, sf) // loads or reuses
+    val (_, jobs) = jobsDuring { SparkEntry.queries("source_jdbc_scan")(spark, sf) }
+    assert(!jobs.exists(_.contains("jdbc at ")),
+      s"second construction re-ran the JDBC load: $jobs")
   }
 
   test("corpus band index is pay-once: second request triggers no rebuild and no job") {

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphOps, PipelineOps, RelOps, SourceFormatOps}
+
+/** Round-7 second batch: interval-overlap sweep, table fingerprint,
+  * weighted sampling, JDBC source scan, Jaccard tie strength. Each spec
+  * pins the property that makes the operator correct, not just its shape. */
+class RoundSevenBatchTwoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  test("join_interval_overlap: sweep total equals the quadratic pair count") {
+    import scala.jdk.CollectionConverters._
+    // brute-force the same definition per customer on the fixture
+    val iv = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).as("st"),
+        datediff(date_add(col("o_orderdate"), 7), lit("1970-01-01")).as("en"))
+      .collect()
+      .groupBy(_.getLong(0))
+    val expect = iv.view.mapValues { rows =>
+      val a = rows.map(r => (r.getInt(1), r.getInt(2)))
+      var n = 0L
+      for (i <- a.indices; j <- 0 until i)
+        if (a(i)._1 < a(j)._2 && a(j)._1 < a(i)._2) n += 1
+      n
+    }.filter(_._2 > 0).toMap
+    val got = RelOps.queries("join_interval_overlap")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("join_interval_overlap: half-open [s,e) — touching intervals do not overlap") {
+    // back-to-back intervals share an endpoint; the sweep must not count them
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2020-01-01"), (1L, "2020-01-08"), // touch at day 8: no overlap
+      (2L, "2020-01-01"), (2L, "2020-01-07"), // day 7 < day 8 end: overlap
+    ).toDF("o_custkey", "sd")
+      .select(col("o_custkey"), to_date(col("sd")).as("st"),
+        date_add(to_date(col("sd")), 7).as("en"))
+    val ev = df.select(col("o_custkey").as("c"), col("st").as("tt"), lit(1L).as("delta"))
+      .unionAll(df.select(col("o_custkey"), col("en"), lit(-1L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c")).orderBy(col("tt"), col("delta"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val got = ev.withColumn("ob", coalesce(sum(col("delta")).over(w), lit(0L)))
+      .filter(col("delta") === 1L)
+      .groupBy(col("c")).agg(sum(col("ob")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 0L, "shared endpoint must not count as overlap")
+    assert(got(2L) == 1L)
+  }
+
+  test("table_checksum: content sum is row-order-insensitive and change-sensitive") {
+    val out = RelOps.queries("table_checksum")(spark, dir).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("customer", "nation", "orders"))
+    val nation = out.find(_.getString(0) == "nation").get
+    // recompute nation's checksum from a REVERSED row order — must match
+    val img = concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val rev = Tables.load(spark, dir, "nation")
+      .orderBy(col("n_nationkey").desc)
+      .agg(sum(graft.functions.PolyHash.poly_hash(img)).as("cs"))
+      .head.getLong(0)
+    assert(rev == nation.getAs[Long]("content_sum"))
+    // flipping one character must move the checksum
+    val tampered = Tables.load(spark, dir, "nation")
+      .withColumn("n_name", concat(col("n_name"), lit("x")))
+      .agg(sum(graft.functions.PolyHash.poly_hash(img)).as("cs"))
+      .head.getLong(0)
+    assert(tampered != nation.getAs[Long]("content_sum"))
+  }
+
+  test("sample_weighted: inclusion is monotone in weight at fixed uniform") {
+    val out = PipelineOps.queries("sample_weighted")(spark, dir).collect()
+    assert(out.length == 50)
+    // every selected priority >= every rejected priority (it IS a top-k)
+    val selected = out.map(_.getAs[Double]("priority")).min
+    val all = Tables.load(spark, dir, "documents").count()
+    assert(all > 50)
+    // the sample leans long: mean n_chars of the sample exceeds the corpus mean
+    val sampleMean = out.map(_.getAs[Long]("n_chars")).sum.toDouble / out.length
+    val corpusMean = Tables.load(spark, dir, "documents")
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample should prefer long docs ($sampleMean vs $corpusMean)")
+    assert(selected > 0.0)
+  }
+
+  test("source_jdbc_scan: JDBC roundtrip equals the parquet original") {
+    val viaJdbc = SourceFormatOps.queries("source_jdbc_scan")(spark, dir).collect()
+    val direct = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey").cast("long"), col("s_name"),
+        col("s_nationkey").cast("long"), col("s_acctbal").cast("double"))
+      .orderBy(col("s_suppkey")).collect()
+    assert(viaJdbc.length == direct.length)
+    viaJdbc.zip(direct).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("graph_jaccard: scores are valid and consistent with the pair counts") {
+    val out = GraphOps.queries("graph_jaccard")(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0, s"jaccard out of range: $j")
+      assert(r.getAs[Long]("common_neighbors") >= 1L)
+    }
+    // descending by jaccard
+    val js = out.map(_.getAs[Double]("jaccard")).toSeq
+    assert(js == js.sorted.reverse)
+  }
+}

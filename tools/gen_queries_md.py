@@ -19,7 +19,7 @@ fams = [
     ('window_|sessionize_|resample_', 'Windows & time series'),
     ('events_|retention_|scd2_|lm_|rfm_', 'Product analytics & LM statistics'),
     ('graph_|basket_', 'Graph analytics'),
-    ('set_|distinct_|pivot_|unpivot_|explode_|array_|json_|scalar_|result_|source_|compact_|layout_',
+    ('set_|distinct_|pivot_|unpivot_|explode_|array_|json_|scalar_|result_|source_|compact_|layout_|table_checksum',
      'Relational scalars, reshaping & sources'),
     ('dedup_', 'Deduplication'),
     ('sim_|embedding_|cluster_profile', 'Similarity & embeddings'),
