@@ -227,6 +227,59 @@ object MultimodalOps {
     }(enc).orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Audio analysis frame geometry: 400-sample windows every 160 samples —
+    * the 25 ms / 10 ms convention at 16 kHz that speech front-ends
+    * (MFCC/fbank, VAD) use. Only full windows count. */
+  val audioFrameLen = 400
+  val audioHop = 160
+
+  /** Audio framing + energy (stub PCM decode, REAL framing arithmetic):
+    * the payload's bytes stand in for 8-bit unsigned mono PCM — with a
+    * real audio codec only [[StubDecode]]'s byte→sample step changes —
+    * and everything downstream is the genuine speech-pipeline front half:
+    * overlapping [[audioFrameLen]]/[[audioHop]] windows, per-frame energy
+    * Σ (s−128)² in exact int64 (so partial order can't perturb it), and
+    * per document the sample/frame counts, total and peak frame energy,
+    * and the FIRST peak frame index (the VAD/diagnostics shape). One
+    * map-side pass, one row out per row in, no shuffle before the final
+    * order. Docs shorter than one window emit 0 frames with NULL peaks. */
+  val mmAudioEnergy: Q = (s, d) => {
+    val in = Tables.load(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("energy_sum", LongType, nullable = false),
+      StructField("energy_max", LongType, nullable = true),
+      StructField("max_frame", IntegerType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](1)
+        val n = b.length
+        val nf = if (n >= audioFrameLen) (n - audioFrameLen) / audioHop + 1 else 0
+        var total = 0L; var mx = -1L; var mi = -1
+        var f = 0
+        while (f < nf) {
+          var e = 0L
+          var i = f * audioHop
+          val end = i + audioFrameLen
+          while (i < end) {
+            val sAmp = (b(i) & 0xff) - 128
+            e += sAmp.toLong * sAmp
+            i += 1
+          }
+          total += e
+          if (e > mx) { mx = e; mi = f } // strict: FIRST peak frame wins
+          f += 1
+        }
+        if (nf == 0) Row(r.getLong(0), n.toLong, 0L, 0L, null, null)
+        else Row(r.getLong(0), n.toLong, nf.toLong, total, mx, mi)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
   /** 64-bit "perceptual hash" of a decoded raster, derived from the stub
     * codec's content hash: block j's stub brightness is the multiplied-mod
     * avalanche `(h · (48271 + 2j)) mod P` — a DISTINCT odd multiplier per
@@ -292,6 +345,7 @@ object MultimodalOps {
     "mm_decode_features" -> mmDecodeFeatures,
     "mm_resize" -> mmResize,
     "mm_frame_sample" -> mmFrameSample,
+    "mm_audio_energy" -> mmAudioEnergy,
   )
 
   // The stub decoder is pure mod-prime arithmetic on the payload hash, and
@@ -377,5 +431,33 @@ object MultimodalOps {
          f AS (SELECT doc_id, h, unnest(range(0, 1 + (h >> 20) % 240, 10)) AS i FROM h)
          SELECT doc_id, CAST(i AS INT) AS frame_idx, 31 * h + i AS frame_hash
          FROM f ORDER BY doc_id, frame_idx""",
+    // payload bytes = ASCII codepoints, so the framing replays from text
+    "mm_audio_energy" ->
+      s"""WITH sm AS (
+           SELECT doc_id, len(text) AS n,
+             [unicode(text[i]) - 128 FOR i IN range(1, len(text) + 1)] AS v,
+             CASE WHEN len(text) >= $audioFrameLen
+                  THEN (len(text) - $audioFrameLen) // $audioHop + 1
+                  ELSE 0 END AS nf
+           FROM documents),
+         fr AS (
+           SELECT doc_id, unnest(range(0, nf)) AS f, v FROM sm),
+         en AS (
+           SELECT doc_id, f,
+             list_sum([v[i] * v[i]
+               FOR i IN range(f * $audioHop + 1,
+                              f * $audioHop + $audioFrameLen + 1)]) AS e
+           FROM fr),
+         en2 AS (
+           SELECT doc_id, f, e, MAX(e) OVER (PARTITION BY doc_id) AS me
+           FROM en)
+         SELECT sm.doc_id, CAST(sm.n AS BIGINT) AS n_samples,
+           CAST(sm.nf AS BIGINT) AS n_frames,
+           CAST(COALESCE(SUM(en2.e), 0) AS BIGINT) AS energy_sum,
+           CAST(MAX(en2.e) AS BIGINT) AS energy_max,
+           CAST(MIN(CASE WHEN en2.e = en2.me THEN en2.f END) AS INT) AS max_frame
+         FROM sm LEFT JOIN en2 ON en2.doc_id = sm.doc_id
+         GROUP BY sm.doc_id, sm.n, sm.nf
+         ORDER BY sm.doc_id""",
   )
 }

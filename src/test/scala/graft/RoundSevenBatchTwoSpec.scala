@@ -100,6 +100,32 @@ class RoundSevenBatchTwoSpec extends AnyFunSuite {
     viaJdbc.zip(direct).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("mm_audio_energy: framing arithmetic matches a local replay; short docs emit 0 frames") {
+    import graft.operators.MultimodalOps.{audioFrameLen, audioHop}
+    val rows = graft.operators.MultimodalOps.queries("mm_audio_energy")(spark, dir)
+      .collect()
+    val texts = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val b = texts(r.getLong(0)).getBytes("UTF-8")
+      val nf = if (b.length >= audioFrameLen) (b.length - audioFrameLen) / audioHop + 1 else 0
+      assert(r.getLong(2) == nf)
+      if (nf == 0) {
+        assert(r.isNullAt(4) && r.isNullAt(5) && r.getLong(3) == 0L)
+      } else {
+        val energies = (0 until nf).map { f =>
+          (f * audioHop until f * audioHop + audioFrameLen)
+            .map { i => val s = (b(i) & 0xff) - 128; s.toLong * s }.sum
+        }
+        assert(r.getLong(3) == energies.sum)
+        assert(r.getLong(4) == energies.max)
+        assert(r.getInt(5) == energies.indexOf(energies.max), "first peak frame")
+      }
+    }
+  }
+
   test("graph_jaccard: scores are valid and consistent with the pair counts") {
     val out = GraphOps.queries("graph_jaccard")(spark, dir).collect()
     assert(out.nonEmpty && out.length <= 20)
