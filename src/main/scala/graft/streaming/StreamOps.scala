@@ -214,6 +214,42 @@ object StreamOps {
       .orderBy(col("hour_start"), col("rk"))
   }
 
+  /** Streaming anomaly monitor: the live twin of the batch
+    * `events_anomaly` z-score board. The STREAM maintains only watermarked
+    * per-day per-type counts (state = days-in-flight × type cardinality —
+    * one long per open window, the minimum any daily monitor must hold);
+    * the trailing-7-day z-score runs as a batch post-pass over the replayed
+    * day table, which is days×types rows, nothing like event volume. Same
+    * exact-integer-moments discipline as the batch query: the trailing
+    * window carries (count, sum, sum-of-squares) as longs and the score is
+    * one shared IEEE formula, so the streamed board hash-equals the batch
+    * board on a finite replay — the oracle IS the batch query's oracle. */
+  val streamAnomaly: Q = (s, d) => {
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val daily = runToCompletion(s, agg,
+      s"graft_stream_anomaly_${System.nanoTime()}", inputBytes = eventsBytes(d))
+      .select(col("window.start").cast(DateType).as("day"),
+        col("event_type"), col("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("t_cnt", count(lit(1)).over(w))
+      .withColumn("t_sum", sum(col("n")).over(w))
+      .withColumn("t_ss", sum(col("n") * col("n")).over(w))
+      .filter(col("t_cnt") === 7)
+      .select(col("event_type"), col("day"), col("n"), col("t_sum"),
+        round(expr(
+          """CASE WHEN t_ss * 7 = t_sum * t_sum THEN 0.0
+                  ELSE (n - t_sum / 7.0D)
+                       / sqrt((t_ss - t_sum * (t_sum / 7.0D)) / 7.0D) END"""), 6)
+          .as("zscore"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Sliding-window streaming aggregation (1h window, 30m slide): each event
     * lands in 2 windows; state is 2× the tumbling case, still bounded by the
     * watermark. */
@@ -446,6 +482,7 @@ object StreamOps {
 
   val queries: Map[String, Q] = Map(
     "stream_bloom" -> streamBloom,
+    "stream_anomaly" -> streamAnomaly,
     "stream_near_dedup" -> streamNearDedup,
     "stream_upsert" -> streamUpsert,
     "stream_tumbling" -> streamTumbling,
@@ -463,6 +500,8 @@ object StreamOps {
   val oracle: Map[String, String] = Map(
     // a finite replay must equal the batch prefilter exactly — same oracle
     "stream_bloom" -> graft.operators.DedupOps.oracle("dedup_bloom_prefilter"),
+    // a finite replay of the stream equals the batch anomaly board
+    "stream_anomaly" -> graft.operators.AnalyticsOps.oracle("events_anomaly"),
     // batch replay of the signature fold (shingles → 32 affine mins →
     // per-band PolyHash) composed from the DedupOps oracle fragments
     "stream_near_dedup" ->

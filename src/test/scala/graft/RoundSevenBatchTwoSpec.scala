@@ -126,6 +126,16 @@ class RoundSevenBatchTwoSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_anomaly: finite replay equals the batch anomaly board") {
+    val streamed = graft.streaming.StreamOps.queries("stream_anomaly")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.AnalyticsOps.queries("events_anomaly")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "streamed daily z-scores must hash-equal the batch board")
+  }
+
   test("graph_jaccard: scores are valid and consistent with the pair counts") {
     val out = GraphOps.queries("graph_jaccard")(spark, dir).collect()
     assert(out.nonEmpty && out.length <= 20)
