@@ -189,6 +189,52 @@ object AnalyticsOps {
       .orderBy(col("cur_type"), col("next_type"))
   }
 
+  /** A/B experiment readout: deterministic 50/50 cohort split on user_id
+    * parity (production uses a hash split — [[PipelineOps.sampleHash]]'s
+    * predicate class; parity keeps the oracle trivially replayable), the
+    * "power purchaser" conversion (> [[abConversionBar]] purchase events —
+    * every fixture user purchases at least once, so presence would be
+    * degenerate), relative lift, and the pooled two-proportion z
+    * statistic. Two stages: a user-keyed count aggregate (map-side
+    * partials, output user-cardinality-bounded), then a 4-long global
+    * aggregate; every float is computed once from those longs by a formula
+    * whose text both engines execute identically (IEEE divisions + one
+    * sqrt), so the readout compares hash-exact. At 100 TB this is the
+    * cheapest possible experiment query: no join, one user-keyed
+    * exchange. */
+  val abConversionBar = 13 // "power purchaser": > median purchases/user
+
+  val eventsAbTest: Q = (s, d) => {
+    val perUser = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+      .select(col("user_id"),
+        (col("n_purchases") > abConversionBar).as("converted"))
+    perUser
+      .agg(
+        count(when(col("user_id") % 2 === 0, 1)).as("n_a"),
+        count(when(col("user_id") % 2 === 0 && col("converted"), 1)).as("conv_a"),
+        count(when(col("user_id") % 2 === 1, 1)).as("n_b"),
+        count(when(col("user_id") % 2 === 1 && col("converted"), 1)).as("conv_b"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(expr("conv_a / CAST(n_a AS DOUBLE)"), 6).as("p_a"),
+        round(expr("conv_b / CAST(n_b AS DOUBLE)"), 6).as("p_b"),
+        round(expr(
+          "conv_b / CAST(n_b AS DOUBLE) / (conv_a / CAST(n_a AS DOUBLE)) - 1.0D"), 6)
+          .as("lift"),
+        // pooled two-proportion z; the exact expression text is mirrored in
+        // the oracle so both engines run the same IEEE op tree. A degenerate
+        // experiment (pooled p of 0 or 1) has zero variance and, by
+        // convention, zero signal.
+        round(expr(
+          """CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                  THEN 0.0D
+                  ELSE (conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE))
+                       / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                              * (1.0D - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                              * (1.0D / n_a + 1.0D / n_b)) END"""), 6).as("zscore"))
+  }
+
   /** Slowly-changing-dimension (type 2) build: the per-user event_type
     * history as (state, valid_from, valid_to) intervals — consecutive equal
     * states collapse, the open interval carries a NULL valid_to. Two windows
@@ -542,6 +588,7 @@ object AnalyticsOps {
     "text_diversity" -> textDiversity,
     "events_pathing" -> eventsPathing,
     "scd2_build" -> scd2Build,
+    "events_ab_test" -> eventsAbTest,
     "rfm_segment" -> rfmSegment,
     "text_vocab_growth" -> textVocabGrowth,
   )
@@ -659,6 +706,32 @@ object AnalyticsOps {
          SELECT day, dau, wau,
            round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
          FROM dau JOIN wau USING (day) ORDER BY day""",
+    "events_ab_test" ->
+      s"""WITH pu AS (
+           SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') > $abConversionBar
+               AS converted
+           FROM events GROUP BY user_id),
+         c AS (
+           SELECT CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0 AND converted) AS BIGINT)
+               AS conv_a,
+             CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n_b,
+             CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1 AND converted) AS BIGINT)
+               AS conv_b
+           FROM pu)
+         SELECT n_a, conv_a, n_b, conv_b,
+           round(conv_a / CAST(n_a AS DOUBLE), 6) AS p_a,
+           round(conv_b / CAST(n_b AS DOUBLE), 6) AS p_b,
+           round(conv_b / CAST(n_b AS DOUBLE) / (conv_a / CAST(n_a AS DOUBLE)) - 1.0, 6)
+             AS lift,
+           round(CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                      THEN 0.0
+                      ELSE (conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE))
+                           / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                                  * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                                  * (1.0 / n_a + 1.0 / n_b)) END, 6) AS zscore
+         FROM c""",
     "events_anomaly" ->
       """WITH daily AS (
            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -126,6 +126,22 @@ class RoundSevenBatchTwoSpec extends AnyFunSuite {
     }
   }
 
+  test("events_ab_test: readout replays from the four exact counts; non-degenerate") {
+    val r = graft.operators.AnalyticsOps.queries("events_ab_test")(spark, dir)
+      .collect()(0)
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(na > 0 && nb > 0)
+    assert(ca > 0 && ca < na && cb > 0 && cb < nb,
+      s"conversion must be non-degenerate in both cohorts: $ca/$na, $cb/$nb")
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (pa, pb) = (ca / na.toDouble, cb / nb.toDouble)
+    assert(r.getDouble(4) == rnd(pa) && r.getDouble(5) == rnd(pb))
+    assert(r.getDouble(6) == rnd(pb / pa - 1.0))
+    val p = (ca + cb) / (na + nb).toDouble
+    val z = (pb - pa) / math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    assert(r.getDouble(7) == rnd(z))
+  }
+
   test("stream_anomaly: finite replay equals the batch anomaly board") {
     val streamed = graft.streaming.StreamOps.queries("stream_anomaly")(spark, dir)
       .collect().map(_.toSeq).toSeq
