@@ -306,6 +306,39 @@ object GraphOps {
     }
   }
 
+  /** k-core peeling parameters: remove vertices of co-occurrence degree
+    * < [[kcoreK]], [[kcoreRounds]] rounds. Fixed round count (rather than
+    * run-to-fixpoint) keeps the operator's cost bounded and lets the
+    * oracle unroll the exact same rounds; at true-core convergence both
+    * spellings agree, and the round count is a declared knob exactly like
+    * [[pagerankIters]]. This near-ER graph has the classic sharp core
+    * collapse (k at the median empties it within 4 rounds; measured: k=95
+    * → 0 survivors, k=90 → 527 of 2000 at sf0.01) — k is set just below
+    * the transition so the cascade is deep AND a real core survives. */
+  val kcoreK = 90
+  val kcoreRounds = 4
+
+  /** k-core decomposition (bounded peeling): the maximal-ish subgraph in
+    * which every surviving part co-occurs with ≥ k other survivors — the
+    * dense-community extraction that precedes motif mining and the graph
+    * analog of the dedup df-cut. Each round is one vertex-sized degree
+    * aggregate plus two vertex-set semi-joins restricting the edge list;
+    * the vertex keep-set is dimension-bounded and broadcasts, the edge set
+    * only ever shrinks, and no round materializes anything edge-quadratic.
+    * At 100 TB: R rounds = R bounded shuffles over a monotonically
+    * shrinking edge set — the standard distributed peeling shape. */
+  val graphKcore: Q = (s, d) => {
+    var e = edges(s, d)
+    for (_ <- 1 to kcoreRounds) {
+      val keep = degrees(e).filter(col("degree") >= kcoreK).select(col("v"))
+      e = e.join(broadcast(keep.withColumnRenamed("v", "a")), Seq("a"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("v", "b")), Seq("b"), "left_semi")
+    }
+    degrees(e)
+      .select(col("v"), col("degree").as("core_degree"))
+      .orderBy(col("v"))
+  }
+
   /** Association-rule mining over order baskets (the market-basket rules a
     * recommender bootstrap runs): for every directed part pair (a → b)
     * co-ordered at least [[minRuleSupport]] times, support / confidence /
@@ -409,6 +442,7 @@ object GraphOps {
     "graph_components" -> graphComponents,
     "graph_common_neighbors" -> graphCommonNeighbors,
     "graph_jaccard" -> graphJaccard,
+    "graph_kcore" -> graphKcore,
     "basket_rules" -> basketRules,
     "graph_pagerank" -> graphPagerank,
   )
@@ -467,6 +501,26 @@ object GraphOps {
          SELECT a, b, common_neighbors FROM cn
          WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.a AND e.b = cn.b)
          ORDER BY common_neighbors DESC, a, b LIMIT 20""",
+    "graph_kcore" -> {
+      // the engine's rounds, unrolled: same degree + keep-set + restrict
+      val rounds = (1 to kcoreRounds).map { i =>
+        val p = i - 1
+        s"""d$p AS (SELECT v, COUNT(*) AS degree
+              FROM (SELECT a AS v FROM e$p UNION ALL SELECT b FROM e$p)
+              GROUP BY v),
+           kv$p AS (SELECT v FROM d$p WHERE degree >= $kcoreK),
+           e$i AS (SELECT a, b FROM e$p
+                   WHERE a IN (SELECT v FROM kv$p)
+                     AND b IN (SELECT v FROM kv$p))"""
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+            FROM lineitem x JOIN lineitem y
+              ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         $rounds
+         SELECT v, COUNT(*) AS core_degree
+         FROM (SELECT a AS v FROM e$kcoreRounds UNION ALL SELECT b FROM e$kcoreRounds)
+         GROUP BY v ORDER BY v"""
+    },
     "graph_jaccard" ->
       s"""WITH $edgeCtes,
          adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),

@@ -126,6 +126,30 @@ class RoundSevenBatchTwoSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_kcore: engine peeling equals an exact local replay") {
+    import graft.operators.GraphOps.{kcoreK, kcoreRounds}
+    // derive the same co-occurrence edge set locally
+    val baskets = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).toSet)
+    var edges: Set[(Long, Long)] = baskets.flatMap { ps =>
+      val v = ps.toSeq.sorted
+      for (i <- v.indices; j <- i + 1 until v.length) yield (v(i), v(j))
+    }.toSet
+    for (_ <- 1 to kcoreRounds) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= kcoreK).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+    }
+    val expect = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.GraphOps.queries("graph_kcore")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   test("events_ab_test: readout replays from the four exact counts; non-degenerate") {
     val r = graft.operators.AnalyticsOps.queries("events_ab_test")(spark, dir)
       .collect()(0)
