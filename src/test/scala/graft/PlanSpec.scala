@@ -212,6 +212,48 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("join_interval_overlap: sweep plans with NO join operator and one key exchange") {
+    val plan = formatted("join_interval_overlap")
+    // the quadratic interval join is exactly what this spelling removes
+    assert(!plan.contains("Join"), s"sweep must not plan any join:\n$plan")
+    val nExchange = "(?<!Broadcast)Exchange \\(".r.findAllIn(plan).length
+    // one hash exchange on the customer key feeds BOTH the window and the
+    // per-customer aggregate (same key → reused partitioning) + the final
+    // presentation sort's range exchange
+    assert(nExchange <= 2, s"expected ≤2 shuffle exchanges, found $nExchange:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("sample_weighted: map-side priority + TakeOrdered, zero shuffle") {
+    val plan = formatted("sample_weighted")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!"(?<!Broadcast)Exchange \\(".r.findAllIn(plan).hasNext,
+      s"weighted sampling must not shuffle:\n$plan")
+  }
+
+  test("table_checksum: no join anywhere; one aggregate pass per table") {
+    val plan = formatted("table_checksum")
+    assert(!plan.contains("Join"), s"fingerprints must not join:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
+  }
+
+  test("events_ab_test: one user-keyed exchange, no join") {
+    val plan = formatted("events_ab_test")
+    assert(!plan.contains("Join"), s"readout must not join:\n$plan")
+    val nExchange = "(?<!Broadcast)Exchange \\(".r.findAllIn(plan).length
+    // user-keyed agg exchange + the single-row final agg exchange
+    assert(nExchange <= 2, s"expected ≤2 shuffle exchanges, found $nExchange:\n$plan")
+  }
+
+  test("graph_kcore: every peeling round's vertex restriction broadcasts") {
+    val plan = formatted("graph_kcore")
+    val semi = "LeftSemi".r.findAllIn(plan).length
+    assert(semi >= 2 * operators.GraphOps.kcoreRounds,
+      s"expected ≥${2 * operators.GraphOps.kcoreRounds} semi-joins, found $semi:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a vertex-set restriction shuffled the edge list:\n$plan")
+  }
+
   test("merge_upsert: snapshot side never sorts (broadcast anti-join, not SMJ)") {
     val plan = formatted("merge_upsert")
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
