@@ -189,6 +189,63 @@ object AnalyticsOps {
       .orderBy(col("cur_type"), col("next_type"))
   }
 
+  /** Longest consecutive-day activity streak per user (the engagement
+    * leaderboard), via the gaps-and-islands identity: within a user's
+    * DISTINCT active days ordered by date, `day − row_number` is constant
+    * exactly across consecutive runs, so one window + one aggregate finds
+    * every streak — no self-join, no recursion. Per user the longest
+    * (earliest on ties) survives a second user-keyed window that reuses
+    * the same partitioning; the leaderboard is a TakeOrdered top-20. */
+  val eventsStreaks: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val best = Window.partitionBy(col("user_id"))
+      .orderBy(col("streak_days").desc, col("streak_start"))
+    events(s, d)
+      .select(col("user_id"), expr("CAST(ts AS DATE)").as("day")).distinct()
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("streak_days"), min(col("day")).as("streak_start"))
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("streak_days"), col("streak_start"))
+      .orderBy(col("streak_days").desc, col("user_id"))
+      .limit(20)
+  }
+
+  /** Collocation mining: the 20 adjacent word pairs most over-represented
+    * against their unigram frequencies — lift = c_ab · N / (c_a · c_b),
+    * the exact-ratio core of PMI (PMI = log lift; the log is omitted so
+    * the ranking needs no libm call and both engines compare bit-exact —
+    * log is monotone, so the top-k is identical). Pair and unigram counts
+    * are exact longs off one token stream; the unigram table is
+    * vocabulary-sized and broadcasts into the pair stream; minimum
+    * support [[minColloSupport]] keeps one-off pairs out. */
+  val minColloSupport = 5
+
+  val lmCollocations: Q = (s, d) => {
+    val ws = docs(s, d).select(split(col("text"), " ").as("w"))
+    val uni = ws.select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c1"))
+    val nTok = ws.select(explode(col("w")).as("word"))
+      .agg(count(lit(1)).as("n_tokens"))
+    ws.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+             i -> named_struct('wa', element_at(w, i),
+                               'wb', element_at(w, i + 1)))""")).as("p"))
+      .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minColloSupport)
+      .join(broadcast(uni.select(col("word").as("wa"), col("c1").as("c_a"))), "wa")
+      .join(broadcast(uni.select(col("word").as("wb"), col("c1").as("c_b"))), "wb")
+      .crossJoin(broadcast(nTok))
+      .select(col("wa"), col("wb"), col("c_ab"), col("c_a"), col("c_b"),
+        round((col("c_ab") * col("n_tokens")).cast(DoubleType) /
+          (col("c_a") * col("c_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("wa"), col("wb"))
+      .limit(20)
+  }
+
   /** A/B experiment readout: deterministic 50/50 cohort split on user_id
     * parity (production uses a hash split — [[PipelineOps.sampleHash]]'s
     * predicate class; parity keeps the oracle trivially replayable), the
@@ -589,6 +646,8 @@ object AnalyticsOps {
     "events_pathing" -> eventsPathing,
     "scd2_build" -> scd2Build,
     "events_ab_test" -> eventsAbTest,
+    "events_streaks" -> eventsStreaks,
+    "lm_collocations" -> lmCollocations,
     "rfm_segment" -> rfmSegment,
     "text_vocab_growth" -> textVocabGrowth,
   )
@@ -706,6 +765,36 @@ object AnalyticsOps {
          SELECT day, dau, wau,
            round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
          FROM dau JOIN wau USING (day) ORDER BY day""",
+    "events_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+           FROM events),
+         g AS (SELECT user_id, day,
+                 day - CAST(ROW_NUMBER() OVER
+                   (PARTITION BY user_id ORDER BY day) AS INT) AS grp
+               FROM days),
+         st AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS streak_days,
+                  MIN(day) AS streak_start
+                FROM g GROUP BY 1, 2),
+         best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY streak_days DESC, streak_start) AS rk
+                  FROM st)
+         SELECT user_id, streak_days, streak_start FROM best
+         WHERE rk = 1 ORDER BY streak_days DESC, user_id LIMIT 20""",
+    "lm_collocations" ->
+      s"""WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+         pr AS (SELECT w[i] AS wa, w[i + 1] AS wb
+                FROM ws, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+         uni AS (SELECT unnest(w) AS word FROM ws),
+         u AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c1 FROM uni GROUP BY 1),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM uni),
+         p AS (SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pr
+               GROUP BY 1, 2 HAVING COUNT(*) >= $minColloSupport)
+         SELECT wa, wb, c_ab, ua.c1 AS c_a, ub.c1 AS c_b,
+           round(CAST(c_ab * n.n_tokens AS DOUBLE) / (ua.c1 * ub.c1), 6) AS lift
+         FROM p JOIN u ua ON ua.word = p.wa JOIN u ub ON ub.word = p.wb
+         CROSS JOIN n
+         ORDER BY lift DESC, wa, wb LIMIT 20""",
     "events_ab_test" ->
       s"""WITH pu AS (
            SELECT user_id,

@@ -150,6 +150,41 @@ class RoundSevenBatchTwoSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("events_streaks: streaks are genuine consecutive-day runs") {
+    val rows = graft.operators.AnalyticsOps.queries("events_streaks")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val active = Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr("CAST(ts AS DATE)").as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (u, n, start) = (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate)
+      val days = active(u)
+      // the reported streak is fully active and maximal on both ends
+      (0L until n).foreach(i => assert(days(start.plusDays(i))))
+      assert(!days(start.minusDays(1)), "streak must be left-maximal")
+      assert(!days(start.plusDays(n)), "streak must be right-maximal")
+    }
+  }
+
+  test("lm_collocations: lift replays from exact counts; support floor holds") {
+    val rows = graft.operators.AnalyticsOps.queries("lm_collocations")(spark, dir)
+      .collect()
+    assert(rows.length == 20)
+    val nTokens = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w")).count()
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val (cab, ca, cb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cab >= graft.operators.AnalyticsOps.minColloSupport)
+      assert(cab <= math.min(ca, cb), "pair count bounded by unigram counts")
+      assert(r.getDouble(5) == rnd(cab.toDouble * nTokens / (ca.toDouble * cb)))
+    }
+    val lifts = rows.map(_.getDouble(5)).toSeq
+    assert(lifts == lifts.sorted.reverse)
+  }
+
   test("events_ab_test: readout replays from the four exact counts; non-degenerate") {
     val r = graft.operators.AnalyticsOps.queries("events_ab_test")(spark, dir)
       .collect()(0)
