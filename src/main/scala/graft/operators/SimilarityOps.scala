@@ -529,6 +529,42 @@ object SimilarityOps {
         (col("qsum").cast(DoubleType) / col("n")).as("mean_q"))
       .orderBy(col("label"), col("i"))
 
+  /** Label-centroid similarity matrix: pairwise cosine between the mean
+    * embeddings of every label pair — the class-confusability /
+    * cluster-quality audit a labeled corpus review starts with. All
+    * arithmetic before the final cosine is EXACT: components quantize to
+    * integer micro-units (the [[embeddingCentroid]] grid), per-(label,dim)
+    * sums are longs, and the scale factors cancel inside the cosine
+    * (cos(qa/na, qb/nb) = cos(qa, qb)), so each pair needs just three
+    * exact longs — Σ qa·qb, Σ qa², Σ qb² (all < 2^58 here) — and ONE
+    * float expression both engines execute identically. Scale shape: the
+    * only corpus-sized pass is the centroid aggregate (map-side partials
+    * over labels×dims keys); the label×label stage is k²-bounded and
+    * every join broadcasts. */
+  val embeddingLabelSim: Q = (s, d) => {
+    val cq = emb(s, d)
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("label"), col("i"),
+        floor(col("x").cast(DoubleType) * 1000000.0d + 0.5d).cast(LongType).as("q"))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("q")).as("q"))
+    val nrm = cq.groupBy(col("label"))
+      .agg(sum(col("q") * col("q")).as("n2"))
+    val a = cq.select(col("label").as("label_a"), col("i"), col("q").as("qa"))
+    val b = cq.select(col("label").as("label_b"), col("i"), col("q").as("qb"))
+    a.join(b, "i").filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("qa") * col("qb")).as("dot"))
+      .join(broadcast(nrm.select(col("label").as("label_a"), col("n2").as("na2"))), "label_a")
+      .join(broadcast(nrm.select(col("label").as("label_b"), col("n2").as("nb2"))), "label_b")
+      .select(col("label_a"), col("label_b"),
+        round(expr(
+          "dot / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))"), 6)
+          .as("cosine"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   /** Semantic dedup, SemDeDup-shaped (Abbas et al. 2023, arXiv:2303.09540):
     * assign every embedding to its nearest seed centroid, then compare
     * cosine ONLY within a cluster — a document is a semantic dup if a
@@ -621,6 +657,7 @@ object SimilarityOps {
     "sim_rerank" -> simRerank,
     "dedup_semantic" -> dedupSemantic,
     "embedding_centroid" -> embeddingCentroid,
+    "embedding_label_sim" -> embeddingLabelSim,
     "embedding_drift" -> embeddingDrift,
     "embedding_project" -> embeddingProject,
     "embedding_quantize" -> embeddingQuantize,
@@ -795,6 +832,27 @@ object SimilarityOps {
                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
            FROM embeddings)
          GROUP BY label, i ORDER BY label, i""",
+    "embedding_label_sim" ->
+      """WITH q AS (
+           SELECT CAST(label AS BIGINT) AS label, i, CAST(SUM(q) AS BIGINT) AS q
+           FROM (
+             SELECT label,
+                    generate_subscripts(embedding, 1) AS i,
+                    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT) AS q
+             FROM embeddings)
+           GROUP BY label, i),
+         nrm AS (SELECT label, CAST(SUM(q * q) AS BIGINT) AS n2 FROM q GROUP BY label),
+         dot AS (SELECT a.label AS label_a, b.label AS label_b,
+                   CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+                 FROM q a JOIN q b ON a.i = b.i AND a.label < b.label
+                 GROUP BY 1, 2)
+         SELECT label_a, label_b,
+           round(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+             AS cosine
+         FROM dot JOIN nrm na ON na.label = dot.label_a
+                  JOIN nrm nb ON nb.label = dot.label_b
+         ORDER BY label_a, label_b""",
     "embedding_kmeans" -> kmeansOracle,
     "cluster_profile" -> clusterProfileOracle,
     "embedding_outliers" -> embeddingOutliersOracle,

@@ -150,6 +150,33 @@ class RoundSevenBatchTwoSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("embedding_label_sim: full pair matrix, cosines in [-1,1], exact replay") {
+    val rows = graft.operators.SimilarityOps.queries("embedding_label_sim")(spark, dir)
+      .collect()
+    val k = Tables.load(spark, dir, "embeddings")
+      .select(col("label")).distinct().count().toInt
+    assert(rows.length == k * (k - 1) / 2, "one row per unordered label pair")
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0 && c <= 1.0, s"cosine out of range: $c")
+      assert(r.getLong(0) < r.getLong(1))
+    }
+    // replay one pair exactly from quantized integer sums
+    val q = Tables.load(spark, dir, "embeddings")
+      .select(col("label").cast("long").as("l"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("l"), col("i"),
+        floor(col("x").cast("double") * 1000000.0 + 0.5).cast("long").as("q"))
+      .groupBy(col("l"), col("i")).agg(sum(col("q")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val dims = q.keys.map(_._2).toSeq.distinct
+    val (la, lb) = (rows(0).getLong(0), rows(0).getLong(1))
+    val dot = dims.map(i => q((la, i)) * q((lb, i))).sum
+    val na2 = dims.map(i => q((la, i)) * q((la, i))).sum
+    val nb2 = dims.map(i => q((lb, i)) * q((lb, i))).sum
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(0).getDouble(2) == rnd(dot / (math.sqrt(na2.toDouble) * math.sqrt(nb2.toDouble))))
+  }
+
   test("events_streaks: streaks are genuine consecutive-day runs") {
     val rows = graft.operators.AnalyticsOps.queries("events_streaks")(spark, dir)
       .collect()
