@@ -189,6 +189,41 @@ object AnalyticsOps {
       .orderBy(col("cur_type"), col("next_type"))
   }
 
+  /** Greedy bigram decode: seed with the corpus's most frequent word, then
+    * repeatedly take the most frequent continuation (ties break
+    * lexicographically) for [[greedyDecodeSteps]] steps — the
+    * deterministic heart of LM inference, replayed exactly by both
+    * engines. The decode is PURE COMPOSITION: each step is a one-row
+    * frame (TakeOrdered-1 over the bigram table keyed by the previous
+    * step's word, a broadcast join of a single row), chained lazily and
+    * unioned — no driver-side loop, no collect between steps. Scale
+    * shape: the bigram model is vocabulary²-bounded (built once with
+    * map-side partials); each step's probe is a key-pruned lookup into
+    * it. A word with no continuation ends the chain identically on both
+    * engines (empty frames stay empty). */
+  val greedyDecodeSteps = 10
+
+  val lmGreedyDecode: Q = (s, d) => {
+    val ws = docs(s, d).select(split(col("text"), " ").as("w"))
+    val uni = ws.select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val bi = ws.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+             i -> named_struct('wa', element_at(w, i),
+                               'wb', element_at(w, i + 1)))""")).as("p"))
+      .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .agg(count(lit(1)).as("c"))
+    val s0 = uni.orderBy(col("c").desc, col("word")).limit(1)
+      .select(lit(0L).as("step"), col("word"))
+    val steps = (1 to greedyDecodeSteps).scanLeft(s0) { (prev, i) =>
+      bi.join(broadcast(prev.select(col("word").as("wa"))), "wa")
+        .orderBy(col("c").desc, col("wb")).limit(1)
+        .select(lit(i.toLong).as("step"), col("wb").as("word"))
+    }
+    steps.reduce(_ unionAll _).orderBy(col("step"))
+  }
+
   /** Longest consecutive-day activity streak per user (the engagement
     * leaderboard), via the gaps-and-islands identity: within a user's
     * DISTINCT active days ordered by date, `day − row_number` is constant
@@ -648,6 +683,7 @@ object AnalyticsOps {
     "events_ab_test" -> eventsAbTest,
     "events_streaks" -> eventsStreaks,
     "lm_collocations" -> lmCollocations,
+    "lm_greedy_decode" -> lmGreedyDecode,
     "rfm_segment" -> rfmSegment,
     "text_vocab_growth" -> textVocabGrowth,
   )
@@ -765,6 +801,25 @@ object AnalyticsOps {
          SELECT day, dau, wau,
            round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
          FROM dau JOIN wau USING (day) ORDER BY day""",
+    "lm_greedy_decode" -> {
+      val stepCtes = (1 to greedyDecodeSteps).map { i =>
+        s"""s$i AS (SELECT $i AS step, wb AS word FROM b
+              JOIN s${i - 1} ON b.wa = s${i - 1}.word
+              ORDER BY b.c DESC, wb LIMIT 1)"""
+      }.mkString(",\n")
+      val unions = (0 to greedyDecodeSteps)
+        .map(i => s"SELECT CAST(step AS BIGINT) AS step, word FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+         u AS (SELECT unnest(w) AS word FROM ws),
+         uc AS (SELECT word, COUNT(*) AS c FROM u GROUP BY 1),
+         pr AS (SELECT w[i] AS wa, w[i + 1] AS wb
+                FROM ws, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+         b AS (SELECT wa, wb, COUNT(*) AS c FROM pr GROUP BY 1, 2),
+         s0 AS (SELECT 0 AS step, word FROM uc ORDER BY c DESC, word LIMIT 1),
+         $stepCtes
+         $unions ORDER BY step"""
+    },
     "events_streaks" ->
       """WITH days AS (
            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day

@@ -150,6 +150,26 @@ class RoundSevenBatchTwoSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("lm_greedy_decode: every step is the exact argmax continuation") {
+    import graft.operators.AnalyticsOps.greedyDecodeSteps
+    val rows = graft.operators.AnalyticsOps.queries("lm_greedy_decode")(spark, dir)
+      .collect().sortBy(_.getLong(0)).map(_.getString(1))
+    assert(rows.length == greedyDecodeSteps + 1)
+    // local replay of the model
+    val texts = Tables.load(spark, dir, "documents")
+      .select(col("text")).collect().map(_.getString(0).split(" ").toSeq)
+    val uni = texts.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val bi = texts.flatMap(w => w.zip(w.drop(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val seed = uni.toSeq.minBy { case (w, c) => (-c, w) }._1
+    assert(rows(0) == seed)
+    rows.zip(rows.drop(1)).foreach { case (cur, next) =>
+      val cont = bi.collect { case ((a, b), c) if a == cur => (b, c) }
+      val best = cont.toSeq.minBy { case (b, c) => (-c, b) }._1
+      assert(next == best, s"continuation of '$cur' must be '$best', got '$next'")
+    }
+  }
+
   test("embedding_label_sim: full pair matrix, cosines in [-1,1], exact replay") {
     val rows = graft.operators.SimilarityOps.queries("embedding_label_sim")(spark, dir)
       .collect()
