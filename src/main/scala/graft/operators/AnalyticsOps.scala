@@ -189,6 +189,34 @@ object AnalyticsOps {
       .orderBy(col("cur_type"), col("next_type"))
   }
 
+  /** Funnel latency: the distribution of time-to-convert (first view →
+    * first strictly-later purchase, per user) in integer seconds —
+    * min/quartiles/max plus the converting-user count. The per-user
+    * reduction reuses [[eventsFunnel]]'s min-chaining (two user-keyed min
+    * aggregates, one user-keyed join); latency is an exact epoch-second
+    * difference (no float until the percentile interpolation, which is the
+    * same linear rule in both engines over the same exact longs). Output
+    * is one row — the dashboard tile shape. */
+  val eventsTimeToConvert: Q = (s, d) => {
+    val e = events(s, d)
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val lat = e.filter(col("event_type") === "purchase")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+      .select((unix_timestamp(col("t2")) - unix_timestamp(col("t1"))).as("lat_s"))
+    lat.agg(
+        count(lit(1)).as("n_converted"),
+        min(col("lat_s")).as("min_s"),
+        expr("percentile(lat_s, array(0.25D, 0.5D, 0.75D))").as("qs"),
+        max(col("lat_s")).as("max_s"))
+      .select(col("n_converted"), col("min_s"),
+        round(element_at(col("qs"), 1), 6).as("p25_s"),
+        round(element_at(col("qs"), 2), 6).as("p50_s"),
+        round(element_at(col("qs"), 3), 6).as("p75_s"),
+        col("max_s"))
+  }
+
   /** Greedy bigram decode: seed with the corpus's most frequent word, then
     * repeatedly take the most frequent continuation (ties break
     * lexicographically) for [[greedyDecodeSteps]] steps — the
@@ -684,6 +712,7 @@ object AnalyticsOps {
     "events_streaks" -> eventsStreaks,
     "lm_collocations" -> lmCollocations,
     "lm_greedy_decode" -> lmGreedyDecode,
+    "events_time_to_convert" -> eventsTimeToConvert,
     "rfm_segment" -> rfmSegment,
     "text_vocab_growth" -> textVocabGrowth,
   )
@@ -801,6 +830,23 @@ object AnalyticsOps {
          SELECT day, dau, wau,
            round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
          FROM dau JOIN wau USING (day) ORDER BY day""",
+    "events_time_to_convert" ->
+      """WITH t1 AS (
+           SELECT user_id, MIN(date_trunc('microseconds', ts)) AS t1
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+         lat AS (
+           SELECT CAST(floor(epoch(MIN(date_trunc('microseconds', e.ts)))) AS BIGINT)
+                  - CAST(floor(epoch(MIN(t1.t1))) AS BIGINT) AS lat_s
+           FROM events e JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'purchase' AND date_trunc('microseconds', e.ts) > t1.t1
+           GROUP BY e.user_id)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(lat_s) AS BIGINT) AS min_s,
+           round(quantile_cont(lat_s, 0.25), 6) AS p25_s,
+           round(quantile_cont(lat_s, 0.50), 6) AS p50_s,
+           round(quantile_cont(lat_s, 0.75), 6) AS p75_s,
+           CAST(MAX(lat_s) AS BIGINT) AS max_s
+         FROM lat""",
     "lm_greedy_decode" -> {
       val stepCtes = (1 to greedyDecodeSteps).map { i =>
         s"""s$i AS (SELECT $i AS step, wb AS word FROM b
