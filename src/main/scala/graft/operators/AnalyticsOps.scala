@@ -217,6 +217,36 @@ object AnalyticsOps {
         col("max_s"))
   }
 
+  /** Daily event-sequence census — the MATCH_RECOGNIZE / funnel-pattern
+    * shape: each user-day's events collapse, in (ts, event_id) order, to a
+    * symbol string (first letter of the event type: v/c/p/s/e), and the 15
+    * most common daily sequences are reported with a regex funnel flag
+    * (`v.*c.*p`: a view, a later click, a later purchase, same day).
+    * Sequence pattern matching over ROW STREAMS usually needs an NFA
+    * operator; over BOUNDED per-key sessions it is exactly one grouped
+    * sort-aggregate plus one regex per distinct sequence — no self-join,
+    * no state machine. Scale shape: one shuffle keyed (user, day) whose
+    * aggregation state is a user-day's own events (session-sized, never
+    * corpus-sized); the census aggregate runs over distinct sequence
+    * strings (bounded by activity-pattern diversity, a sliver of the event
+    * volume) and the regex prices once per DISTINCT sequence, not per
+    * event. The final top-15 is TakeOrdered — no global sort. */
+  val eventsSequencePattern: Q = (s, d) =>
+    events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("sym")).as("ev"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(col("ev"))),
+          x => x.getField("sym"))).as("seq"))
+      .groupBy(col("seq"))
+      .agg(count(lit(1)).as("n_user_days"))
+      .select(col("seq"), col("n_user_days"),
+        col("seq").rlike("v.*c.*p").as("matches_funnel"))
+      .orderBy(col("n_user_days").desc, col("seq"))
+      .limit(15)
+
   /** Greedy bigram decode: seed with the corpus's most frequent word, then
     * repeatedly take the most frequent continuation (ties break
     * lexicographically) for [[greedyDecodeSteps]] steps — the
@@ -713,6 +743,7 @@ object AnalyticsOps {
     "lm_collocations" -> lmCollocations,
     "lm_greedy_decode" -> lmGreedyDecode,
     "events_time_to_convert" -> eventsTimeToConvert,
+    "events_sequence_pattern" -> eventsSequencePattern,
     "rfm_segment" -> rfmSegment,
     "text_vocab_growth" -> textVocabGrowth,
   )
@@ -866,6 +897,16 @@ object AnalyticsOps {
          $stepCtes
          $unions ORDER BY step"""
     },
+    "events_sequence_pattern" ->
+      """WITH sq AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+           FROM events GROUP BY 1, 2)
+         SELECT seq, CAST(COUNT(*) AS BIGINT) AS n_user_days,
+           regexp_matches(seq, 'v.*c.*p') AS matches_funnel
+         FROM sq GROUP BY seq
+         ORDER BY n_user_days DESC, seq LIMIT 15""",
     "events_streaks" ->
       """WITH days AS (
            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day

@@ -436,6 +436,59 @@ object GraphOps {
       .orderBy(col("v"))
   }
 
+  /** BFS frontier expansion stops after this many hops: reachability
+    * questions on co-occurrence graphs saturate in a few hops (small-world
+    * diameter), and the cap is what bounds the recursive oracle too. */
+  val bfsDepth = 3
+  /** Seed set size — the [[bfsSeedCount]] smallest vertex ids. A fixed
+    * deterministic seed rule (not a random draw) keeps the oracle exact. */
+  val bfsSeedCount = 3
+
+  /** Multi-source BFS: minimum hop distance from the seed set (the three
+    * smallest part ids in the edge set) to every vertex within
+    * [[bfsDepth]] hops, reported as a distance histogram — the
+    * reachability/diameter audit run before any propagation algorithm
+    * (label spread, influence, recall expansion) is trusted on a graph.
+    *
+    * Level-synchronous frontier expansion, the textbook distributed BFS:
+    * each round joins the current frontier against the symmetric adjacency
+    * and anti-joins everything already visited, so a vertex is labeled with
+    * its FIRST (minimum) hop count and each edge is traversed at most twice
+    * overall. The frontier/visited sets are vertex-table-bounded (parts
+    * dim), so both sides of every per-round join broadcast — the corpus-
+    * sized edge set never re-shuffles; each round is one broadcast-probe
+    * scan of the edge artifact. Past broadcast reach (frontiers wider than
+    * the driver cap) the same loop plans as keyed equi-joins on `src` —
+    * the spelling is join-strategy-agnostic. Per-round `localCheckpoint`
+    * (the [[graphPagerank]] convention) keeps the plan linear in depth
+    * instead of 2^depth.
+    *
+    * DuckDB oracle: recursive CTE over the same symmetric edges with the
+    * same depth cap, `MIN(dist)` per vertex — BFS as a fixpoint, which is
+    * exactly what the recursion computes. */
+  val graphBfs: Q = (s, d) => {
+    val e = edges(s, d).localCheckpoint()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .distinct().orderBy(col("v")).limit(bfsSeedCount)
+      .select(col("v"), lit(0L).as("dist"))
+    var visited = seeds.localCheckpoint()
+    var frontier = visited
+    for (k <- 1 to bfsDepth) {
+      frontier = sym
+        .join(broadcast(frontier.select(col("v").as("src"))), Seq("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(broadcast(visited.select(col("v"))), Seq("v"), "left_anti")
+        .select(col("v"), lit(k.toLong).as("dist"))
+        .localCheckpoint()
+      visited = visited.unionAll(frontier).localCheckpoint()
+    }
+    visited.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_vertices"))
+      .orderBy(col("dist"))
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_degree" -> graphDegree,
     "graph_triangles" -> graphTriangles,
@@ -445,6 +498,7 @@ object GraphOps {
     "graph_kcore" -> graphKcore,
     "basket_rules" -> basketRules,
     "graph_pagerank" -> graphPagerank,
+    "graph_bfs" -> graphBfs,
   )
 
   /** Shared edge/degree CTEs: DuckDB derives the same distinct (a < b)
@@ -462,6 +516,23 @@ object GraphOps {
     "graph_degree" ->
       s"""WITH $edgeCtes
          SELECT v, degree FROM deg ORDER BY v""",
+    "graph_bfs" ->
+      s"""WITH $edgeCtes,
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION ALL SELECT b, a FROM e),
+         seeds AS (SELECT v FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+                   GROUP BY v ORDER BY v LIMIT $bfsSeedCount),
+         bfs AS (
+           WITH RECURSIVE w(v, dist) AS (
+             SELECT v, 0 FROM seeds
+             UNION
+             SELECT s.dst, w.dist + 1 FROM w JOIN sym s ON w.v = s.src
+             WHERE w.dist < $bfsDepth
+           )
+           SELECT v, MIN(dist) AS dist FROM w GROUP BY v)
+         SELECT CAST(dist AS BIGINT) AS dist,
+                CAST(COUNT(*) AS BIGINT) AS n_vertices
+         FROM bfs GROUP BY dist ORDER BY dist""",
     "graph_triangles" ->
       s"""WITH $edgeCtes,
          o AS (SELECT CASE WHEN (da.degree, e.a) < (db.degree, e.b)

@@ -529,6 +529,41 @@ object SimilarityOps {
         (col("qsum").cast(DoubleType) / col("n")).as("mean_q"))
       .orderBy(col("label"), col("i"))
 
+  /** Per-dimension distribution profile of the embedding corpus: n, mean,
+    * variance, min, max per coordinate — the whitening/normalization audit
+    * (and the drift detector's denominator) run before trusting any ANN
+    * index or distance metric on a new embedding batch. All sums run on
+    * the [[embeddingCentroid]] integer micro-unit grid, so the aggregation
+    * is EXACT and order-free (partial-agg-proof — float sums would differ
+    * run to run under Spark's nondeterministic partial-aggregate order);
+    * the variance numerator n·Σq² − (Σq)² stays an exact integer in
+    * DECIMAL(38) (Σq²·n exceeds int64 once the corpus passes ~10⁵ rows —
+    * a certainty at scale, not an edge case), and the only float
+    * arithmetic is the two output divisions, identical expression text in
+    * both engines. Scale shape: ONE map-side-combined aggregate keyed by
+    * dimension index — output rows = dims, zero joins, zero corpus-sized
+    * intermediate. */
+  val embeddingDimStats: Q = (s, d) =>
+    emb(s, d)
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .select((col("i") + 1).cast(LongType).as("i"),
+        floor(col("x").cast(DoubleType) * 1000000.0d + 0.5d)
+          .cast(LongType).as("q"))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sq"),
+        sum(col("q").cast(DecimalType(38, 0)) * col("q")).as("sq2"),
+        min(col("q")).as("min_q"),
+        max(col("q")).as("max_q"))
+      .select(col("i"), col("n"), col("min_q"), col("max_q"),
+        round(col("sq").cast(DoubleType) / col("n") / lit(1000000.0d), 6)
+          .as("mean"),
+        round((col("sq2") * col("n") -
+            col("sq").cast(DecimalType(38, 0)) * col("sq")).cast(DoubleType) /
+          (col("n") * col("n")).cast(DoubleType) / lit(1.0e12), 6)
+          .as("variance"))
+      .orderBy(col("i"))
+
   /** Label-centroid similarity matrix: pairwise cosine between the mean
     * embeddings of every label pair — the class-confusability /
     * cluster-quality audit a labeled corpus review starts with. All
@@ -657,6 +692,7 @@ object SimilarityOps {
     "sim_rerank" -> simRerank,
     "dedup_semantic" -> dedupSemantic,
     "embedding_centroid" -> embeddingCentroid,
+    "embedding_dim_stats" -> embeddingDimStats,
     "embedding_label_sim" -> embeddingLabelSim,
     "embedding_drift" -> embeddingDrift,
     "embedding_project" -> embeddingProject,
@@ -832,6 +868,19 @@ object SimilarityOps {
                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
            FROM embeddings)
          GROUP BY label, i ORDER BY label, i""",
+    "embedding_dim_stats" ->
+      """SELECT CAST(i AS BIGINT) AS i, COUNT(*) AS n,
+           MIN(q) AS min_q, MAX(q) AS max_q,
+           round(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean,
+           round(CAST(SUM(CAST(q AS HUGEINT) * q) * COUNT(*)
+                      - CAST(SUM(q) AS HUGEINT) * SUM(q) AS DOUBLE)
+                 / CAST(COUNT(*) * COUNT(*) AS DOUBLE) / 1e12, 6) AS variance
+         FROM (
+           SELECT generate_subscripts(embedding, 1) AS i,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS q
+           FROM embeddings)
+         GROUP BY i ORDER BY i""",
     "embedding_label_sim" ->
       """WITH q AS (
            SELECT CAST(label AS BIGINT) AS label, i, CAST(SUM(q) AS BIGINT) AS q

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnalyticsOps, GraphOps, SimilarityOps}
+
+/** Round-7 third batch: multi-source BFS, daily sequence-pattern census,
+  * per-dimension embedding profile. Each spec cross-checks the operator
+  * against an independently computed (driver-side brute force) answer on
+  * the sf0.001 fixture — the property, not just the shape. */
+class RoundSevenBatchThreeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  test("graph_bfs: histogram matches a driver-side BFS over the same edges") {
+    // brute-force BFS from the 3 smallest vertices on the collected edge set
+    val e = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .groupBy(_.getLong(0)).values
+      .flatMap { rows =>
+        val ps = rows.map(_.getLong(1)).distinct.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+      }.toSet
+    val adj = (e.toSeq ++ e.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = e.flatMap(p => Seq(p._1, p._2)).toSeq.distinct.sorted
+      .take(GraphOps.bfsSeedCount)
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds.toSet
+    for (k <- 1 to GraphOps.bfsDepth) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+      dist ++= frontier.map(_ -> k)
+    }
+    val expect = dist.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap.map { case (k, v) => (k.toLong, v) }
+    val got = GraphOps.queries("graph_bfs")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(got(0L) == GraphOps.bfsSeedCount.toLong, "dist 0 is exactly the seeds")
+  }
+
+  test("events_sequence_pattern: sequences are (ts,event_id)-ordered and flag matches regex") {
+    val out = AnalyticsOps.queries("events_sequence_pattern")(spark, dir).collect()
+    assert(out.length <= 15 && out.nonEmpty)
+    // flag is exactly the regex on the sequence text
+    out.foreach { r =>
+      assert(r.getBoolean(2) == "v.*c.*p".r.findFirstIn(r.getString(0)).isDefined)
+    }
+    // census counts add up: recompute the top sequence's count from raw events
+    val top = out.head
+    val n = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getDate(1)))
+      .values.count { rows =>
+        val seq = rows.sortBy(r => (r.getTimestamp(2).getTime, r.getLong(3)))
+          .map(_.getString(4).head).mkString
+        seq == top.getString(0)
+      }
+    assert(top.getLong(1) == n.toLong)
+    // descending census order with seq tiebreak (deterministic limit)
+    val pairs = out.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sameElements(pairs.sortBy(p => (-p._1, p._2))))
+  }
+
+  test("embedding_dim_stats: exact micro-unit moments per dimension") {
+    val out = SimilarityOps.queries("embedding_dim_stats")(spark, dir).collect()
+    val rows = Tables.load(spark, dir, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    assert(out.length == rows.head.length)
+    // every dimension sees the whole corpus
+    assert(out.forall(_.getLong(1) == rows.length.toLong))
+    // recompute dim 1 with the same quantization grid
+    val q1 = rows.map(v => math.floor(v(0).toDouble * 1000000.0 + 0.5).toLong)
+    val n = q1.length.toLong
+    val sq = q1.sum
+    val sq2 = q1.map(x => BigInt(x) * BigInt(x)).sum
+    val d1 = out.find(_.getLong(0) == 1L).get
+    assert(d1.getLong(2) == q1.min && d1.getLong(3) == q1.max)
+    val mean = BigDecimal(sq.toDouble / n / 1000000.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d1.getDouble(4) == mean)
+    val varNum = (sq2 * n - BigInt(sq) * BigInt(sq)).toDouble
+    val variance = BigDecimal(varNum / (n * n).toDouble / 1.0e12)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d1.getDouble(5) == variance)
+    assert(out.forall(_.getDouble(5) >= 0.0), "variance is nonnegative")
+  }
+}
