@@ -476,18 +476,25 @@ object GraphOps {
     var visited = seeds.localCheckpoint()
     var frontier = visited
     for (k <- 1 to bfsDepth) {
-      frontier = sym
-        .join(broadcast(frontier.select(col("v").as("src"))), Seq("src"))
-        .select(col("dst").as("v")).distinct()
-        .join(broadcast(visited.select(col("v"))), Seq("v"), "left_anti")
-        .select(col("v"), lit(k.toLong).as("dist"))
-        .localCheckpoint()
+      frontier = bfsRound(sym, frontier, visited, k).localCheckpoint()
       visited = visited.unionAll(frontier).localCheckpoint()
     }
     visited.groupBy(col("dist"))
       .agg(count(lit(1)).as("n_vertices"))
       .orderBy(col("dist"))
   }
+
+  /** One BFS level: frontier × adjacency probe, minus everything visited.
+    * Extracted so PlanSpec can pin the round's physical shape (both the
+    * probe and the anti-join broadcast the vertex-bounded side; the edge
+    * set never re-shuffles) — the per-round `localCheckpoint` in
+    * [[graphBfs]] hides the round subplan from any outer explain. */
+  private[graft] def bfsRound(sym: DataFrame, frontier: DataFrame,
+      visited: DataFrame, k: Int): DataFrame =
+    sym.join(broadcast(frontier.select(col("v").as("src"))), Seq("src"))
+      .select(col("dst").as("v")).distinct()
+      .join(broadcast(visited.select(col("v"))), Seq("v"), "left_anti")
+      .select(col("v"), lit(k.toLong).as("dist"))
 
   val queries: Map[String, Q] = Map(
     "graph_degree" -> graphDegree,

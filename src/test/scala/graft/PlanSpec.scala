@@ -404,4 +404,39 @@ class PlanSpec extends AnyFunSuite {
     assert(finalPlan.linesIterator.exists(_.contains("ReusedExchange")),
       s"offset branch re-reads the corpus instead of reusing the exchange:\n$finalPlan")
   }
+
+  test("events_sequence_pattern: top-15 is TakeOrdered; scan pruned; two keyed exchanges") {
+    val plan = formatted("events_sequence_pattern")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"sequence census reads unused event columns: $readSchema")
+    // exactly the (user,day) session shuffle and the census shuffle — a
+    // third exchange would mean the regex or flag re-partitioned the data
+    val exchanges = plan.linesIterator.count(_.contains("- Exchange"))
+    assert(exchanges == 2, s"$exchanges exchanges:\n$plan")
+  }
+
+  test("embedding_dim_stats: one two-phase aggregate, no join, no extra exchange") {
+    val plan = formatted("embedding_dim_stats")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
+    assert(plan.contains("Partial") || plan.contains("partial_"),
+      s"no map-side partial aggregation:\n$plan")
+    assert(!plan.contains("Join"), s"dim profile must not join:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("- Exchange"))
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$plan") // dim agg + output sort
+  }
+
+  test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
+    import spark.implicits._
+    val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("v")
+    val plan = graft.operators.GraphOps.bfsRound(sym, seeds, seeds, 1)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // both the probe and the anti-join take the broadcast side
+    assert(plan.linesIterator.count(_.contains("- BroadcastExchange")) == 2, plan)
+  }
 }
