@@ -217,6 +217,20 @@ object AnalyticsOps {
         col("max_s"))
   }
 
+  /** Activity count-of-counts — the power-law / skew audit run before any
+    * per-user shuffle is sized: how many users produced exactly k events.
+    * Two map-side-combined aggregates; the second runs over DISTINCT
+    * activity levels (a few hundred values regardless of corpus size), so
+    * the output is audit-sized. This one histogram answers the capacity
+    * questions that decide salting and state budgets: the max row is the
+    * hottest key a (user-keyed) shuffle or stream-state map will see, and
+    * the tail mass says whether per-user aggregation state is bounded. */
+  val eventsUserActivity: Q = (s, d) =>
+    events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .groupBy(col("n_events")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_events"))
+
   /** Daily event-sequence census — the MATCH_RECOGNIZE / funnel-pattern
     * shape: each user-day's events collapse, in (ts, event_id) order, to a
     * symbol string (first letter of the event type: v/c/p/s/e), and the 15
@@ -744,6 +758,7 @@ object AnalyticsOps {
     "lm_greedy_decode" -> lmGreedyDecode,
     "events_time_to_convert" -> eventsTimeToConvert,
     "events_sequence_pattern" -> eventsSequencePattern,
+    "events_user_activity" -> eventsUserActivity,
     "rfm_segment" -> rfmSegment,
     "text_vocab_growth" -> textVocabGrowth,
   )
@@ -897,6 +912,11 @@ object AnalyticsOps {
          $stepCtes
          $unions ORDER BY step"""
     },
+    "events_user_activity" ->
+      """SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM events GROUP BY user_id)
+         GROUP BY n_events ORDER BY n_events""",
     "events_sequence_pattern" ->
       """WITH sq AS (
            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -484,6 +484,42 @@ object GraphOps {
       .orderBy(col("dist"))
   }
 
+  /** Degree assortativity — the Pearson correlation between the degrees at
+    * the two ends of every edge (Newman's r): positive means hubs link to
+    * hubs (social-graph shape), negative means hubs link to leaves
+    * (hub-and-spoke), and the sign decides whether degree-based
+    * partitioning heuristics (hub replication, high-degree vertex cuts)
+    * will pay off on this graph. Over the SYMMETRIC directed edge list the
+    * formula collapses to four moments — M, Σjk, Σj, Σj² (source and
+    * target marginals coincide) — all kept EXACT: per-edge products are
+    * vertex-degree-bounded ints, the sums run in DECIMAL(38) (Σjk·M
+    * overflows int64 somewhere past 10⁶ edges — certainty at scale), and
+    * the single float division happens once on the final row with
+    * identical formula text in the oracle. Scale shape: the vertex-sized
+    * degree table broadcasts to both endpoint probes; the edge set streams
+    * through one map-side-combined aggregate — no edge-keyed shuffle at
+    * all. */
+  val graphAssortativity: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val e = edges(s, d)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = degrees(e)
+    val jd = sym
+      .join(broadcast(deg.select(col("v").as("src"), col("degree").as("j"))), "src")
+      .join(broadcast(deg.select(col("v").as("dst"), col("degree").as("k"))), "dst")
+    jd.agg(
+        count(lit(1)).as("m"),
+        sum((col("j") * col("k")).cast(dec)).as("sjk"),
+        sum(col("j").cast(dec)).as("sj"),
+        sum((col("j") * col("j")).cast(dec)).as("sj2"))
+      .select(col("m"),
+        round(
+          (col("m").cast(dec) * col("sjk") - col("sj") * col("sj")).cast(DoubleType) /
+          (col("m").cast(dec) * col("sj2") - col("sj") * col("sj")).cast(DoubleType),
+          6).as("assortativity"))
+  }
+
   /** One BFS level: frontier × adjacency probe, minus everything visited.
     * Extracted so PlanSpec can pin the round's physical shape (both the
     * probe and the anti-join broadcast the vertex-bounded side; the edge
@@ -506,6 +542,7 @@ object GraphOps {
     "basket_rules" -> basketRules,
     "graph_pagerank" -> graphPagerank,
     "graph_bfs" -> graphBfs,
+    "graph_assortativity" -> graphAssortativity,
   )
 
   /** Shared edge/degree CTEs: DuckDB derives the same distinct (a < b)
@@ -523,6 +560,22 @@ object GraphOps {
     "graph_degree" ->
       s"""WITH $edgeCtes
          SELECT v, degree FROM deg ORDER BY v""",
+    "graph_assortativity" ->
+      s"""WITH $edgeCtes,
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION ALL SELECT b, a FROM e),
+         jd AS (SELECT dj.degree AS j, dk.degree AS k
+                FROM sym JOIN deg dj ON dj.v = sym.src
+                         JOIN deg dk ON dk.v = sym.dst),
+         agg AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+                        SUM(CAST(j AS HUGEINT) * k) AS sjk,
+                        SUM(CAST(j AS HUGEINT)) AS sj,
+                        SUM(CAST(j AS HUGEINT) * j) AS sj2
+                 FROM jd)
+         SELECT CAST(m AS BIGINT) AS m,
+           round(CAST(m * sjk - sj * sj AS DOUBLE)
+                 / CAST(m * sj2 - sj * sj AS DOUBLE), 6) AS assortativity
+         FROM agg""",
     "graph_bfs" ->
       s"""WITH $edgeCtes,
          sym AS (SELECT a AS src, b AS dst FROM e

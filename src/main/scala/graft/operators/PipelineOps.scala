@@ -494,6 +494,31 @@ object PipelineOps {
       .orderBy(col("cum_tokens"))
   }
 
+  /** Per-language length deciles: each language's documents rank into 10
+    * equal-count buckets by (n_chars, doc_id) and every bucket reports its
+    * size and char-length span — the length-cutoff calibration a quality
+    * filter reads before choosing min/max-length thresholds per language
+    * (a single global cutoff over-trims terse scripts and under-trims
+    * verbose ones). The ntile ties break on doc_id, so bucket membership
+    * is total-order deterministic and the oracle replays it. Scale note:
+    * the window sorts WITHIN each language — at corpus scale that is a
+    * range-partitioned sort per language (Spark plans one exchange keyed
+    * on lang), and a language's documents never colocate beyond their
+    * sort range; for an approximate audit at extreme scale the same shape
+    * runs on approx_percentile, but the exact decile bounds are what a
+    * reproducible threshold needs. */
+  val qualityLengthDist: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    docs(s, d)
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("decile", ntile(10).over(w).cast(LongType))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("decile"))
+  }
+
   // ----------------------------------------------------------- sharding
   /** Shard count for [[shardExport]] — at 100 TB this is the scale knob
     * (shards ∝ corpus / target-file-size), like [[packShards]]. */
@@ -537,6 +562,7 @@ object PipelineOps {
     "split_dataset" -> splitDataset,
     "corpus_mix" -> corpusMix,
     "quality_gopher" -> qualityGopher,
+    "quality_length_dist" -> qualityLengthDist,
     "curation_pipeline" -> curationPipeline,
     "sample_token_budget" -> sampleTokenBudget,
     "corpus_mix_temperature" -> corpusMixTemperature,
@@ -555,6 +581,15 @@ object PipelineOps {
          FROM documents)"""
 
   val oracle: Map[String, String] = Map(
+    "quality_length_dist" ->
+      """SELECT lang, CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+         FROM (SELECT lang, n_chars,
+                 ntile(10) OVER (PARTITION BY lang
+                                 ORDER BY n_chars, doc_id) AS decile
+               FROM documents)
+         GROUP BY lang, decile ORDER BY lang, decile""",
     // content-neutrality: the clustered rewrite must return the table bit-same
     "compact_cluster" ->
       """SELECT * FROM lineitem

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnalyticsOps, GraphOps, SimilarityOps}
+import graft.operators.{AnalyticsOps, GraphOps, PipelineOps, SimilarityOps}
 
 /** Round-7 third batch: multi-source BFS, daily sequence-pattern census,
   * per-dimension embedding profile. Each spec cross-checks the operator
@@ -88,5 +88,57 @@ class RoundSevenBatchThreeSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(d1.getDouble(5) == variance)
     assert(out.forall(_.getDouble(5) >= 0.0), "variance is nonnegative")
+  }
+
+  test("events_user_activity: histogram mass equals the corpus") {
+    val out = AnalyticsOps.queries("events_user_activity")(spark, dir).collect()
+    val totalEvents = Tables.load(spark, dir, "events").count()
+    val totalUsers = Tables.load(spark, dir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(out.map(r => r.getLong(0) * r.getLong(1)).sum == totalEvents)
+    assert(out.map(_.getLong(1)).sum == totalUsers)
+    val ks = out.map(_.getLong(0))
+    assert(ks.sameElements(ks.sorted))
+  }
+
+  test("graph_assortativity: matches the brute-force Pearson over edge-end degrees") {
+    val e = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .groupBy(_.getLong(0)).values
+      .flatMap { rows =>
+        val ps = rows.map(_.getLong(1)).distinct.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+      }.toSet
+    val sym = e.toSeq ++ e.toSeq.map(_.swap)
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val js = sym.map { case (a, b) => (deg(a), deg(b)) }
+    val m = BigInt(js.size)
+    val sjk = js.map { case (j, k) => BigInt(j) * BigInt(k) }.sum
+    val sj = js.map(p => BigInt(p._1)).sum
+    val sj2 = js.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val expect = BigDecimal(
+        (m * sjk - sj * sj).toDouble / (m * sj2 - sj * sj).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = GraphOps.queries("graph_assortativity")(spark, dir).head()
+    assert(row.getLong(0) == js.size.toLong)
+    assert(row.getDouble(1) == expect)
+    assert(math.abs(row.getDouble(1)) <= 1.0)
+  }
+
+  test("quality_length_dist: deciles are equal-count (±1) and span-ordered per language") {
+    val out = PipelineOps.queries("quality_length_dist")(spark, dir).collect()
+      .groupBy(_.getString(0))
+    out.foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).sameElements(1L to 10L), s"$lang missing deciles")
+      val ns = sorted.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"$lang deciles uneven: ${ns.mkString(",")}")
+      // each decile's span starts at or after the previous one's start,
+      // and its max never exceeds the next decile's min
+      sorted.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo.getLong(4) <= hi.getLong(3),
+          s"$lang decile spans overlap: ${lo.getLong(4)} > ${hi.getLong(3)}")
+      }
+    }
   }
 }
