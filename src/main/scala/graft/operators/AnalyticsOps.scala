@@ -286,12 +286,20 @@ object AnalyticsOps {
                                'wb', element_at(w, i + 1)))""")).as("p"))
       .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
       .agg(count(lit(1)).as("c"))
+      // pin the bigram table: every decode step probes it, and the final
+      // union references every step — unpinned, the corpus-sized bigram
+      // aggregate re-executes O(steps²) times (measured 2.5 s at sf0.1;
+      // one aggregate + 8 one-row probes after pinning). The table is
+      // distinct-bigram-bounded (vocabulary-shaped), not corpus-sized.
+      .localCheckpoint()
     val s0 = uni.orderBy(col("c").desc, col("word")).limit(1)
       .select(lit(0L).as("step"), col("word"))
+      .localCheckpoint()
     val steps = (1 to greedyDecodeSteps).scanLeft(s0) { (prev, i) =>
       bi.join(broadcast(prev.select(col("word").as("wa"))), "wa")
         .orderBy(col("c").desc, col("wb")).limit(1)
         .select(lit(i.toLong).as("step"), col("wb").as("word"))
+        .localCheckpoint() // one row; keeps step k from replaying steps 0..k-1
     }
     steps.reduce(_ unionAll _).orderBy(col("step"))
   }
