@@ -184,6 +184,37 @@ object DedupOps {
       minhashCandidates(s, d).write.parquet(s"$dir/pairs")
     }
 
+  /** Thresholds the calibration curve sweeps — the operating points a
+    * dedup owner actually debates (0.5 = near-dup floor … 1.0 = exact). */
+  val curveThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+
+  /** Jaccard threshold calibration curve: how many verified duplicate
+    * pairs survive at each candidate threshold — the plot a pipeline owner
+    * reads before choosing the dedup operating point (too low merges
+    * near-misses, too high leaks templated dups; the knee is
+    * corpus-specific and must be measured, not defaulted). Rides the
+    * materialized LSH candidate artifact and ONE exact-verify pass at the
+    * 0.5 floor — the same verified (pair, jaccard) table dedup_minhash
+    * emits — then counts each threshold's survivors in one
+    * pairs×thresholds pass (candidate-pair-bounded, a sliver of the
+    * corpus; the 6-row threshold spine broadcasts). Zero-survivor
+    * thresholds still emit a row (spine left-join): a disappearing curve
+    * point is signal, not absence. */
+  val dedupThresholdCurve: Q = (s, d) => {
+    val pairs = s.read.parquet(s"${minhashCandPath(s, d)}/pairs")
+    val scored = verifyJaccard(s, d, pairs, curveThresholds.min)
+    val spine = s.range(1)
+      .select(explode(array(curveThresholds.map(lit(_)): _*)).as("threshold"))
+    val counts = scored.select(col("jaccard"))
+      .crossJoin(broadcast(spine))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    spine.join(counts, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy(col("threshold"))
+  }
+
   /** Duplicate-cluster size distribution — the number a pipeline owner
     * watches for mega-cluster formation (a size-10⁶ boilerplate cluster is
     * an upstream crawl bug, not data): one row per cluster size with the
@@ -910,6 +941,7 @@ object DedupOps {
     "dedup_lsh_recall" -> dedupLshRecall,
     "dedup_source_matrix" -> dedupSourceMatrix,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_threshold_curve" -> dedupThresholdCurve,
     "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -1016,6 +1048,27 @@ object DedupOps {
                   JOIN sizes nb ON inter.b = nb.doc_id
        WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
        ORDER BY a, b"""
+
+  private def thresholdCurveOracle: String = {
+    val values = curveThresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH $shingleCtes,
+       $minhashCandCtes,
+       inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+                 FROM posting x JOIN posting y
+                   ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                 JOIN cand c ON c.a = x.doc_id AND c.b = y.doc_id
+                 GROUP BY x.doc_id, y.doc_id),
+       scored AS (
+         SELECT CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+         FROM inter JOIN sizes na ON inter.a = na.doc_id
+                    JOIN sizes nb ON inter.b = nb.doc_id
+         WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= ${curveThresholds.min})
+       SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+              CAST(COUNT(s.jaccard) AS BIGINT) AS n_pairs
+       FROM (VALUES $values) t(threshold)
+       LEFT JOIN scored s ON s.jaccard >= t.threshold
+       GROUP BY t.threshold ORDER BY t.threshold"""
+  }
 
   private def lshRecallOracle: String =
     s"""WITH $shingleCtes,
@@ -1306,6 +1359,7 @@ object DedupOps {
          WHERE CAST(i AS DOUBLE) / LEAST(na.n, nb.n) >= 0.8
          ORDER BY a, b""",
     "dedup_minhash" -> minhashOracle,
+    "dedup_threshold_curve" -> thresholdCurveOracle,
     "dedup_fuzzy" -> fuzzyOracle,
     "dedup_lsh_recall" -> lshRecallOracle,
     "dedup_source_matrix" -> sourceMatrixOracle,

@@ -173,6 +173,44 @@ object StreamOps {
     }
   }
 
+  /** Streaming first-touch funnel: the live conversion board. The STREAM
+    * maintains exactly per-(user, stage) FIRST-touch times — a min
+    * aggregate over (user_id, event_type), three longs per user, which is
+    * the minimum state ANY funnel over unbounded input must hold (you
+    * cannot know a user's first view without remembering it). The ordered
+    * chaining (view before click before purchase) runs as a batch
+    * post-pass over the replayed per-user table — users-sized, nothing
+    * like event volume. Semantics note: this is the FIRST-TOUCH-ordered
+    * funnel (t_view < t_click < t_purchase over unconditional stage
+    * minima), the incrementally-maintainable variant; the batch
+    * `events_funnel` computes the stricter staged-re-anchor form (min
+    * click AFTER the first view), which needs event-level history and is
+    * exactly why live funnel dashboards use first-touch. In production the
+    * per-user state expires by TTL (mapGroupsWithState timeout); a finite
+    * replay keeps it all, and the oracle replays the same definition in
+    * batch SQL. */
+  val streamFunnel: Q = (s, d) => {
+    val agg = eventStream(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("t"))
+    val firsts = runToCompletion(s, agg,
+      s"graft_stream_funnel_${System.nanoTime()}", inputBytes = eventsBytes(d))
+    val pv = firsts.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("t"))).as("tv"),
+        min(when(col("event_type") === "click", col("t"))).as("tc"),
+        min(when(col("event_type") === "purchase", col("t"))).as("tp"))
+    val stages = Seq(
+      "1_view" -> pv.filter(col("tv").isNotNull),
+      "2_click" -> pv.filter(col("tv").isNotNull && col("tc").isNotNull &&
+        col("tv") < col("tc")),
+      "3_purchase" -> pv.filter(col("tv").isNotNull && col("tc").isNotNull &&
+        col("tp").isNotNull && col("tv") < col("tc") && col("tc") < col("tp")))
+    stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    }.reduce(_ unionAll _).orderBy(col("stage"))
+  }
+
   /** Tumbling-window streaming aggregation: hourly event counts + exact
     * decimal value sums per event_type, with a 10-minute watermark (no-op on
     * a finite replay, load-bearing on an unbounded one: it bounds state by
@@ -481,6 +519,7 @@ object StreamOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "stream_funnel" -> streamFunnel,
     "stream_bloom" -> streamBloom,
     "stream_anomaly" -> streamAnomaly,
     "stream_near_dedup" -> streamNearDedup,
@@ -498,6 +537,29 @@ object StreamOps {
     * two half-hour-offset tumbling grids. ts is truncated to microseconds on
     * the DuckDB side to match the stream's nanos→micros conversion. */
   val oracle: Map[String, String] = Map(
+    // first-touch funnel: unconditional per-stage minima, ordered chaining
+    "stream_funnel" ->
+      """WITH f AS (
+           SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                 THEN date_trunc('microseconds', ts) END) AS tv,
+             MIN(CASE WHEN event_type = 'click'
+                 THEN date_trunc('microseconds', ts) END) AS tc,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN date_trunc('microseconds', ts) END) AS tp
+           FROM events GROUP BY user_id)
+         SELECT stage, n_users FROM (
+           SELECT '1_view' AS stage,
+             CAST(COUNT(*) FILTER (tv IS NOT NULL) AS BIGINT) AS n_users FROM f
+           UNION ALL
+           SELECT '2_click',
+             CAST(COUNT(*) FILTER (tv IS NOT NULL AND tc IS NOT NULL
+               AND tv < tc) AS BIGINT) FROM f
+           UNION ALL
+           SELECT '3_purchase',
+             CAST(COUNT(*) FILTER (tv IS NOT NULL AND tc IS NOT NULL
+               AND tp IS NOT NULL AND tv < tc AND tc < tp) AS BIGINT) FROM f)
+         ORDER BY stage""",
     // a finite replay must equal the batch prefilter exactly — same oracle
     "stream_bloom" -> graft.operators.DedupOps.oracle("dedup_bloom_prefilter"),
     // a finite replay of the stream equals the batch anomaly board

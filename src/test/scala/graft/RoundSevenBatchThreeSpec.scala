@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnalyticsOps, GraphOps, PipelineOps, SimilarityOps}
+import graft.operators.{AnalyticsOps, DedupOps, GraphOps, PipelineOps, SimilarityOps}
 
 /** Round-7 third batch: multi-source BFS, daily sequence-pattern census,
   * per-dimension embedding profile. Each spec cross-checks the operator
@@ -123,6 +123,40 @@ class RoundSevenBatchThreeSpec extends AnyFunSuite {
     assert(row.getLong(0) == js.size.toLong)
     assert(row.getDouble(1) == expect)
     assert(math.abs(row.getDouble(1)) <= 1.0)
+  }
+
+  test("stream_funnel: stages are monotone and match the batch first-touch recompute") {
+    val out = graft.streaming.StreamOps.queries("stream_funnel")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("1_view", "2_click", "3_purchase"))
+    assert(out("1_view") >= out("2_click") && out("2_click") >= out("3_purchase"))
+    // recompute first-touch stage counts from the raw batch events
+    val f = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("tv"),
+        min(when(col("event_type") === "click", col("ts"))).as("tc"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      .collect()
+    def lt(a: java.sql.Timestamp, b: java.sql.Timestamp) =
+      a != null && b != null && a.before(b)
+    val n1 = f.count(_.getTimestamp(1) != null)
+    val n2 = f.count(r => lt(r.getTimestamp(1), r.getTimestamp(2)))
+    val n3 = f.count(r => lt(r.getTimestamp(1), r.getTimestamp(2)) &&
+      lt(r.getTimestamp(2), r.getTimestamp(3)))
+    assert(out("1_view") == n1.toLong && out("2_click") == n2.toLong &&
+      out("3_purchase") == n3.toLong)
+  }
+
+  test("dedup_threshold_curve: monotone nonincreasing, floor equals dedup_minhash") {
+    val out = DedupOps.queries("dedup_threshold_curve")(spark, dir)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1))
+    assert(out.map(_._1).sameElements(DedupOps.curveThresholds))
+    val ns = out.map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      s"curve not monotone: ${ns.mkString(",")}")
+    val floorPairs = DedupOps.queries("dedup_minhash")(spark, dir).count()
+    assert(ns.head == floorPairs, "0.5 point must equal the verified pair set")
   }
 
   test("quality_length_dist: deciles are equal-count (±1) and span-ordered per language") {
