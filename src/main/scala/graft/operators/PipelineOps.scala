@@ -494,6 +494,33 @@ object PipelineOps {
       .orderBy(col("cum_tokens"))
   }
 
+  /** Language-mix audit by source: per (source, language) document counts
+    * with each language's share WITHIN its source and the lift of that
+    * share against the corpus-wide language share — the mix-drift readout
+    * a corpus owner checks when a new crawl source lands (a source whose
+    * language lift is far from 1 will move the trained model's language
+    * balance; this table is what the [[corpusMix]] reweighting is tuned
+    * against). One corpus-sized grouped count; the share/lift arithmetic
+    * runs over the sources×languages counts table (audit-sized), where
+    * the global/marginal sums are window folds and both floats divide
+    * exact longs once, identical formula text in the oracle. */
+  val corpusLangMix: Q = (s, d) => {
+    val c = docs(s, d).groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    c.withColumn("src_n", sum(col("n")).over(Window.partitionBy(col("source"))))
+      .withColumn("lang_n", sum(col("n")).over(Window.partitionBy(col("lang"))))
+      // empty-frame window: fine here BECAUSE the input is the bounded
+      // counts table, not the corpus — the single-partition fold sees
+      // sources×languages rows
+      .withColumn("tot_n", sum(col("n")).over(Window.partitionBy()))
+      .select(col("source"), col("lang"), col("n"),
+        round(col("n").cast(DoubleType) / col("src_n").cast(DoubleType), 6)
+          .as("share_in_source"),
+        round((col("n") * col("tot_n")).cast(DoubleType) /
+          (col("src_n") * col("lang_n")).cast(DoubleType), 6).as("lift"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Per-language length deciles: each language's documents rank into 10
     * equal-count buckets by (n_chars, doc_id) and every bucket reports its
     * size and char-length span — the length-cutoff calibration a quality
@@ -563,6 +590,7 @@ object PipelineOps {
     "corpus_mix" -> corpusMix,
     "quality_gopher" -> qualityGopher,
     "quality_length_dist" -> qualityLengthDist,
+    "corpus_lang_mix" -> corpusLangMix,
     "curation_pipeline" -> curationPipeline,
     "sample_token_budget" -> sampleTokenBudget,
     "corpus_mix_temperature" -> corpusMixTemperature,
@@ -581,6 +609,19 @@ object PipelineOps {
          FROM documents)"""
 
   val oracle: Map[String, String] = Map(
+    "corpus_lang_mix" ->
+      """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM documents GROUP BY 1, 2),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+         s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS s_n FROM c GROUP BY source),
+         l AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS l_n FROM c GROUP BY lang)
+         SELECT c.source, c.lang, c.n,
+           round(CAST(c.n AS DOUBLE) / CAST(s.s_n AS DOUBLE), 6)
+             AS share_in_source,
+           round(CAST(c.n * t.tot AS DOUBLE) / CAST(s.s_n * l.l_n AS DOUBLE), 6)
+             AS lift
+         FROM c JOIN s USING (source) JOIN l USING (lang) CROSS JOIN t
+         ORDER BY source, lang""",
     "quality_length_dist" ->
       """SELECT lang, CAST(decile AS BIGINT) AS decile,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

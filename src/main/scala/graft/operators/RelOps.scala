@@ -845,6 +845,22 @@ object RelOps {
     * wash; under real skew (one key = 30% of 100 TB) phase 1 is what keeps
     * a single reducer from owning that key's entire volume. Same pattern as
     * [[joinSalted]], aggregation-shaped. */
+  /** Quantity-weighted average unit price per return flag — the weighted
+    * metric every pricing/quality dashboard carries (a plain AVG over
+    * line items double-counts big lines). Both sums are EXACT decimals
+    * (weight × value widens, never rounds), so partial aggregation order
+    * cannot move the result; the single float division + round happens
+    * once per output row with identical formula text in the oracle.
+    * One two-phase map-side-combined aggregate — flag-cardinality output. */
+  val aggWeightedAvg: Q = (s, d) =>
+    t(s, d, "lineitem").groupBy($"l_returnflag")
+      .agg(sum(dec($"l_extendedprice") * dec($"l_quantity")).as("wsum"),
+        sum(dec($"l_quantity")).as("w"))
+      .select($"l_returnflag",
+        round($"wsum".cast(DoubleType) / $"w".cast(DoubleType), 6)
+          .as("weighted_avg_price"))
+      .orderBy($"l_returnflag")
+
   val aggSalted: Q = (s, d) => {
     val salted = t(s, d, "lineitem")
       .groupBy($"l_returnflag", pmod(crc32($"l_orderkey".cast(StringType)), lit(16)).as("salt"))
@@ -1233,6 +1249,7 @@ object RelOps {
     "sort_global_index" -> sortGlobalIndex,
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_salted" -> aggSalted,
+    "agg_weighted_avg" -> aggWeightedAvg,
     "agg_incremental_merge" -> aggIncrementalMerge,
     "agg_approx_topk" -> aggApproxTopK,
     "resample_gapfill" -> resampleGapfill,
@@ -1629,6 +1646,14 @@ object RelOps {
       """SELECT l_returnflag,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
          COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_weighted_avg" ->
+      """SELECT l_returnflag,
+         round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                        * CAST(l_quantity AS DECIMAL(10,6)))
+                 AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS weighted_avg_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // partial-merge maintenance must equal the one-pass aggregate
     "agg_incremental_merge" ->

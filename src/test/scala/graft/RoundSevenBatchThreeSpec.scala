@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnalyticsOps, DedupOps, GraphOps, PipelineOps, SimilarityOps}
+import graft.operators.{AnalyticsOps, DedupOps, GraphOps, PipelineOps, RelOps, SimilarityOps}
 
 /** Round-7 third batch: multi-source BFS, daily sequence-pattern census,
   * per-dimension embedding profile. Each spec cross-checks the operator
@@ -157,6 +157,37 @@ class RoundSevenBatchThreeSpec extends AnyFunSuite {
       s"curve not monotone: ${ns.mkString(",")}")
     val floorPairs = DedupOps.queries("dedup_minhash")(spark, dir).count()
     assert(ns.head == floorPairs, "0.5 point must equal the verified pair set")
+  }
+
+  test("agg_weighted_avg: matches the exact driver-side weighted mean") {
+    val out = RelOps.queries("agg_weighted_avg")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rows = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { case (flag, rs) =>
+      def d6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val wsum = rs.map(r => d6(r.getDouble(1)) * d6(r.getDouble(2))).sum
+      val w = rs.map(r => d6(r.getDouble(2))).sum
+      val expect = BigDecimal(wsum.toDouble / w.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(flag) == expect, s"flag $flag")
+    }
+  }
+
+  test("corpus_lang_mix: shares sum to 1 per source, lift-weighted shares are consistent") {
+    val out = PipelineOps.queries("corpus_lang_mix")(spark, dir).collect()
+    val total = Tables.load(spark, dir, "documents").count()
+    assert(out.map(_.getLong(2)).sum == total, "counts cover the corpus")
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val shareSum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(shareSum - 1.0) < 1e-4, s"$src shares sum to $shareSum")
+    }
+    // lift == 1 exactly when a source's language share equals the corpus share
+    out.foreach { r =>
+      assert(r.getDouble(4) > 0.0, "lift is positive on nonzero cells")
+    }
   }
 
   test("quality_length_dist: deciles are equal-count (±1) and span-ordered per language") {
