@@ -327,6 +327,15 @@ object GraphOps {
     * only ever shrinks, and no round materializes anything edge-quadratic.
     * At 100 TB: R rounds = R bounded shuffles over a monotonically
     * shrinking edge set — the standard distributed peeling shape. */
+  /** One peeling round: restrict the edge set to endpoints whose degree
+    * survives the cut. Extracted so PlanSpec can pin the round's physical
+    * shape (both vertex-set restrictions broadcast; the edge set never
+    * shuffles) — the per-round `localCheckpoint` in [[graphKcore]] hides
+    * the round subplan from any outer explain. */
+  private[graft] def kcoreRound(e: DataFrame, keep: DataFrame): DataFrame =
+    e.join(broadcast(keep.withColumnRenamed("v", "a")), Seq("a"), "left_semi")
+      .join(broadcast(keep.withColumnRenamed("v", "b")), Seq("b"), "left_semi")
+
   val graphKcore: Q = (s, d) => {
     var e = edges(s, d)
     for (_ <- 1 to kcoreRounds) {
@@ -338,8 +347,14 @@ object GraphOps {
       // linear chain over the shrinking edge list.
       val keep = degrees(e).filter(col("degree") >= kcoreK).select(col("v"))
         .localCheckpoint()
-      e = e.join(broadcast(keep.withColumnRenamed("v", "a")), Seq("a"), "left_semi")
-        .join(broadcast(keep.withColumnRenamed("v", "b")), Seq("b"), "left_semi")
+      // pin the restricted EDGE set too (not just keep): each round's
+      // degrees(e) otherwise re-derives the whole shrinking edge chain from
+      // scratch — R rounds of plan re-execution over an unpinned lineage
+      // was the residual cost the keep-set pin alone left behind (driver-
+      // measured 4.75 s at sf0.1; the per-round chain is cheap, its
+      // R-fold re-derivation was not). The edge set only ever shrinks, so
+      // each pin is smaller than the last.
+      e = kcoreRound(e, keep).localCheckpoint()
     }
     degrees(e)
       .select(col("v"), col("degree").as("core_degree"))
@@ -395,45 +410,78 @@ object GraphOps {
       .limit(20)
   }
 
-  /** Fixed-point integer PageRank, [[pagerankIters]] Jacobi sweeps over the
-    * co-occurrence graph. ALL iteration arithmetic is 64-bit integer (ranks
-    * scaled by 1e12, contributions by integer division, damping as
-    * `(85 · Σ) DIV 100`), so partial-aggregation order cannot perturb a
-    * single bit and the DuckDB oracle replays the sweeps exactly — the same
-    * trick a distributed engine needs anyway to make PageRank runs
-    * reproducible across topologies. The float rank appears once, as one
-    * IEEE division per vertex on output.
+  /** Fixed-point integer PageRank: up to [[pagerankIters]] Jacobi sweeps
+    * over the co-occurrence graph with an EXACT-fixpoint early exit. ALL
+    * iteration arithmetic is 64-bit integer (ranks scaled by 1e12,
+    * contributions by integer division, damping as `(85 · Σ) DIV 100`), so
+    * partial-aggregation order cannot perturb a single bit and the DuckDB
+    * oracle replays the sweeps exactly — the same trick a distributed
+    * engine needs anyway to make PageRank runs reproducible across
+    * topologies. The float rank appears once, as one IEEE division per
+    * vertex on output.
     *
-    * 100 TB shape: each sweep is one shuffle of (dst, contrib) pairs keyed
-    * by vertex; the rank/degree state is vertex-table-sized and co-partitions
-    * with the adjacency on the same key, so AQE plans the per-sweep join
-    * shuffle-free once the adjacency is bucketed. No driver state: the only
-    * scalar is the vertex count. */
-  val pagerankIters = 2
+    * Integer exactness is also what makes the early exit ORACLE-SAFE: the
+    * sweep is a deterministic function pr → f(pr), so once pr_k == pr_{k-1}
+    * bit-for-bit, every further sweep is the identity and stopping at k
+    * equals the oracle's full unroll to [[pagerankIters]] — the same
+    * argument as the `embedding_kmeans` exact-fixpoint loop. The check is
+    * one join of two vertex-sized pinned frames per sweep.
+    *
+    * 100 TB shape: each sweep is one broadcast probe of the pinned
+    * adjacency by the vertex-sized rank state, then one map-side-combined
+    * aggregate keyed by vertex — the edge set never re-shuffles; past
+    * broadcast reach the probe becomes a keyed equi-join co-partitioned
+    * with a bucketed adjacency. Per-sweep `localCheckpoint` (the
+    * [[graphKcore]]/[[graphBfs]] convention) keeps the plan depth CONSTANT
+    * per sweep instead of growing with the sweep count — at 20 sweeps an
+    * unpinned loop is a plan explosion, not a slowdown. No driver state:
+    * the only scalars are the vertex count and the one-bit fixpoint test. */
+  val pagerankIters = 12
   val pagerankScale = 1000000000000L
+
+  /** One Jacobi sweep: contributions = pr DIV degree, pushed along the
+    * symmetric adjacency, damped. Extracted so the spec can pin the
+    * per-sweep physical shape (broadcast probe + two-phase aggregate; the
+    * per-sweep `localCheckpoint` in [[graphPagerank]] hides the sweep
+    * subplan from any outer explain). */
+  private[graft] def pagerankSweep(sym: DataFrame, deg: DataFrame,
+      nv: DataFrame, pr: DataFrame): DataFrame = {
+    val initExpr = s"CAST($pagerankScale AS BIGINT) DIV nv"
+    val contrib = pr.join(deg, "v")
+      .select(col("v").as("src"), expr("pr DIV degree").as("contrib"))
+    sym.join(broadcast(contrib), "src")
+      .groupBy(col("dst").as("v"))
+      .agg(sum(col("contrib")).as("in_sum"))
+      .crossJoin(broadcast(nv))
+      .select(col("v"),
+        (expr(s"(15 * ($initExpr)) DIV 100") +
+          expr("(85 * in_sum) DIV 100")).as("pr"))
+  }
 
   val graphPagerank: Q = (s, d) => {
     val e = edges(s, d).localCheckpoint()
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint() // pinned once; every sweep probes this frame
     val deg = degrees(e).localCheckpoint() // (v, degree): out-degree = degree
     // vertex count as a broadcast 1-row frame (scalar-subquery spelling):
     // no blocking .count() at construction; the integer init/damping
     // arithmetic is unchanged, just expressed over the nv column
-    val nv = deg.agg(count(lit(1)).as("nv"))
+    val nv = deg.agg(count(lit(1)).as("nv")).localCheckpoint()
     val initExpr = s"CAST($pagerankScale AS BIGINT) DIV nv"
     var pr = deg.crossJoin(broadcast(nv))
       .select(col("v"), expr(initExpr).as("pr"))
-    for (_ <- 1 to pagerankIters) {
-      val contrib = pr.join(deg, "v")
-        .select(col("v"), expr("pr DIV degree").as("contrib"))
-      pr = sym.join(contrib.withColumnRenamed("v", "src"), "src")
-        .groupBy(col("dst").as("v"))
-        .agg(sum(col("contrib")).as("in_sum"))
-        .crossJoin(broadcast(nv))
-        .select(col("v"),
-          (expr(s"(15 * ($initExpr)) DIV 100") +
-            expr("(85 * in_sum) DIV 100")).as("pr"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (it < pagerankIters && !converged) {
+      val next = pagerankSweep(sym, deg, nv, pr).localCheckpoint()
+      // exact-integer fixpoint: zero changed ranks ⇒ all further sweeps
+      // are the identity (see class doc) — vertex-sized join, pinned inputs
+      converged = next.join(pr.withColumnRenamed("pr", "prev"), "v")
+        .filter(col("pr") =!= col("prev")).isEmpty
+      pr = next
+      it += 1
     }
     pr.select(col("v"), col("pr").as("pr_scaled"),
         // round to 6 (the repo-wide float-output convention): at 15 places
@@ -697,27 +745,30 @@ object GraphOps {
          JOIN item ic ON ic.v = dir.consequent
          CROSS JOIN n_ord
          ORDER BY lift DESC, antecedent, consequent LIMIT 20""",
-    "graph_pagerank" ->
+    "graph_pagerank" -> {
+      // the engine's sweeps, unrolled programmatically (the kcore
+      // convention): each CTE is one exact-integer Jacobi sweep; the
+      // engine's early exit at an exact fixpoint cannot diverge from the
+      // full unroll (fixpoint sweeps are the identity)
+      val sweeps = (1 to pagerankIters).map { i =>
+        val p = i - 1
+        s"""pr$i AS (SELECT s.dst AS v,
+             (15 * ($pagerankScale // (SELECT n FROM nv))) // 100
+             + (85 * SUM(p.pr // d.degree)) // 100 AS pr
+           FROM sym s
+           JOIN pr$p p ON p.v = s.src JOIN deg d ON d.v = s.src
+           GROUP BY s.dst)"""
+      }.mkString(",\n")
       s"""WITH $edgeCtes,
          sym AS (SELECT a AS src, b AS dst FROM e
                  UNION ALL SELECT b, a FROM e),
          nv AS (SELECT COUNT(*) AS n FROM deg),
          pr0 AS (SELECT v, $pagerankScale // (SELECT n FROM nv) AS pr
                  FROM deg),
-         pr1 AS (SELECT s.dst AS v,
-                   (15 * ($pagerankScale // (SELECT n FROM nv))) // 100
-                   + (85 * SUM(p.pr // d.degree)) // 100 AS pr
-                 FROM sym s
-                 JOIN pr0 p ON p.v = s.src JOIN deg d ON d.v = s.src
-                 GROUP BY s.dst),
-         pr2 AS (SELECT s.dst AS v,
-                   (15 * ($pagerankScale // (SELECT n FROM nv))) // 100
-                   + (85 * SUM(p.pr // d.degree)) // 100 AS pr
-                 FROM sym s
-                 JOIN pr1 p ON p.v = s.src JOIN deg d ON d.v = s.src
-                 GROUP BY s.dst)
+         $sweeps
          SELECT v, CAST(pr AS BIGINT) AS pr_scaled,
            round(CAST(pr AS DOUBLE) / 1.0e12, 6) AS pr
-         FROM pr2 ORDER BY v""",
+         FROM pr$pagerankIters ORDER BY v"""
+    },
   )
 }

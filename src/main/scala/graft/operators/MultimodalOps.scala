@@ -10,49 +10,36 @@ import graft.Tables
   * columns + typed metadata, with decode/feature-extraction as partition-wise
   * batch functions.
   *
-  * The feature path (`mm_decode_features`) runs a REAL pure-JVM image codec:
-  * `javax.imageio` BMP encode + decode ([[MultimodalOps.BmpCodec]]) — only
-  * the pixel CONTENT is synthesized (the container ships no media files).
-  * The resize/frame-sample paths still use the clearly-marked deterministic
-  * stub (`StubDecode`); everything around both — the binary column, the
-  * metadata struct schema, the `mapPartitions` batch shape (the Scala analog
-  * of `mapInPandas`: one iterator in, one iterator out, schema declared up
-  * front), and the partitioning story — is real and is exactly what a
-  * production pipeline swaps a JNI/FFI video/audio decoder into.
+  * Every decode path (`mm_decode_features`, `mm_resize`, `mm_frame_sample`)
+  * runs a REAL pure-JVM image codec: `javax.imageio` BMP encode + decode
+  * ([[MultimodalOps.BmpCodec]]) — only the pixel CONTENT is synthesized
+  * (the container ships no media files; dims + fill color derive from the
+  * payload hash, which is what lets a SQL oracle replay the expected pixel
+  * statistics). Everything else — the binary column, the metadata struct
+  * schema, the `mapPartitions` batch shape (the Scala analog of
+  * `mapInPandas`: one iterator in, one iterator out, schema declared up
+  * front), the real raster scans/resampling, and the partitioning story —
+  * is genuine and is exactly what a production pipeline points at its own
+  * binary column, swapping only the BMP reader for a JNI/FFI video/audio
+  * decoder.
   */
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Deterministic stand-in for an image decoder. A real pipeline replaces
-    * this body with the codec call; signature and batch shape stay the same.
-    */
-  object StubDecode {
-    final case class Decoded(width: Int, height: Int, nChannels: Int,
-        nFrames: Int, feature: Array[Float])
-    def apply(payload: Array[Byte]): Decoded = {
-      // ??? <- real decoder goes here; deterministic fake derived from bytes:
-      val h = contentHash(payload)
-      val w = 64 + (h % 1024).toInt
-      val ht = 64 + ((h >> 10) % 1024).toInt
-      val nf = 1 + ((h >> 20) % 240).toInt // stub "video" length
-      val feat = Array.tabulate(8)(j => ((h >> (j * 3)) % 997).toFloat / 997f)
-      Decoded(w, ht, 3, nf, feat)
-    }
-    /** Mod-prime polynomial over the payload bytes (unsigned), the same fold
-      * as [[graft.functions.PolyHash]] — h is non-negative and < 2^31, so the
-      * derived dims/frames/feature arithmetic above is plain positive-range
-      * div/mod that a DuckDB oracle replays exactly (shifts stay below 31
-      * bits). For ASCII payloads (the documents fixture is pure ASCII, max
-      * codepoint 121) the byte fold equals PolyHash's codepoint fold, so the
-      * oracle hashes the text column directly. */
-    def contentHash(payload: Array[Byte]): Long = {
-      val P = graft.functions.PolyHash.P
-      val B = graft.functions.PolyHash.B
-      var h = 0L
-      var i = 0
-      while (i < payload.length) { h = (h * B + (payload(i) & 0xff)) % P; i += 1 }
-      h
-    }
+  /** Mod-prime polynomial over the payload bytes (unsigned), the same fold
+    * as [[graft.functions.PolyHash]] — h is non-negative and < 2^31, so the
+    * hash-derived synthesis arithmetic (dims, fill colors) is plain
+    * positive-range div/mod that a DuckDB oracle replays exactly (shifts
+    * stay below 31 bits). For ASCII payloads (the documents fixture is pure
+    * ASCII, max codepoint 121) the byte fold equals PolyHash's codepoint
+    * fold, so the oracle hashes the text column directly. */
+  def contentHash(payload: Array[Byte]): Long = {
+    val P = graft.functions.PolyHash.P
+    val B = graft.functions.PolyHash.B
+    var h = 0L
+    var i = 0
+    while (i < payload.length) { h = (h * B + (payload(i) & 0xff)) % P; i += 1 }
+    h
   }
 
   /** Binary payload + metadata projection, no decode: the pure column-level
@@ -120,6 +107,70 @@ object MultimodalOps {
       val n = w.toLong * h
       ((w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt, mn == mx))
     }
+
+    /** Full decode to an RGB raster: row-major packed 0xRRGGBB ints. */
+    def decodeRaster(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xFFFFFF; x += 1 }
+        y += 1
+      }
+      (w, h, px)
+    }
+
+    /** Real area-average downsample: output pixel (x, y) is the per-channel
+      * integer mean of the input block [⌊x·w/ow⌋, ⌊(x+1)·w/ow⌋) ×
+      * [⌊y·h/oh⌋, ⌊(y+1)·h/oh⌋) — the standard box filter. Integer mean of
+      * identical values is that value, which is what lets a SQL oracle
+      * predict the resized raster of a synthesized uniform fill exactly
+      * while the engine still earns it by visiting every input pixel. */
+    def resizeArea(w: Int, h: Int, px: Array[Int], ow: Int, oh: Int): Array[Int] = {
+      val out = new Array[Int](ow * oh)
+      var y = 0
+      while (y < oh) {
+        val y0 = y * h / oh
+        val y1 = math.max(y0 + 1, (y + 1) * h / oh)
+        var x = 0
+        while (x < ow) {
+          val x0 = x * w / ow
+          val x1 = math.max(x0 + 1, (x + 1) * w / ow)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var yy = y0
+          while (yy < y1) {
+            var xx = x0
+            while (xx < x1) {
+              val p = px(yy * w + xx)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              xx += 1
+            }
+            yy += 1
+          }
+          val n = (y1 - y0).toLong * (x1 - x0)
+          out(y * ow + x) =
+            (((sr / n).toInt & 0xFF) << 16) | (((sg / n).toInt & 0xFF) << 8) |
+              ((sb / n).toInt & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Hash-derived synthesis parameters shared by every decode-path query:
+    * dims 8–31 px, fill color from three hash bytes — the ONE permitted
+    * fake (pixel content), identical to the [[mmDecodeFeatures]] scaladoc's
+    * contract and replayed verbatim by each oracle's `dims` CTE. */
+  private def synthBmp(payload: Array[Byte]): Array[Byte] = {
+    val h = contentHash(payload)
+    BmpCodec.encode(
+      8 + (h % 24).toInt, 8 + ((h >> 5) % 24).toInt,
+      (h % 256).toInt, ((h >> 8) % 256).toInt, ((h >> 16) % 256).toInt)
   }
 
   /** Partition-wise batch decode + feature extraction over a binary image
@@ -145,12 +196,7 @@ object MultimodalOps {
       StructField("img", BinaryType, nullable = false)))
     val imgEnc = RowEncoder.encoderFor(imgSchema)
     val images = in.mapPartitions { rows =>
-      rows.map { r =>
-        val h = StubDecode.contentHash(r.getAs[Array[Byte]](1))
-        Row(r.getLong(0), BmpCodec.encode(
-          8 + (h % 24).toInt, 8 + ((h >> 5) % 24).toInt,
-          (h % 256).toInt, ((h >> 8) % 256).toInt, ((h >> 16) % 256).toInt))
-      }
+      rows.map { r => Row(r.getLong(0), synthBmp(r.getAs[Array[Byte]](1))) }
     }(imgEnc)
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -176,11 +222,21 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Batch resize (stub codec): fit each decoded image inside a 256×256 box
-    * preserving aspect ratio. Same partition-wise batch shape as the decode
-    * path — a real pipeline swaps the stub for the codec's resample call and
-    * emits the resized bytes as a binary column; here the output surfaces
-    * the dimension plan (in/out dims + output byte budget) as scalars. */
+  /** The resize box: fit each decoded image inside [[resizeBox]]² preserving
+    * aspect ratio (synthesized dims are 8–31 px, so the box both passes
+    * small rasters through and genuinely downsamples large ones). */
+  val resizeBox = 16
+
+  /** Batch resize through the REAL codec: ImageIO-decode the BMP payload,
+    * box-filter downsample ([[BmpCodec.resizeArea]] — every input pixel
+    * visited, per-channel integer means), then reduce the RESIZED raster to
+    * its channel means, a Σ(r+g+b) checksum and a uniformity proof — the
+    * statistics a SQL oracle can predict from the synthesis arithmetic, and
+    * that the engine can only reproduce by actually decoding + resampling
+    * real pixels (integer mean of a uniform fill is the fill, so any
+    * decode/index bug in the resample breaks the hash). Same partition-wise
+    * batch shape as [[mmDecodeFeatures]]; a production pipeline emits the
+    * resized bytes as a binary column instead of the audit scalars. */
   val mmResize: Q = (s, d) => {
     val in = Tables.load(s, d, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -190,38 +246,69 @@ object MultimodalOps {
       StructField("height", IntegerType, nullable = false),
       StructField("out_w", IntegerType, nullable = false),
       StructField("out_h", IntegerType, nullable = false),
-      StructField("out_bytes", LongType, nullable = false)))
+      StructField("out_mean_r", IntegerType, nullable = false),
+      StructField("out_mean_g", IntegerType, nullable = false),
+      StructField("out_mean_b", IntegerType, nullable = false),
+      StructField("out_checksum", LongType, nullable = false),
+      StructField("uniform", BooleanType, nullable = false)))
     val enc = RowEncoder.encoderFor(outSchema)
     in.mapPartitions { rows =>
       rows.map { r =>
-        val dec = StubDecode(r.getAs[Array[Byte]](1))
-        val scale = math.min(1.0, 256.0 / math.max(dec.width, dec.height))
-        val ow = math.max(1, math.floor(dec.width * scale).toInt)
-        val oh = math.max(1, math.floor(dec.height * scale).toInt)
-        Row(r.getLong(0), dec.width, dec.height, ow, oh, ow.toLong * oh * dec.nChannels)
+        val (w, h, px) = BmpCodec.decodeRaster(synthBmp(r.getAs[Array[Byte]](1)))
+        val scale = math.min(1.0, resizeBox.toDouble / math.max(w, h))
+        val ow = math.max(1, math.floor(w * scale).toInt)
+        val oh = math.max(1, math.floor(h * scale).toInt)
+        val out = BmpCodec.resizeArea(w, h, px, ow, oh)
+        var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+        var mn = 0xFFFFFF; var mx = 0
+        var i = 0
+        while (i < out.length) {
+          val p = out(i)
+          val pr = (p >> 16) & 0xFF; val pg = (p >> 8) & 0xFF; val pb = p & 0xFF
+          sr += pr; sg += pg; sb += pb; ck += pr + pg + pb
+          if (p < mn) mn = p
+          if (p > mx) mx = p
+          i += 1
+        }
+        val n = out.length.toLong
+        Row(r.getLong(0), w, h, ow, oh,
+          (sr / n).toInt, (sg / n).toInt, (sb / n).toInt, ck, mn == mx)
       }
     }(enc).orderBy(col("doc_id"))
   }
 
-  /** Frame sampling (stub video): every 10th frame of each payload's decoded
-    * frame count, one output row per sampled frame with a per-frame content
-    * hash — the iterator-flatMap explode shape of a real frame sampler
-    * (rows out ≠ rows in, still fully partition-parallel, no driver hop). */
+  /** Sample every [[frameStride]]th frame of each decoded "clip". */
+  val frameStride = 4
+
+  /** Frame sampling through the REAL codec: decode the BMP raster, treat
+    * each pixel ROW as one frame of a clip (nFrames = height — the
+    * sub-raster-stride stand-in for a video container's frame table), take
+    * every [[frameStride]]th frame and reduce each SAMPLED frame to its
+    * real pixel sum Σ(r+g+b) over that row — computed by scanning the
+    * decoded pixels, predicted by the oracle from the synthesis arithmetic.
+    * The iterator-flatMap explode shape of a real frame sampler (rows out ≠
+    * rows in, still fully partition-parallel, no driver hop); unsampled
+    * frames are never scanned, which is the point of stride sampling. */
   val mmFrameSample: Q = (s, d) => {
     val in = Tables.load(s, d, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("frame_idx", IntegerType, nullable = false),
-      StructField("frame_hash", LongType, nullable = false)))
+      StructField("frame_sum", LongType, nullable = false)))
     val enc = RowEncoder.encoderFor(outSchema)
     in.mapPartitions { rows =>
       rows.flatMap { r =>
-        val payload = r.getAs[Array[Byte]](1)
-        val dec = StubDecode(payload)
-        val h = StubDecode.contentHash(payload)
-        (0 until dec.nFrames by 10).iterator.map { i =>
-          Row(r.getLong(0), i, 31 * h + i) // stub per-frame hash
+        val (w, h, px) = BmpCodec.decodeRaster(synthBmp(r.getAs[Array[Byte]](1)))
+        (0 until h by frameStride).iterator.map { f =>
+          var sum = 0L
+          var x = 0
+          while (x < w) {
+            val p = px(f * w + x)
+            sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+            x += 1
+          }
+          Row(r.getLong(0), f, sum)
         }
       }
     }(enc).orderBy(col("doc_id"), col("frame_idx"))
@@ -235,7 +322,7 @@ object MultimodalOps {
 
   /** Audio framing + energy (stub PCM decode, REAL framing arithmetic):
     * the payload's bytes stand in for 8-bit unsigned mono PCM — with a
-    * real audio codec only [[StubDecode]]'s byte→sample step changes —
+    * real audio codec only the byte→sample step changes —
     * and everything downstream is the genuine speech-pipeline front half:
     * overlapping [[audioFrameLen]]/[[audioHop]] windows, per-frame energy
     * Σ (s−128)² in exact int64 (so partial order can't perturb it), and
@@ -321,7 +408,7 @@ object MultimodalOps {
     val enc = RowEncoder.encoderFor(sigSchema)
     val sigs = in.mapPartitions { rows =>
       rows.map { r =>
-        Row(r.getLong(0), phash64(StubDecode.contentHash(r.getAs[Array[Byte]](1))))
+        Row(r.getLong(0), phash64(contentHash(r.getAs[Array[Byte]](1))))
       }
     }(enc).localCheckpoint() // feeds banding + both verify joins
     val chunked = sigs.select(col("doc_id"),
@@ -412,24 +499,45 @@ object MultimodalOps {
              (a, x) -> a + x * x)), 6) AS feature_norm,
            true AS uniform
          FROM h ORDER BY doc_id""",
+    // Replays the synthesis arithmetic (dims + fill color) and predicts the
+    // RESIZED raster's statistics — integer box-filter mean of a uniform
+    // fill is the fill, so the channel means/checksum/uniform columns gate
+    // a real decode + full resample on the engine side. The ow/oh float
+    // arithmetic is the identical op sequence (one divide, one multiply,
+    // floor) so IEEE doubles agree bit-for-bit.
     "mm_resize" ->
       s"""$hashCte,
-         dims AS (SELECT doc_id, 64 + h % 1024 AS w, 64 + (h >> 10) % 1024 AS ht FROM h),
-         sc AS (SELECT doc_id, w, ht,
-                  LEAST(CAST(1 AS DOUBLE), CAST(256 AS DOUBLE) / GREATEST(w, ht)) AS scale
+         dims AS (SELECT doc_id, 8 + h % 24 AS w, 8 + (h >> 5) % 24 AS ht,
+                    h % 256 AS r, (h >> 8) % 256 AS g, (h >> 16) % 256 AS b
+                  FROM h),
+         sc AS (SELECT doc_id, w, ht, r, g, b,
+                  LEAST(CAST(1 AS DOUBLE),
+                        CAST($resizeBox AS DOUBLE) / GREATEST(w, ht)) AS scale
                 FROM dims),
-         rz AS (SELECT doc_id, w, ht,
+         rz AS (SELECT doc_id, w, ht, r, g, b,
                   GREATEST(1, CAST(FLOOR(w * scale) AS BIGINT)) AS ow,
                   GREATEST(1, CAST(FLOOR(ht * scale) AS BIGINT)) AS oh
                 FROM sc)
          SELECT doc_id, CAST(w AS INT) AS width, CAST(ht AS INT) AS height,
            CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
-           CAST(ow * oh * 3 AS BIGINT) AS out_bytes
+           CAST(r AS INT) AS out_mean_r, CAST(g AS INT) AS out_mean_g,
+           CAST(b AS INT) AS out_mean_b,
+           CAST(ow * oh * (r + g + b) AS BIGINT) AS out_checksum,
+           true AS uniform
          FROM rz ORDER BY doc_id""",
+    // One frame per raster row, every frameStride-th sampled; the frame sum
+    // of a uniform row is width · (r+g+b) — the engine earns it by scanning
+    // the decoded row's pixels.
     "mm_frame_sample" ->
       s"""$hashCte,
-         f AS (SELECT doc_id, h, unnest(range(0, 1 + (h >> 20) % 240, 10)) AS i FROM h)
-         SELECT doc_id, CAST(i AS INT) AS frame_idx, 31 * h + i AS frame_hash
+         dims AS (SELECT doc_id, 8 + h % 24 AS w, 8 + (h >> 5) % 24 AS ht,
+                    h % 256 AS r, (h >> 8) % 256 AS g, (h >> 16) % 256 AS b
+                  FROM h),
+         f AS (SELECT doc_id, w, r, g, b,
+                 unnest(range(0, ht, $frameStride)) AS i
+               FROM dims)
+         SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(w * (r + g + b) AS BIGINT) AS frame_sum
          FROM f ORDER BY doc_id, frame_idx""",
     // payload bytes = ASCII codepoints, so the framing replays from text
     "mm_audio_energy" ->

@@ -516,8 +516,12 @@ object PipelineOps {
       .select(col("source"), col("lang"), col("n"),
         round(col("n").cast(DoubleType) / col("src_n").cast(DoubleType), 6)
           .as("share_in_source"),
-        round((col("n") * col("tot_n")).cast(DoubleType) /
-          (col("src_n") * col("lang_n")).cast(DoubleType), 6).as("lift"))
+        // widen BEFORE multiplying: n · tot_n as int64 overflows past
+        // ~1e9-1e10 documents (Spark would wrap silently while the oracle
+        // raises — an engine-divergence) — the repo-wide widen-first rule
+        round((col("n").cast(DoubleType) * col("tot_n").cast(DoubleType)) /
+          (col("src_n").cast(DoubleType) * col("lang_n").cast(DoubleType)), 6)
+          .as("lift"))
       .orderBy(col("source"), col("lang"))
   }
 
@@ -618,7 +622,8 @@ object PipelineOps {
          SELECT c.source, c.lang, c.n,
            round(CAST(c.n AS DOUBLE) / CAST(s.s_n AS DOUBLE), 6)
              AS share_in_source,
-           round(CAST(c.n * t.tot AS DOUBLE) / CAST(s.s_n * l.l_n AS DOUBLE), 6)
+           round((CAST(c.n AS DOUBLE) * CAST(t.tot AS DOUBLE)) /
+                 (CAST(s.s_n AS DOUBLE) * CAST(l.l_n AS DOUBLE)), 6)
              AS lift
          FROM c JOIN s USING (source) JOIN l USING (lang) CROSS JOIN t
          ORDER BY source, lang""",

@@ -837,14 +837,6 @@ object RelOps {
           .as("within_tol"))
       .orderBy($"l_returnflag")
 
-  /** Skew-safe two-phase aggregation (manual salting): phase 1 groups on
-    * (key, salt) so a pathologically hot key spreads over 16 reducers;
-    * phase 2 merges the 16 partials per key. For algebraic aggregates the
-    * rewrite is exact — sums of decimal partials reassociate freely. On a
-    * healthy key distribution Spark's own partial aggregation makes this a
-    * wash; under real skew (one key = 30% of 100 TB) phase 1 is what keeps
-    * a single reducer from owning that key's entire volume. Same pattern as
-    * [[joinSalted]], aggregation-shaped. */
   /** Quantity-weighted average unit price per return flag — the weighted
     * metric every pricing/quality dashboard carries (a plain AVG over
     * line items double-counts big lines). Both sums are EXACT decimals
@@ -861,6 +853,14 @@ object RelOps {
           .as("weighted_avg_price"))
       .orderBy($"l_returnflag")
 
+  /** Skew-safe two-phase aggregation (manual salting): phase 1 groups on
+    * (key, salt) so a pathologically hot key spreads over 16 reducers;
+    * phase 2 merges the 16 partials per key. For algebraic aggregates the
+    * rewrite is exact — sums of decimal partials reassociate freely. On a
+    * healthy key distribution Spark's own partial aggregation makes this a
+    * wash; under real skew (one key = 30% of 100 TB) phase 1 is what keeps
+    * a single reducer from owning that key's entire volume. Same pattern as
+    * [[joinSalted]], aggregation-shaped. */
   val aggSalted: Q = (s, d) => {
     val salted = t(s, d, "lineitem")
       .groupBy($"l_returnflag", pmod(crc32($"l_orderkey".cast(StringType)), lit(16)).as("salt"))

@@ -550,14 +550,14 @@ object StreamOps {
            FROM events GROUP BY user_id)
          SELECT stage, n_users FROM (
            SELECT '1_view' AS stage,
-             CAST(COUNT(*) FILTER (tv IS NOT NULL) AS BIGINT) AS n_users FROM f
+             CAST(COUNT(*) FILTER (WHERE tv IS NOT NULL) AS BIGINT) AS n_users FROM f
            UNION ALL
            SELECT '2_click',
-             CAST(COUNT(*) FILTER (tv IS NOT NULL AND tc IS NOT NULL
+             CAST(COUNT(*) FILTER (WHERE tv IS NOT NULL AND tc IS NOT NULL
                AND tv < tc) AS BIGINT) FROM f
            UNION ALL
            SELECT '3_purchase',
-             CAST(COUNT(*) FILTER (tv IS NOT NULL AND tc IS NOT NULL
+             CAST(COUNT(*) FILTER (WHERE tv IS NOT NULL AND tc IS NOT NULL
                AND tp IS NOT NULL AND tv < tc AND tc < tp) AS BIGINT) FROM f)
          ORDER BY stage""",
     // a finite replay must equal the batch prefilter exactly — same oracle

@@ -271,32 +271,55 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert((w, h, mr, mg, mb, uni) == ((13, 9, 200, 50, 7, true)))
   }
 
-  test("mm_resize fits the 256 box, preserves aspect, never upscales") {
+  test("mm_resize real-raster box filter: fits the box, uniform fill survives") {
+    val box = MultimodalOps.resizeBox
     val rows = MultimodalOps.mmResize(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
       val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
-      assert(ow >= 1 && ow <= 256 && oh >= 1 && oh <= 256)
+      assert(ow >= 1 && ow <= box && oh >= 1 && oh <= box)
       assert(ow <= w && oh <= h) // fit-within never upscales
-      if (math.max(w, h) <= 256) assert(ow == w && oh == h)
-      assert(r.getAs[Long]("out_bytes") == ow.toLong * oh * 3)
+      if (math.max(w, h) <= box) assert(ow == w && oh == h)
+      // the resample visited real pixels: a uniform source stays uniform
+      // and its channel means ARE the fill, so the checksum is exactly
+      // ow·oh·(r+g+b)
+      assert(r.getAs[Boolean]("uniform"))
+      val chSum = r.getAs[Int]("out_mean_r") + r.getAs[Int]("out_mean_g") +
+        r.getAs[Int]("out_mean_b")
+      assert(r.getAs[Long]("out_checksum") == ow.toLong * oh * chSum)
     }
     val again = MultimodalOps.mmResize(spark, dir).collect()
     assert(rows.sameElements(again))
   }
 
-  test("mm_frame_sample emits every 10th frame, deterministically") {
+  test("BmpCodec.resizeArea is a true area mean on a non-uniform raster") {
+    // 4x2 raster: left half black, right half white; downsample to 2x1
+    val px = Array(0, 0, 0xFFFFFF, 0xFFFFFF, 0, 0, 0xFFFFFF, 0xFFFFFF)
+    val out = MultimodalOps.BmpCodec.resizeArea(4, 2, px, 2, 1)
+    assert(out.sameElements(Array(0, 0xFFFFFF)))
+    // 3x1 -> 2x1: blocks [0,1) and [1,3) — second pixel averages 2 inputs
+    val px2 = Array(0x000000, 0x000000, 0x0000FF)
+    val out2 = MultimodalOps.BmpCodec.resizeArea(3, 1, px2, 2, 1)
+    assert(out2.sameElements(Array(0x000000, 0x00007F)))
+  }
+
+  test("mm_frame_sample strides real decoded rows, deterministically") {
+    val stride = MultimodalOps.frameStride
     val rows = MultimodalOps.mmFrameSample(spark, dir).collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getAs[Int]("frame_idx") % 10 == 0))
-    // per-doc sampled count = ceil(nFrames / 10) — at least one frame each
+    assert(rows.forall(_.getAs[Int]("frame_idx") % stride == 0))
+    // per-doc sampled count = ceil(height / stride) — at least one frame each
     val perDoc = rows.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length)
     assert(perDoc.values.forall(_ >= 1))
     assert(perDoc.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // every sampled frame of a uniform raster carries the same real pixel sum
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { fs =>
+      assert(fs.map(_.getAs[Long]("frame_sum")).distinct.length == 1)
+    }
     // identical payloads sample identically (docs 0 and 1 share text)
     def frames(id: Long) = rows.filter(_.getAs[Long]("doc_id") == id)
-      .map(r => (r.getAs[Int]("frame_idx"), r.getAs[Long]("frame_hash"))).toSeq
+      .map(r => (r.getAs[Int]("frame_idx"), r.getAs[Long]("frame_sum"))).toSeq
     assert(frames(0L) == frames(1L))
   }
 

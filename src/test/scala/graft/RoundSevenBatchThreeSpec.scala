@@ -195,7 +195,14 @@ class RoundSevenBatchThreeSpec extends AnyFunSuite {
       .groupBy(_.getString(0))
     out.foreach { case (lang, rows) =>
       val sorted = rows.sortBy(_.getLong(1))
-      assert(sorted.map(_.getLong(1)).sameElements(1L to 10L), s"$lang missing deciles")
+      // ntile emits min(10, n_docs) buckets — only demand the full 1..10
+      // for languages with >=10 docs so a sparse-language fixture regen
+      // can't fail the test without a product bug; always demand the
+      // present deciles form a contiguous 1..k range
+      val nDocs = sorted.map(_.getLong(2)).sum
+      val expected = 1L to math.min(10L, nDocs)
+      assert(sorted.map(_.getLong(1)).sameElements(expected),
+        s"$lang deciles not contiguous 1..${expected.last}")
       val ns = sorted.map(_.getLong(2))
       assert(ns.max - ns.min <= 1, s"$lang deciles uneven: ${ns.mkString(",")}")
       // each decile's span starts at or after the previous one's start,
