@@ -16,10 +16,14 @@ import org.apache.spark.sql.SparkSession
   * stages, not query work — they are built and TIMED separately before any
   * query is timed, and the per-query loop asserts (via the cache's build
   * counter) that no query run triggered a build. Each query then runs
-  * `runs` times (default 2): the FIRST run carries whatever per-query
+  * `runs` times (default 3): the FIRST run carries whatever per-query
   * JIT/codegen compilation remains, the best-of-N is the steady-state
-  * number a warm cluster would see. Both are reported, so a slow first run
-  * is attributed instead of silently inflating the steady-state claim.
+  * number a warm cluster would see, and the per-query median/max spread
+  * separates environment noise from real regressions (min-of-2 could
+  * not — a one-off variance spike reads as a regression and costs a round
+  * of attribution). All are reported, so a slow first run or a noisy
+  * spread is attributed instead of silently poisoning the steady-state
+  * claim.
   */
 object Bench {
 
@@ -59,7 +63,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // runs=3 default: with 2 runs min-aggregation cannot separate noise
+    // from regression (the r5→r6 "regressions" were environment variance
+    // that cost a full round of attribution); 3 runs gives a median and a
+    // spread, and SCALE.md quotes medians.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -120,21 +128,28 @@ object Bench {
       if (graft.plans.ArtifactCache.builds.get() != b0) strayBuilds ::= name
       val ok = times.filter(_ >= 0)
       val best = if (ok.nonEmpty) ok.min else -1.0
-      (name, best, times.head)
+      val med = if (ok.nonEmpty) ok.sorted.apply((ok.size - 1) / 2) else -1.0
+      val worst = if (ok.nonEmpty) ok.max else -1.0
+      (name, best, times.head, med, worst)
     }
     val totalBest = results.map(_._2).filter(_ >= 0).sum
     val totalFirst = results.map(_._3).filter(_ >= 0).sum
+    val totalMedian = results.map(_._4).filter(_ >= 0).sum
 
     // ---- line 1: full detail (also persisted for repo bench/ artifacts) --
-    val qBest = results.map { case (k, b, _) => s""""$k":${fmt(b)}""" }
-      .mkString("{", ",", "}")
-    val qFirst = results.map { case (k, _, f) => s""""$k":${fmt(f)}""" }
-      .mkString("{", ",", "}")
+    def qmap(f: ((String, Double, Double, Double, Double)) => Double): String =
+      results.map { r => s""""${r._1}":${fmt(f(r))}""" }.mkString("{", ",", "}")
+    val qBest = qmap(_._2)
+    val qFirst = qmap(_._3)
+    val qMedian = qmap(_._4)
+    val qMax = qmap(_._5)
     val arts = artifacts.map { case (n, s, b) =>
       s""""$n":{"s":${fmt(s)},"builds":$b}""" }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":${fmt(totalBest)},"unit":"sec","queries":$qBest,""" +
       s""""queries_first":$qFirst,"first_total_s":${fmt(totalFirst)},""" +
+      s""""queries_median":$qMedian,"queries_max":$qMax,""" +
+      s""""median_total_s":${fmt(totalMedian)},""" +
       s""""artifact_build_s":${fmt(artifactTotal)},"artifact_builds":$artifactBuilds,""" +
       s""""artifacts":$arts,"runs":$runs,"agg":"min",""" +
       s""""stray_builds":[${strayBuilds.map("\"" + _ + "\"").mkString(",")}],""" +
@@ -150,11 +165,12 @@ object Bench {
     // ---- final line: compact summary, sized for a ~2 KB stdout tail -----
     // top-cost queries only; the full map is line 1 / the bench file
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
-    val qTop = top.map { case (k, b, _) => s""""$k":${fmt(b)}""" }
+    val qTop = top.map { r => s""""${r._1}":${fmt(r._2)}""" }
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${fmt(totalBest)},"unit":"sec","queries":$qTop,""" +
       s""""n_queries":${results.size},"first_total_s":${fmt(totalFirst)},""" +
+      s""""median_total_s":${fmt(totalMedian)},""" +
       s""""artifact_build_s":${fmt(artifactTotal)},"artifact_builds":$artifactBuilds,""" +
       s""""runs":$runs,"agg":"min","queries_full":"bench/BENCH_last.json","sf":"$sfDir"}""")
     spark.stop()

@@ -11,12 +11,15 @@ import graft.Tables
   * The reference executes arbitrary delegated SQL (dungbeetle
   * `internal/core/core.go:496`), so the TPC-H set is the canonical coverage
   * proof for "any analytic SQL a task file could carry". The fixture schema
-  * drops `partsupp`, ship mode/instruction, commit/receipt dates and
-  * comments, so the queries that touch those (Q2/Q11/Q12/Q16/Q19/Q20/Q21)
-  * keep their relational SHAPE (correlated min, scalar-subquery HAVING,
-  * CASE-bucketed counts, distinct-count matrix, OR-of-conjunctions scan,
-  * nested semi-joins, exists/not-exists wait chain) over the columns that
-  * exist; the adaptation is noted per query.
+  * ships without `partsupp`, ship mode/instruct, commit/receipt dates and
+  * containers; those are DERIVED deterministically by [[TpchFixture]]
+  * (identical arithmetic on both engines), so
+  * Q2/Q9/Q11/Q12/Q16/Q17/Q19/Q20/Q21 run their REAL spec predicates
+  * (ps_supplycost correlated mins, availqty·cost stock values, shipmode
+  * IN-lists, commit-vs-receipt lateness, container triples) — not shape
+  * substitutes. Remaining adaptations are vocabulary-level only (fixture
+  * nation/brand/type names, date windows matched to the fixture's range)
+  * and are noted per query.
   *
   * Determinism/exactness rules are RelOps': money math in DECIMAL(18,6)
   * (associative, partial-agg-order-proof), float emitted once via
@@ -119,29 +122,33 @@ object TpchOps {
       .orderBy($"o_year")
   }
 
-  /** Q9 product-type profit by nation × year. The fixture has no
-    * `partsupp.ps_supplycost`, so cost is adapted to half the part's
-    * retail price per unit (0.5·p_retailprice is IEEE-exact — the factor
-    * is a power of two — then cast once to decimal). Part filter is the
-    * official name-LIKE. lineitem meets orders on the natural key; every
-    * dimension broadcasts. */
+  /** Q9 product-type profit by nation × year — the REAL spec formula:
+    * amount = revenue − ps_supplycost · quantity, with cost looked up in
+    * the derived [[TpchFixture.partsupp]] on the (partkey, suppkey) pair
+    * exactly as the official query joins it. Part filter is the official
+    * name-LIKE; the gear-part partsupp slice broadcasts (it is 4× a
+    * name-filtered part slice); supplier/nation broadcast. One fact
+    * shuffle, on the orders⋈lineitem natural key. */
   val tpchQ9: Q = (s, d) => {
     val parts = t(s, d, "part").filter($"p_name".like("%gear%"))
-      .select($"p_partkey",
-        (lit(0.5) * $"p_retailprice").cast(DecimalType(18, 6)).as("unit_cost"))
+      .select($"p_partkey")
+    val ps = TpchFixture.partsupp(s, d)
+      .join(broadcast(parts), $"ps_partkey" === $"p_partkey", "left_semi")
+      .select($"ps_partkey", $"ps_suppkey", $"ps_supplycost")
     val supp = t(s, d, "supplier")
       .join(broadcast(t(s, d, "nation").select($"n_nationkey", $"n_name")),
         $"s_nationkey" === $"n_nationkey")
       .select($"s_suppkey", $"n_name".as("nation"))
     t(s, d, "lineitem")
-      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(ps),
+        $"l_partkey" === $"ps_partkey" && $"l_suppkey" === $"ps_suppkey")
       .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
       .join(t(s, d, "orders")
         .select($"o_orderkey", year($"o_orderdate").cast(LongType).as("o_year")),
         $"l_orderkey" === $"o_orderkey")
       .select($"nation", $"o_year",
         (rev($"l_extendedprice", $"l_discount") -
-          $"unit_cost" * dec($"l_quantity")).as("amount"))
+          $"ps_supplycost" * dec($"l_quantity")).as("amount"))
       .groupBy($"nation", $"o_year")
       .agg(sum($"amount").as("profit_dec"))
       .select($"nation", $"o_year",
@@ -149,54 +156,59 @@ object TpchOps {
       .orderBy($"nation", $"o_year".desc)
   }
 
-  /** Q11 important part values: parts whose scoped revenue exceeds a fixed
-    * fraction of the scope total (NATION_3's suppliers stand in for the
-    * missing partsupp stock). The HAVING threshold is the official
-    * scalar-subquery shape; the comparison stays in exact decimal
-    * (total × 0.001 as a decimal multiply, never a float). The scope
-    * aggregate is computed ONCE and reused for both the total and the
-    * cut (self-agg on a frame that is already small). */
+  /** Q11 important stock values — the REAL spec measure: part value =
+    * Σ ps_supplycost · ps_availqty over the scope nation's partsupp rows
+    * (the derived [[TpchFixture.partsupp]]), cut at a fixed fraction of
+    * the scope total via the official scalar-subquery HAVING shape. The
+    * comparison stays in exact decimal (total × 0.001 as a decimal
+    * multiply, never a float; the fraction is the spec's 0.0001 scaled to
+    * the fixture's supplier count). partsupp joins the nation's supplier
+    * slice broadcast; the scope aggregate is computed ONCE and reused for
+    * both the total and the cut. */
   val tpchQ11: Q = (s, d) => {
     val supp = t(s, d, "supplier")
       .join(broadcast(t(s, d, "nation").filter($"n_name" === "NATION_3")
         .select($"n_nationkey")), $"s_nationkey" === $"n_nationkey")
       .select($"s_suppkey")
-    val scoped = t(s, d, "lineitem")
-      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
-      .groupBy($"l_partkey")
-      .agg(sum(rev($"l_extendedprice", $"l_discount")).as("val_dec"))
+    val scoped = TpchFixture.partsupp(s, d)
+      .join(broadcast(supp), $"ps_suppkey" === $"s_suppkey", "left_semi")
+      .groupBy($"ps_partkey")
+      .agg(sum($"ps_supplycost" * $"ps_availqty".cast(DecimalType(18, 6)))
+        .as("val_dec"))
     val total = scoped.agg(sum($"val_dec").as("tot_dec"))
     scoped.join(broadcast(total),
         $"val_dec" > $"tot_dec" * lit(0.001).cast(DecimalType(18, 6)))
-      .select($"l_partkey".as("p_partkey"),
+      .select($"ps_partkey".as("p_partkey"),
         round($"val_dec".cast(DoubleType), 6).as("part_value"))
       .orderBy($"part_value".desc, $"p_partkey")
   }
 
-  /** Q12 shipping-priority classes: the fixture lacks l_shipmode, so the
-    * group key is the ship-delay bucket (late = shipped >60 days after
-    * order — the same derived predicate Q4/Q21 use); the measure is the
-    * official high-vs-low priority CASE counts. One fact⋈fact join on the
-    * natural key, then a two-group aggregate. */
+  /** Q12 shipping modes and order priority — the REAL spec query: group by
+    * l_shipmode over the MAIL/SHIP modes, lines received in the target
+    * year that were committed after shipping but received after commit
+    * (l_commitdate < l_receiptdate AND l_shipdate < l_commitdate) — all
+    * three columns from the derived [[TpchFixture.lineitemX]] projection,
+    * which fuses into the scan (no extra shuffle). The measure is the
+    * official high-vs-low priority CASE counts; one fact⋈fact join on the
+    * natural key, then the per-mode aggregate. */
   val tpchQ12: Q = (s, d) =>
-    t(s, d, "lineitem")
-      .filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType) &&
-              $"l_shipdate" <  lit("1997-01-01").cast(TimestampType))
-      .select($"l_orderkey", $"l_shipdate")
+    TpchFixture.lineitemX(s, d)
+      .filter($"l_shipmode".isin("MAIL", "SHIP") &&
+              $"l_commitdate" < $"l_receiptdate" &&
+              $"l_shipdate" < $"l_commitdate" &&
+              $"l_receiptdate" >= lit("1996-01-01").cast(TimestampType) &&
+              $"l_receiptdate" <  lit("1997-01-01").cast(TimestampType))
+      .select($"l_orderkey", $"l_shipmode")
       .join(t(s, d, "orders")
-        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+        .select($"o_orderkey", $"o_orderpriority"),
         $"l_orderkey" === $"o_orderkey")
-      .select(
-        when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), "late")
-          .otherwise("on-time").as("ship_class"),
-        $"o_orderpriority")
-      .groupBy($"ship_class")
+      .groupBy($"l_shipmode")
       .agg(
         sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
           .otherwise(0L)).as("high_line_count"),
         sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L)
           .otherwise(1L)).as("low_line_count"))
-      .orderBy($"ship_class")
+      .orderBy($"l_shipmode")
 
   /** Q13 customer order-count distribution: LEFT join so zero-order
     * customers survive into the c_count=0 bucket (the official shape; the
@@ -235,30 +247,34 @@ object TpchOps {
       .orderBy($"s_suppkey")
   }
 
-  /** Q16 parts/supplier relationship: distinct suppliers per surviving
-    * (brand, type, size) cell — lineitem's observed suppliers stand in for
-    * the missing partsupp. The part slice broadcasts; the distinct-count
-    * shuffles once on the (brand,type,size,suppkey) expanded key with
-    * map-side partials. */
+  /** Q16 parts/supplier relationship — the REAL spec source: distinct
+    * partsupp suppliers per surviving (brand, type, size) cell over the
+    * derived [[TpchFixture.partsupp]], with the official brand-exclusion +
+    * type-NOT-LIKE + size-IN filters. The part slice broadcasts; the
+    * distinct-count shuffles once on the (brand,type,size,suppkey)
+    * expanded key with map-side partials. */
   val tpchQ16: Q = (s, d) =>
-    t(s, d, "lineitem").select($"l_partkey", $"l_suppkey")
+    TpchFixture.partsupp(s, d).select($"ps_partkey", $"ps_suppkey")
       .join(broadcast(t(s, d, "part")
-        .filter($"p_brand" =!= "Brand#1" &&
+        .filter($"p_brand" =!= "Brand#1" && !$"p_type".like("MEDIUM%") &&
           $"p_size".isin(1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49))
         .select($"p_partkey", $"p_brand", $"p_type", $"p_size")),
-        $"l_partkey" === $"p_partkey")
+        $"ps_partkey" === $"p_partkey")
       .groupBy($"p_brand", $"p_type", $"p_size")
-      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .agg(countDistinct($"ps_suppkey").as("supplier_cnt"))
       .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
 
   /** Q17 small-quantity-order revenue: lineitems under 20% of their part's
-    * average quantity, for one brand. The 0.2·avg comparison is exact
+    * average quantity, for one (brand, container) pair — the container is
+    * the official second predicate, from [[TpchFixture.partX]]. The
+    * 0.2·avg comparison is exact
     * cross-multiplication (5·n·qty < Σqty in decimal — no division, no
     * float). The per-part aggregate frame (≤ #parts rows) broadcasts back
     * onto the same filtered fact slice; lineitem is scanned twice but
     * never shuffled. */
   val tpchQ17: Q = (s, d) => {
-    val parts = t(s, d, "part").filter($"p_brand" === "Brand#5")
+    val parts = TpchFixture.partX(s, d)
+      .filter($"p_brand" === "Brand#5" && $"p_container" === "MED BOX")
       .select($"p_partkey")
     val li = t(s, d, "lineitem")
       .join(broadcast(parts), $"l_partkey" === $"p_partkey")
@@ -272,73 +288,91 @@ object TpchOps {
       .select(round($"sum_dec".cast(DoubleType) / 7.0, 6).as("avg_yearly"))
   }
 
-  /** Q19 discounted revenue, OR-of-conjunctions: three (brand, size,
-    * quantity) windows replace the official brand/container/shipmode
-    * triples. One scan, one broadcast part probe; the whole disjunction is
-    * a single codegen'd predicate on the joined row. */
+  /** Q19 discounted revenue, OR-of-conjunctions — the REAL spec triples:
+    * three (brand, container-set, quantity, size) windows over
+    * [[TpchFixture.partX]], guarded by the official shared shipping
+    * conjunct (air modes + DELIVER IN PERSON) from
+    * [[TpchFixture.lineitemX]]. One scan, one broadcast part probe; the
+    * whole disjunction is a single codegen'd predicate on the joined
+    * row, and the shared conjunct filters map-side before the probe. */
   val tpchQ19: Q = (s, d) =>
-    t(s, d, "lineitem")
+    TpchFixture.lineitemX(s, d)
+      .filter($"l_shipmode".isin("AIR", "REG AIR") &&
+        $"l_shipinstruct" === "DELIVER IN PERSON")
       .select($"l_partkey", $"l_quantity",
         rev($"l_extendedprice", $"l_discount").as("vol"))
-      .join(broadcast(t(s, d, "part")
-        .select($"p_partkey", $"p_brand", $"p_size")),
+      .join(broadcast(TpchFixture.partX(s, d)
+        .select($"p_partkey", $"p_brand", $"p_size", $"p_container")),
         $"l_partkey" === $"p_partkey")
       .filter(
-        ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
-          $"l_quantity".between(1, 11)) ||
-        ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) &&
-          $"l_quantity".between(10, 20)) ||
-        ($"p_brand" === "Brand#4" && $"p_size".between(1, 15) &&
-          $"l_quantity".between(20, 30)))
+        ($"p_brand" === "Brand#12" &&
+          $"p_container".isin("SM CASE", "SM BOX") &&
+          $"p_size".between(1, 5) && $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#23" &&
+          $"p_container".isin("MED BAG", "MED BOX") &&
+          $"p_size".between(1, 10) && $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#4" &&
+          $"p_container".isin("LG CASE", "LG BOX") &&
+          $"p_size".between(1, 15) && $"l_quantity".between(20, 30)))
       .agg(coalesce(sum($"vol"),
         lit(0).cast(DecimalType(18, 6))).as("rev_dec"))
       .select(round($"rev_dec".cast(DoubleType), 6).as("revenue"))
 
-  /** Q20 excess-supply suppliers: suppliers in one region who shipped more
-    * than 50 units of some bolt part in 1996 (shipped volume stands in for
-    * partsupp availability). The nested-IN chain becomes two stacked
-    * LEFT SEMI probes: the per-(supplier, part) aggregate drives the
-    * supplier semi-join as its broadcast side, so `supplier` never
-    * shuffles and each qualifying supplier emits exactly once. */
+  /** Q20 excess-supply suppliers — the REAL spec chain: suppliers in one
+    * region holding a partsupp row on a bolt part whose ps_availqty
+    * exceeds half of what that (supplier, part) pair shipped in 1996.
+    * The availability test is the official correlated subquery, re-spelled
+    * as the per-(supplier, part) shipped aggregate joined back onto the
+    * bolt-sliced [[TpchFixture.partsupp]] on BOTH keys; the half-of
+    * comparison is exact decimal cross-multiplication (2·availqty >
+    * shipped — no float). The nested-IN chain stays two stacked LEFT SEMI
+    * probes, so `supplier` never shuffles and each qualifying supplier
+    * emits exactly once. Spec note: pairs with NO 1996 shipments qualify
+    * vacuously (the subquery's 0.5·Σ is null ⇒ spec drops them; the
+    * inner join replays exactly that). */
   val tpchQ20: Q = (s, d) => {
     val qualParts = t(s, d, "part").filter($"p_name".like("%bolt%"))
       .select($"p_partkey")
-    val shippedEnough = t(s, d, "lineitem")
+    val shipped = t(s, d, "lineitem")
       .filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType) &&
               $"l_shipdate" <  lit("1997-01-01").cast(TimestampType))
       .join(broadcast(qualParts), $"l_partkey" === $"p_partkey")
       .groupBy($"l_suppkey", $"l_partkey")
       .agg(sum(dec($"l_quantity")).as("shipped_dec"))
-      .filter($"shipped_dec" > 50)
-      .select($"l_suppkey")
+    val excess = TpchFixture.partsupp(s, d)
+      .join(broadcast(qualParts), $"ps_partkey" === $"p_partkey", "left_semi")
+      .join(shipped,
+        $"ps_suppkey" === $"l_suppkey" && $"ps_partkey" === $"l_partkey")
+      .filter(($"ps_availqty" * 2).cast(DecimalType(18, 6)) > $"shipped_dec")
+      .select($"ps_suppkey")
     val regionNations = t(s, d, "nation")
       .join(broadcast(t(s, d, "region").filter($"r_name" === "EUROPE")),
         $"n_regionkey" === $"r_regionkey")
       .select($"n_nationkey")
     t(s, d, "supplier")
       .join(broadcast(regionNations), $"s_nationkey" === $"n_nationkey", "left_semi")
-      .join(broadcast(shippedEnough), $"s_suppkey" === $"l_suppkey", "left_semi")
+      .join(broadcast(excess), $"s_suppkey" === $"ps_suppkey", "left_semi")
       .select($"s_suppkey", $"s_name")
       .orderBy($"s_suppkey")
   }
 
-  /** Q21 suppliers who kept orders waiting: late lineitems (shipped >60
-    * days after order — the derived lateness Q4/Q12 use) on finished
-    * multi-supplier orders where this supplier was the ONLY late one.
-    * The official EXISTS / NOT-EXISTS pair over l2/l3 is re-spelled as one
-    * per-order aggregate (distinct suppliers, distinct LATE suppliers) —
-    * the scalable spelling: the double self-join becomes a single
-    * two-distinct aggregate on the already-shuffled order key, and the
-    * late rows re-join that tiny verdict frame on the same key (no new
-    * exchange; the oracle replays the identical aggregate form). */
+  /** Q21 suppliers who kept orders waiting — the REAL spec lateness:
+    * l_receiptdate > l_commitdate (both from [[TpchFixture.lineitemX]]),
+    * on finished multi-supplier orders where this supplier was the ONLY
+    * late one. The official EXISTS / NOT-EXISTS pair over l2/l3 is
+    * re-spelled as one per-order aggregate (distinct suppliers, distinct
+    * LATE suppliers) — the scalable spelling: the double self-join becomes
+    * a single two-distinct aggregate on the already-shuffled order key,
+    * and the late rows re-join that tiny verdict frame on the same key (no
+    * new exchange; the oracle replays the identical aggregate form). */
   val tpchQ21: Q = (s, d) => {
-    val l = t(s, d, "lineitem")
-      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val l = TpchFixture.lineitemX(s, d)
+      .select($"l_orderkey", $"l_suppkey", $"l_commitdate", $"l_receiptdate")
       .join(t(s, d, "orders").filter($"o_orderstatus" === "F")
-        .select($"o_orderkey", $"o_orderdate"),
+        .select($"o_orderkey"),
         $"l_orderkey" === $"o_orderkey")
       .select($"l_orderkey", $"l_suppkey",
-        when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), 1)
+        when($"l_receiptdate" > $"l_commitdate", 1)
           .otherwise(0).as("late"))
     val perOrder = l.groupBy($"l_orderkey")
       .agg(countDistinct($"l_suppkey").as("n_supp"),
@@ -382,34 +416,42 @@ object TpchOps {
       .orderBy($"cntrycode")
   }
 
-  /** Q2 minimum-cost supplier: for each part in a type/size slice, the
-    * supplier(s) whose lineitem hit the part's MINIMUM extended price
-    * (observed price stands in for the missing partsupp supply cost).
-    * The correlated-min subquery becomes a per-part decimal MIN frame
-    * broadcast back onto the same slice; ties keep every achieving
-    * supplier, exactly like the official query. */
+  /** Q2 minimum-cost supplier — the REAL spec semantics: for each part in
+    * a type/size slice, the EUROPE supplier(s) whose partsupp row carries
+    * the part's minimum ps_supplycost AMONG EUROPE SUPPLIERS (the derived
+    * [[TpchFixture.partsupp]]; the region restriction applies inside the
+    * correlated MIN exactly as the official subquery repeats it). The
+    * correlated-min subquery becomes a per-part decimal MIN frame
+    * broadcast back onto the same region-restricted slice; ties keep
+    * every achieving supplier, exactly like the official query. Output
+    * carries the supplier's nation (the spec's n_name column). */
   val tpchQ2: Q = (s, d) => {
     val parts = t(s, d, "part")
       .filter($"p_type" === "LARGE" && $"p_size".between(10, 15))
       .select($"p_partkey", $"p_brand", $"p_size")
-    val li = t(s, d, "lineitem")
-      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
-      .select($"l_partkey", $"l_suppkey", dec($"l_extendedprice").as("price_dec"),
+    val euSupp = t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").filter($"r_name" === "EUROPE")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val ps = TpchFixture.partsupp(s, d)
+      .join(broadcast(parts), $"ps_partkey" === $"p_partkey")
+      .join(broadcast(euSupp.select($"s_suppkey")),
+        $"ps_suppkey" === $"s_suppkey", "left_semi")
+      .select($"ps_partkey", $"ps_suppkey", $"ps_supplycost",
         $"p_brand", $"p_size")
-    val minPrice = li.groupBy($"l_partkey")
-      .agg(min($"price_dec").as("min_dec"))
-      .select($"l_partkey".as("mp_partkey"), $"min_dec")
-    li.join(broadcast(minPrice),
-        $"l_partkey" === $"mp_partkey" && $"price_dec" === $"min_dec")
-      .select($"l_partkey", $"l_suppkey", $"p_brand", $"p_size", $"min_dec")
-      .distinct()
-      .join(broadcast(t(s, d, "supplier")
-        .select($"s_suppkey", $"s_name", $"s_acctbal")),
-        $"l_suppkey" === $"s_suppkey")
-      .select($"s_acctbal", $"s_name", $"l_partkey".as("p_partkey"),
-        $"p_brand", $"p_size",
-        round($"min_dec".cast(DoubleType), 6).as("min_price"))
-      .orderBy($"s_acctbal".desc, $"p_partkey", $"s_name")
+    val minCost = ps.groupBy($"ps_partkey")
+      .agg(min($"ps_supplycost").as("min_dec"))
+      .select($"ps_partkey".as("mp_partkey"), $"min_dec")
+    ps.join(broadcast(minCost),
+        $"ps_partkey" === $"mp_partkey" && $"ps_supplycost" === $"min_dec")
+      .join(broadcast(euSupp), $"ps_suppkey" === $"s_suppkey")
+      .select($"s_acctbal", $"s_name", $"n_name",
+        $"ps_partkey".as("p_partkey"), $"p_brand", $"p_size",
+        round($"min_dec".cast(DoubleType), 6).as("min_cost"))
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
       .limit(100)
   }
 
@@ -470,46 +512,52 @@ object TpchOps {
              AND p_type = 'STANDARD') all_nations
          GROUP BY o_year ORDER BY o_year""",
     "tpch_q9" ->
-      """SELECT nation, o_year, round(CAST(SUM(amount) AS DOUBLE), 6) AS sum_profit
+      s"""WITH ${TpchFixture.partsuppCte}
+         SELECT nation, o_year, round(CAST(SUM(amount) AS DOUBLE), 6) AS sum_profit
          FROM (
            SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
              CAST(l_extendedprice AS DECIMAL(18,6)) *
                (1 - CAST(l_discount AS DECIMAL(18,6))) -
-             CAST(0.5 * p_retailprice AS DECIMAL(18,6)) *
-               CAST(l_quantity AS DECIMAL(18,6)) AS amount
-           FROM part, supplier, lineitem, orders, nation
+             ps_supplycost * CAST(l_quantity AS DECIMAL(18,6)) AS amount
+           FROM part, supplier, lineitem, partsupp, orders, nation
            WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+             AND ps_partkey = l_partkey AND ps_suppkey = l_suppkey
              AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
              AND p_name LIKE '%gear%') profit
          GROUP BY nation, o_year
          ORDER BY nation, o_year DESC""",
     "tpch_q11" ->
-      """WITH scoped AS (
-           SELECT l_partkey,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
-                 (1 - CAST(l_discount AS DECIMAL(18,6)))) AS val_dec
-           FROM lineitem, supplier, nation
-           WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      s"""WITH ${TpchFixture.partsuppCte},
+         scoped AS (
+           SELECT ps_partkey,
+             SUM(ps_supplycost * CAST(ps_availqty AS DECIMAL(18,0)))
+               AS val_dec
+           FROM partsupp, supplier, nation
+           WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
              AND n_name = 'NATION_3'
-           GROUP BY l_partkey)
-         SELECT l_partkey AS p_partkey,
+           GROUP BY ps_partkey)
+         SELECT ps_partkey AS p_partkey,
            round(CAST(val_dec AS DOUBLE), 6) AS part_value
          FROM scoped
-         WHERE val_dec > (SELECT SUM(val_dec) FROM scoped) *
+         WHERE val_dec > CAST((SELECT SUM(val_dec) FROM scoped)
+                              AS DECIMAL(38,6)) *
                          CAST(0.001 AS DECIMAL(18,6))
          ORDER BY part_value DESC, p_partkey""",
     "tpch_q12" ->
-      """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
-               THEN 'late' ELSE 'on-time' END AS ship_class,
+      s"""WITH ${TpchFixture.lineitemXCte}
+         SELECT l_shipmode,
            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-         FROM lineitem, orders
+         FROM lineitem_x, orders
          WHERE l_orderkey = o_orderkey
-           AND l_shipdate >= TIMESTAMP '1996-01-01'
-           AND l_shipdate <  TIMESTAMP '1997-01-01'
-         GROUP BY 1 ORDER BY 1""",
+           AND l_shipmode IN ('MAIL', 'SHIP')
+           AND l_commitdate < l_receiptdate
+           AND l_shipdate < l_commitdate
+           AND l_receiptdate >= TIMESTAMP '1996-01-01'
+           AND l_receiptdate <  TIMESTAMP '1997-01-01'
+         GROUP BY l_shipmode ORDER BY l_shipmode""",
     "tpch_q13" ->
       """SELECT c_count, COUNT(*) AS custdist
          FROM (
@@ -534,18 +582,21 @@ object TpchOps {
          WHERE total_dec = (SELECT MAX(total_dec) FROM revenue)
          ORDER BY s_suppkey""",
     "tpch_q16" ->
-      """SELECT p_brand, p_type, p_size,
-           COUNT(DISTINCT l_suppkey) AS supplier_cnt
-         FROM lineitem, part
-         WHERE p_partkey = l_partkey AND p_brand <> 'Brand#1'
+      s"""WITH ${TpchFixture.partsuppCte}
+         SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+         FROM partsupp, part
+         WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#1'
+           AND p_type NOT LIKE 'MEDIUM%'
            AND p_size IN (1,5,9,13,17,21,25,29,33,37,41,45,49)
          GROUP BY p_brand, p_type, p_size
          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
     "tpch_q17" ->
-      """WITH li AS (
+      s"""WITH ${TpchFixture.partXCte},
+         li AS (
            SELECT l_partkey, l_quantity, l_extendedprice
-           FROM lineitem JOIN part ON p_partkey = l_partkey
-           WHERE p_brand = 'Brand#5'),
+           FROM lineitem JOIN part_x ON p_partkey = l_partkey
+           WHERE p_brand = 'Brand#5' AND p_container = 'MED BOX'),
          per_part AS (
            SELECT l_partkey AS agg_partkey,
              SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty_dec,
@@ -557,38 +608,55 @@ object TpchOps {
          FROM li JOIN per_part ON l_partkey = agg_partkey
          WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * n < qty_dec""",
     "tpch_q19" ->
-      """SELECT round(CAST(COALESCE(
+      s"""WITH ${TpchFixture.lineitemXCte},
+         ${TpchFixture.partXCte}
+         SELECT round(CAST(COALESCE(
              SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
                  (1 - CAST(l_discount AS DECIMAL(18,6)))),
              CAST(0 AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
-         FROM lineitem, part
-         WHERE p_partkey = l_partkey AND (
-           (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         FROM lineitem_x, part_x
+         WHERE p_partkey = l_partkey
+           AND l_shipmode IN ('AIR', 'REG AIR')
+           AND l_shipinstruct = 'DELIVER IN PERSON'
+           AND (
+           (p_brand = 'Brand#12' AND p_container IN ('SM CASE', 'SM BOX')
+              AND p_size BETWEEN 1 AND 5
               AND l_quantity BETWEEN 1 AND 11) OR
-           (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           (p_brand = 'Brand#23' AND p_container IN ('MED BAG', 'MED BOX')
+              AND p_size BETWEEN 1 AND 10
               AND l_quantity BETWEEN 10 AND 20) OR
-           (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+           (p_brand = 'Brand#4' AND p_container IN ('LG CASE', 'LG BOX')
+              AND p_size BETWEEN 1 AND 15
               AND l_quantity BETWEEN 20 AND 30))""",
     "tpch_q20" ->
-      """SELECT s_suppkey, s_name FROM supplier
+      s"""WITH ${TpchFixture.partsuppCte},
+         shipped AS (
+           SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS shipped_dec
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE p_name LIKE '%bolt%'
+             AND l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1997-01-01'
+           GROUP BY l_suppkey, l_partkey)
+         SELECT s_suppkey, s_name FROM supplier
          WHERE s_suppkey IN (
-             SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+             SELECT ps_suppkey FROM partsupp
+             JOIN part ON p_partkey = ps_partkey
+             JOIN shipped ON ps_suppkey = l_suppkey AND ps_partkey = l_partkey
              WHERE p_name LIKE '%bolt%'
-               AND l_shipdate >= TIMESTAMP '1996-01-01'
-               AND l_shipdate <  TIMESTAMP '1997-01-01'
-             GROUP BY l_suppkey, l_partkey
-             HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 50)
+               AND CAST(ps_availqty * 2 AS DECIMAL(18,6)) > shipped_dec)
            AND s_nationkey IN (
              SELECT n_nationkey FROM nation JOIN region
                ON n_regionkey = r_regionkey
              WHERE r_name = 'EUROPE')
          ORDER BY s_suppkey""",
     "tpch_q21" ->
-      """WITH l AS (
+      s"""WITH ${TpchFixture.lineitemXCte},
+         l AS (
            SELECT l_orderkey, l_suppkey,
-             CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+             CASE WHEN l_receiptdate > l_commitdate
                THEN 1 ELSE 0 END AS late
-           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           FROM lineitem_x JOIN orders ON l_orderkey = o_orderkey
            WHERE o_orderstatus = 'F'),
          per_order AS (
            SELECT l_orderkey,
@@ -620,22 +688,26 @@ object TpchOps {
                AND o_orderdate >= TIMESTAMP '1999-01-01')
          GROUP BY c_nationkey ORDER BY cntrycode""",
     "tpch_q2" ->
-      """WITH li AS (
-           SELECT l_partkey, l_suppkey,
-             CAST(l_extendedprice AS DECIMAL(18,6)) AS price_dec,
-             p_brand, p_size
-           FROM lineitem JOIN part ON p_partkey = l_partkey
-           WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 15),
-         min_price AS (
-           SELECT l_partkey AS mp_partkey, MIN(price_dec) AS min_dec
-           FROM li GROUP BY l_partkey)
-         SELECT s_acctbal, s_name, l_partkey AS p_partkey, p_brand, p_size,
-           round(CAST(min_dec AS DOUBLE), 6) AS min_price
-         FROM (
-           SELECT DISTINCT l_partkey, l_suppkey, p_brand, p_size, min_dec
-           FROM li JOIN min_price
-             ON l_partkey = mp_partkey AND price_dec = min_dec) winners
-         JOIN supplier ON l_suppkey = s_suppkey
-         ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""",
+      s"""WITH ${TpchFixture.partsuppCte},
+         eu AS (
+           SELECT s_suppkey, s_name, s_acctbal, n_name
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         ps AS (
+           SELECT ps_partkey, ps_suppkey, ps_supplycost, p_brand, p_size
+           FROM partsupp JOIN part ON p_partkey = ps_partkey
+           WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 15
+             AND ps_suppkey IN (SELECT s_suppkey FROM eu)),
+         min_cost AS (
+           SELECT ps_partkey AS mp_partkey, MIN(ps_supplycost) AS min_dec
+           FROM ps GROUP BY ps_partkey)
+         SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey,
+           p_brand, p_size,
+           round(CAST(min_dec AS DOUBLE), 6) AS min_cost
+         FROM ps JOIN min_cost
+           ON ps_partkey = mp_partkey AND ps_supplycost = min_dec
+         JOIN eu ON ps_suppkey = s_suppkey
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
   )
 }

@@ -3,26 +3,31 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Deterministic fixture doubler for scale testing: writes `destDir` with
-  * every fact table = src ∪ (src with all keys shifted past their max), so
-  * the result is a valid fixture at 2× the rows with referential integrity
+/** Deterministic fixture multiplier for scale testing: writes `destDir` with
+  * every fact table = ∪_{i<k} (src with all keys shifted by i·(max+1)), so
+  * the result is a valid fixture at k× the rows with referential integrity
   * intact (copied orders reference copied customers, copied lineitems
   * reference copied orders/parts/suppliers, copied events belong to copied
   * users). region/nation stay fixed — they are spec-pinned dimensions (5/25
   * rows at every scale factor), exactly like TPC-H.
   *
-  * Duplicated documents/embeddings are exact content copies — deliberately:
-  * doubling a corpus this way is the worst case for the dedup family (every
-  * document gains an exact near-dup, every LSH bucket doubles), so a dedup
-  * query whose time stays ~linear here has no hidden quadratic term.
+  * Replicated documents/embeddings are exact content copies — deliberately:
+  * multiplying a corpus this way is the worst case for the dedup family
+  * (every document gains k−1 exact near-dups, every LSH bucket grows k×),
+  * so a dedup query whose time stays ~linear here has no hidden quadratic
+  * term. Graph-family note: part keys shift per copy, so the k× graph is k
+  * disjoint copies of the 1× co-occurrence graph — edges and wedges scale
+  * exactly k×, which is what makes the measured exponent attributable.
   *
-  * Usage: runMain graft.tools.ScaleFixture <srcSfDir> <destDir>
+  * Usage: runMain graft.tools.ScaleFixture <srcSfDir> <destDir> [k=2]
   */
 object ScaleFixture {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleFixture <srcSfDir> <destDir>")
+    require(args.length >= 2, "usage: ScaleFixture <srcSfDir> <destDir> [k]")
     val (src, dest) = (args(0), args(1))
+    val k = if (args.length >= 3) args(2).toInt else 2
+    require(k >= 2, s"multiplier must be >= 2, got $k")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
       .appName("graft-scale-fixture")
@@ -38,11 +43,15 @@ object ScaleFixture {
     def off(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head.getLong(0) + 1L
 
-    def doubled(t: String, df: DataFrame, shifts: Map[String, Long]): Unit = {
-      val copy = shifts.foldLeft(df) { case (d, (k, o)) => d.withColumn(k, col(k) + o) }
-      df.unionAll(copy)
+    def scaled(t: String, df: DataFrame, shifts: Map[String, Long]): Unit = {
+      (0 until k).map { i =>
+        shifts.foldLeft(df) { case (d, (key, o)) =>
+          d.withColumn(key, col(key) + lit(i * o))
+        }
+      }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$dest/$t.parquet")
-      println(s"[scale] $t: ${df.count() * 2} rows (${shifts.keys.mkString(",")} shifted)")
+      println(s"[scale] $t: ${df.count() * k} rows " +
+        s"(${k}x, ${shifts.keys.mkString(",")} shifted)")
     }
 
     // fixed dimensions: straight copies
@@ -55,11 +64,11 @@ object ScaleFixture {
     val part = raw("part"); val partOff = off(part, "p_partkey")
     val ord = raw("orders"); val ordOff = off(ord, "o_orderkey")
 
-    doubled("customer", cust, Map("c_custkey" -> custOff))
-    doubled("supplier", supp, Map("s_suppkey" -> suppOff))
-    doubled("part", part, Map("p_partkey" -> partOff))
-    doubled("orders", ord, Map("o_orderkey" -> ordOff, "o_custkey" -> custOff))
-    doubled("lineitem", raw("lineitem"), Map(
+    scaled("customer", cust, Map("c_custkey" -> custOff))
+    scaled("supplier", supp, Map("s_suppkey" -> suppOff))
+    scaled("part", part, Map("p_partkey" -> partOff))
+    scaled("orders", ord, Map("o_orderkey" -> ordOff, "o_custkey" -> custOff))
+    scaled("lineitem", raw("lineitem"), Map(
       "l_orderkey" -> ordOff, "l_partkey" -> partOff, "l_suppkey" -> suppOff))
 
     val ev = raw("events")
@@ -67,12 +76,12 @@ object ScaleFixture {
     // customers), so copied events must shift by the SAME custOff as
     // o_custkey — shifting by max(events.user_id)+1 would land copied
     // events on ORIGINAL customers and skew the events↔orders join
-    // distribution in the 2× fixture.
-    doubled("events", ev, Map(
+    // distribution in the k× fixture.
+    scaled("events", ev, Map(
       "event_id" -> off(ev, "event_id"), "user_id" -> custOff))
 
-    doubled("documents", raw("documents"), Map("doc_id" -> off(raw("documents"), "doc_id")))
-    doubled("embeddings", raw("embeddings"), Map("vec_id" -> off(raw("embeddings"), "vec_id")))
+    scaled("documents", raw("documents"), Map("doc_id" -> off(raw("documents"), "doc_id")))
+    scaled("embeddings", raw("embeddings"), Map("vec_id" -> off(raw("embeddings"), "vec_id")))
 
     spark.stop()
   }

@@ -67,6 +67,47 @@ class RoundEightSpec extends AnyFunSuite {
       s"contribution aggregate lost its map-side partial:\n$plan")
   }
 
+  test("TpchFixture.partsupp: 4 distinct valid suppliers per part, exact cost decimals") {
+    import graft.operators.TpchFixture
+    val ns = Tables.load(spark, dir, "supplier").count()
+    val ps = TpchFixture.partsupp(spark, dir).collect()
+    val np = Tables.load(spark, dir, "part").count()
+    assert(ps.length == 4 * np)
+    // every (part, supplier) pair distinct — a collision would silently
+    // halve a part's supplier fan-out
+    assert(ps.map(r => (r.getLong(0), r.getLong(1))).distinct.length == ps.length)
+    val byPart = ps.groupBy(_.getLong(0))
+    assert(byPart.values.forall(_.map(_.getLong(1)).distinct.length == 4))
+    // supplier keys stay inside the contiguous 0-based key space
+    assert(ps.forall(r => r.getLong(1) >= 0 && r.getLong(1) < ns))
+    // supplycost carries exactly 2 decimals in DECIMAL(18,6) and is >= 1
+    assert(ps.forall { r =>
+      val c = r.getDecimal(3)
+      c.scale == 6 && c.remainder(new java.math.BigDecimal("0.01")).signum == 0 &&
+        c.doubleValue >= 1.0
+    })
+    assert(ps.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 9999))
+  }
+
+  test("TpchFixture.lineitemX: derived shipping columns hold their declared ranges") {
+    import graft.operators.TpchFixture
+    val lx = TpchFixture.lineitemX(spark, dir)
+      .select(
+        expr("timestampdiff(DAY, l_shipdate, l_commitdate)").as("cd"),
+        expr("timestampdiff(DAY, l_shipdate, l_receiptdate)").as("rd"),
+        (col("l_receiptdate") > col("l_commitdate")).as("late"),
+        col("l_shipmode"), col("l_shipinstruct"))
+      .collect()
+    lx.foreach { r =>
+      assert(r.getLong(0) >= -30 && r.getLong(0) <= 30, "commit window drifted")
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 30, "receipt window drifted")
+      assert(TpchFixture.shipModes.contains(r.getString(3)))
+      assert(TpchFixture.shipInstructs.contains(r.getString(4)))
+    }
+    // both lateness orientations occur — the Q12/Q21 predicates BIND
+    assert(lx.exists(_.getBoolean(2)) && lx.exists(!_.getBoolean(2)))
+  }
+
   test("pagerank early exit is oracle-safe: a fixpoint sweep is the identity") {
     import spark.implicits._
     // 2-regular ring: by symmetry every vertex carries the same rank p, and

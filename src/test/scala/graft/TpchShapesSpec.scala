@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.TpchOps
+import graft.operators.{TpchFixture, TpchOps}
 
 /** The round-7 TPC-H completions (Q2/Q7/Q8/Q9/Q11/Q12/Q13/Q15/Q16/Q17/
   * Q19/Q20/Q21/Q22). Values are pinned by the DuckDB oracle gate; these
@@ -56,7 +56,8 @@ class TpchShapesSpec extends AnyFunSuite {
     // replay the per-part avg in double on the tiny fixture and assert the
     // exact-decimal cross-multiplication selected the same revenue
     val li = Tables.load(spark, dir, "lineitem")
-      .join(Tables.load(spark, dir, "part").filter(col("p_brand") === "Brand#5")
+      .join(TpchFixture.partX(spark, dir)
+        .filter(col("p_brand") === "Brand#5" && col("p_container") === "MED BOX")
         .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       .collect()
@@ -73,14 +74,13 @@ class TpchShapesSpec extends AnyFunSuite {
   test("q21: per-order aggregate spelling equals the exists/not-exists chain") {
     // independent replay: for each finished order, the suppliers counted
     // must be late, in a multi-supplier order, and the only late supplier
-    val li = Tables.load(spark, dir, "lineitem")
+    val li = TpchFixture.lineitemX(spark, dir)
       .join(Tables.load(spark, dir, "orders")
         .filter(col("o_orderstatus") === "F")
-        .select(col("o_orderkey"), col("o_orderdate")),
+        .select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
-        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-          .as("late"))
+        (col("l_receiptdate") > col("l_commitdate")).as("late"))
       .collect()
     val byOrder = li.groupBy(_.getLong(0))
     val expected = scala.collection.mutable.Map.empty[Long, Long]
@@ -120,13 +120,31 @@ class TpchShapesSpec extends AnyFunSuite {
       "counted customers must be a subset of the dormant slice")
   }
 
-  test("q2: winners achieve their part's exact minimum price; ties all kept") {
+  test("q2: winners achieve their part's exact minimum supply cost; ties all kept") {
     val rows = TpchOps.tpchQ2(spark, dir).collect()
     if (rows.nonEmpty) {
-      val minByPart = rows.groupBy(_.getLong(2))
-        .view.mapValues(_.map(_.getDouble(5)).distinct).toMap
+      val minByPart = rows.groupBy(_.getLong(3))
+        .view.mapValues(_.map(_.getDouble(6)).distinct).toMap
       assert(minByPart.values.forall(_.length == 1),
-        "each part must report a single minimum price")
+        "each part must report a single minimum supply cost")
+      // real partsupp semantics: every winner's cost IS its part's min over
+      // the EUROPE-restricted derived partsupp
+      val euKeys = Tables.load(spark, dir, "supplier")
+        .join(Tables.load(spark, dir, "nation")
+          .join(Tables.load(spark, dir, "region")
+            .filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+      val psMin = TpchFixture.partsupp(spark, dir).collect()
+        .filter(r => euKeys(r.getLong(1)))
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getDecimal(3).doubleValue).min).toMap
+      rows.foreach { r =>
+        assert(math.abs(r.getDouble(6) - psMin(r.getLong(3))) < 1e-9,
+          s"part ${r.getLong(3)}: reported cost is not the EUROPE minimum")
+      }
     }
   }
 
