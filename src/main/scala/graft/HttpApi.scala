@@ -21,6 +21,7 @@ import scala.util.control.NonFatal
   */
 final class HttpApi(core: GraftCore, port: Int = 0) {
   private val mapper = new ObjectMapper()
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[HttpApi])
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   def boundPort: Int = server.getAddress.getPort
@@ -39,8 +40,19 @@ final class HttpApi(core: GraftCore, port: Int = 0) {
     val path = ex.getRequestURI.getPath.stripSuffix("/")
     val method = ex.getRequestMethod
     val segs = path.split("/").filter(_.nonEmpty).toList
+    // request-logging middleware (`cmd/init.go:115-128` logs method/header/
+    // uri/remote/content-length at debug); guarded so the format string is
+    // never built on the hot path when debug is off
+    if (log.isDebugEnabled) {
+      val len = Option(ex.getRequestHeaders.getFirst("Content-Length")).getOrElse("0")
+      log.debug("server received request method={} uri={} remote={} content-length={}",
+        method, ex.getRequestURI, ex.getRemoteAddress, len)
+    }
     try {
       (method, segs) match {
+        // root banner (`cmd/init.go:131-133`: "dungbeetle <buildString>")
+        case ("GET", Nil) =>
+          ok(ex, mapper.valueToTree[JsonNode](s"graft ${HttpApi.buildString}"))
         case ("GET", List("tasks")) => handleGetTasks(ex)
         case ("POST", List("tasks", task, "jobs")) => handlePostJob(ex, task)
         case ("GET", List("jobs", "queue", q)) => ok(ex, strArray(core.getPendingJobs(q)))
@@ -201,4 +213,10 @@ final class HttpApi(core: GraftCore, port: Int = 0) {
     val os = ex.getResponseBody
     os.write(bytes); os.close()
   }
+}
+
+object HttpApi {
+  /** The root banner's version string (the reference interpolates its Go
+    * buildString into "dungbeetle %s", `cmd/init.go:131-133`). */
+  val buildString = "0.1.0"
 }

@@ -46,6 +46,15 @@ class HttpApiSpec extends AnyFunSuite {
     (r.statusCode(), r.body())
   }
 
+  test("GET / returns the version banner in the success envelope") {
+    // reference root route: "dungbeetle <buildString>" (cmd/init.go:131-133)
+    val (c, b) = get("/")
+    assert(c == 200)
+    val j = mapper.readTree(b)
+    assert(j.get("status").asText == "success")
+    assert(j.get("data").asText == s"graft ${HttpApi.buildString}")
+  }
+
   test("GET /tasks lists names; ?sql=1 returns SQL (documented deviation)") {
     val (c1, b1) = get("/tasks")
     assert(c1 == 200 && mapper.readTree(b1).get("status").asText == "success")

@@ -1,0 +1,178 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Redis-protocol control plane over the embedded RESP server: the
+  * API-node / worker-node split with SEPARATE client connections per role —
+  * the in-JVM stand-in for the reference's API nodes + worker fleet sharing
+  * one Redis (`cmd/init.go:200-229`), here over a real TCP round-trip. */
+class RedisControlPlaneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def withServer[A](f: (String, Int) => A): A = {
+    val srv = new RespServer().start()
+    try f("127.0.0.1", srv.boundPort) finally srv.stop()
+  }
+
+  private def fixture() = {
+    val tasksDir = Files.createTempDirectory("graft-redis-tasks")
+    Files.writeString(tasksDir.resolve("t.sql"),
+      """-- name: count_events
+        |SELECT COUNT(*) AS n FROM events;
+        |
+        |-- name: profit
+        |SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events WHERE user_id = $1;
+        |""".stripMargin)
+    val results = Files.createTempDirectory("graft-redis-results").toString
+    val src = SourcePool(Map("db" -> TestSpark.sf0001))
+    val bk = SourcePool(Map("res" -> results))
+    val tasks = TaskRegistry.load(spark, Seq(tasksDir.toString), src, bk)
+    (tasks, src, bk, results)
+  }
+
+  private def await(timeoutMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (System.currentTimeMillis < deadline) {
+      if (cond) return true
+      Thread.sleep(30)
+    }
+    cond
+  }
+
+  test("RESP wire basics: strings w/ NX+PX, hashes, lists, INCR, KEYS") {
+    withServer { (h, p) =>
+      val c = new RedisControlPlane.RespClient(h, p)
+      try {
+        assert(c.cmd("PING") == "PONG")
+        assert(c.cmd("SET", "k", "v1") == "OK")
+        assert(c.cmd("GET", "k") == "v1")
+        // NX refuses while present, wins after DEL
+        assert(c.cmd("SET", "k", "v2", "NX") == null)
+        assert(c.cmdLong("DEL", "k") == 1)
+        assert(c.cmd("SET", "k", "v2", "NX") == "OK")
+        // PX expiry: key vanishes after the TTL
+        assert(c.cmd("SET", "ttl", "x", "PX", "60") == "OK")
+        assert(c.cmd("GET", "ttl") == "x")
+        Thread.sleep(90)
+        assert(c.cmd("GET", "ttl") == null)
+        // INCR is the epoch counter
+        assert(c.cmdLong("INCR", "n") == 1 && c.cmdLong("INCR", "n") == 2)
+        // hashes
+        assert(c.cmdLong("HSET", "h", "a", "1", "b", "2") == 2)
+        assert(c.cmdSeq("HGETALL", "h").map(_.toString) == Seq("a", "1", "b", "2"))
+        // lists: LPUSH head, RPOP tail = FIFO; LRANGE walks newest-first
+        c.cmd("LPUSH", "q", "first")
+        c.cmd("LPUSH", "q", "second")
+        assert(c.cmdSeq("LRANGE", "q", "0", "-1").map(_.toString) ==
+          Seq("second", "first"))
+        assert(c.cmd("RPOP", "q") == "first")
+        assert(c.cmdLong("LREM", "q", "0", "second") == 1)
+        assert(c.cmd("RPOP", "q") == null)
+        // KEYS glob
+        c.cmd("SET", "graft:job:a", "1"); c.cmd("SET", "other", "1")
+        assert(c.cmdSeq("KEYS", "graft:job:*").map(_.toString) == Seq("graft:job:a"))
+      } finally c.close()
+    }
+  }
+
+  test("API core enqueues; a separate Redis worker claims, executes, API sees SUCCESS") {
+    withServer { (h, p) =>
+      val (tasks, src, bk, results) = fixture()
+      val apiStore = new RedisJobStateStore(h, p)
+      val api = new GraftCore(spark, tasks, src, bk,
+        mkStore = () => apiStore,
+        mkBroker = (_, st) => new RedisQueueBroker(h, p, st))
+      // worker node: its own connections over the same server
+      val worker = new RedisQueueWorker(spark, tasks,
+        new RedisJobStateStore(h, p), h, p)
+      try {
+        val job = api.postJob(JobReq("profit", jobId = "redis-1", args = Seq("1")))
+        assert(await(60000)(apiStore.get(job.id).exists(_.state == JobState.Success)),
+          s"API-side saw: ${apiStore.get(job.id)}")
+        assert(apiStore.get(job.id).exists(_.count > 0))
+        assert(new java.io.File(Executor.resultDir(results, "redis-1")).isDirectory,
+          "result must be materialized by the worker")
+        // terminal states re-admit with a NEW epoch
+        val e1 = apiStore.epoch(job.id)
+        val second = api.postJob(JobReq("profit", jobId = "redis-1", args = Seq("2")))
+        assert(await(60000)(apiStore.get(second.id).exists(_.state == JobState.Success)))
+        assert(apiStore.epoch(job.id) > e1, "re-admission must bump the epoch")
+      } finally { worker.stop(); api.scheduler.shutdown(); apiStore.close() }
+    }
+  }
+
+  test("duplicate ID refused across brokers; cancel drops the queued payload") {
+    withServer { (h, p) =>
+      val (tasks, src, bk, _) = fixture()
+      val storeA = new RedisJobStateStore(h, p)
+      val brokerA = new RedisQueueBroker(h, p, storeA)
+      // no worker: the job stays queued
+      val job = JobFactory.make(JobReq("count_events", jobId = "redis-dup"),
+        tasks("count_events"))
+      assert(brokerA.submit(job, tasks("count_events")))
+      val brokerB = new RedisQueueBroker(h, p, new RedisJobStateStore(h, p))
+      assert(!brokerB.submit(job, tasks("count_events")), "dup ID admitted twice")
+      assert(brokerA.pendingJobs(job.queue) == Seq("redis-dup"))
+      // cancel removes the store entry AND the unclaimed payload
+      brokerA.cancel("redis-dup", purge = false, bk)
+      assert(storeA.get("redis-dup").isEmpty)
+      assert(brokerA.pendingJobs(job.queue).isEmpty)
+      // canceled ≠ never-admitted: group reduction still accounts for it
+      storeA.putGroup("g1", Seq("redis-dup"))
+      val gs = storeA.groupStatus("g1")
+      assert(gs.exists(_.state == JobState.Pending)) // canceled member, no live jobs
+      brokerA.shutdown(); storeA.close()
+    }
+  }
+
+  test("redis broker: a failed attempt is re-published and another worker finishes it") {
+    withServer { (h, p) =>
+      // empty source dir: attempt 1 fails; then the table materializes and
+      // the RETRY attempt succeeds — on a DIFFERENT worker (worker A's only
+      // poll is the startup one; worker B starts after the retry payload
+      // is observed sitting in the queue)
+      val tasksDir = Files.createTempDirectory("graft-redis-xr-tasks")
+      Files.writeString(tasksDir.resolve("t.sql"),
+        """-- name: count_events
+          |SELECT COUNT(*) AS n FROM events;
+          |""".stripMargin)
+      val srcDir = Files.createTempDirectory("graft-redis-xr-src")
+      val results = Files.createTempDirectory("graft-redis-xr-results").toString
+      val src = SourcePool(Map("db" -> srcDir.toString))
+      val bk = SourcePool(Map("res" -> results))
+      val tasks = TaskRegistry.load(spark, Seq(tasksDir.toString), src, bk)
+
+      val apiStore = new RedisJobStateStore(h, p)
+      val broker = new RedisQueueBroker(h, p, apiStore)
+      val probe = new RedisControlPlane.RespClient(h, p)
+      val job = JobFactory.make(
+        JobReq("count_events", jobId = "redis-xretry", retries = 1),
+        tasks("count_events"))
+      assert(broker.submit(job, tasks("count_events")))
+
+      val workerA = new RedisQueueWorker(spark, tasks,
+        new RedisJobStateStore(h, p), h, p, pollMs = 600000)
+      try {
+        // attempt 1 fails → retry payload (attempt=2) re-published to Redis
+        assert(await(30000) {
+          probe.cmdSeq("LRANGE", s"graft:queue:${job.queue}", "0", "-1")
+            .exists(s => RedisControlPlane.decodeJob(s.toString).exists(_._3 == 2))
+        }, s"retry payload never appeared; state=${apiStore.get(job.id)}")
+        assert(apiStore.get(job.id).exists(_.state == JobState.Retry))
+        // now the data exists; worker B claims the retry
+        import spark.implicits._
+        Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("event_id", "user_id")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(srcDir.resolve("events.parquet").toString)
+        val workerB = new RedisQueueWorker(spark, tasks,
+          new RedisJobStateStore(h, p), h, p)
+        try {
+          assert(await(60000)(apiStore.get(job.id).exists(_.state == JobState.Success)),
+            s"retry never completed; state=${apiStore.get(job.id)}")
+        } finally workerB.stop()
+      } finally { workerA.stop(); broker.shutdown(); apiStore.close(); probe.close() }
+    }
+  }
+}
