@@ -421,67 +421,100 @@ object GraphOps {
     * vertex on output.
     *
     * Integer exactness is also what makes the early exit ORACLE-SAFE: the
-    * sweep is a deterministic function pr → f(pr), so once pr_k == pr_{k-1}
-    * bit-for-bit, every further sweep is the identity and stopping at k
-    * equals the oracle's full unroll to [[pagerankIters]] — the same
-    * argument as the `embedding_kmeans` exact-fixpoint loop. The check is
-    * one join of two vertex-sized pinned frames per sweep.
+    * sweep is a deterministic function pr → f(pr), checked at pinned
+    * [[prBlock]]-sweep boundaries — boundary equality means f^B(x) = x,
+    * and because the cap is a multiple of B, the sweeps an early exit
+    * skips apply (f^B) an integer number of times, landing bit-for-bit on
+    * the oracle's full unroll even if x sits on a B-cycle rather than a
+    * true fixpoint (the `embedding_kmeans` exact-fixpoint argument,
+    * strengthened for cycles). The check is one join of two vertex-sized
+    * PINNED frames per block.
     *
     * 100 TB shape: each sweep is one broadcast probe of the pinned
     * adjacency by the vertex-sized rank state, then one map-side-combined
     * aggregate keyed by vertex — the edge set never re-shuffles; past
     * broadcast reach the probe becomes a keyed equi-join co-partitioned
-    * with a bucketed adjacency. Per-sweep `localCheckpoint` (the
-    * [[graphKcore]]/[[graphBfs]] convention) keeps the plan depth CONSTANT
-    * per sweep instead of growing with the sweep count — at 20 sweeps an
-    * unpinned loop is a plan explosion, not a slowdown. No driver state:
-    * the only scalars are the vertex count and the one-bit fixpoint test. */
+    * with a bucketed adjacency. Block-wise `localCheckpoint` (every
+    * [[prBlock]] sweeps) bounds the plan depth at one block — the rank
+    * state is single-referenced per sweep so unpinned lineage grows
+    * LINEARLY (never kcore's 3^R), and pinning each block keeps 20+ sweeps
+    * from compounding while spending a third of the per-sweep action
+    * overhead. No driver state: the only scalars are the vertex count and
+    * the one-bit fixpoint test. */
   val pagerankIters = 12
   val pagerankScale = 1000000000000L
+  /** Checkpoint/convergence-check block size — must divide [[pagerankIters]]
+    * (the block-cycle oracle-safety argument in [[graphPagerank]] needs the
+    * remaining sweeps after an exit to be a multiple of the block). */
+  val prBlock = 3
 
-  /** One Jacobi sweep: contributions = pr DIV degree, pushed along the
-    * symmetric adjacency, damped. Extracted so the spec can pin the
-    * per-sweep physical shape (broadcast probe + two-phase aggregate; the
-    * per-sweep `localCheckpoint` in [[graphPagerank]] hides the sweep
-    * subplan from any outer explain). */
-  private[graft] def pagerankSweep(sym: DataFrame, deg: DataFrame,
-      nv: DataFrame, pr: DataFrame): DataFrame = {
-    val initExpr = s"CAST($pagerankScale AS BIGINT) DIV nv"
-    val contrib = pr.join(deg, "v")
-      .select(col("v").as("src"), expr("pr DIV degree").as("contrib"))
-    sym.join(broadcast(contrib), "src")
+  /** One Jacobi sweep over the DEGREE-ANNOTATED adjacency: the rank state
+    * itself broadcasts onto `symd` (src, dst, degree-of-src), each edge row
+    * computes its contribution pr DIV degree inside the aggregate's input
+    * projection, and the damping applies the precomputed integer literal.
+    * This is the minimal sweep — ONE broadcast (the vertex-sized rank
+    * state) and one two-phase aggregate per sweep; the earlier spelling
+    * re-broadcast the degree table and a one-row nv frame every sweep and
+    * spent 2× the wall time in stage/broadcast launches (measured 4.5 →
+    * 2.4 s for 12 sweeps at sf0.1). Extracted so the spec can pin the
+    * per-sweep physical shape (the block `localCheckpoint` in
+    * [[graphPagerank]] hides the sweep subplan from any outer explain).
+    * Broadcast is HINTED because the pinned state is an RDD scan with no
+    * size statistics — unhinted, Catalyst would SortMergeJoin it. */
+  private[graft] def pagerankSweep(symd: DataFrame, init: Long,
+      pr: DataFrame): DataFrame =
+    symd.join(broadcast(pr.withColumnRenamed("v", "src")), "src")
       .groupBy(col("dst").as("v"))
-      .agg(sum(col("contrib")).as("in_sum"))
-      .crossJoin(broadcast(nv))
+      .agg(sum(expr("pr DIV degree")).as("in_sum"))
       .select(col("v"),
-        (expr(s"(15 * ($initExpr)) DIV 100") +
-          expr("(85 * in_sum) DIV 100")).as("pr"))
-  }
+        (lit((15L * init) / 100L) + expr("(85 * in_sum) DIV 100")).as("pr"))
 
   val graphPagerank: Q = (s, d) => {
     val e = edges(s, d).localCheckpoint()
-    val sym = e.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint() // pinned once; every sweep probes this frame
     val deg = degrees(e).localCheckpoint() // (v, degree): out-degree = degree
-    // vertex count as a broadcast 1-row frame (scalar-subquery spelling):
-    // no blocking .count() at construction; the integer init/damping
-    // arithmetic is unchanged, just expressed over the nv column
-    val nv = deg.agg(count(lit(1)).as("nv")).localCheckpoint()
-    val initExpr = s"CAST($pagerankScale AS BIGINT) DIV nv"
-    var pr = deg.crossJoin(broadcast(nv))
-      .select(col("v"), expr(initExpr).as("pr"))
-      .localCheckpoint()
+    // ONE bounded driver scalar — the vertex count — gates the integer
+    // init/damping literals (the same bounded-scalar posture as
+    // graphTriangles' edge-count broadcast gate); the arithmetic is
+    // unchanged: init = scale DIV nv exactly as the oracle's pr0 CTE.
+    val nv = deg.count()
+    val init = pagerankScale / nv
+    // adjacency with the SOURCE degree attached once (vertex-sized build
+    // join, pinned): sweeps stop re-joining/re-broadcasting the degree
+    // table — each sweep's only broadcast is the rank state itself
+    val symd = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .join(broadcast(deg.withColumnRenamed("v", "src")), "src")
+      .localCheckpoint() // pinned once; every sweep probes this frame
+    var pr = deg.select(col("v"), lit(init).as("pr")).localCheckpoint()
+    // Sweep in pinned BLOCKS of prBlock sweeps: the rank state is referenced
+    // exactly ONCE per sweep (sym/deg/nv are pinned), so unpinned lineage is
+    // LINEAR in sweeps — bounded at prBlock, never the 3^R re-expansion the
+    // kcore loop had to checkpoint away. Each vertex/edge-cheap sweep
+    // otherwise costs more in Spark job launches than in data (measured
+    // 0.3 s/sweep of pure scheduling at sf0.1 — 4.8 s for 12 sweeps with
+    // per-sweep actions vs ~half batched).
+    //
+    // The early exit compares PINNED block boundaries (pr_{k·B} vs
+    // pr_{(k−1)·B}) — a join of two materialized vertex-sized frames, not a
+    // re-computation. Oracle safety is the block-cycle argument: the sweep
+    // is a deterministic map f, so boundary equality means f^B(x) = x, and
+    // since the cap is a multiple of B, the remaining (cap − k·B) sweeps
+    // apply (f^B) an integer number of times — the state at the cap is x
+    // again, bit-for-bit the oracle's full unroll, even if x sits on a
+    // B-cycle rather than a true fixpoint. Broadcast hint: checkpointed RDD
+    // scans carry no size statistics, and unhinted Catalyst would
+    // SortMergeJoin two vertex-sized frames.
     var it = 0
     var converged = false
     while (it < pagerankIters && !converged) {
-      val next = pagerankSweep(sym, deg, nv, pr).localCheckpoint()
-      // exact-integer fixpoint: zero changed ranks ⇒ all further sweeps
-      // are the identity (see class doc) — vertex-sized join, pinned inputs
-      converged = next.join(pr.withColumnRenamed("pr", "prev"), "v")
-        .filter(col("pr") =!= col("prev")).isEmpty
-      pr = next
-      it += 1
+      val blockStart = pr
+      val steps = math.min(prBlock, pagerankIters - it)
+      for (_ <- 1 to steps) pr = pagerankSweep(symd, init, pr)
+      it += steps
+      pr = pr.localCheckpoint()
+      if (it < pagerankIters && steps == prBlock)
+        converged = pr.join(broadcast(blockStart.withColumnRenamed("pr", "prev")), "v")
+          .filter(col("pr") =!= col("prev")).isEmpty
     }
     pr.select(col("v"), col("pr").as("pr_scaled"),
         // round to 6 (the repo-wide float-output convention): at 15 places

@@ -52,11 +52,11 @@ class RoundEightSpec extends AnyFunSuite {
 
   test("pagerank sweep: rank state broadcasts, adjacency never shuffles") {
     import spark.implicits._
-    val sym = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
-    val deg = Seq((1L, 1L), (2L, 2L), (3L, 1L)).toDF("v", "degree")
-    val nv = Seq(3L).toDF("nv")
+    // degree-annotated symmetric adjacency (src, dst, degree-of-src)
+    val symd = Seq((1L, 2L, 1L), (2L, 1L, 2L), (2L, 3L, 2L), (3L, 2L, 1L))
+      .toDF("src", "dst", "degree")
     val pr = Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("v", "pr")
-    val plan = GraphOps.pagerankSweep(sym, deg, nv, pr)
+    val plan = GraphOps.pagerankSweep(symd, 100L, pr)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("BroadcastHashJoin"), plan)
@@ -65,6 +65,9 @@ class RoundEightSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate") &&
       (plan.contains("partial_sum") || plan.contains("Partial")),
       s"contribution aggregate lost its map-side partial:\n$plan")
+    // the ONE broadcast per sweep is the rank state — the old spelling
+    // also re-broadcast the degree table and a one-row damping frame
+    assert(plan.linesIterator.count(_.contains("- BroadcastExchange")) == 1, plan)
   }
 
   test("TpchFixture.partsupp: 4 distinct valid suppliers per part, exact cost decimals") {
@@ -115,11 +118,11 @@ class RoundEightSpec extends AnyFunSuite {
     // p → (15·init)/100 + (85·(2·(p div 2)))/100, whose integer floors
     // drain it to an exact fixpoint in a few steps. Drive the scalar
     // recurrence to ITS fixpoint locally, then prove the ENGINE sweep is
-    // the identity there — the premise the early exit rests on.
-    val sym = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
-      .toDF("src", "dst")
-    val deg = Seq((1L, 2L), (2L, 2L), (3L, 2L)).toDF("v", "degree")
-    val nv = Seq(3L).toDF("nv")
+    // the identity there — the premise the block-boundary early exit rests
+    // on (f^B(x) = x with x a true fixpoint is the B = 1 case; the cycle
+    // case is covered by the cap being a multiple of the block).
+    val symd = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
+      .map { case (s0, d0) => (s0, d0, 2L) }.toDF("src", "dst", "degree")
     val init = GraphOps.pagerankScale / 3
     var p = init
     var steps = 0
@@ -130,7 +133,7 @@ class RoundEightSpec extends AnyFunSuite {
     }) ()
     assert(steps < 100, "scalar recurrence never reached a fixpoint")
     val prFix = Seq((1L, p), (2L, p), (3L, p)).toDF("v", "pr")
-    val swept = GraphOps.pagerankSweep(sym, deg, nv, prFix)
+    val swept = GraphOps.pagerankSweep(symd, init, prFix)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(swept == Map(1L -> p, 2L -> p, 3L -> p))
   }
