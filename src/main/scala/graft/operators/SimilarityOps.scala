@@ -686,9 +686,46 @@ object SimilarityOps {
         (col("n_found").cast(DoubleType) / col("n_exact")).as("recall"))
   }
 
+  /** Matryoshka truncation: score with only the FIRST [[mrlTruncDim]] of
+    * the 64 dimensions. */
+  val mrlTruncDim = 16
+
+  /** Matryoshka-truncation recall audit: exact cosine top-k using only the
+    * first [[mrlTruncDim]] dimensions vs the full-dimension exact top-k —
+    * the evaluation behind MRL-style dimension-adaptive retrieval
+    * (Kusupati et al. 2022): if prefix-truncated recall holds, the fleet
+    * serves the short vectors (4× less memory bandwidth here) and reranks
+    * the shortlist at full width. Same one-row-out recall shape as
+    * [[simIvfRecall]]; the truncated scan slices the array column map-side
+    * (no second storage pass at this width — a production pipeline stores
+    * the prefix column separately and this audit decides whether it can).
+    * Both top-k selections are TakeOrdered k-merges over a broadcast query
+    * row; nothing shuffles. */
+  val embeddingMrlRecall: Q = (s, d) => {
+    val k = 10
+    val full = simSearchTopK(s, d).select(col("vec_id"))
+    val q = emb(s, d).filter(col("vec_id") === 0)
+      .select(slice(asD(col("embedding")), 1, mrlTruncDim).as("qv"))
+    val trunc = emb(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        cosine(slice(asD(col("embedding")), 1, mrlTruncDim), col("qv"))
+          .as("score_raw"))
+      .orderBy(col("score_raw").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"))
+    val found = full.join(trunc, Seq("vec_id"), "left_semi")
+    full.agg(count(lit(1)).as("n_full")).crossJoin(
+      trunc.agg(count(lit(1)).as("n_trunc"))).crossJoin(
+      found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_full"), col("n_trunc"), col("n_found"),
+        (col("n_found").cast(DoubleType) / col("n_full")).as("recall"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_search_pq" -> simSearchPq,
     "sim_ivf_recall" -> simIvfRecall,
+    "embedding_mrl_recall" -> embeddingMrlRecall,
     "sim_rerank" -> simRerank,
     "dedup_semantic" -> dedupSemantic,
     "embedding_centroid" -> embeddingCentroid,
@@ -1031,6 +1068,35 @@ object SimilarityOps {
          FROM top t JOIN ex e ON t.vec_id = e.vec_id
          ORDER BY t.adc_d2, t.vec_id""",
     "sim_search_ivf_indexed" -> ivfOracle,
+    "embedding_mrl_recall" ->
+      s"""WITH fq AS (
+           SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id = 0),
+         flat AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id <> 0),
+         full_scored AS (
+           SELECT f.vec_id,
+             SUM(f.val * q.qv) /
+             (SQRT(SUM(f.val * f.val)) * SQRT(SUM(q.qv * q.qv))) AS s
+           FROM flat f JOIN fq q ON f.i = q.i GROUP BY f.vec_id),
+         full_top AS (SELECT vec_id FROM full_scored ORDER BY s DESC, vec_id LIMIT 10),
+         trunc_scored AS (
+           SELECT f.vec_id,
+             SUM(f.val * q.qv) /
+             (SQRT(SUM(f.val * f.val)) * SQRT(SUM(q.qv * q.qv))) AS s
+           FROM flat f JOIN fq q ON f.i = q.i
+           WHERE f.i <= $mrlTruncDim AND q.i <= $mrlTruncDim
+           GROUP BY f.vec_id),
+         trunc_top AS (SELECT vec_id FROM trunc_scored ORDER BY s DESC, vec_id LIMIT 10)
+         SELECT (SELECT COUNT(*) FROM full_top) AS n_full,
+                (SELECT COUNT(*) FROM trunc_top) AS n_trunc,
+                (SELECT COUNT(*) FROM full_top JOIN trunc_top USING (vec_id))
+                  AS n_found,
+           CAST((SELECT COUNT(*) FROM full_top JOIN trunc_top USING (vec_id))
+                AS DOUBLE) / (SELECT COUNT(*) FROM full_top) AS recall""",
     "sim_ivf_recall" ->
       s"""WITH exact AS (SELECT vec_id FROM ($topkOracle) x),
          ivf AS (SELECT vec_id FROM ($ivfOracle) v),

@@ -56,6 +56,34 @@ object TextOps {
         graft.functions.BpeTable.bpe_token_count(col("text")).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Tokenizer fertility by language: BPE subwords per whitespace word and
+    * characters per subword, per language — the standard multilingual
+    * tokenizer audit (a language whose fertility is far above the corpus
+    * mean pays proportionally more sequence length per word, which skews
+    * both token budgets and per-language loss weighting; this table is what
+    * motivates vocab rebalancing). Exact integer sums per language (counts
+    * from the same codegen'd map-side [[graft.functions.BpeTable]] pass as
+    * `text_token_count`, zero shuffle before the language-keyed aggregate);
+    * the two float ratios divide exact longs once, identical formula text
+    * in the oracle. Output is language-cardinality. */
+  val tokenizerFertility: Q = (s, d) =>
+    docs(s, d).select(
+        col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("ws"),
+        graft.functions.BpeTable.bpe_token_count(col("text")).as("bpe"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_words"),
+        sum(col("bpe")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast(DoubleType) / col("n_words").cast(DoubleType), 6)
+          .as("fertility"),
+        round(col("n_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)
+          .as("chars_per_token"))
+      .orderBy(col("lang"))
+
   /** BPE-trainer step statistic: the corpus-wide adjacent-symbol-pair
     * frequencies a BPE trainer (Sennrich et al. 2016) computes to choose
     * its next merge rule — evaluated at the mid-training state after the
@@ -353,6 +381,7 @@ object TextOps {
     "text_normalize" -> textNormalize,
     "text_quality" -> textQuality,
     "text_token_count" -> textTokenCount,
+    "tokenizer_fertility" -> tokenizerFertility,
     "text_bpe_pairs" -> textBpePairs,
     "text_lang_id" -> textLangId,
     "text_fingerprint" -> textFingerprint,
@@ -516,6 +545,25 @@ object TextOps {
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
          ${graft.functions.BpeTable.duckCountSql("text")} AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
+    "tokenizer_fertility" ->
+      s"""WITH per_doc AS (
+           SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+             ${graft.functions.BpeTable.duckCountSql("text")} AS bpe,
+             n_chars
+           FROM documents),
+         agg AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ws) AS BIGINT) AS n_words,
+             CAST(SUM(bpe) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+           FROM per_doc GROUP BY lang)
+         SELECT lang, n_docs, n_words, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+             AS fertility,
+           round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS chars_per_token
+         FROM agg ORDER BY lang""",
     "text_bpe_pairs" ->
       s"""WITH words AS (
            SELECT unnest(string_split(text, ' ')) AS w FROM documents),

@@ -163,8 +163,10 @@ object TpchOps {
     * comparison stays in exact decimal (total × 0.001 as a decimal
     * multiply, never a float; the fraction is the spec's 0.0001 scaled to
     * the fixture's supplier count). partsupp joins the nation's supplier
-    * slice broadcast; the scope aggregate is computed ONCE and reused for
-    * both the total and the cut. */
+    * slice broadcast. Plan note: Catalyst inlines `scoped` into BOTH the
+    * output and the total (no subtree reuse across the broadcast), so the
+    * scope aggregate derives twice — acceptable because partsupp is
+    * dimension-scale (4×|part|), never the fact table. */
   val tpchQ11: Q = (s, d) => {
     val supp = t(s, d, "supplier")
       .join(broadcast(t(s, d, "nation").filter($"n_name" === "NATION_3")

@@ -111,6 +111,26 @@ class RoundEightSpec extends AnyFunSuite {
     assert(lx.exists(_.getBoolean(2)) && lx.exists(!_.getBoolean(2)))
   }
 
+  test("tokenizer_fertility: >=1 subword per word, doc counts cover the corpus") {
+    val rows = graft.operators.TextOps.queries("tokenizer_fertility")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 1.0, s"${r.getString(0)}: fertility < 1")
+      assert(r.getDouble(5) > 0.0)
+    }
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+  }
+
+  test("embedding_mrl_recall: both top-k full, recall a valid ratio") {
+    val r = graft.operators.SimilarityOps.queries("embedding_mrl_recall")(spark, dir)
+      .head()
+    assert(r.getLong(0) == 10 && r.getLong(1) == 10)
+    assert(r.getLong(2) >= 0 && r.getLong(2) <= 10)
+    assert(r.getDouble(3) == r.getLong(2).toDouble / 10)
+  }
+
   test("pagerank early exit is oracle-safe: a fixpoint sweep is the identity") {
     import spark.implicits._
     // 2-regular ring: by symmetry every vertex carries the same rank p, and
