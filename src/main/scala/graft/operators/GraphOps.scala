@@ -113,7 +113,11 @@ object GraphOps {
       (if (nEdges <= graft.Limits.maxBroadcastEdges)
         wedges.join(broadcast(ep), Seq("p"), "left_semi")
       else
-        wedges.join(ep, Seq("p"), "left_semi"))
+        // SHUFFLE_HASH, not the SMJ default: the fallback must hash-build
+        // on the edge side and STREAM the wedge side — sort-merge would
+        // sort the O(m^1.5) wedge stream, which is the 20×-fixture cliff
+        // this hint removed (sf2 leg: 149 s SMJ → hash join at stream rate)
+        wedges.join(ep.hint("SHUFFLE_HASH"), Seq("p"), "left_semi"))
         .agg(count(lit(1)).as("n_triangles"))
     val nv = deg.agg(count(lit(1)).as("n_vertices"))
     val ne = e.agg(count(lit(1)).as("n_edges"))
@@ -211,7 +215,10 @@ object GraphOps {
     val counted =
       if (nEdges <= graft.Limits.maxBroadcastEdges)
         pc.join(broadcast(ep), Seq("p"), "left_anti")
-      else pc.join(ep, Seq("p"), "left_anti")
+      // hash-build on the edge side, stream the pair-count artifact —
+      // never sort it (the SMJ default's sort of the billion-row pair
+      // stream was the 20×-fixture cliff)
+      else pc.join(ep.hint("SHUFFLE_HASH"), Seq("p"), "left_anti")
     counted
       .orderBy(col("common_neighbors").desc, col("p"))
       .limit(20)
@@ -247,7 +254,9 @@ object GraphOps {
     val onEdges =
       if (nEdges <= graft.Limits.maxBroadcastEdges)
         pc.join(broadcast(ep), Seq("p"), "left_semi")
-      else pc.join(ep, Seq("p"), "left_semi")
+      // same fallback shape as graphCommonNeighbors: hash-build the edges,
+      // stream the artifact
+      else pc.join(ep.hint("SHUFFLE_HASH"), Seq("p"), "left_semi")
     val j = onEdges
       .select(shiftright(col("p"), 32).as("a"),
         (col("p").bitwiseAND(lit(0xFFFFFFFFL))).as("b"), col("c"))
@@ -381,13 +390,26 @@ object GraphOps {
     // subquery spelling) instead of a blocking driver-side .count() at
     // query-construction time
     val nOrders = op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-    val pairN = op
+    // pair counting takes the pair-count artifact's proven shape (see
+    // [[pairCountsPath]]): packed 8-byte pair keys, ONE repartition (a
+    // map-side partial over near-unique pair keys hashes the full stream
+    // only to shuffle the same cardinality — the 56.6 vs 5 s measurement
+    // on the wedge stream; the same spill cliff showed up here at the 10×
+    // fixture), then an exact per-partition primitive-map count
+    // ([[hashCountAll]]) over reused UnsafeRows.
+    import s.implicits._
+    val packed = op
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(graft.functions.LongPairs.long_pairs(col("ps"))).as("e"))
-      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
-      .agg(count(lit(1)).as("n_ab"))
+      .select(explode(
+        graft.functions.LongPairsPacked.long_pairs_packed(col("ps"))).as("p"))
+      .repartition(2 * s.sparkContext.defaultParallelism, col("p"))
+    val pairN = s.createDataset(
+        packed.queryExecution.toRdd.mapPartitions(hashCountAll))
+      .toDF("p", "n_ab")
       .filter(col("n_ab") >= minRuleSupport)
+      .select(shiftright(col("p"), 32).as("a"),
+        (col("p").bitwiseAND(lit(0xFFFFFFFFL))).as("b"), col("n_ab"))
     val itemN = op.groupBy(col("l_partkey").as("v"))
       .agg(count(lit(1)).as("n_v"))
     // both rule directions from each undirected pair, then exact-int ratios

@@ -23,7 +23,7 @@ fams = [
      'Relational scalars, reshaping & sources'),
     ('dedup_', 'Deduplication'),
     ('sim_|embedding_|cluster_profile', 'Similarity & embeddings'),
-    ('text_|corpus_|sample_|pack_|decontaminate|quality_|split_|data_profile|curation_',
+    ('text_|corpus_|sample_|pack_|decontaminate|quality_|split_|data_profile|curation_|tokenizer_',
      'Text analysis & corpus curation'),
     ('shard_', 'Sharding & export'),
     ('mm_', 'Multimodal'),

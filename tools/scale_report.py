@@ -1,15 +1,17 @@
 #!/usr/bin/env python3
-"""Generate the scaling-trio exponent table for docs/SCALE.md.
+"""Generate the scaling-ladder exponent table for docs/SCALE.md.
 
-Usage: python3 tools/scale_report.py BENCH_sf0.1.json BENCH_sf0.2.json BENCH_sf1.json
+Usage: python3 tools/scale_report.py BENCH_sf0.1.json BENCH_sf0.2.json BENCH_sf1.json [BENCH_sf2.json]
 
-Reads the three bench JSONs (per-query MEDIANS — the spread-aware
-aggregate), buckets queries into the SURVEY families, and prints a
-markdown table of per-family totals at 1x/2x/10x with the fitted
-exponent (log-log slope between the 1x and 10x points). Queries cheaper
-than FLOOR seconds at sf1 are still counted in family totals but are
-excluded from the per-query worst-ratio line (a 0.04 s query's ratio is
-fixed-overhead noise, not a scaling signal).
+Reads the bench JSONs (per-query MEDIANS — the spread-aware aggregate),
+buckets queries into the SURVEY families, and prints a markdown table of
+per-family totals at 1x/2x/10x[/20x] with the fitted exponent (log-log
+slope between the 1x and 10x points) and, when the 20x point is given,
+the sf2/sf1 ratio — the post-threshold discriminator (a ~2.0 ratio after
+a >10 sf1/sf0.1 ratio is a topology/memory STEP followed by linear
+growth, not a superlinear term). Queries cheaper than FLOOR seconds at
+sf1 are excluded from the per-query worst-ratio list (fixed-overhead
+noise, not scaling signal).
 """
 import json, math, re, sys
 
@@ -24,17 +26,19 @@ FAMS = [
     ("graph_|basket_", "Graph"),
     ("dedup_", "Dedup"),
     ("sim_|embedding_|cluster_profile", "Similarity"),
-    ("text_|corpus_|sample_|pack_|decontaminate|quality_|split_|data_profile|curation_|shard_",
+    ("text_|corpus_|sample_|pack_|decontaminate|quality_|split_|data_profile|curation_|shard_|tokenizer_",
      "Text/curation"),
     ("mm_", "Multimodal"),
     ("stream_", "Streaming"),
     ("", "Other"),
 ]
 
-runs = [json.load(open(p)) for p in sys.argv[1:4]]
+paths = sys.argv[1:]
+runs = [json.load(open(p)) for p in paths]
 qs = [r.get("queries_median", r["queries"]) for r in runs]
+has20 = len(qs) >= 4
 names = [n for n in qs[0] if all(n in q and q[n] >= 0 for q in qs)]
-errored = [n for n in qs[0] if any(q.get(n, -1) < 0 for q in qs)]
+errored = sorted(set(n for q in qs for n in q if q.get(n, 0) < 0))
 
 def fam(n):
     for pat, title in FAMS:
@@ -42,6 +46,10 @@ def fam(n):
             return title
     return "Other"
 
+cols = ["sf0.1 s", "sf0.2 s", "sf1 s"] + (["sf2 s"] if has20 else [])
+print("| Family | n | " + " | ".join(cols) +
+      " | exp (1x→10x) |" + (" sf2/sf1 |" if has20 else ""))
+print("|---" * (len(cols) + 3) + ("|---|" if has20 else "|"))
 rows = []
 for _, title in FAMS:
     members = [n for n in names if fam(n) == title]
@@ -49,25 +57,29 @@ for _, title in FAMS:
         continue
     t = [sum(q[n] for n in members) for q in qs]
     expo = math.log(t[2] / t[0]) / math.log(10) if t[0] > 0 else float("nan")
-    rows.append((title, len(members), t[0], t[1], t[2], expo))
-
-print("| Family | n | sf0.1 s | sf0.2 s | sf1 s | exponent (1x→10x) |")
-print("|---|---|---|---|---|---|")
-for title, n, a, b, c, e in sorted(rows, key=lambda r: -r[4]):
-    print(f"| {title} | {n} | {a:.1f} | {b:.1f} | {c:.1f} | {e:.2f} |")
+    rows.append((title, len(members), t, expo))
+for title, n, t, e in sorted(rows, key=lambda r: -r[2][2]):
+    vals = " | ".join(f"{x:.1f}" for x in t)
+    extra = f" {t[3]/t[2]:.2f} |" if has20 else ""
+    print(f"| {title} | {n} | {vals} | {e:.2f} |{extra}")
 tot = [sum(q[n] for n in names) for q in qs]
-print(f"| **suite** | {len(names)} | **{tot[0]:.1f}** | **{tot[1]:.1f}** "
-      f"| **{tot[2]:.1f}** | **{math.log(tot[2]/tot[0])/math.log(10):.2f}** |")
+vals = " | ".join(f"**{x:.1f}**" for x in tot)
+extra = f" **{tot[3]/tot[2]:.2f}** |" if has20 else ""
+print(f"| **suite** | {len(names)} | {vals} | "
+      f"**{math.log(tot[2]/tot[0])/math.log(10):.2f}** |{extra}")
 
 big = [(qs[2][n] / max(qs[0][n], 1e-3), n) for n in names if qs[2][n] >= FLOOR]
 big.sort(reverse=True)
 print()
-print(f"Worst per-query 10x ratios (sf1 >= {FLOOR}s; 10.0 = linear):")
+print(f"Worst per-query 1x→10x ratios (sf1 >= {FLOOR}s; 10.0 = linear):")
 for r, n in big[:12]:
-    print(f"- {n}: {qs[0][n]:.2f} -> {qs[2][n]:.2f} s (x{r:.1f}, "
-          f"exponent {math.log(max(r,1e-9))/math.log(10):.2f})")
+    post = f", sf2/sf1 {qs[3][n]/qs[2][n]:.2f}" if has20 else ""
+    print(f"- {n}: {qs[0][n]:.2f} -> {qs[2][n]:.2f} s (x{r:.1f}{post})")
 above = [n for r, n in big if r > 10.5]
 print()
-print(f"Queries above linear (ratio > 10.5): {above if above else 'none'}")
+print(f"Queries above linear at 10x (ratio > 10.5): {above if above else 'none'}")
+if has20 and above:
+    print("Post-10x growth for those (2.0 = linear): " +
+          ", ".join(f"{n} {qs[3][n]/qs[2][n]:.2f}x" for n in above))
 if errored:
-    print(f"ERRORED somewhere in the trio: {errored}")
+    print(f"ERRORED somewhere in the ladder: {errored}")
