@@ -630,6 +630,87 @@ object GraphOps {
           6).as("assortativity"))
   }
 
+  /** Per-vertex triangle membership + local clustering coefficient for the
+    * 20 most triangle-embedded vertices. Rides [[graphTriangles]]'s exact
+    * machinery — degree orientation, packed-pair wedge expansion, edge-set
+    * probe — but keeps the CLOSED wedges (inner join instead of the census
+    * semi-join + count): each surviving row IS a triangle (apex u, packed
+    * id-ordered pair (b, c)), so per-vertex counts fall out of one
+    * explode-3 + vertex-sized aggregate. The coefficient
+    * 2·tri(v) / (deg(v)·(deg(v)−1)) computes its one float at the end from
+    * exact integers.
+    *
+    * 100 TB shape: the O(m^1.5) wedge stream is probed map-side within
+    * broadcast reach (past it, the same SHUFFLE_HASH fallback as the
+    * census — never sort the wedge stream); only closed wedges (triangle
+    * count, far smaller) reach the union, and the aggregate + top-20 are
+    * vertex-sized then TakeOrdered. */
+  val graphClusteringCoeff: Q = (s, d) => {
+    val e = edges(s, d).localCheckpoint() // feeds degrees + orientation + probe
+    val nEdges = e.count()
+    val deg = degrees(e)
+    val da = deg.select(col("v").as("a"), col("degree").as("da"))
+    val db = deg.select(col("v").as("b"), col("degree").as("db"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = e.join(da, "a").join(db, "b")
+      .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+    val wedges = o
+      .groupBy(col("u")).agg(sort_array(collect_set(col("v"))).as("ns"))
+      .select(col("u"), explode(
+        graft.functions.LongPairsPacked.long_pairs_packed(col("ns"))).as("p"))
+    val ep = e.select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("p"))
+    val closed =
+      if (nEdges <= graft.Limits.maxBroadcastEdges)
+        wedges.join(broadcast(ep), Seq("p"), "left_semi")
+      else wedges.join(ep.hint("SHUFFLE_HASH"), Seq("p"), "left_semi")
+    val tri = closed.select(col("u").as("v"))
+      .unionAll(closed.select(shiftright(col("p"), 32).as("v")))
+      .unionAll(closed.select(col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+    tri.join(deg, "v")
+      .select(col("v"), col("degree"), col("n_triangles"),
+        round((lit(2.0) * col("n_triangles")) /
+          (col("degree") * (col("degree") - 1)), 6).as("clustering_coeff"))
+      .orderBy(col("n_triangles").desc, col("v"))
+      .limit(20)
+  }
+
+  /** Modularity of the brand partition of the co-occurrence graph: do parts
+    * of the same brand co-occur more than a degree-preserving random graph
+    * predicts? Q = intra/m − Σ_c (d_c / 2m)², communities = `p_brand`.
+    * All moments exact (HUGEINT-class decimals for Σd_c²); ONE float
+    * expression at the end with identical text in the oracle.
+    *
+    * 100 TB shape: the part dimension broadcasts to both endpoint probes
+    * (the same two-sided vertex annotation as assortativity); the edge set
+    * streams through one map-side-combined aggregate; the per-community
+    * degree table is |brands|-sized. No edge-keyed shuffle at all. */
+  val graphModularity: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val e = edges(s, d)
+    val brand = Tables.load(s, d, "part")
+      .select(col("p_partkey").as("v"), col("p_brand").as("brand"))
+    val deg = degrees(e)
+    val eb = e
+      .join(broadcast(brand.select(col("v").as("a"), col("brand").as("ba"))), "a")
+      .join(broadcast(brand.select(col("v").as("b"), col("brand").as("bb"))), "b")
+    val mIntra = eb.agg(
+      count(lit(1)).as("m"),
+      sum(when(col("ba") === col("bb"), 1L).otherwise(0L)).as("intra_edges"))
+    val comm = deg.join(broadcast(brand), "v")
+      .groupBy(col("brand")).agg(sum(col("degree")).cast(dec).as("dc"))
+    val sumd2 = comm.agg(
+      count(lit(1)).as("n_communities"),
+      sum(col("dc") * col("dc")).as("sd2"))
+    mIntra.crossJoin(sumd2)
+      .select(col("m"), col("intra_edges"), col("n_communities"),
+        round(col("intra_edges").cast(DoubleType) / col("m") -
+          col("sd2").cast(DoubleType) / (lit(4.0) * col("m") * col("m")),
+          6).as("modularity"))
+  }
+
   /** One BFS level: frontier × adjacency probe, minus everything visited.
     * Extracted so PlanSpec can pin the round's physical shape (both the
     * probe and the anti-join broadcast the vertex-bounded side; the edge
@@ -653,6 +734,8 @@ object GraphOps {
     "graph_pagerank" -> graphPagerank,
     "graph_bfs" -> graphBfs,
     "graph_assortativity" -> graphAssortativity,
+    "graph_clustering_coeff" -> graphClusteringCoeff,
+    "graph_modularity" -> graphModularity,
   )
 
   /** Shared edge/degree CTEs: DuckDB derives the same distinct (a < b)
@@ -718,6 +801,46 @@ object GraphOps {
                 (SELECT CAST(SUM(degree * (degree - 1)) AS BIGINT) // 2
                    FROM deg)               AS n_wedges,
                 (SELECT n_triangles FROM tri) AS n_triangles""",
+    "graph_clustering_coeff" ->
+      s"""WITH $edgeCtes,
+         o AS (SELECT CASE WHEN (da.degree, e.a) < (db.degree, e.b)
+                           THEN e.a ELSE e.b END AS u,
+                      CASE WHEN (da.degree, e.a) < (db.degree, e.b)
+                           THEN e.b ELSE e.a END AS v
+               FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+         tri3 AS (SELECT w1.u AS u, w1.v AS b, w2.v AS c
+                  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v < w2.v
+                  WHERE EXISTS (SELECT 1 FROM e
+                                WHERE e.a = w1.v AND e.b = w2.v)),
+         pv AS (SELECT v, COUNT(*) AS n_triangles FROM (
+                  SELECT u AS v FROM tri3
+                  UNION ALL SELECT b FROM tri3
+                  UNION ALL SELECT c FROM tri3)
+                GROUP BY v)
+         SELECT pv.v, deg.degree, CAST(pv.n_triangles AS BIGINT) AS n_triangles,
+           round((2.0 * pv.n_triangles) / (deg.degree * (deg.degree - 1)), 6)
+             AS clustering_coeff
+         FROM pv JOIN deg ON deg.v = pv.v
+         ORDER BY n_triangles DESC, pv.v LIMIT 20""",
+    "graph_modularity" ->
+      s"""WITH $edgeCtes,
+         eb AS (SELECT e.a, e.b, pa.p_brand AS ba, pb.p_brand AS bb
+                FROM e JOIN part pa ON pa.p_partkey = e.a
+                       JOIN part pb ON pb.p_partkey = e.b),
+         mi AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                       CAST(SUM(CASE WHEN ba = bb THEN 1 ELSE 0 END) AS BIGINT)
+                         AS intra_edges
+                FROM eb),
+         comm AS (SELECT p.p_brand, CAST(SUM(deg.degree) AS HUGEINT) AS dc
+                  FROM deg JOIN part p ON p.p_partkey = deg.v
+                  GROUP BY p.p_brand),
+         sd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+                       SUM(dc * dc) AS sd2
+                FROM comm)
+         SELECT m, intra_edges, n_communities,
+           round(CAST(intra_edges AS DOUBLE) / m
+                 - CAST(sd2 AS DOUBLE) / (4.0 * m * m), 6) AS modularity
+         FROM mi, sd""",
     "graph_components" ->
       s"""WITH $edgeCtes,
          sym AS (SELECT a AS src, b AS dst FROM e
