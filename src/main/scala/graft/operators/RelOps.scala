@@ -311,6 +311,78 @@ object RelOps {
       .orderBy($"c_mktsegment")
   }
 
+  /** Bloom sizing for [[joinBloomPruned]]: deliberately SMALL (2^12 bits,
+    * k = 2) so the false-positive audit exercises a loaded filter — a
+    * production runtime filter sizes m to the build side and drives FP
+    * toward zero; the semantics (no false negatives, exact verify behind
+    * the prune) are identical at any size. */
+  val joinBloomBits = 1 << 12
+  val joinBloomHashes = 2
+
+  /** The k bloom bit positions of an integer key (PolyHash affine
+    * rehashes, the same universal family the dedup prefilter uses). */
+  private def joinBloomPos(key: Column): Column =
+    array((0 until joinBloomHashes).map(i =>
+      graft.functions.PolyHash.affine(i, key) % lit(joinBloomBits.toLong)): _*)
+
+  /** Runtime bloom-filter join pruning — the star-schema scan-time
+    * semi-join reduction (Spark's own `runtime.bloomFilter`, Delta/ORC
+    * bloom indexes, and every MPP's runtime filter share this shape):
+    * build a Bloom filter over the FILTERED dimension's join keys
+    * (parts of one brand), broadcast it to the fact scan as one dense
+    * bit-array row, and let each fact row test membership MAP-SIDE before
+    * any join — only "maybe" rows reach the exact join. The audit output
+    * proves the contract in-query: no false negatives (revenue through
+    * the pruned path equals the direct join's revenue, both as exact
+    * decimal sums) and a measured false-positive rate.
+    *
+    * 100 TB shape: the filter is |words| longs (here 128; m scales with
+    * the build side, never the fact side) broadcast once; the fact table
+    * is scanned once with the probe fused into codegen (two affine
+    * rehashes + two array probes per row — no explode, no per-row join);
+    * the exact verify join only sees the pruned survivors. */
+  val joinBloomPruned: Q = (s, d) => {
+    val keys = t(s, d, "part").filter($"p_brand" === "Brand#1")
+      .select($"p_partkey")
+    val words = keys
+      .select(explode(joinBloomPos($"p_partkey")).as("pos"))
+      .select(shiftright($"pos", 5).as("word"),
+        call_function("shiftleft", lit(1L), ($"pos".bitwiseAND(lit(31L))).cast(IntegerType)).as("mask"))
+      .groupBy($"word").agg(expr("bit_or(mask)").as("bits"))
+    // densify to ONE array row (missing words = 0) — the broadcastable
+    // bitmap a real runtime filter ships to every scan task
+    val dense = s.range(joinBloomBits / 32).toDF("word")
+      .join(words, Seq("word"), "left")
+      .agg(sort_array(collect_list(struct($"word",
+        coalesce($"bits", lit(0L)).as("bits")))).as("wb"))
+      .select(transform($"wb", e => e.getField("bits")).as("arr"))
+    val fact = t(s, d, "lineitem")
+      .select($"l_partkey", dec($"l_extendedprice").as("price"))
+    val hit = (0 until joinBloomHashes).map { i =>
+      val p = graft.functions.PolyHash.affine(i, $"l_partkey") % lit(joinBloomBits.toLong)
+      element_at($"arr", (shiftright(p, 5) + 1).cast(IntegerType))
+        .bitwiseAND(call_function("shiftleft", lit(1L), (p.bitwiseAND(lit(31L))).cast(IntegerType))) =!= 0
+    }.reduce(_ && _)
+    val truth = keys.select($"p_partkey".as("l_partkey"), lit(true).as("is_match"))
+    fact.crossJoin(broadcast(dense))
+      .select($"l_partkey", $"price", hit.as("maybe"))
+      .join(broadcast(truth), Seq("l_partkey"), "left")
+      .withColumn("is_match", coalesce($"is_match", lit(false)))
+      .agg(
+        count(lit(1)).as("n_fact"),
+        count(when($"maybe", lit(1))).as("n_pass"),
+        count(when($"is_match", lit(1))).as("n_match"),
+        count(when($"maybe" && !$"is_match", lit(1))).as("n_false_pos"),
+        sum(when($"maybe" && $"is_match", $"price")).as("rb"),
+        sum(when($"is_match", $"price")).as("re"))
+      .select($"n_fact", $"n_pass", $"n_match", $"n_false_pos",
+        round($"n_false_pos".cast(DoubleType) /
+          greatest($"n_fact" - $"n_match", lit(1L)).cast(DoubleType), 6)
+          .as("fp_rate"),
+        $"rb".cast(DoubleType).as("revenue_pruned"),
+        $"re".cast(DoubleType).as("revenue_exact"))
+  }
+
   /** Equi + range join (ts ≥ bound residual). The equi key keeps it a hash
     * join at scale; the range term is a post-join filter, never a
     * BroadcastNestedLoop over the fact table. */
@@ -1209,6 +1281,7 @@ object RelOps {
     "join_bucketed" -> joinBucketed,
     "join_salted" -> joinSalted,
     "join_range" -> joinRange,
+    "join_bloom_pruned" -> joinBloomPruned,
     "join_interval_overlap" -> joinIntervalOverlap,
     "table_checksum" -> tableChecksum,
     "sort_limit" -> sortLimit,
@@ -1389,6 +1462,44 @@ object RelOps {
          FROM events e JOIN orders o
            ON e.user_id = o.o_custkey AND date_trunc('microseconds', e.ts) >= o.o_orderdate
          GROUP BY o_orderkey ORDER BY o_orderkey""",
+    "join_bloom_pruned" -> {
+      import graft.functions.PolyHash.affineSql
+      val m = joinBloomBits
+      def pos(i: Int, h: String) = s"((${affineSql(i.toString, h)}) % $m)"
+      val factPos = (0 until joinBloomHashes)
+        .map(i => s"${pos(i, "l_partkey")} AS p$i").mkString(", ")
+      val hits = (0 until joinBloomHashes)
+        .map(i => s"((a.arr[(p$i // 32) + 1] & (1::BIGINT << (p$i % 32))) != 0)")
+        .mkString(" AND ")
+      s"""WITH keys AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+         poss AS (SELECT unnest([${(0 until joinBloomHashes)
+           .map(i => pos(i, "p_partkey")).mkString(", ")}]) AS pos FROM keys),
+         wrds AS (SELECT pos // 32 AS word,
+                         bit_or(1::BIGINT << (pos % 32)) AS bits
+                  FROM poss GROUP BY pos // 32),
+         arr AS (SELECT list(COALESCE(w.bits, 0) ORDER BY sp.word) AS arr
+                 FROM range(0, ${m / 32}) sp(word)
+                 LEFT JOIN wrds w ON w.word = sp.word),
+         pp AS (SELECT l_partkey,
+                  CAST(l_extendedprice AS DECIMAL(18,6)) AS price, $factPos
+                FROM lineitem),
+         mb AS (SELECT pp.l_partkey, pp.price, ($hits) AS maybe
+                FROM pp, arr a),
+         v AS (SELECT mb.*, (k.p_partkey IS NOT NULL) AS is_match
+               FROM mb LEFT JOIN keys k ON k.p_partkey = mb.l_partkey)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+           CAST(COUNT(*) FILTER (WHERE maybe) AS BIGINT) AS n_pass,
+           CAST(COUNT(*) FILTER (WHERE is_match) AS BIGINT) AS n_match,
+           CAST(COUNT(*) FILTER (WHERE maybe AND NOT is_match) AS BIGINT)
+             AS n_false_pos,
+           round(CAST(COUNT(*) FILTER (WHERE maybe AND NOT is_match) AS DOUBLE)
+             / GREATEST(COUNT(*) - COUNT(*) FILTER (WHERE is_match), 1),
+             6) AS fp_rate,
+           CAST(SUM(price) FILTER (WHERE maybe AND is_match) AS DOUBLE)
+             AS revenue_pruned,
+           CAST(SUM(price) FILTER (WHERE is_match) AS DOUBLE) AS revenue_exact
+         FROM v"""
+    },
     // the quadratic join spelling the sweep replaces (oracle-scale only)
     "join_interval_overlap" ->
       """WITH iv AS (SELECT o_custkey AS c, o_orderkey AS k, o_orderdate AS st,

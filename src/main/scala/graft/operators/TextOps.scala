@@ -299,6 +299,53 @@ object TextOps {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** How many Zipf ranks enter the log-log fit: the head of the
+    * rank-frequency curve is where the law holds and where the fit is
+    * stable; capping also bounds the per-language window input at scale. */
+  val zipfRanks = 100
+
+  /** Zipf's-law fit per language: least-squares slope of ln(frequency) on
+    * ln(rank) over the top-[[zipfRanks]] words — the standard
+    * corpus-health diagnostic (natural language sits near −1; templated or
+    * synthetic text flattens toward 0). Exactness: both log terms are
+    * quantized to DECIMAL(18,6) BEFORE the four moment sums (the
+    * [[textEntropy]] pattern — engine differences in a log's last ulp die
+    * at the rounding, and decimal sums are exact and associative under any
+    * partitioning), then the slope computes its one float at the end with
+    * identical formula text in the oracle.
+    *
+    * 100 TB shape: one (lang, word) count aggregate with map-side partials
+    * (the exchange carries the vocabulary, not the corpus); the rank
+    * window sees only distinct-word counts per language and the fit input
+    * is capped at [[zipfRanks]] rows per language; output is
+    * |languages|-sized. */
+  val textZipfSlope: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    val wc = docs(s, d)
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("c").desc, col("w"))
+    val ranked = wc.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= zipfRanks)
+      .select(col("lang"), col("c"),
+        round(log(col("rk").cast(DoubleType)), 6).cast(dec6).as("x"),
+        round(log(col("c").cast(DoubleType)), 6).cast(dec6).as("y"))
+    ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(col("c")).as("head_tokens"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sx2"))
+      .select(col("lang"), col("n_ranks"), col("head_tokens"),
+        round(
+          (col("n_ranks").cast(DoubleType) * col("sxy").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+          (col("n_ranks").cast(DoubleType) * col("sx2").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType)),
+          6).as("zipf_slope"))
+      .orderBy(col("lang"))
+  }
+
   /** Corpus n-gram statistics: top-10 word bigrams per language (tie-broken
     * lexicographically). The explode output shuffles once on (lang, bigram)
     * with map-side partial counts; the top-k window only sees the distinct
@@ -389,9 +436,37 @@ object TextOps {
     "text_repetition" -> textRepetition,
     "text_doc_freq" -> textDocFreq,
     "text_keywords" -> textKeywords,
+    "text_zipf_slope" -> textZipfSlope,
   )
 
   val oracle: Map[String, String] = Map(
+    "text_zipf_slope" ->
+      s"""WITH wc AS (
+           SELECT lang, w, COUNT(*) AS c
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           GROUP BY lang, w),
+         rk AS (
+           SELECT lang, c,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rk
+           FROM wc),
+         pts AS (
+           SELECT lang, c,
+             CAST(round(ln(rk), 6) AS DECIMAL(18,6)) AS x,
+             CAST(round(ln(c), 6) AS DECIMAL(18,6)) AS y
+           FROM rk WHERE rk <= $zipfRanks),
+         agg AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_ranks,
+             CAST(SUM(c) AS BIGINT) AS head_tokens,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sx2
+           FROM pts GROUP BY lang)
+         SELECT lang, n_ranks, head_tokens,
+           round((CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n_ranks AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+         FROM agg ORDER BY lang""",
     "text_entropy" ->
       """WITH c AS (
            SELECT doc_id, ch, COUNT(*) AS c

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.GraphOps
+import graft.operators.{GraphOps, RelOps, TextOps}
 
 /** Round-8 first batch: per-vertex clustering coefficients and brand-
   * partition modularity. Both are checked against brute-force local
@@ -73,5 +73,50 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(3) - math.rint(q * 1e6) / 1e6) < 1e-9)
     // every edge endpoint is in exactly one community: Σ d_c = 2m
     assert(dc.values.sum == 2 * m)
+  }
+
+  test("join_bloom_pruned: no false negatives, exact verify equals direct join") {
+    val r = RelOps.queries("join_bloom_pruned")(spark, dir).collect().head
+    val (nFact, nPass, nMatch, nFp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nFact > 0 && nMatch > 0)
+    // bloom soundness: every true match passes; passes = matches + FPs
+    assert(nPass >= nMatch)
+    assert(nPass == nMatch + nFp)
+    // the pruned-then-verified revenue must equal the direct join's
+    assert(r.getDouble(5) == r.getDouble(6))
+    // fp_rate over the true negatives
+    assert(math.abs(r.getDouble(4) -
+      math.rint(nFp.toDouble / math.max(nFact - nMatch, 1L) * 1e6) / 1e6) < 1e-12)
+  }
+
+  test("text_zipf_slope: matches least-squares over local word counts") {
+    val counts = Tables.load(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expect = counts.groupBy(_._1).view.mapValues { ws =>
+      val ranked = ws.sortBy { case (_, w, c) => (-c, w) }
+        .take(TextOps.zipfRanks).zipWithIndex
+      val pts = ranked.map { case ((_, _, c), i) =>
+        val q = (v: Double) => math.rint(v * 1e6) / 1e6
+        (q(math.log(i + 1.0)), q(math.log(c.toDouble)))
+      }
+      val n = pts.length.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sx2 = pts.map(p => p._1 * p._1).sum
+      (pts.length.toLong, (n * sxy - sx * sy) / (n * sx2 - sx * sx))
+    }.toMap
+    val got = TextOps.queries("text_zipf_slope")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (lang, (nRanks, slope)) =>
+      assert(nRanks == expect(lang)._1)
+      // local floats sum unpinned — compare within quantization tolerance
+      assert(math.abs(slope - expect(lang)._2) < 1e-4,
+        s"$lang: $slope vs ${expect(lang)._2}")
+      assert(slope < 0.0, s"$lang slope should be negative: $slope")
+    }
   }
 }
