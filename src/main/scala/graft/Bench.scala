@@ -109,7 +109,13 @@ object Bench {
     // The builds counter is snapshotted around the loop — any query that
     // triggers an artifact build mid-loop is individually attributed.
     var strayBuilds = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration subset (comma-separated names); the driver never sets
+    // this, so its runs always time the full registry
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = picked.map { case (name, fn) =>
       // Reclaim the PREVIOUS query's unreferenced state before timing this
       // one: localCheckpoint blocks and shuffle dependencies are only
       // released when the driver GCs (ContextCleaner acts on weak refs),
@@ -117,8 +123,17 @@ object Bench {
       // pays 2.4× its own cost when the preceding query's 70 M-row shuffle
       // debt lands on it. Untimed cross-query hygiene, not warming: the
       // first timed run still carries this query's own codegen/JIT.
-      System.gc()
       def once(): Double = {
+        // Reclaim unreferenced state before EVERY run, not just the first:
+        // within a query's repeat triple, run 1's localCheckpoint blocks
+        // and shuffle refs die when its DataFrame goes out of scope but
+        // are only physically released at the next GC — at sf1 the
+        // leftovers are big enough to crowd the unified pool and make
+        // runs 2-3 SLOWER than cold run 1 (measured: basket_rules 7.0 s
+        // first, 18.4 s median; mm_dedup_phash 3.6 s first, 11.4 s
+        // median — both inverted). Untimed hygiene, same rationale as the
+        // cross-query GC this generalizes.
+        System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
