@@ -546,6 +546,49 @@ object GraphOps {
       .orderBy(col("v"))
   }
 
+  val eigenIters = 6
+  val eigenScale = 1000000L
+
+  /** Eigenvector centrality by integer power iteration: r ← A·r with L∞
+    * rescaling (divide by the max, the standard power-method
+    * normalization) after every sweep — all arithmetic exact int64, so
+    * the DuckDB unroll replays bit-for-bit. The L∞ choice is what keeps
+    * it in int64: r ≤ [[eigenScale]] after each rescale, so a sweep's
+    * in-sum is ≤ deg·scale and the rescale product in_sum·scale stays
+    * under 2^63 up to ~10⁶-vertex neighborhoods (the scale constant is
+    * the knob past that). PageRank measures where a random surfer lands;
+    * eigenvector centrality measures recursive influence — hubs connected
+    * to hubs — the other canonical spectral ranking.
+    *
+    * 100 TB shape, per sweep: the vertex-sized rank state broadcasts onto
+    * the pinned adjacency ([[pagerankSweep]]'s minimal-sweep design), one
+    * two-phase aggregate keyed by vertex, and the rescale divisor is a
+    * BOUNDED driver scalar (one max over the vertex frame — the same
+    * bounded-scalar posture as pagerank's nv gate). State pinned per
+    * sweep; plan depth constant in the iteration count. */
+  val graphEigencentrality: Q = (s, d) => {
+    val e = edges(s, d).localCheckpoint()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var r = degrees(e).select(col("v"), lit(eigenScale).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to eigenIters) {
+      val sums = sym.join(broadcast(r.withColumnRenamed("v", "src")), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(sum(col("r")).as("s"))
+        .localCheckpoint()
+      val mx = sums.agg(max(col("s"))).head().getLong(0)
+      r = sums.select(col("v"),
+        expr(s"(s * $eigenScale) DIV $mx").as("r")).localCheckpoint()
+    }
+    r.select(col("v"), col("r").as("centrality_scaled"),
+        round(col("r").cast(DoubleType) / lit(eigenScale.toDouble), 6)
+          .as("centrality"))
+      .orderBy(col("centrality_scaled").desc, col("v"))
+      .limit(20)
+  }
+
   /** BFS frontier expansion stops after this many hops: reachability
     * questions on co-occurrence graphs saturate in a few hops (small-world
     * diameter), and the cap is what bounds the recursive oracle too. */
@@ -736,6 +779,7 @@ object GraphOps {
     "graph_assortativity" -> graphAssortativity,
     "graph_clustering_coeff" -> graphClusteringCoeff,
     "graph_modularity" -> graphModularity,
+    "graph_eigencentrality" -> graphEigencentrality,
   )
 
   /** Shared edge/degree CTEs: DuckDB derives the same distinct (a < b)
@@ -923,6 +967,27 @@ object GraphOps {
          JOIN item ic ON ic.v = dir.consequent
          CROSS JOIN n_ord
          ORDER BY lift DESC, antecedent, consequent LIMIT 20""",
+    "graph_eigencentrality" -> {
+      // the engine's L∞-rescaled power sweeps, unrolled (the pagerank
+      // convention): exact int arithmetic end-to-end, so early/late engine
+      // differences are impossible by construction
+      val sweeps = (1 to eigenIters).map { i =>
+        val p = i - 1
+        s"""s$i AS (SELECT sym.dst AS v, SUM(r.r) AS s
+             FROM sym JOIN r$p r ON r.v = sym.src GROUP BY sym.dst),
+           r$i AS (SELECT v, (s * $eigenScale) // (SELECT MAX(s) FROM s$i)
+                     AS r FROM s$i)"""
+      }.mkString(",\n")
+      s"""WITH $edgeCtes,
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION ALL SELECT b, a FROM e),
+         r0 AS (SELECT v, $eigenScale AS r FROM deg),
+         $sweeps
+         SELECT v, CAST(r AS BIGINT) AS centrality_scaled,
+           round(CAST(r AS DOUBLE) / $eigenScale.0, 6) AS centrality
+         FROM r$eigenIters
+         ORDER BY centrality_scaled DESC, v LIMIT 20"""
+    },
     "graph_pagerank" -> {
       // the engine's sweeps, unrolled programmatically (the kcore
       // convention): each CTE is one exact-integer Jacobi sweep; the

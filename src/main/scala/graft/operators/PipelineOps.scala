@@ -578,7 +578,56 @@ object PipelineOps {
       .orderBy(col("shard_id"))
   }
 
+  /** Dataset-version diff — the audit a pipeline publishes when a corpus
+    * snapshot is rebuilt: per-class counts (added / removed / changed /
+    * unchanged) and the char volume entering and leaving. The v2 snapshot
+    * is derived deterministically from v1 so the oracle replays it:
+    * doc_id ≡ 0 (mod 13) dropped, doc_id ≡ 0 (mod 11) re-crawled with a
+    * marker suffix, doc_id ≡ 0 (mod 17) duplicated as NEW ids (shifted by
+    * 10^12, past any real id).
+    *
+    * 100 TB shape: text is digested map-side (16-byte md5) and projected
+    * away BEFORE the exchange, so the full-outer id join moves (id,
+    * digest, n_chars) — never document bodies; the classification is one
+    * row-level CASE and the report a one-row aggregate. Change detection
+    * by digest is exact up to collision (2^-64-class) and is what makes
+    * the diff affordable: comparing bodies would double-scan the corpus
+    * through the shuffle. */
+  val corpusVersionDiff: Q = (s, d) => {
+    val v1 = docs(s, d)
+    val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" recrawl")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(v1.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id") + lit(1000000000000L), col("text")))
+    def sig(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), md5(col("text")).as("dig"),
+        length(col("text")).cast(LongType).as("nc"))
+    val j = sig(v1).select(col("doc_id"), col("dig").as("d1"), col("nc").as("c1"))
+      .join(sig(v2).select(col("doc_id"), col("dig").as("d2"), col("nc").as("c2")),
+        Seq("doc_id"), "full_outer")
+    j.select(
+        when(col("d1").isNull, "added")
+          .when(col("d2").isNull, "removed")
+          .when(col("d1") === col("d2"), "unchanged")
+          .otherwise("changed").as("cls"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+      .agg(
+        count(lit(1)).as("n_docs_union"),
+        count(when(col("cls") === "added", lit(1))).as("n_added"),
+        count(when(col("cls") === "removed", lit(1))).as("n_removed"),
+        count(when(col("cls") === "changed", lit(1))).as("n_changed"),
+        count(when(col("cls") === "unchanged", lit(1))).as("n_unchanged"),
+        sum(when(col("cls") === "added", col("c2")).otherwise(0L)).as("chars_added"),
+        sum(when(col("cls") === "removed", col("c1")).otherwise(0L)).as("chars_removed"),
+        sum(when(col("cls") === "changed", col("c2") - col("c1")).otherwise(0L))
+          .as("chars_delta_changed"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "corpus_version_diff" -> corpusVersionDiff,
     "compact_cluster" -> compactCluster,
     "layout_zorder" -> layoutZorder,
     "corpus_stats" -> corpusStats,
@@ -613,6 +662,34 @@ object PipelineOps {
          FROM documents)"""
 
   val oracle: Map[String, String] = Map(
+    "corpus_version_diff" ->
+      """WITH v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' recrawl' ELSE text END AS text
+           FROM documents WHERE doc_id % 13 != 0
+           UNION ALL
+           SELECT doc_id + 1000000000000, text FROM documents WHERE doc_id % 17 = 0),
+         j AS (
+           SELECT
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.text = b.text THEN 'unchanged'
+                  ELSE 'changed' END AS cls,
+             COALESCE(length(a.text), 0) AS c1,
+             COALESCE(length(b.text), 0) AS c2
+           FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_union,
+           CAST(COUNT(*) FILTER (WHERE cls = 'added') AS BIGINT) AS n_added,
+           CAST(COUNT(*) FILTER (WHERE cls = 'removed') AS BIGINT) AS n_removed,
+           CAST(COUNT(*) FILTER (WHERE cls = 'changed') AS BIGINT) AS n_changed,
+           CAST(COUNT(*) FILTER (WHERE cls = 'unchanged') AS BIGINT) AS n_unchanged,
+           CAST(SUM(CASE WHEN cls = 'added' THEN c2 ELSE 0 END) AS BIGINT)
+             AS chars_added,
+           CAST(SUM(CASE WHEN cls = 'removed' THEN c1 ELSE 0 END) AS BIGINT)
+             AS chars_removed,
+           CAST(SUM(CASE WHEN cls = 'changed' THEN c2 - c1 ELSE 0 END) AS BIGINT)
+             AS chars_delta_changed
+         FROM j""",
     "corpus_lang_mix" ->
       """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
                     FROM documents GROUP BY 1, 2),

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{GraphOps, RelOps, TextOps}
+import graft.operators.{GraphOps, PipelineOps, RelOps, TextOps}
 
 /** Round-8 first batch: per-vertex clustering coefficients and brand-
   * partition modularity. Both are checked against brute-force local
@@ -73,6 +73,40 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(3) - math.rint(q * 1e6) / 1e6) < 1e-9)
     // every edge endpoint is in exactly one community: Σ d_c = 2m
     assert(dc.values.sum == 2 * m)
+  }
+
+  test("graph_eigencentrality: integer power iteration replays locally bit-for-bit") {
+    val adj = localEdges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var r = adj.keys.map(_ -> GraphOps.eigenScale).toMap
+    for (_ <- 1 to GraphOps.eigenIters) {
+      val sums = adj.map { case (v, ns) => v -> ns.map(r).sum }
+      val mx = sums.values.max
+      r = sums.map { case (v, sv) => v -> (sv * GraphOps.eigenScale) / mx }
+    }
+    val expectTop = r.toSeq.sortBy { case (v, c) => (-c, v) }.take(20)
+    val got = GraphOps.queries("graph_eigencentrality")(spark, dir)
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    assert(got.toSeq == expectTop, "top-20 (v, scaled centrality) must replay exactly")
+    // the L∞ rescale pins the max at exactly eigenScale
+    assert(got.head._2 == GraphOps.eigenScale)
+  }
+
+  test("corpus_version_diff: classes partition the id union with exact counts") {
+    val ids = Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val removed = ids.count(_ % 13 == 0).toLong
+    val added = ids.count(_ % 17 == 0).toLong
+    val changed = ids.count(i => i % 13 != 0 && i % 11 == 0).toLong
+    val unchanged = ids.count(i => i % 13 != 0 && i % 11 != 0).toLong
+    val r = PipelineOps.queries("corpus_version_diff")(spark, dir).collect().head
+    assert(r.getLong(0) == ids.size + added) // union = v1 ids + shifted new ids
+    assert(r.getLong(1) == added)
+    assert(r.getLong(2) == removed)
+    assert(r.getLong(3) == changed)
+    assert(r.getLong(4) == unchanged)
+    // every changed doc gained exactly " recrawl" (8 chars)
+    assert(r.getLong(7) == 8 * changed)
   }
 
   test("join_bloom_pruned: no false negatives, exact verify equals direct join") {
