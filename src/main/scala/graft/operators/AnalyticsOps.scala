@@ -108,6 +108,53 @@ object AnalyticsOps {
       .orderBy(col("rn"))
   }
 
+  /** Conditional bigram entropy per language — H(next word | current
+    * word) in nats, the predictability statistic that separates natural
+    * prose (high conditional entropy) from templated/boilerplate text
+    * (low): H = (1/N)·Σ c₁₂·(ln c₁ − ln c₂), summed over distinct
+    * bigrams, where c₁₂ is the bigram count, c₁ its context count and N
+    * the language's bigram total. Engine-exact by the [[TextOps]] log
+    * convention: both log terms quantize to DECIMAL(18,6) BEFORE the sum
+    * (a log's last-ulp engine difference dies at the rounding; the
+    * decimal sum is exact and associative), one float division at the
+    * end with identical formula text in the oracle.
+    *
+    * 100 TB shape: the bigram exchange carries (lang, 2×int64 PolyHash)
+    * keys with map-side partial counts — vocabulary-squared-bounded,
+    * never corpus-bounded (the [[lmTrigram]] posture); the context sum is
+    * a window over the distinct-bigram frame keyed by (lang, h1); output
+    * is |languages| rows. */
+  val lmBigramEntropy: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    def qln(c: org.apache.spark.sql.Column) =
+      round(log(c.cast(DoubleType)), 6).cast(dec6)
+    val bi = docs(s, d)
+      .select(col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("lang"), explode(expr(
+        """transform(sequence(1, size(w) - 1),
+             i -> named_struct('w1', element_at(w, i),
+                               'w2', element_at(w, i + 1)))""")).as("b"))
+      .select(col("lang"),
+        graft.functions.PolyHash.poly_hash(col("b.w1")).as("h1"),
+        graft.functions.PolyHash.poly_hash(col("b.w2")).as("h2"))
+      .groupBy(col("lang"), col("h1"), col("h2"))
+      .agg(count(lit(1)).as("c12"))
+    bi
+      .withColumn("c1",
+        sum(col("c12")).over(Window.partitionBy(col("lang"), col("h1"))))
+      .groupBy(col("lang"))
+      .agg(sum(col("c12")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        countDistinct(col("h1")).as("n_contexts"),
+        sum(col("c12") * (qln(col("c1")) - qln(col("c12")))).as("st"))
+      .select(col("lang"), col("n_bigrams"), col("n_distinct_bigrams"),
+        col("n_contexts"),
+        round(col("st").cast(DoubleType) / col("n_bigrams"), 6)
+          .as("cond_entropy_nats"))
+      .orderBy(col("lang"))
+  }
+
   /** Boilerplate detection: non-overlapping 8-word chunks appearing in ≥2
     * distinct documents, top-20 by document frequency — the signal a
     * curation pipeline uses to strip repeated headers/footers before
@@ -756,6 +803,7 @@ object AnalyticsOps {
     "events_funnel" -> eventsFunnel,
     "retention_cohort" -> retentionCohort,
     "lm_trigram" -> lmTrigram,
+    "lm_bigram_entropy" -> lmBigramEntropy,
     "text_boilerplate" -> textBoilerplate,
     "text_diversity" -> textDiversity,
     "events_pathing" -> eventsPathing,
@@ -1060,6 +1108,33 @@ object AnalyticsOps {
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // grouped/windowed on per-word PolyHash keys like the Spark plan; the
     // words survive as MINs (identical under collision in both engines)
+    "lm_bigram_entropy" ->
+      s"""WITH ws AS (
+           SELECT lang, string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         bg0 AS (
+           SELECT lang, w[i] AS w1, w[i + 1] AS w2
+           FROM ws, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+         bg AS (
+           SELECT lang,
+             ${graft.functions.PolyHash.duckSql("w1")} AS h1,
+             ${graft.functions.PolyHash.duckSql("w2")} AS h2
+           FROM bg0),
+         cnt AS (SELECT lang, h1, h2, COUNT(*) AS c12
+                 FROM bg GROUP BY 1, 2, 3),
+         ctxd AS (SELECT lang, c12,
+                    SUM(c12) OVER (PARTITION BY lang, h1) AS c1, h1
+                  FROM cnt),
+         q AS (SELECT lang, c12, h1,
+                 CAST(round(ln(c1), 6) AS DECIMAL(18,6)) AS y1,
+                 CAST(round(ln(c12), 6) AS DECIMAL(18,6)) AS y2
+               FROM ctxd)
+         SELECT lang, CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(COUNT(DISTINCT h1) AS BIGINT) AS n_contexts,
+           round(CAST(SUM(c12 * (y1 - y2)) AS DOUBLE) / CAST(SUM(c12) AS BIGINT), 6)
+             AS cond_entropy_nats
+         FROM q GROUP BY lang ORDER BY lang""",
     "lm_trigram" ->
       s"""WITH ws AS (
            SELECT string_split(text, ' ') AS w FROM documents

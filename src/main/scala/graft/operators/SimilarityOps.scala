@@ -722,7 +722,87 @@ object SimilarityOps {
         (col("n_found").cast(DoubleType) / col("n_full")).as("recall"))
   }
 
+  val pcaDims = 64
+  val pcaIters = 4
+  val pcaScale = 1000000L
+  private val pcaCovDiv = 100000000L // covariance down-scale: keeps sweeps in int64
+
+  /** Top principal direction of the embedding cloud — the dimensionality
+    * diagnostic a pipeline runs before projection/quantization decisions
+    * (is the cloud near-isotropic, or does one direction dominate?).
+    * Exact-arithmetic power iteration: vectors quantize to integer
+    * micro-units; the d(d+1)/2 second-moment sums accumulate in
+    * DECIMAL(38,0) (exact, associative — safe under any partitioning);
+    * the centered covariance scales down by `n · 10^8` with truncated
+    * integer division (verified identical between Spark DECIMAL `DIV` and
+    * DuckDB HUGEINT `//`) into plain int64; then [[pcaIters]] L∞-rescaled
+    * power sweeps ([[graft.operators.GraphOps.graphEigencentrality]]'s
+    * integer normalization) run over the d×d matrix — on the driver here
+    * (d² = 4096 longs, the bounded-scalar posture of the kmeans seeds,
+    * require()d against [[graft.Limits.maxDriverCentroids]]), as unrolled
+    * CTEs in the oracle; both are the same int64 ops, so the replay is
+    * bit-for-bit.
+    *
+    * 100 TB shape: ONE corpus scan — the d²/2 per-row products expand
+    * map-side inside a single higher-order transform (no row duplication
+    * carrying the vector) straight into a 2 080-key partial aggregate; the
+    * exchange moves #partitions × 2 080 partial sums, never rows. The
+    * iteration input is d×d regardless of corpus size. */
+  val embeddingPcaTop: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    require(pcaDims * pcaDims <= 4 * graft.Limits.maxDriverCentroids,
+      "PCA matrix exceeds the bounded driver-collect budget")
+    val qv = emb(s, d).select(
+      transform(asD(col("embedding")),
+        x => floor(x * lit(1000000.0d) + lit(0.5d)).cast(LongType)).as("qv"))
+      .localCheckpoint() // one scan feeds the dim check, n, moments, means
+    val d0 = qv.select(size(col("qv"))).head().getInt(0)
+    require(d0 == pcaDims, s"embedding dim $d0 != expected $pcaDims")
+    val n = qv.count()
+    val pairIdx = array((for (i <- 0 until pcaDims; j <- i until pcaDims)
+      yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
+    val mom = qv
+      .select(explode(transform(pairIdx, p => struct(
+        p.getField("i").as("i"), p.getField("j").as("j"),
+        (element_at(col("qv"), p.getField("i") + 1) *
+          element_at(col("qv"), p.getField("j") + 1)).as("prod")))).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.prod").as("prod"))
+      .groupBy(col("i"), col("j")).agg(sum(col("prod").cast(dec)).as("s"))
+    val mv = qv.select(posexplode(col("qv")).as(Seq("i", "q")))
+      .groupBy(col("i")).agg(sum(col("q").cast(dec)).as("m"))
+    val half = mom
+      .join(broadcast(mv.select(col("i"), col("m").as("mi"))), "i")
+      .join(broadcast(mv.select(col("i").as("j"), col("m").as("mj"))), "j")
+      .select(col("i"), col("j"),
+        expr(s"CAST((CAST($n AS DECIMAL(38,0)) * s - mi * mj)" +
+          s" DIV (CAST($n AS DECIMAL(38,0)) * $pcaCovDiv) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val cm = Array.ofDim[Long](pcaDims, pcaDims)
+    half.foreach { case (i, j, c) => cm(i)(j) = c; cm(j)(i) = c }
+    var v = Array.fill(pcaDims)(pcaScale)
+    for (_ <- 1 to pcaIters) {
+      val w = Array.tabulate(pcaDims) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < pcaDims) { acc += cm(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val dv = math.max(w.map(math.abs).max / pcaScale, 1L)
+      v = w.map(_ / dv) // Long './' truncates toward zero = both engines' DIV
+    }
+    val top = (0 until pcaDims).map(i => (i.toLong, v(i)))
+      .sortBy { case (i, l) => (-math.abs(l), i) }.take(8)
+      .zipWithIndex.map { case ((dim, l), k) => (k + 1L, dim, l) }
+    import s.implicits._
+    top.toDF("rk", "dim", "loading_scaled")
+      .select(col("rk"), col("dim"), col("loading_scaled"),
+        round(col("loading_scaled").cast(DoubleType) / lit(pcaScale.toDouble), 6)
+          .as("loading"))
+      .orderBy(col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "embedding_pca_top" -> embeddingPcaTop,
     "sim_search_pq" -> simSearchPq,
     "sim_ivf_recall" -> simIvfRecall,
     "embedding_mrl_recall" -> embeddingMrlRecall,
@@ -895,6 +975,45 @@ object SimilarityOps {
          FROM topk ORDER BY score DESC, vec_id"""
 
   val oracle: Map[String, String] = Map(
+    "embedding_pca_top" -> {
+      // the engine's driver-side int64 power sweeps, unrolled (the
+      // eigencentrality convention): identical truncated divisions, so the
+      // replay is bit-for-bit
+      val sweeps = (1 to pcaIters).map { t =>
+        val p = t - 1
+        s"""w$t AS (SELECT cm.i, CAST(SUM(cm.c * v.r) AS BIGINT) AS w
+             FROM cm JOIN v$p v ON v.i = cm.j GROUP BY cm.i),
+           x$t AS (SELECT GREATEST(MAX(abs(w)) // $pcaScale, 1) AS dv FROM w$t),
+           v$t AS (SELECT i, w // (SELECT dv FROM x$t) AS r FROM w$t)"""
+      }.mkString(",\n")
+      s"""WITH q AS (
+           SELECT [CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                   FOR x IN embedding] AS qv
+           FROM embeddings),
+         nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM q),
+         mom AS (SELECT r1.i AS i, r2.i AS j,
+                   CAST(SUM(qv[r1.i + 1] * qv[r2.i + 1]) AS HUGEINT) AS s
+                 FROM q, range($pcaDims) r1(i), range($pcaDims) r2(i)
+                 WHERE r1.i <= r2.i GROUP BY r1.i, r2.i),
+         mv AS (SELECT r.i AS i, CAST(SUM(qv[r.i + 1]) AS HUGEINT) AS m
+                FROM q, range($pcaDims) r(i) GROUP BY r.i),
+         ch AS (SELECT mom.i, mom.j,
+                  CAST((n.n * mom.s - mi.m * mj.m) // (n.n * $pcaCovDiv)
+                       AS BIGINT) AS c
+                FROM mom, nn n, mv mi, mv mj
+                WHERE mi.i = mom.i AND mj.i = mom.j),
+         cm AS (SELECT i, j, c FROM ch
+                UNION ALL SELECT j, i, c FROM ch WHERE i != j),
+         v0 AS (SELECT r.i AS i, CAST($pcaScale AS BIGINT) AS r
+                FROM range($pcaDims) r(i)),
+         $sweeps
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY abs(r) DESC, i) AS BIGINT)
+             AS rk,
+           CAST(i AS BIGINT) AS dim, r AS loading_scaled,
+           round(CAST(r AS DOUBLE) / $pcaScale.0, 6) AS loading
+         FROM v$pcaIters
+         ORDER BY abs(r) DESC, i LIMIT 8"""
+    },
     "embedding_centroid" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
              COUNT(*) AS n,

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{GraphOps, PipelineOps, RelOps, TextOps}
+import graft.operators.{GraphOps, PipelineOps, RelOps, SimilarityOps, TextOps}
 
 /** Round-8 first batch: per-vertex clustering coefficients and brand-
   * partition modularity. Both are checked against brute-force local
@@ -122,6 +122,66 @@ class RoundEightOpsSpec extends AnyFunSuite {
     // fp_rate over the true negatives
     assert(math.abs(r.getDouble(4) -
       math.rint(nFp.toDouble / math.max(nFact - nMatch, 1L) * 1e6) / 1e6) < 1e-12)
+  }
+
+  test("embedding_pca_top: replays the exact integer pipeline locally") {
+    val rows = Tables.load(spark, dir, "embeddings")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).map(x => math.floor(x * 1e6 + 0.5).toLong).toArray)
+    val dd = SimilarityOps.pcaDims
+    assert(rows.head.length == dd)
+    val n = rows.length.toLong
+    val m = Array.tabulate(dd)(i => rows.map(_(i)).sum)
+    val cm = Array.tabulate(dd, dd) { (i, j) =>
+      val sij = rows.map(r => r(i) * r(j)).map(BigInt(_)).sum
+      ((BigInt(n) * sij - BigInt(m(i)) * BigInt(m(j))) /
+        (BigInt(n) * BigInt(100000000))).toLong  // BigInt / truncates like DIV
+    }
+    var v = Array.fill(dd)(SimilarityOps.pcaScale)
+    for (_ <- 1 to SimilarityOps.pcaIters) {
+      val w = Array.tabulate(dd)(i => (0 until dd).map(j => cm(i)(j) * v(j)).sum)
+      val dv = math.max(w.map(math.abs).max / SimilarityOps.pcaScale, 1L)
+      v = w.map(_ / dv)
+    }
+    val expect = (0 until dd).map(i => (i.toLong, v(i)))
+      .sortBy { case (i, l) => (-math.abs(l), i) }.take(8)
+    val got = SimilarityOps.queries("embedding_pca_top")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // L-inf rescale pins the dominant loading at >= scale
+    assert(math.abs(got.map(_._2).maxBy(math.abs)) >= SimilarityOps.pcaScale)
+  }
+
+  test("lm_bigram_entropy: nonnegative, bounded by ln(contexts), exact recompute") {
+    val out = graft.operators.AnalyticsOps.queries("lm_bigram_entropy")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val h = r.getDouble(4)
+      val nCtx = r.getLong(3)
+      assert(h >= 0.0, s"${r.getString(0)}: negative entropy $h")
+      // H(W2|W1) <= log of the larger successor fan-out; ln(vocab) is a
+      // safe upper bound and the quantization error is < 1e-5
+      assert(h <= math.log(nCtx.toDouble + 1) + 1e-3)
+    }
+    // exact recompute for one language with the same quantized-log rule
+    val q = (x: Double) => math.rint(x * 1e6) / 1e6
+    val bigrams = Tables.load(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(split(col("text"), " ").as("w")).collect()
+      .flatMap(_.getSeq[String](0).sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))).toSeq)
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nBig = bigrams.length.toLong
+    val st = c12.map { case ((w1, _), c) =>
+      BigDecimal(c) * (BigDecimal(q(math.log(c1(w1).toDouble))) -
+        BigDecimal(q(math.log(c.toDouble))))
+    }.sum
+    val expected = math.rint((st / BigDecimal(nBig)).toDouble * 1e6) / 1e6
+    val en = out.find(_.getString(0) == "en").get
+    assert(en.getLong(1) == nBig)
+    assert(math.abs(en.getDouble(4) - expected) < 1e-5)
   }
 
   test("text_zipf_slope: matches least-squares over local word counts") {
