@@ -436,6 +436,64 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"$exchanges exchanges:\n$plan") // dim agg + output sort
   }
 
+  test("join_bloom_pruned: probe is map-side (no explode), fact scan pruned to 2 columns") {
+    val plan = formatted("join_bloom_pruned")
+    // the bitmap probe must be fused row arithmetic — a FACT-side Generate
+    // would mean the table explodes k× per row (the dedup-prefilter
+    // spelling, wrong side of the join for a fact table). The single
+    // allowed Generate is the dimension build (keys → bit positions).
+    val genBlocks = plan.split("\n\n").filter(_.startsWith("(")).filter(b =>
+      b.linesIterator.next().contains("Generate"))
+    assert(genBlocks.length == 1, s"${genBlocks.length} Generates:\n$plan")
+    assert(genBlocks.head.contains("p_partkey") &&
+      !genBlocks.head.contains("l_partkey"),
+      s"explode is not on the dimension side:\n${genBlocks.head}")
+    val factRead = plan.linesIterator
+      .filter(_.contains("ReadSchema")).find(_.contains("l_partkey"))
+    assert(factRead.exists(l => l.contains("l_extendedprice") &&
+      !l.contains("l_orderkey")), s"fact scan not pruned: $factRead")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // one-row bitmap
+    assert(plan.contains("BroadcastHashJoin"), plan)       // truth annotate
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("text_zipf_slope: rank cut pushes into WindowGroupLimit; aggregates are two-phase") {
+    val plan = formatted("text_zipf_slope")
+    // rk <= K must prune inside the window operator (per-partition top-K
+    // heaps), not as a post-window filter over the whole vocabulary
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("partial_count") || plan.contains("Partial"), plan)
+    assert(!plan.contains("Join"), s"zipf fit must not join:\n$plan")
+  }
+
+  test("graph_clustering_coeff: closed wedges via broadcast semi probe + TakeOrdered") {
+    val plan = formatted("graph_clustering_coeff")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("lm_bigram_entropy: one explode, hash-keyed exchanges, no join") {
+    val plan = formatted("lm_bigram_entropy")
+    val generates = plan.linesIterator.count(_.contains("- Generate"))
+    assert(generates == 1, s"$generates Generates:\n$plan")
+    assert(!plan.contains("Join"), s"entropy must not join:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("corpus_version_diff: exchanges move digests, never document bodies") {
+    val plan = formatted("corpus_version_diff")
+    assert(plan.contains("SortMergeJoin FullOuter") ||
+      plan.contains("SortMergeJoin(") || plan.contains("ShuffledHashJoin"), plan)
+    // every Exchange detail block must be text-free: the md5 projection has
+    // to happen BEFORE the shuffle or the diff moves the corpus twice
+    val blocks = plan.split("\n\n").filter(_.startsWith("(")).filter(b =>
+      b.linesIterator.next().contains("Exchange"))
+    assert(blocks.nonEmpty, plan)
+    blocks.foreach(b =>
+      assert(!b.contains("text#"), s"document text crosses an exchange:\n$b"))
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
