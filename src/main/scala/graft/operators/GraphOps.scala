@@ -589,6 +589,48 @@ object GraphOps {
       .limit(20)
   }
 
+  val walkSteps = 4
+
+  /** Deterministic random walks — the node2vec/DeepWalk sampling primitive
+    * a graph-embedding pipeline runs, with the engine-neutral determinism
+    * every sampler in this repo uses: "randomness" is the PolyHash affine
+    * family over (step, start, current), so the walk corpus is
+    * reproducible across runs, engines, and cluster shapes. One walk
+    * starts at every vertex and takes [[walkSteps]] hops; at each hop the
+    * walker picks index `affine(step, mix(start, cur)) mod deg(cur)` into
+    * the id-sorted neighbor list. Output: the 20 most-visited vertices
+    * over all walk positions (starts included) — the landmark set.
+    *
+    * 100 TB shape: the adjacency folds once into id-sorted neighbor
+    * arrays (one shuffle, vertex-sized rows bounded by degree); each hop
+    * is ONE equi-join of the |V|-row walker frontier against it —
+    * broadcast here (the adjacency fits), an ordinary keyed join at
+    * scale — and the visit census is a two-phase count + TakeOrdered. */
+  val graphRandomWalk: Q = (s, d) => {
+    import graft.functions.PolyHash.{affine, P}
+    val e = edges(s, d)
+    val adj = e.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+      .groupBy(col("w"))
+      .agg(sort_array(collect_list(col("n"))).as("ns"), count(lit(1)).as("deg"))
+      .localCheckpoint() // every hop probes this frame
+    var frontier = adj.select(col("w").as("start"), col("w").as("cur"))
+    val visited = collection.mutable.ArrayBuffer(frontier)
+    for (t <- 0 until walkSteps) {
+      val idx = affine(t, (col("start") * 1009L + col("cur")) % lit(P)) % col("deg")
+      frontier = frontier
+        .join(broadcast(adj.withColumnRenamed("w", "cur")), "cur")
+        .select(col("start"),
+          element_at(col("ns"), (idx + 1).cast(IntegerType)).as("cur"))
+        .localCheckpoint() // constant-depth plan per hop
+      visited += frontier
+    }
+    visited.map(_.select(col("cur").as("v"))).reduce(_ unionAll _)
+      .groupBy(col("v")).agg(count(lit(1)).as("n_visits"))
+      .orderBy(col("n_visits").desc, col("v"))
+      .limit(20)
+  }
+
   /** BFS frontier expansion stops after this many hops: reachability
     * questions on co-occurrence graphs saturate in a few hops (small-world
     * diameter), and the cap is what bounds the recursive oracle too. */
@@ -780,6 +822,7 @@ object GraphOps {
     "graph_clustering_coeff" -> graphClusteringCoeff,
     "graph_modularity" -> graphModularity,
     "graph_eigencentrality" -> graphEigencentrality,
+    "graph_random_walk" -> graphRandomWalk,
   )
 
   /** Shared edge/degree CTEs: DuckDB derives the same distinct (a < b)
@@ -967,6 +1010,28 @@ object GraphOps {
          JOIN item ic ON ic.v = dir.consequent
          CROSS JOIN n_ord
          ORDER BY lift DESC, antecedent, consequent LIMIT 20""",
+    "graph_random_walk" -> {
+      import graft.functions.PolyHash.{affineSql, P}
+      val steps = (0 until walkSteps).map { t =>
+        val hmix = s"((f$t.start * 1009 + f$t.cur) % $P)"
+        s"""f${t + 1} AS (SELECT f$t.start,
+             a.ns[1 + ((${affineSql(t.toString, hmix)}) % a.deg)] AS cur
+           FROM f$t JOIN adj a ON a.w = f$t.cur)"""
+      }.mkString(",\n")
+      val unions = (1 to walkSteps)
+        .map(i => s"UNION ALL SELECT cur FROM f$i").mkString(" ")
+      s"""WITH $edgeCtes,
+         adj AS (SELECT w, list(n ORDER BY n) AS ns, COUNT(*) AS deg
+                 FROM (SELECT a AS w, b AS n FROM e
+                       UNION ALL SELECT b, a FROM e)
+                 GROUP BY w),
+         f0 AS (SELECT w AS start, w AS cur FROM adj),
+         $steps,
+         allv AS (SELECT cur AS v FROM f0 $unions)
+         SELECT v, CAST(COUNT(*) AS BIGINT) AS n_visits
+         FROM allv GROUP BY v
+         ORDER BY n_visits DESC, v LIMIT 20"""
+    },
     "graph_eigencentrality" -> {
       // the engine's L∞-rescaled power sweeps, unrolled (the pagerank
       // convention): exact int arithmetic end-to-end, so early/late engine

@@ -124,6 +124,34 @@ class RoundEightOpsSpec extends AnyFunSuite {
       math.rint(nFp.toDouble / math.max(nFact - nMatch, 1L) * 1e6) / 1e6) < 1e-12)
   }
 
+  test("graph_random_walk: deterministic walks replay locally") {
+    import graft.functions.PolyHash.{Mult, P}
+    val adj = localEdges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    def affine(i: Int, h: Long): Long = {
+      val a = ((2L * i + 1) * Mult) % P
+      val r = (a * h + i * 1000003L + 12345L) % P
+      if (r < 0) r + P else r
+    }
+    val counts = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (start <- adj.keys) {
+      var cur = start
+      counts(cur) += 1
+      for (t <- 0 until GraphOps.walkSteps) {
+        val ns = adj(cur)
+        val idx = (affine(t, (start * 1009L + cur) % P) % ns.length).toInt
+        cur = ns(idx)
+        counts(cur) += 1
+      }
+    }
+    val expect = counts.toSeq.sortBy { case (v, n) => (-n, v) }.take(20)
+    val got = GraphOps.queries("graph_random_walk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    // conservation: every walk contributes steps+1 visits
+    assert(counts.values.sum == adj.size.toLong * (GraphOps.walkSteps + 1))
+  }
+
   test("embedding_pca_top: replays the exact integer pipeline locally") {
     val rows = Tables.load(spark, dir, "embeddings")
       .select(col("embedding").cast("array<double>")).collect()
