@@ -87,6 +87,38 @@ object RelOps {
       .agg(countDistinct($"o_custkey").as("n_cust"), count(lit(1)).as("n_orders"))
       .orderBy($"o_orderpriority")
 
+  /** EXACT distinct at scale without the expand: the bitmap-index trick
+    * (ClickHouse `groupBitmap`, roaring-bitmap aggregation) spelled in
+    * engine-neutral arithmetic. Each user id maps to (word = id DIV 32,
+    * bit = id mod 32); `bit_or` folds the masks map-side, so the exchange
+    * carries one row per (group, DISTINCT word-of-a-user) with an 8-byte
+    * mask — dense-id-range-bounded, NOT row-count-bounded (a billion
+    * events over a million users shuffle ≤ 31 k masked words per group);
+    * the distinct count is Σ popcount. The query emits the bitmap count
+    * AND the expand-based `countDistinct` side by side — the hash gate
+    * proves them equal. Contrast with `agg_approx_distinct`: this one is
+    * exact, and its memory is bounded by the ID RANGE rather than
+    * constant — the right tool when ids are dense and exactness is
+    * required. */
+  val aggBitmapDistinct: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val bm = ev
+      .select($"event_type",
+        expr("user_id DIV 32").as("word"),
+        call_function("shiftleft", lit(1L),
+          ($"user_id".bitwiseAND(lit(31L))).cast(IntegerType)).as("mask"))
+      .groupBy($"event_type", $"word")
+      .agg(expr("bit_or(mask)").as("bits"))
+      .groupBy($"event_type")
+      .agg(sum(bit_count($"bits")).cast(LongType).as("n_users_bitmap"))
+    val ex = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users_exact"))
+    bm.join(ex, "event_type")
+      .select($"event_type", $"n_users_bitmap", $"n_users_exact",
+        ($"n_users_bitmap" === $"n_users_exact").as("bitmap_matches"))
+      .orderBy($"event_type")
+  }
+
   /** Approximate distinct (HyperLogLog++) — the 100 TB-scale variant of the
     * above: one pass, fixed memory, no expand. DuckDB's HLL differs, so the
     * sketch value itself isn't oracle-comparable; instead the query is
@@ -1264,6 +1296,7 @@ object RelOps {
     "agg_group_sum" -> aggGroupSum,
     "agg_multi" -> aggMulti,
     "agg_count_distinct" -> aggCountDistinct,
+    "agg_bitmap_distinct" -> aggBitmapDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_mode" -> aggMode,
     "agg_rollup" -> aggRollup,
@@ -1366,6 +1399,21 @@ object RelOps {
          MAX(l_extendedprice) AS max_price,
          COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "agg_bitmap_distinct" ->
+      """WITH bm AS (
+           SELECT event_type, user_id // 32 AS word,
+                  bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits
+           FROM events GROUP BY event_type, user_id // 32),
+         bc AS (SELECT event_type,
+                  CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users_bitmap
+                FROM bm GROUP BY event_type),
+         ex AS (SELECT event_type,
+                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact
+                FROM events GROUP BY event_type)
+         SELECT bc.event_type, n_users_bitmap, n_users_exact,
+           (n_users_bitmap = n_users_exact) AS bitmap_matches
+         FROM bc JOIN ex ON ex.event_type = bc.event_type
+         ORDER BY bc.event_type""",
     "agg_count_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",

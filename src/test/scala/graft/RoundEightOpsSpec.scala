@@ -124,6 +124,16 @@ class RoundEightOpsSpec extends AnyFunSuite {
       math.rint(nFp.toDouble / math.max(nFact - nMatch, 1L) * 1e6) / 1e6) < 1e-12)
   }
 
+  test("agg_bitmap_distinct: bitmap count equals expand-based countDistinct") {
+    val out = RelOps.queries("agg_bitmap_distinct")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"${r.getString(0)}: bitmap ${r.getLong(1)} != exact ${r.getLong(2)}")
+      assert(r.getBoolean(3))
+    }
+  }
+
   test("graph_random_walk: deterministic walks replay locally") {
     import graft.functions.PolyHash.{Mult, P}
     val adj = localEdges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
