@@ -755,9 +755,7 @@ object SimilarityOps {
     val qv = emb(s, d).select(
       transform(asD(col("embedding")),
         x => floor(x * lit(1000000.0d) + lit(0.5d)).cast(LongType)).as("qv"))
-      .localCheckpoint() // one scan feeds the dim check, n, moments, means
-    val d0 = qv.select(size(col("qv"))).head().getInt(0)
-    require(d0 == pcaDims, s"embedding dim $d0 != expected $pcaDims")
+      .localCheckpoint() // one scan feeds n, moments, means
     val n = qv.count()
     val pairIdx = array((for (i <- 0 until pcaDims; j <- i until pcaDims)
       yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
@@ -776,7 +774,15 @@ object SimilarityOps {
       .select(col("i"), col("j"),
         expr(s"CAST((CAST($n AS DECIMAL(38,0)) * s - mi * mj)" +
           s" DIV (CAST($n AS DECIMAL(38,0)) * $pcaCovDiv) AS BIGINT)").as("c"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .collect().map { r =>
+        // a fixture whose vectors are shorter than pcaDims would null the
+        // out-of-range element_at products — fail loudly, not silently
+        require(!r.isNullAt(2),
+          s"embedding dim < expected $pcaDims (moment (${r.getInt(0)},${r.getInt(1)}) is null)")
+        (r.getInt(0), r.getInt(1), r.getLong(2))
+      }
+    require(half.length == pcaDims * (pcaDims + 1) / 2,
+      s"expected ${pcaDims * (pcaDims + 1) / 2} moments, got ${half.length}")
     val cm = Array.ofDim[Long](pcaDims, pcaDims)
     half.foreach { case (i, j, c) => cm(i)(j) = c; cm(j)(i) = c }
     var v = Array.fill(pcaDims)(pcaScale)
