@@ -2,6 +2,8 @@
 """Generate the scaling-ladder exponent table for docs/SCALE.md.
 
 Usage: python3 tools/scale_report.py BENCH_sf0.1.json BENCH_sf0.2.json BENCH_sf1.json [BENCH_sf2.json]
+       ... --inject   # also splice the output into docs/SCALE.md between
+                      # the SCALE_LADDER_TABLE / SCALE_LADDER_NOTES markers
 
 Reads the bench JSONs (per-query MEDIANS — the spread-aware aggregate),
 buckets queries into the SURVEY families, and prints a markdown table of
@@ -13,7 +15,7 @@ growth, not a superlinear term). Queries cheaper than FLOOR seconds at
 sf1 are excluded from the per-query worst-ratio list (fixed-overhead
 noise, not scaling signal).
 """
-import json, math, re, sys
+import io, json, math, re, sys
 
 FLOOR = 0.4
 FAMS = [
@@ -33,7 +35,12 @@ FAMS = [
     ("", "Other"),
 ]
 
-paths = sys.argv[1:]
+args = sys.argv[1:]
+inject = "--inject" in args
+paths = [a for a in args if a != "--inject"]
+if inject:
+    _buf = io.StringIO()
+    _stdout, sys.stdout = sys.stdout, _buf
 runs = [json.load(open(p)) for p in paths]
 qs = [r.get("queries_median", r["queries"]) for r in runs]
 has20 = len(qs) >= 4
@@ -83,3 +90,24 @@ if has20 and above:
           ", ".join(f"{n} {qs[3][n]/qs[2][n]:.2f}x" for n in above))
 if errored:
     print(f"ERRORED somewhere in the ladder: {errored}")
+
+if inject:
+    sys.stdout = _stdout
+    out = _buf.getvalue().rstrip()
+    table_end = out.index("\n\n")
+    table, notes = out[:table_end], out[table_end + 2:]
+    doc = open("docs/SCALE.md").read()
+    def splice(doc, marker, body):
+        begin = f"<!-- {marker} -->"
+        end = f"<!-- {marker}_END -->"
+        block = begin + "\n" + body + "\n" + end
+        if end in doc:
+            import re as _re
+            return _re.sub(_re.escape(begin) + ".*?" + _re.escape(end),
+                           lambda _: block, doc, flags=_re.S)
+        return doc.replace(begin, block)
+    doc = splice(doc, "SCALE_LADDER_TABLE", table)
+    doc = splice(doc, "SCALE_LADDER_NOTES", notes)
+    open("docs/SCALE.md", "w").write(doc)
+    print(out)
+    print("\n[injected into docs/SCALE.md]")
