@@ -56,9 +56,14 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     //  - ArtifactCache builds surface through the reader/writer shapes above.
     // Anything else — an eager count()/collect()/head() in a query builder —
     // is the text_keywords bug class and fails here.
+    //  - "collect at SimilarityOps": embedding_pca_top's moment reduction —
+    //    the kmeans-class BOUNDED driver round-trip (#chunks × d²/2 longs,
+    //    require()d against Limits.maxDriverCentroids); the d×d power
+    //    iteration that follows is driver-side by design.
     val allowed = Seq("parquet at ", "csv at ", "json at ", "orc at ",
       "localCheckpoint at ", "start at ", "saveAsTable at ",
-      "jdbc at SourceFormatOps", "$anonfun$withThreadLocalCaptured")
+      "jdbc at SourceFormatOps", "collect at SimilarityOps",
+      "$anonfun$withThreadLocalCaptured")
     val (_, jobs) = jobsDuring {
       SparkEntry.queries.foreach { case (_, fn) => fn(spark, sf) }
     }
