@@ -591,6 +591,66 @@ object GraphOps {
       .limit(20)
   }
 
+  /** One synchronous Louvain local-move round from singleton communities —
+    * the building block of modularity-ascent community detection, with the
+    * arithmetic kept EXACT so the oracle replays it: from singletons,
+    * moving v into neighbor u's community changes modularity by
+    * ΔQ·4m² = 4m − 2·k_v·k_u (derived from Q = Σ e_c/m − (d_c/2m)²; no
+    * self-loops), so each vertex deterministically picks its
+    * minimum-degree neighbor (tie-break: smallest id) and moves iff
+    * ΔQ > 0. All vertices move simultaneously (the standard parallel
+    * round); the report carries exact integer modularity numerators
+    * (Q·4m² = 4m·Σe_c − Σd_c²) before and after, float computed once.
+    *
+    * 100 TB shape: degrees broadcast onto the symmetric edge stream; the
+    * per-vertex argmin is a (k_u, u)-ordered min_by aggregate keyed by
+    * vertex (map-side partials, never a sort of the edge stream); the
+    * modularity-after pass is one label join + two bounded aggregates.
+    * Everything is vertex- or edge-linear; no pair expansion. */
+  val graphLouvainMove: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val e = edges(s, d).localCheckpoint()
+    val m = e.count() // bounded driver scalar, the census convention
+    val deg = degrees(e)
+    val sym = e.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("u")))
+    val annotated = sym
+      .join(broadcast(deg.select(col("v"), col("degree").as("kv"))), "v")
+      .join(broadcast(deg.select(col("v").as("u"), col("degree").as("ku"))), "u")
+    // per-vertex best target: min-degree neighbor, smallest id on ties
+    val best = annotated
+      .groupBy(col("v"))
+      .agg(min_by(struct(col("u"), col("ku")),
+          struct(col("ku"), col("u"))).as("b"),
+        first(col("kv")).as("kv"))
+      .select(col("v"), col("b.u").as("target"), col("b.ku").as("ktu"), col("kv"))
+    val labels = best
+      .select(col("v"),
+        when(lit(4L * m) - lit(2L) * col("kv") * col("ktu") > 0,
+          col("target")).otherwise(col("v")).as("lbl"))
+      .localCheckpoint() // feeds the move count, intra pass and Σd_c²
+    val lblA = labels.select(col("v").as("a"), col("lbl").as("la"))
+    val lblB = labels.select(col("v").as("b"), col("lbl").as("lb"))
+    val intra = e.join(broadcast(lblA), "a").join(broadcast(lblB), "b")
+      .agg(sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("intra_edges"))
+    val comm = labels.join(broadcast(deg), "v")
+      .groupBy(col("lbl")).agg(sum(col("degree")).cast(dec).as("dc"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("dc") * col("dc")).as("sd2"))
+    val moved = labels
+      .agg(sum(when(col("lbl") =!= col("v"), 1L).otherwise(0L)).as("n_moved"),
+        count(lit(1)).as("n_vertices"))
+    val q0 = deg.agg(sum((col("degree") * col("degree")).cast(dec)).as("sk2"))
+    moved.crossJoin(intra).crossJoin(comm).crossJoin(q0)
+      .select(col("n_vertices"), col("n_moved"), col("n_communities"),
+        col("intra_edges"),
+        round(lit(0.0) - col("sk2").cast(DoubleType) /
+          (lit(4.0) * m * m), 6).as("modularity_before"),
+        round((lit(4.0) * m * col("intra_edges").cast(DoubleType) -
+          col("sd2").cast(DoubleType)) / (lit(4.0) * m * m), 6)
+          .as("modularity_after"))
+  }
+
   val walkSteps = 4
 
   /** Deterministic random walks — the node2vec/DeepWalk sampling primitive
@@ -831,6 +891,7 @@ object GraphOps {
     "graph_modularity" -> graphModularity,
     "graph_eigencentrality" -> graphEigencentrality,
     "graph_random_walk" -> graphRandomWalk,
+    "graph_louvain_move" -> graphLouvainMove,
   )
 
   /** Shared edge/degree CTEs: DuckDB derives the same distinct (a < b)
@@ -1018,6 +1079,41 @@ object GraphOps {
          JOIN item ic ON ic.v = dir.consequent
          CROSS JOIN n_ord
          ORDER BY lift DESC, antecedent, consequent LIMIT 20""",
+    "graph_louvain_move" ->
+      s"""WITH $edgeCtes,
+         mm AS (SELECT COUNT(*) AS m FROM e),
+         sym AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e),
+         ann AS (SELECT sym.v, sym.u, dv.degree AS kv, du.degree AS ku
+                 FROM sym JOIN deg dv ON dv.v = sym.v
+                          JOIN deg du ON du.v = sym.u),
+         rk AS (SELECT v, u AS target, ku, kv,
+                  ROW_NUMBER() OVER (PARTITION BY v ORDER BY ku, u) AS rn
+                FROM ann),
+         lbl AS (SELECT v,
+                   CASE WHEN 4 * (SELECT m FROM mm) - 2 * kv * ku > 0
+                        THEN target ELSE v END AS lbl
+                 FROM rk WHERE rn = 1),
+         intra AS (SELECT CAST(SUM(CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END)
+                     AS BIGINT) AS intra_edges
+                   FROM e JOIN lbl la ON la.v = e.a
+                          JOIN lbl lb ON lb.v = e.b),
+         comm AS (SELECT l.lbl, CAST(SUM(deg.degree) AS HUGEINT) AS dc
+                  FROM lbl l JOIN deg ON deg.v = l.v GROUP BY l.lbl),
+         sd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+                  SUM(dc * dc) AS sd2 FROM comm),
+         mv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+                  CAST(SUM(CASE WHEN lbl != v THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_moved FROM lbl),
+         k2 AS (SELECT SUM(CAST(degree AS HUGEINT) * degree) AS sk2 FROM deg)
+         SELECT n_vertices, n_moved, n_communities, intra_edges,
+           round(0.0 - CAST(sk2 AS DOUBLE)
+             / (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 6)
+             AS modularity_before,
+           round((4.0 * (SELECT m FROM mm) * CAST(intra_edges AS DOUBLE)
+                  - CAST(sd2 AS DOUBLE))
+             / (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 6)
+             AS modularity_after
+         FROM mv, intra, sd, k2""",
     "graph_random_walk" -> {
       import graft.functions.PolyHash.{affineSql, P}
       val steps = (0 until walkSteps).map { t =>

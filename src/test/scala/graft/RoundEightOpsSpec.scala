@@ -124,6 +124,35 @@ class RoundEightOpsSpec extends AnyFunSuite {
       math.rint(nFp.toDouble / math.max(nFact - nMatch, 1L) * 1e6) / 1e6) < 1e-12)
   }
 
+  test("graph_louvain_move: one sync local-move round replays locally") {
+    val adj = localEdges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val degL = adj.view.mapValues(_.size.toLong).toMap
+    val m = localEdges.size.toLong
+    val lbl = adj.map { case (v, ns) =>
+      val (target, ktu) = ns.map(u => (u, degL(u)))
+        .minBy { case (u, ku) => (ku, u) }
+      v -> (if (4 * m - 2 * degL(v) * ktu > 0) target else v)
+    }
+    val nMoved = lbl.count { case (v, l) => l != v }.toLong
+    val intra = localEdges.count { case (a, b) => lbl(a) == lbl(b) }.toLong
+    val dc = degL.toSeq.groupBy { case (v, _) => lbl(v) }.view
+      .mapValues(_.map(_._2).sum).toMap
+    val sd2 = dc.values.map(d => BigInt(d) * BigInt(d)).sum
+    val sk2 = degL.values.map(k => BigInt(k) * BigInt(k)).sum
+    val qBefore = math.rint(
+      (0.0 - sk2.toDouble / (4.0 * m * m)) * 1e6) / 1e6
+    val qAfter = math.rint(
+      ((4.0 * m * intra.toDouble - sd2.toDouble) / (4.0 * m * m)) * 1e6) / 1e6
+    val r = GraphOps.queries("graph_louvain_move")(spark, dir).collect().head
+    assert(r.getLong(0) == adj.size.toLong)
+    assert(r.getLong(1) == nMoved)
+    assert(r.getLong(2) == dc.size.toLong)
+    assert(r.getLong(3) == intra)
+    assert(math.abs(r.getDouble(4) - qBefore) < 1e-9)
+    assert(math.abs(r.getDouble(5) - qAfter) < 1e-9)
+  }
+
   test("agg_bitmap_distinct: bitmap count equals expand-based countDistinct") {
     val out = RelOps.queries("agg_bitmap_distinct")(spark, dir).collect()
     assert(out.nonEmpty)
