@@ -308,6 +308,45 @@ object AnalyticsOps {
       .orderBy(col("n_user_days").desc, col("seq"))
       .limit(15)
 
+  /** Per-event-type volume trend: exact least-squares slope of the daily
+    * event count against the epoch-day index — the "is this signal
+    * growing or decaying" statistic behind traffic dashboards and
+    * data-freshness alerts. All four regression moments (Σx, Σy, Σxy,
+    * Σx²) are exact DECIMAL(38) sums over integer day indices and counts
+    * (epoch-day ~2·10⁴ times a 100 TB daily count overflows int64 —
+    * widen BEFORE the multiply, the assortativity convention); the slope
+    * computes its ONE float from the closed form with identical formula
+    * text in the oracle, guarded against a single-day degenerate fit.
+    *
+    * Scale shape: the (type, day) pre-aggregate is the only event-volume
+    * pass (map-side partials on a tiny key space); the moment aggregate
+    * runs over types×days rows. No joins, no windows. */
+  val eventsTrend: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01").cast(DateType))
+          .cast(LongType).as("x"),
+        col("y"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("y")).as("total_events"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).as("sx2"))
+      .select(col("event_type"), col("n_days"), col("total_events"),
+        when(col("n_days").cast(dec) * col("sx2") =!= col("sx") * col("sx"),
+          round(
+            (col("n_days").cast(dec) * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType) /
+            (col("n_days").cast(dec) * col("sx2") - col("sx") * col("sx"))
+              .cast(DoubleType), 6)).as("slope"))
+      .orderBy(col("event_type"))
+  }
+
   /** Greedy bigram decode: seed with the corpus's most frequent word, then
     * repeatedly take the most frequent continuation (ties break
     * lexicographically) for [[greedyDecodeSteps]] steps — the
@@ -815,6 +854,7 @@ object AnalyticsOps {
     "events_time_to_convert" -> eventsTimeToConvert,
     "events_sequence_pattern" -> eventsSequencePattern,
     "events_user_activity" -> eventsUserActivity,
+    "events_trend" -> eventsTrend,
     "rfm_segment" -> rfmSegment,
     "text_vocab_growth" -> textVocabGrowth,
   )
@@ -918,6 +958,28 @@ object AnalyticsOps {
            n_kept,
            round(CAST(n_kept AS DOUBLE) / n_docs, 6) AS kept_share
          FROM base, dups, kept""",
+    "events_trend" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01',
+               CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+           FROM events
+           GROUP BY event_type, x),
+         mo AS (
+           SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(y) AS BIGINT) AS total_events,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sx2
+           FROM daily GROUP BY event_type)
+         SELECT event_type, n_days, total_events,
+           CASE WHEN CAST(n_days AS HUGEINT) * sx2 != sx * sx THEN
+             round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+               / CAST(n_days * sx2 - sx * sx AS DOUBLE), 6) END AS slope
+         FROM mo ORDER BY event_type""",
     "events_dau_wau" ->
       """WITH ud AS (
            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id

@@ -651,6 +651,66 @@ object GraphOps {
           .as("modularity_after"))
   }
 
+  /** Seed set size for the closeness audit — the [[closenessSeedCount]]
+    * smallest vertex ids, the same deterministic seed rule as [[graphBfs]]. */
+  val closenessSeedCount = 4
+
+  /** Bounded-radius closeness + harmonic centrality for a deterministic
+    * seed set: per-source BFS distances within [[bfsDepth]] hops, then
+    * closeness = n_reached / Σdist and harmonic = Σ 1/dist — the two
+    * standard "how central is this node" statistics, truncated at the
+    * radius that bounds the recursive oracle (on small-world co-occurrence
+    * graphs a 3-hop ball already covers most of the component, so the
+    * truncated statistic is the one practitioners actually compute).
+    *
+    * The per-source distances come from ONE multi-source level-synchronous
+    * loop keyed by (source, vertex) — k sources ride the same three
+    * frontier rounds, not k separate traversals. Frontier/visited are
+    * (seeds × vertex)-bounded so both sides of every per-round join
+    * broadcast and the edge set never re-shuffles (the [[graphBfs]]
+    * posture); past broadcast reach the identical spelling plans as keyed
+    * equi-joins on `src`. Exactness: distances are integers; harmonic
+    * quantizes each 1/d to DECIMAL(18,6) BEFORE summing (the repo's
+    * quantized-float-sum convention) and closeness computes its one float
+    * on the final k-row result. */
+  val graphCloseness: Q = (s, d) => {
+    val e = edges(s, d).localCheckpoint()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .distinct().orderBy(col("v")).limit(closenessSeedCount)
+      .select(col("v").as("s0"), col("v"), lit(0L).as("dist"))
+    var visited = seeds.localCheckpoint()
+    var frontier = visited
+    for (k <- 1 to bfsDepth) {
+      frontier = closenessRound(sym, frontier, visited, k).localCheckpoint()
+      visited = visited.unionAll(frontier).localCheckpoint()
+    }
+    visited.filter(col("dist") > 0)
+      .groupBy(col("s0"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("dist")).as("sum_dist"),
+        sum(round(lit(1.0) / col("dist"), 6).cast(DecimalType(18, 6)))
+          .as("hsum"))
+      .select(col("s0").as("source"), col("n_reached"), col("sum_dist"),
+        round(col("n_reached").cast(DoubleType) / col("sum_dist"), 6)
+          .as("closeness"),
+        col("hsum").cast(DoubleType).as("harmonic"))
+      .orderBy(col("source"))
+  }
+
+  /** One multi-source BFS level: (source, vertex) frontier × adjacency
+    * probe, minus the per-source visited set. The [[bfsRound]] shape with
+    * the source key carried through — extracted so PlanSpec can pin it. */
+  private[graft] def closenessRound(sym: DataFrame, frontier: DataFrame,
+      visited: DataFrame, k: Int): DataFrame =
+    sym.join(broadcast(frontier.select(col("s0"), col("v").as("src"))),
+        Seq("src"))
+      .select(col("s0"), col("dst").as("v")).distinct()
+      .join(broadcast(visited.select(col("s0"), col("v"))),
+        Seq("s0", "v"), "left_anti")
+      .select(col("s0"), col("v"), lit(k.toLong).as("dist"))
+
   val walkSteps = 4
 
   /** Deterministic random walks — the node2vec/DeepWalk sampling primitive
@@ -892,6 +952,7 @@ object GraphOps {
     "graph_eigencentrality" -> graphEigencentrality,
     "graph_random_walk" -> graphRandomWalk,
     "graph_louvain_move" -> graphLouvainMove,
+    "graph_closeness" -> graphCloseness,
   )
 
   /** Shared edge/degree CTEs: DuckDB derives the same distinct (a < b)
@@ -1114,6 +1175,27 @@ object GraphOps {
              / (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 6)
              AS modularity_after
          FROM mv, intra, sd, k2""",
+    "graph_closeness" ->
+      s"""WITH $edgeCtes,
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION ALL SELECT b, a FROM e),
+         seeds AS (SELECT v FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+                   GROUP BY v ORDER BY v LIMIT $closenessSeedCount),
+         bfs AS (
+           WITH RECURSIVE w(s0, v, dist) AS (
+             SELECT v, v, 0 FROM seeds
+             UNION
+             SELECT w.s0, s.dst, w.dist + 1 FROM w JOIN sym s ON w.v = s.src
+             WHERE w.dist < $bfsDepth
+           )
+           SELECT s0, v, MIN(dist) AS dist FROM w GROUP BY s0, v)
+         SELECT s0 AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist,
+           round(CAST(COUNT(*) AS DOUBLE) / SUM(dist), 6) AS closeness,
+           CAST(SUM(CAST(round(1.0 / dist, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             AS harmonic
+         FROM bfs WHERE dist > 0 GROUP BY s0 ORDER BY source""",
     "graph_random_walk" -> {
       import graft.functions.PolyHash.{affineSql, P}
       val steps = (0 until walkSteps).map { t =>

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{GraphOps, PipelineOps, RelOps, SimilarityOps, TextOps}
+import graft.operators.{AnalyticsOps, GraphOps, PipelineOps, RelOps, SimilarityOps, TextOps}
 
 /** Round-8 first batch: per-vertex clustering coefficients and brand-
   * partition modularity. Both are checked against brute-force local
@@ -151,6 +151,61 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(r.getLong(3) == intra)
     assert(math.abs(r.getDouble(4) - qBefore) < 1e-9)
     assert(math.abs(r.getDouble(5) - qAfter) < 1e-9)
+  }
+
+  test("graph_closeness: bounded-radius closeness replays a local BFS") {
+    val adj = localEdges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.keys.toSeq.sorted.take(GraphOps.closenessSeedCount)
+    val expect = seeds.map { s0 =>
+      var dist = Map(s0 -> 0L)
+      var frontier = Set(s0)
+      for (k <- 1 to GraphOps.bfsDepth) {
+        frontier = frontier.flatMap(adj).diff(dist.keySet)
+        dist ++= frontier.map(_ -> k.toLong)
+      }
+      val ds = dist.values.filter(_ > 0).toSeq
+      val closeness = math.rint(ds.size.toDouble / ds.sum * 1e6) / 1e6
+      val harmonic = ds.map(d => BigDecimal(math.rint(1e6 / d) / 1e6)).sum
+      (s0, ds.size.toLong, ds.sum, closeness, harmonic.toDouble)
+    }
+    val got = GraphOps.queries("graph_closeness")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3)) == expect.map(e => (e._1, e._2, e._3)))
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-9)
+      assert(math.abs(g._5 - e._5) < 1e-9)
+    }
+  }
+
+  test("events_trend: least-squares slope replays exact local moments") {
+    val daily = Tables.load(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = daily.toSeq.groupBy { case ((t, _), _) => t }.toSeq.sortBy(_._1)
+      .map { case (t, rows) =>
+        val xs = rows.map { case ((_, x), y) => (BigInt(x), BigInt(y)) }
+        val n = BigInt(xs.size)
+        val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+        val sxy = xs.map { case (x, y) => x * y }.sum
+        val sx2 = xs.map { case (x, _) => x * x }.sum
+        val slope =
+          if (n * sx2 == sx * sx) None
+          else Some(math.rint((n * sxy - sx * sy).toDouble /
+            (n * sx2 - sx * sx).toDouble * 1e6) / 1e6)
+        (t, xs.size.toLong, xs.map(_._2).sum.toLong, slope)
+      }
+    val got = AnalyticsOps.queries("events_trend")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3)) == expect.map(e => (e._1, e._2, e._3)))
+    got.zip(expect).foreach { case (g, e) => (g._4, e._4) match {
+      case (Some(gv), Some(ev)) => assert(math.abs(gv - ev) < 1e-9)
+      case (a, b) => assert(a == b)
+    }}
   }
 
   test("agg_bitmap_distinct: bitmap count equals expand-based countDistinct") {
