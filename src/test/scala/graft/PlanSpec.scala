@@ -494,6 +494,37 @@ class PlanSpec extends AnyFunSuite {
       assert(!b.contains("text#"), s"document text crosses an exchange:\n$b"))
   }
 
+  test("graph_closeness round: (source, vertex) frontier broadcasts; edges never re-shuffle") {
+    import spark.implicits._
+    val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
+    val seeds = Seq((1L, 1L)).toDF("s0", "v")
+    val plan = graft.operators.GraphOps.closenessRound(sym, seeds, seeds, 1)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // both the probe and the per-source anti-join take the broadcast side
+    assert(plan.linesIterator.count(_.contains("- BroadcastExchange")) == 2, plan)
+  }
+
+  test("graph_louvain_move: label joins broadcast, no sort of the edge stream") {
+    // the min_by argmin itself sits behind the labels localCheckpoint (the
+    // replay spec covers its semantics); the outer plan must keep every
+    // label/degree join broadcast and never sort or window the edge stream
+    val plan = formatted("graph_louvain_move")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("events_trend: two map-side-combined aggregates, no joins") {
+    val plan = formatted("events_trend")
+    assert(!plan.contains("Join"), s"trend must not join:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
