@@ -550,6 +550,61 @@ object PipelineOps {
       .orderBy(col("lang"), col("decile"))
   }
 
+  /** CCNet-style perplexity terciles: every language's documents split
+    * into head / middle / tail by per-document cross-entropy under the
+    * corpus unigram LM — the canonical "keep the head, drop the tail"
+    * quality gate of web-corpus curation (CCNet buckets by Wikipedia-LM
+    * perplexity; the model-free unigram prior here is this repo's
+    * [[AnalyticsOps.textPerplexity]] statistic). Exactness: the per-doc
+    * score reuses the perplexity recipe verbatim (one `round(ln c_w, 6)`
+    * per distinct count, DECIMAL sums, ONE float at the end, quantized to
+    * 6 decimals) so both engines order documents identically — the tercile
+    * boundary cannot drift on float noise — and the tie-break is doc_id.
+    *
+    * Scale: token occurrences collapse map-side; the vocabulary join keys
+    * on the word's PolyHash int64. The per-language ntile window is the
+    * oracle-checked reference spelling — languages are few, so at 100 TB
+    * the window's per-language sort is the bottleneck and the production
+    * path computes the two tercile cut points with approx percentiles
+    * (or the exact two-pass count/offset select) and buckets by
+    * broadcast-compare instead; semantics identical up to boundary ties. */
+  val qualityPplBuckets: Q = (s, d) => {
+    val occ = docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.PolyHash.poly_hash(col("word")).as("th"))
+    val perDoc = occ.groupBy(col("doc_id"), col("lang"), col("th"))
+      .agg(count(lit(1)).as("c_dw"))
+    val cw = perDoc.groupBy(col("th")).agg(sum(col("c_dw")).as("cw"))
+    val tot = cw.agg(sum(col("cw")).as("n_total"))
+    val term = round(log(col("cw").cast(DoubleType)), 6).cast(DecimalType(18, 6))
+    val ce = perDoc.join(cw, "th")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c_dw")).as("n_words"),
+        sum(term * col("c_dw")).as("sce"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        round(log(col("n_total").cast(DoubleType))
+          - col("sce").cast(DoubleType) / col("n_words"), 6).as("ce"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("ce"), col("doc_id"))
+    ce.withColumn("t", ntile(3).over(w))
+      .select(col("lang"),
+        when(col("t") === 1, "1_head").when(col("t") === 2, "2_middle")
+          .otherwise("3_tail").as("bucket"),
+        col("n_words"), col("ce"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        min(col("ce")).as("min_ce"),
+        max(col("ce")).as("max_ce"),
+        sum(col("ce").cast(DecimalType(18, 6))).as("sce"))
+      .select(col("lang"), col("bucket"), col("n_docs"), col("n_words"),
+        col("min_ce"), col("max_ce"),
+        round(col("sce").cast(DoubleType) / col("n_docs"), 6).as("mean_ce"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   // ----------------------------------------------------------- sharding
   /** Shard count for [[shardExport]] — at 100 TB this is the scale knob
     * (shards ∝ corpus / target-file-size), like [[packShards]]. */
@@ -643,6 +698,7 @@ object PipelineOps {
     "corpus_mix" -> corpusMix,
     "quality_gopher" -> qualityGopher,
     "quality_length_dist" -> qualityLengthDist,
+    "quality_ppl_buckets" -> qualityPplBuckets,
     "corpus_lang_mix" -> corpusLangMix,
     "curation_pipeline" -> curationPipeline,
     "sample_token_budget" -> sampleTokenBudget,
@@ -704,6 +760,37 @@ object PipelineOps {
              AS lift
          FROM c JOIN s USING (source) JOIN l USING (lang) CROSS JOIN t
          ORDER BY source, lang""",
+    "quality_ppl_buckets" ->
+      s"""WITH occ AS (
+           SELECT doc_id, lang, ${graft.functions.PolyHash.duckSql("word")} AS th
+           FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+                 FROM documents)),
+         per_doc AS (
+           SELECT doc_id, lang, th, COUNT(*) AS c_dw
+           FROM occ GROUP BY doc_id, lang, th),
+         cw AS (SELECT th, CAST(SUM(c_dw) AS BIGINT) AS cw
+                FROM per_doc GROUP BY th),
+         tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_total FROM cw),
+         ce AS (
+           SELECT p.doc_id, p.lang, CAST(SUM(p.c_dw) AS BIGINT) AS n_words,
+             round(ln(CAST((SELECT n_total FROM tot) AS DOUBLE))
+               - CAST(SUM(CAST(round(ln(CAST(c.cw AS DOUBLE)), 6)
+                   AS DECIMAL(18,6)) * p.c_dw) AS DOUBLE)
+                 / CAST(SUM(p.c_dw) AS BIGINT), 6) AS ce
+           FROM per_doc p JOIN cw c USING (th) GROUP BY p.doc_id, p.lang),
+         bk AS (
+           SELECT lang, n_words, ce,
+             CASE ntile(3) OVER (PARTITION BY lang ORDER BY ce, doc_id)
+               WHEN 1 THEN '1_head' WHEN 2 THEN '2_middle'
+               ELSE '3_tail' END AS bucket
+           FROM ce)
+         SELECT lang, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           MIN(ce) AS min_ce, MAX(ce) AS max_ce,
+           round(CAST(SUM(CAST(ce AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_ce
+         FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""",
     "quality_length_dist" ->
       """SELECT lang, CAST(decile AS BIGINT) AS decile,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

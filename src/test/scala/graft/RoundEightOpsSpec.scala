@@ -208,6 +208,47 @@ class RoundEightOpsSpec extends AnyFunSuite {
     }}
   }
 
+  test("quality_ppl_buckets: terciles replay the exact perplexity ordering") {
+    val rows = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val perDoc = rows.map { case (id, lang, text) =>
+      (id, lang, text.split(" ", -1).groupBy(identity).view.mapValues(_.length.toLong).toMap)
+    }
+    val cwAll = perDoc.flatMap(_._3).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val nTotal = cwAll.values.sum
+    def q6(x: Double): BigDecimal = BigDecimal(math.rint(x * 1e6) / 1e6)
+    val ce = perDoc.map { case (id, lang, counts) =>
+      val n = counts.values.sum
+      val sce = counts.map { case (w, c) => q6(math.log(cwAll(w).toDouble)) * c }.sum
+      (id, lang, n,
+        math.rint((math.log(nTotal.toDouble) - sce.toDouble / n) * 1e6) / 1e6)
+    }
+    val expect = ce.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (lang, ds) =>
+      val sorted = ds.sortBy { case (id, _, _, c) => (c, id) }
+      val n = sorted.length
+      val sizes = Seq.tabulate(3)(i => n / 3 + (if (i < n % 3) 1 else 0))
+      val names = Seq("1_head", "2_middle", "3_tail")
+      var off = 0
+      sizes.zip(names).filter(_._1 > 0).map { case (sz, nm) =>
+        val grp = sorted.slice(off, off + sz); off += sz
+        (lang, nm, grp.length.toLong, grp.map(_._3).sum,
+          grp.map(_._4).min, grp.map(_._4).max,
+          math.rint(grp.map(g => q6(g._4)).sum.toDouble / grp.length * 1e6) / 1e6)
+      }
+    }
+    val got = PipelineOps.queries("quality_ppl_buckets")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3, g._4)) ==
+      expect.map(e => (e._1, e._2, e._3, e._4)))
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._5 - e._5) < 1e-9 && math.abs(g._6 - e._6) < 1e-9 &&
+        math.abs(g._7 - e._7) < 1e-9)
+    }
+  }
+
   test("agg_bitmap_distinct: bitmap count equals expand-based countDistinct") {
     val out = RelOps.queries("agg_bitmap_distinct")(spark, dir).collect()
     assert(out.nonEmpty)
