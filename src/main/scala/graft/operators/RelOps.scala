@@ -997,6 +997,64 @@ object RelOps {
       .orderBy($"l_returnflag")
   }
 
+  /** KMV sketch size — 256 gives ~1/√254 ≈ 6% relative error on distinct
+    * estimates; the sketch is K rows regardless of corpus size. */
+  val kmvK = 256
+
+  /** K-minimum-values distinct + intersection sketch, fully deterministic
+    * and audited against exact: the 'view' and 'purchase' user cohorts
+    * each keep their K smallest `((user_id % P)·Mult) % P` hash values —
+    * the KMV estimator (distinct ≈ (K−1)·P / kth-min when the sketch is
+    * full, exact when not) — and the union sketch's members are probed
+    * against the exact intersection for the Beyer et al. Jaccard estimate
+    * |A∩B ∩ minK(A∪B)| / |minK(A∪B)|. Everything is exact integer
+    * ordering over an engine-neutral hash, so BOTH the estimates and the
+    * exact audit columns replay bit-for-bit in the oracle — the property
+    * no HLL register dump can offer.
+    *
+    * Scale shape: the distinct (cohort, hash) pass is the only
+    * event-volume scan; per-cohort K-min runs as a rank-≤-K window
+    * (WindowGroupLimit prunes to K per partition BEFORE the exchange) and
+    * the union K-min is TakeOrdered; the exact intersection is one
+    * h-keyed semi-join; every sketch-side probe broadcasts K rows. In a
+    * production pipeline the per-cohort sketches would persist (they
+    * merge by min-of-unions) — this query is the build + audit pass. */
+  val aggKmvIntersect: Q = (s, d) => {
+    import graft.functions.PolyHash.{Mult, P}
+    val ev = t(s, d, "events")
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"event_type", (($"user_id" % P) * Mult % P).as("h"))
+      .distinct().localCheckpoint() // feeds sketches, exact counts, both cohorts
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+    val per = ev.withColumn("rn", row_number().over(w)).filter($"rn" <= kmvK)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_sk"), max($"h").as("mk"))
+      .join(ev.groupBy($"event_type").agg(count(lit(1)).as("n_ex")), "event_type")
+    def est(nsk: Column, mk: Column): Column =
+      when(nsk < kmvK, nsk.cast(DoubleType))
+        .otherwise(round(lit((kmvK - 1).toDouble) * P / mk, 6))
+    val stats = per.agg(
+      sum(when($"event_type" === "view", $"n_ex")).as("n_view"),
+      sum(when($"event_type" === "purchase", $"n_ex")).as("n_purchase"),
+      max(when($"event_type" === "view", est($"n_sk", $"mk"))).as("view_est"),
+      max(when($"event_type" === "purchase", est($"n_sk", $"mk"))).as("purchase_est"))
+    val inter = ev.filter($"event_type" === "view").select($"h")
+      .join(ev.filter($"event_type" === "purchase").select($"h"), Seq("h"), "left_semi")
+      .localCheckpoint() // feeds the exact count and the sketch probe
+    val ic = inter.agg(count(lit(1)).as("n_intersect"))
+    val usk = ev.select($"h").distinct().orderBy($"h").limit(kmvK)
+    val ua = usk.agg(count(lit(1)).as("n_usk"), max($"h").as("mu"))
+    val mc = inter.join(broadcast(usk), Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("n_match"))
+    stats.crossJoin(ic).crossJoin(ua).crossJoin(mc)
+      .select($"n_view", $"n_purchase", $"n_intersect",
+        $"view_est", $"purchase_est",
+        est($"n_usk", $"mu").as("union_est"),
+        round($"n_intersect".cast(DoubleType) /
+          ($"n_view" + $"n_purchase" - $"n_intersect"), 6).as("jaccard"),
+        round($"n_match".cast(DoubleType) / $"n_usk", 6).as("jaccard_est"))
+  }
+
   /** Heavy-hitter sketch, self-validating: a deterministic skew transform
     * gives 10 hot keys (~5% of rows each) over a uniform long tail;
     * `approx_top_k` (bounded state, mergeable — the only viable spelling at
@@ -1035,6 +1093,29 @@ object RelOps {
     spine.join(counts, Seq("user_id", "day"), "left")
       .select($"user_id", $"day", coalesce($"n_raw", lit(0L)).as("n"))
       .orderBy($"user_id", $"day")
+  }
+
+  /** OHLC downsampling — the time-series compaction every metrics store
+    * runs: per (event_type, hour) bucket, the first/highest/lowest/last
+    * `value` plus count and exact sum. Open/close are `min_by`/`max_by`
+    * over the total (ts, event_id) order — deterministic under ties and
+    * replayed by the oracle's row_number spelling; high/low are plain
+    * min/max (exact on doubles, no accumulation); the sum rides the
+    * DECIMAL(18,6) float-sum rule. One map-side-combined aggregate over
+    * the event stream — min_by/max_by carry (value, key) partials, so the
+    * exchange moves types×hours rows, never events. */
+  val resampleOhlc: Q = (s, d) => {
+    val ev = t(s, d, "events")
+      .select($"event_type", date_trunc("hour", $"ts").as("hour"),
+        $"ts", $"event_id", $"value")
+    ev.groupBy($"event_type", $"hour")
+      .agg(count(lit(1)).as("n_events"),
+        min_by($"value", struct($"ts", $"event_id")).as("open_v"),
+        max($"value").as("high_v"),
+        min($"value").as("low_v"),
+        max_by($"value", struct($"ts", $"event_id")).as("close_v"),
+        sumd($"value").as("sum_value"))
+      .orderBy($"event_type", $"hour")
   }
 
   /** Batch sessionization: a session break is a >30-minute gap; the
@@ -1357,8 +1438,10 @@ object RelOps {
     "agg_salted" -> aggSalted,
     "agg_weighted_avg" -> aggWeightedAvg,
     "agg_incremental_merge" -> aggIncrementalMerge,
+    "agg_kmv_intersect" -> aggKmvIntersect,
     "agg_approx_topk" -> aggApproxTopK,
     "resample_gapfill" -> resampleGapfill,
+    "resample_ohlc" -> resampleOhlc,
     "sessionize_batch" -> sessionizeBatch,
     "sessionize_native" -> sessionizeNative,
     "tpch_q1" -> tpchQ1,
@@ -1845,6 +1928,69 @@ object RelOps {
          FROM spine s LEFT JOIN counts c
            ON s.user_id = c.user_id AND s.day = c.day
          ORDER BY s.user_id, s.day""",
+    "agg_kmv_intersect" -> {
+      import graft.functions.PolyHash.{Mult, P}
+      val estSql = (nsk: String, mk: String) =>
+        s"CASE WHEN $nsk < $kmvK THEN CAST($nsk AS DOUBLE) " +
+        s"ELSE round(${kmvK - 1}.0 * $P / $mk, 6) END"
+      s"""WITH ev AS (
+           SELECT DISTINCT event_type, ((user_id % $P) * $Mult) % $P AS h
+           FROM events WHERE event_type IN ('view', 'purchase')),
+         sk AS (SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                FROM ev),
+         per AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sk,
+                   MAX(h) AS mk
+                 FROM sk WHERE rn <= $kmvK GROUP BY event_type),
+         ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_ex
+                FROM ev GROUP BY event_type),
+         pe AS (SELECT * FROM per JOIN ex USING (event_type)),
+         stats AS (SELECT
+             CAST(SUM(CASE WHEN event_type = 'view' THEN n_ex END) AS BIGINT)
+               AS n_view,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN n_ex END) AS BIGINT)
+               AS n_purchase,
+             MAX(CASE WHEN event_type = 'view'
+                   THEN ${estSql("n_sk", "mk")} END) AS view_est,
+             MAX(CASE WHEN event_type = 'purchase'
+                   THEN ${estSql("n_sk", "mk")} END) AS purchase_est
+           FROM pe),
+         inter AS (SELECT h FROM ev WHERE event_type = 'view'
+                   INTERSECT
+                   SELECT h FROM ev WHERE event_type = 'purchase'),
+         ic AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_intersect FROM inter),
+         usk AS (SELECT DISTINCT h FROM ev ORDER BY h LIMIT $kmvK),
+         ua AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_usk, MAX(h) AS mu
+                FROM usk),
+         mc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_match FROM inter
+                WHERE h IN (SELECT h FROM usk))
+         SELECT n_view, n_purchase, n_intersect, view_est, purchase_est,
+           ${estSql("n_usk", "mu")} AS union_est,
+           round(CAST(n_intersect AS DOUBLE)
+             / (n_view + n_purchase - n_intersect), 6) AS jaccard,
+           round(CAST(n_match AS DOUBLE) / n_usk, 6) AS jaccard_est
+         FROM stats, ic, ua, mc"""
+    },
+    "resample_ohlc" ->
+      """WITH e AS (
+           SELECT event_type,
+             date_trunc('hour', date_trunc('microseconds', ts)) AS hour,
+             date_trunc('microseconds', ts) AS ts, event_id, value
+           FROM events),
+         r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY event_type, hour
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, hour
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+           FROM e)
+         SELECT event_type, hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+           MAX(value) AS high_v, MIN(value) AS low_v,
+           MAX(CASE WHEN rn_z = 1 THEN value END) AS close_v,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM r GROUP BY event_type, hour ORDER BY event_type, hour""",
     "sessionize_batch" ->
       """WITH e AS (
            SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts

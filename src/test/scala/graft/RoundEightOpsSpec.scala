@@ -249,6 +249,61 @@ class RoundEightOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resample_ohlc: open/close follow the (ts, event_id) total order") {
+    val rows = Tables.load(spark, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        col("ts"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2).getTime * 1000
+        + r.getTimestamp(2).getNanos / 1000 % 1000, r.getLong(3), r.getDouble(4)))
+    val expect = rows.groupBy(r => (r._1, r._2)).toSeq
+      .sortBy { case ((t, h), _) => (t, h.getTime) }
+      .map { case ((t, h), g) =>
+        val sorted = g.sortBy(r => (r._3, r._4))
+        (t, h, g.size.toLong, sorted.head._5, g.map(_._5).max,
+          g.map(_._5).min, sorted.last._5)
+      }
+    val got = RelOps.queries("resample_ohlc")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.map(g => (g._1, g._2, g._3, g._4, g._5, g._6, g._7)).toSeq ==
+      expect)
+  }
+
+  test("agg_kmv_intersect: estimates and audit replay the exact hash order") {
+    import graft.functions.PolyHash.{Mult, P}
+    val k = RelOps.kmvK
+    val byType = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), (r.getLong(1) % P) * Mult % P))
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (va, vp) = (byType("view"), byType("purchase"))
+    def est(hs: Set[Long]): Double =
+      if (hs.size < k) hs.size.toDouble
+      else {
+        val mk = hs.toSeq.sorted.take(k).max
+        math.rint((k - 1).toDouble * P / mk * 1e6) / 1e6
+      }
+    val inter = va.intersect(vp)
+    val union = va.union(vp)
+    val usk = union.toSeq.sorted.take(k).toSet
+    val nMatch = inter.intersect(usk).size
+    val r = RelOps.queries("agg_kmv_intersect")(spark, dir).collect().head
+    assert(r.getLong(0) == va.size && r.getLong(1) == vp.size)
+    assert(r.getLong(2) == inter.size.toLong)
+    assert(math.abs(r.getDouble(3) - est(va)) < 1e-9)
+    assert(math.abs(r.getDouble(4) - est(vp)) < 1e-9)
+    assert(math.abs(r.getDouble(5) - est(union)) < 1e-9)
+    assert(math.abs(r.getDouble(6) - math.rint(inter.size.toDouble /
+      (va.size + vp.size - inter.size) * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(r.getDouble(7) - math.rint(nMatch.toDouble /
+      usk.size * 1e6) / 1e6) < 1e-9)
+    // the sketch estimate must be within 4·(1/√(K−2)) of truth when full
+    if (union.size >= k)
+      assert(math.abs(r.getDouble(5) / union.size - 1.0) <
+        4.0 / math.sqrt(k - 2.0))
+  }
+
   test("agg_bitmap_distinct: bitmap count equals expand-based countDistinct") {
     val out = RelOps.queries("agg_bitmap_distinct")(spark, dir).collect()
     assert(out.nonEmpty)
