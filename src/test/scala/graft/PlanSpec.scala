@@ -525,6 +525,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("resample_ohlc: one two-phase aggregate, no window over the event stream") {
+    val plan = formatted("resample_ohlc")
+    assert(!plan.contains("Window"), s"ohlc must not window the events:\n$plan")
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("agg_kmv_intersect: union K-min is TakeOrdered; sketch probes broadcast") {
+    val plan = formatted("agg_kmv_intersect")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // per-cohort rank <= K prunes per partition before the exchange
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("quality_ppl_buckets: vocabulary joins key on the hash, text never exchanges") {
+    val plan = formatted("quality_ppl_buckets")
+    val blocks = plan.split("\n\n").filter(_.startsWith("(")).filter(b =>
+      b.linesIterator.next().contains("Exchange"))
+    assert(blocks.nonEmpty, plan)
+    blocks.foreach(b =>
+      assert(!b.contains("text#"), s"document text crosses an exchange:\n$b"))
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
