@@ -105,6 +105,46 @@ object ArtifactCache {
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
+  /** Eviction horizon: a sibling artifact (same kind, different
+    * fingerprint — an old fixture generation or superseded build logic)
+    * is deleted once its last USE is older than this. Mtime is refreshed
+    * on every cache hit, so this is an LRU age, not a build age.
+    * Overridable for specs via `-Dgraft.artifacts.evictMs=…`. */
+  private def evictMs: Long =
+    sys.props.get("graft.artifacts.evictMs").map(_.toLong)
+      .getOrElse(2L * 3600 * 1000)
+
+  /** Recent siblings kept per kind beyond the one just published — covers
+    * a bench ladder alternating between two fixture scales without
+    * rebuilding on every switch. */
+  private val keepSiblings = 2
+
+  /** Published artifacts are immutable but must not be eternal: without
+    * eviction every fixture regeneration and recompile strands the prior
+    * generation's directories forever (observed: 79 GB of superseded
+    * `graph_pair_counts` builds on a 252 GB disk). Runs after each
+    * publish, outside any query path: same-kind siblings beyond the
+    * newest [[keepSiblings]] are deleted once idle past [[evictMs]], and
+    * a crashed builder's orphaned `.build-…` staging trees are swept
+    * after a day. Deleting a directory another process is actively
+    * reading is excluded by the same LRU clock — active readers touch
+    * their artifact on every `getOrBuild`. */
+  private def evictStale(kind: String, current: File): Unit = {
+    val now = System.currentTimeMillis
+    val sib = java.util.regex.Pattern
+      .compile(java.util.regex.Pattern.quote(kind + "_") + "[0-9a-f]{16}")
+    def ls = Option(root.listFiles()).getOrElse(Array.empty[File])
+    ls.filter(f => f.isDirectory && f.getName != current.getName &&
+        sib.matcher(f.getName).matches())
+      .sortBy(-_.lastModified)
+      .drop(keepSiblings)
+      .filter(now - _.lastModified > evictMs)
+      .foreach(graft.FsUtil.deleteRecursive)
+    ls.filter(f => f.getName.contains(".build-") &&
+        now - f.lastModified > 24L * 3600 * 1000)
+      .foreach(graft.FsUtil.deleteRecursive)
+  }
+
   /** Return the artifact directory for (kind, sources, logic), building it
     * via `build(dir)` exactly once per fingerprint. `build` receives a
     * private staging directory; the publish is an atomic rename to the final
@@ -114,7 +154,10 @@ object ArtifactCache {
   def getOrBuild(kind: String, sfDir: String, tables: Seq[String], logic: Seq[Class[_]])
       (build: String => Unit): String = {
     val dir = new File(root, s"${kind}_${fingerprint(sfDir, tables, logic)}")
-    if (dir.isDirectory) return dir.getPath // published artifacts are immutable
+    if (dir.isDirectory) {                  // published artifacts are immutable
+      dir.setLastModified(System.currentTimeMillis) // LRU touch for eviction
+      return dir.getPath
+    }
     dir.getPath.intern.synchronized {       // serialize same-JVM builders
       if (!dir.isDirectory) {
         val tmp = new File(root,
@@ -128,6 +171,7 @@ object ArtifactCache {
             // another process published first — its artifact is equivalent
             case _: java.nio.file.FileSystemException if dir.isDirectory => ()
           }
+          evictStale(kind, dir)
         } finally graft.FsUtil.deleteRecursive(tmp) // no-op if moved
       }
     }
