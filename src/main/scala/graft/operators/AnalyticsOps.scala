@@ -155,6 +155,60 @@ object AnalyticsOps {
       .orderBy(col("lang"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (fixed discount
+    * D = 3/4) for the corpus's top-20 bigrams — the standard n-gram LM
+    * smoother (Kneser & Ney 1995; Chen & Goodman 1998):
+    * P(w2|w1) = max(c12 − D, 0)/c1 + (D·n1/c1)·(nc/T), where c12 is the
+    * bigram count, c1 = Σ_w c(w1,w) the context total, n1 = N1+(w1,·)
+    * the distinct-continuation count, nc = N1+(·,w2) the
+    * distinct-left-context count and T the number of distinct bigram
+    * types. Engine-exact because D = 3/4 makes the probability a RATIO
+    * OF INTEGERS: P = (max(4·c12−3, 0)·T + 3·n1·nc) / (4·c1·T), both
+    * sides carried as DECIMAL(38,0) moments with ONE float division at
+    * the end under identical formula text — no per-term float
+    * accumulation to diverge between engines.
+    *
+    * 100 TB shape: the bigram exchange is vocabulary²-bounded with
+    * map-side partial counts (the [[lmTrigram]] posture); c1/n1/nc are
+    * windows over the distinct-bigram frame keyed by w1 resp. w2 (never
+    * a global window); T is a one-row aggregate broadcast in; the global
+    * top-20 is TakeOrderedAndProject, so only 20 rows reach the rank
+    * window. */
+  val lmKneserNey: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val bi = docs(s, d)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+             i -> named_struct('w1', element_at(w, i),
+                               'w2', element_at(w, i + 1)))""")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val byW1 = Window.partitionBy(col("w1"))
+    val byW2 = Window.partitionBy(col("w2"))
+    val ann = bi
+      .withColumn("c1", sum(col("c12")).over(byW1))
+      .withColumn("n1_cont", count(lit(1)).over(byW1))
+      .withColumn("n_ctx", count(lit(1)).over(byW2))
+    val totals = bi.agg(count(lit(1)).as("t_bigrams"))
+    val num = greatest(lit(4L) * col("c12") - 3L, lit(0L)).cast(dec) *
+      col("t_bigrams").cast(dec) +
+      lit(3L).cast(dec) * col("n1_cont").cast(dec) * col("n_ctx").cast(dec)
+    val den = lit(4L).cast(dec) * col("c1").cast(dec) *
+      col("t_bigrams").cast(dec)
+    ann.crossJoin(broadcast(totals))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(20)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("c12").desc, col("w1"), col("w2"))))
+      .select(col("rn").cast(LongType).as("rn"), col("w1"), col("w2"),
+        col("c12"), col("c1"), col("n1_cont"), col("n_ctx"),
+        col("t_bigrams"),
+        round(num.cast(DoubleType) / den.cast(DoubleType), 6).as("p_kn"))
+      .orderBy(col("rn"))
+  }
+
   /** Boilerplate detection: non-overlapping 8-word chunks appearing in ≥2
     * distinct documents, top-20 by document frequency — the signal a
     * curation pipeline uses to strip repeated headers/footers before
@@ -345,6 +399,175 @@ object AnalyticsOps {
             (col("n_days").cast(dec) * col("sx2") - col("sx") * col("sx"))
               .cast(DoubleType), 6)).as("slope"))
       .orderBy(col("event_type"))
+  }
+
+  /** Autocorrelation lags probed by [[eventsAutocorr]]. */
+  val autocorrMaxLag = 7
+
+  /** Lag-k autocorrelation (k = 1..[[autocorrMaxLag]]) of each event
+    * type's daily count series — the periodicity detector run before
+    * trusting any anomaly threshold (a strong lag-7 says the series is
+    * week-seasonal and a flat threshold will page every weekend). r_k is
+    * the Pearson correlation of the series against itself k observations
+    * back over the n_k overlapping pairs: all five moments are EXACT
+    * DECIMAL(38,0) sums of int64 counts (the [[eventsTrend]] regression
+    * posture), one sqrt/division float at the end under identical
+    * formula text; zero-variance windows (a constant series) yield NULL
+    * identically in both engines.
+    *
+    * 100 TB shape: events collapse to the types×days frame in one
+    * map-side-combined aggregate; ONE window pass (keyed by type,
+    * ordered by day) computes all 7 lags; the explode and the moment
+    * aggregate run over 7× that already-tiny frame. */
+  val eventsAutocorr: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = daily.select(col("event_type"), col("y"),
+      array((1 to autocorrMaxLag).map(k =>
+        struct(lit(k.toLong).as("lag"), lag(col("y"), k).over(w).as("yl"))): _*)
+        .as("ls"))
+      .select(col("event_type"), col("y"), explode(col("ls")).as("l"))
+      .select(col("event_type"), col("l.lag").as("lag"), col("y"),
+        col("l.yl").as("yl"))
+      .filter(col("yl").isNotNull)
+    lagged.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("yl").cast(dec)).as("sl"),
+        sum(col("y").cast(dec) * col("yl")).as("syl"),
+        sum(col("y").cast(dec) * col("y")).as("syy"),
+        sum(col("yl").cast(dec) * col("yl")).as("sll"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        when((col("n_pairs").cast(dec) * col("syy") - col("sy") * col("sy") =!= 0) &&
+             (col("n_pairs").cast(dec) * col("sll") - col("sl") * col("sl") =!= 0),
+          round((col("n_pairs").cast(dec) * col("syl") - col("sy") * col("sl"))
+              .cast(DoubleType) /
+            sqrt((col("n_pairs").cast(dec) * col("syy") - col("sy") * col("sy"))
+                .cast(DoubleType) *
+              (col("n_pairs").cast(dec) * col("sll") - col("sl") * col("sl"))
+                .cast(DoubleType)), 6)).as("r"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** CUSUM changepoint scan over each event type's daily count series:
+    * the day k maximizing |S_k| with S_k = n·Σ_{t≤k} y_t − k·ΣY — the
+    * scaled cumulative deviation from a flat rate (Page 1954's statistic
+    * with the mean multiplied out, so S stays an EXACT DECIMAL(38,0)
+    * integer; no float accumulates). Ties break to the earliest day via
+    * `min_by` over (−|S|, day). Output per type: n_days, total, the
+    * argmax day, its exact S, and the normalized score |S|/(n·ΣY) — one
+    * float division, identical formula text in the oracle.
+    *
+    * 100 TB shape: one map-side-combined aggregate to the types×days
+    * frame; the cumulative sum is one window pass keyed by type; the
+    * argmax is a `min_by` partial aggregate, not a rank window. */
+  val eventsChangepoint: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .withColumn("cum", sum(col("y").cast(dec)).over(w))
+      .withColumn("k", count(lit(1)).over(w).cast(dec))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("y").cast(dec)).over(wAll))
+      .withColumn("s_k", col("n_days").cast(dec) * col("cum") -
+        col("k") * col("total"))
+    scored.groupBy(col("event_type"))
+      .agg(first(col("n_days")).as("n_days"),
+        first(col("total")).as("total"),
+        min_by(struct(col("day").as("day"), col("s_k").as("s_k")),
+          struct((-abs(col("s_k"))).as("na"), col("day"))).as("best"))
+      .select(col("event_type"), col("n_days"),
+        col("total").cast(LongType).as("total_events"),
+        col("best.day").as("change_day"),
+        // n·total ≤ days·events: int64-safe until ~10^18 — cast for the
+        // gate's dtype strictness (HUGEINT↔DECIMAL never round-trips)
+        col("best.s_k").cast(LongType).as("s_exact"),
+        round(abs(col("best.s_k")).cast(DoubleType) /
+          (col("n_days").cast(dec) * col("total")).cast(DoubleType), 6)
+          .as("score"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Day-of-week seasonality profile per event type: event count and
+    * value sum per ISO weekday (1 = Monday … 7 = Sunday), plus the
+    * seasonality index n·7/total — 1.0 means a flat week, 2.0 means the
+    * day carries twice its flat share. The index is exact by
+    * construction (integer n·7, one float division under identical
+    * formula text); the value sum rides the DECIMAL(18,6) float-sum
+    * convention so partial-aggregation order can't break hash equality.
+    *
+    * 100 TB shape: one scan, one two-phase aggregate keyed by
+    * (event_type, isodow) — ≤ 7·|types| rows out of the map side — and
+    * the per-type total is a window over that tiny frame, never a
+    * second pass over events. */
+  val eventsSeasonality: Q = (s, d) => {
+    val perDow = events(s, d)
+      .groupBy(col("event_type"),
+        (weekday(col("ts")) + lit(1)).cast(LongType).as("isodow"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).as("val_dec"))
+    perDow
+      .withColumn("total",
+        sum(col("n")).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("isodow"), col("n"),
+        round(col("val_dec").cast(DoubleType), 6).as("value_sum"),
+        round((col("n") * 7).cast(DoubleType) /
+          col("total").cast(DoubleType), 6).as("dow_index"))
+      .orderBy(col("event_type"), col("isodow"))
+  }
+
+  /** Pointwise mutual information between event types co-occurring in
+    * the same user-day — the association readout behind "users who error
+    * also purchase?" questions, complementing [[eventsPathing]] (which
+    * sees only ADJACENT transitions; PMI sees joint presence at any
+    * distance within the day). PMI(a,b) = ln(N·c_ab/(c_a·c_b)) over
+    * user-day baskets, computed by the repo's quantized-log convention:
+    * each ln quantizes to DECIMAL(18,6) BEFORE the exact decimal
+    * add/subtract, one double cast at the end — engine-identical.
+    *
+    * 100 TB shape: the basket build is one distinct + one collect_set
+    * aggregate keyed by (user, day); the pair expansion is bounded by
+    * each basket's WIDTH (≤ |event types|, single digits), the
+    * [[graft.operators.GraphOps]] edge-derivation posture — never a
+    * corpus self-join (the oracle's self-join spelling is equivalent at
+    * oracle scale only); singles and the basket total broadcast into the
+    * types²-bounded pair frame. */
+  val eventsPmi: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    def qln(c: org.apache.spark.sql.Column) =
+      round(log(c.cast(DoubleType)), 6).cast(dec6)
+    val ud = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .distinct()
+    val baskets = ud.groupBy(col("user_id"), col("day"))
+      .agg(sort_array(collect_set(col("event_type"))).as("tset"))
+    val n = baskets.agg(count(lit(1)).as("n_baskets"))
+    val singles = ud.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    val pairs = baskets.select(explode(expr(
+      """flatten(transform(tset, (x, i) ->
+           transform(slice(tset, i + 2, size(tset)),
+             y -> named_struct('a', x, 'b', y))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("a"),
+        col("c").as("c_a"))), Seq("a"))
+      .join(broadcast(singles.select(col("event_type").as("b"),
+        col("c").as("c_b"))), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        col("n_baskets"),
+        round((qln(col("c_ab")) + qln(col("n_baskets")) -
+          qln(col("c_a")) - qln(col("c_b"))).cast(DoubleType), 6).as("pmi"))
+      .orderBy(col("a"), col("b"))
   }
 
   /** Greedy bigram decode: seed with the corpus's most frequent word, then
@@ -855,6 +1078,11 @@ object AnalyticsOps {
     "events_sequence_pattern" -> eventsSequencePattern,
     "events_user_activity" -> eventsUserActivity,
     "events_trend" -> eventsTrend,
+    "events_seasonality" -> eventsSeasonality,
+    "events_autocorr" -> eventsAutocorr,
+    "events_changepoint" -> eventsChangepoint,
+    "events_pmi" -> eventsPmi,
+    "lm_kneser_ney" -> lmKneserNey,
     "rfm_segment" -> rfmSegment,
     "text_vocab_growth" -> textVocabGrowth,
   )
@@ -980,6 +1208,141 @@ object AnalyticsOps {
              round(CAST(n_days * sxy - sx * sy AS DOUBLE)
                / CAST(n_days * sx2 - sx * sx AS DOUBLE), 6) END AS slope
          FROM mo ORDER BY event_type""",
+    "events_seasonality" ->
+      """WITH perdow AS (
+           SELECT event_type,
+             CAST(date_part('isodow', ts) AS BIGINT) AS isodow,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+               AS val_dec
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, isodow, n,
+           round(CAST(val_dec AS DOUBLE), 6) AS value_sum,
+           round(CAST(n * 7 AS DOUBLE) /
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+             AS dow_index
+         FROM perdow ORDER BY event_type, isodow""",
+    "events_autocorr" -> {
+      val lagCols = (1 to autocorrMaxLag).map(k =>
+        s"LAG(y, $k) OVER (PARTITION BY event_type ORDER BY day) AS l$k")
+        .mkString(",\n             ")
+      val unions = (1 to autocorrMaxLag).map(k =>
+        s"SELECT event_type, CAST($k AS BIGINT) AS lag, y, l$k AS yl FROM lagged WHERE l$k IS NOT NULL")
+        .mkString("\n           UNION ALL ")
+      s"""WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         lagged AS (
+           SELECT event_type, day, y,
+             $lagCols
+           FROM daily),
+         st AS (
+           $unions),
+         mo AS (
+           SELECT event_type, lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(yl AS HUGEINT)) AS sl,
+             SUM(CAST(y AS HUGEINT) * yl) AS syl,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(yl AS HUGEINT) * yl) AS sll
+           FROM st GROUP BY 1, 2)
+         SELECT event_type, lag, n_pairs,
+           CASE WHEN CAST(n_pairs AS HUGEINT) * syy != sy * sy
+                 AND CAST(n_pairs AS HUGEINT) * sll != sl * sl THEN
+             round(CAST(n_pairs * syl - sy * sl AS DOUBLE) /
+               sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE) *
+                 CAST(n_pairs * sll - sl * sl AS DOUBLE)), 6) END AS r
+         FROM mo ORDER BY event_type, lag"""
+    },
+    "events_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         sc AS (
+           SELECT event_type, day,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_days,
+             SUM(CAST(y AS HUGEINT)) OVER (PARTITION BY event_type)
+               AS total,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS HUGEINT) *
+               SUM(CAST(y AS HUGEINT)) OVER (PARTITION BY event_type
+                 ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+               - CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY day) AS HUGEINT) *
+                 SUM(CAST(y AS HUGEINT)) OVER (PARTITION BY event_type)
+               AS s_k
+           FROM daily),
+         best AS (
+           SELECT event_type, n_days, total, day, s_k,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY abs(s_k) DESC, day) AS rn
+           FROM sc)
+         SELECT event_type, n_days, CAST(total AS BIGINT) AS total_events,
+           day AS change_day, CAST(s_k AS BIGINT) AS s_exact,
+           round(CAST(abs(s_k) AS DOUBLE) /
+             CAST(CAST(n_days AS HUGEINT) * total AS DOUBLE), 6) AS score
+         FROM best WHERE rn = 1 ORDER BY event_type""",
+    "events_pmi" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS day, event_type
+           FROM events),
+         pairs AS (
+           SELECT x.event_type AS a, y.event_type AS b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+           FROM ud x JOIN ud y
+             ON x.user_id = y.user_id AND x.day = y.day
+               AND x.event_type < y.event_type
+           GROUP BY 1, 2),
+         singles AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM ud GROUP BY 1),
+         nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets
+                FROM (SELECT DISTINCT user_id, day FROM ud))
+         SELECT a, b, c_ab, sa.c AS c_a, sb.c AS c_b, n_baskets,
+           round(CAST(
+             CAST(round(ln(c_ab), 6) AS DECIMAL(18,6))
+             + CAST(round(ln(n_baskets), 6) AS DECIMAL(18,6))
+             - CAST(round(ln(sa.c), 6) AS DECIMAL(18,6))
+             - CAST(round(ln(sb.c), 6) AS DECIMAL(18,6)) AS DOUBLE), 6)
+             AS pmi
+         FROM pairs
+         JOIN singles sa ON sa.event_type = a
+         JOIN singles sb ON sb.event_type = b, nb
+         ORDER BY a, b""",
+    "lm_kneser_ney" ->
+      """WITH ws AS (
+           SELECT string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (
+           SELECT w[i] AS w1, w[i + 1] AS w2
+           FROM ws, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+         cnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                 FROM bg GROUP BY 1, 2),
+         ann AS (
+           SELECT w1, w2, c12,
+             CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+             CAST(COUNT(*) OVER (PARTITION BY w1) AS BIGINT) AS n1_cont,
+             CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS n_ctx
+           FROM cnt),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_bigrams FROM cnt),
+         top AS (
+           SELECT * FROM ann, tot
+           ORDER BY c12 DESC, w1, w2 LIMIT 20)
+         SELECT
+           CAST(ROW_NUMBER() OVER (ORDER BY c12 DESC, w1, w2) AS BIGINT)
+             AS rn,
+           w1, w2, c12, c1, n1_cont, n_ctx, t_bigrams,
+           round(CAST(
+               CAST(CASE WHEN 4 * c12 > 3 THEN 4 * c12 - 3 ELSE 0 END
+                 AS HUGEINT) * t_bigrams
+               + CAST(3 AS HUGEINT) * n1_cont * n_ctx AS DOUBLE) /
+             CAST(CAST(4 AS HUGEINT) * c1 * t_bigrams AS DOUBLE), 6)
+             AS p_kn
+         FROM top ORDER BY rn""",
     "events_dau_wau" ->
       """WITH ud AS (
            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -924,6 +925,57 @@ object GraphOps {
           6).as("modularity"))
   }
 
+  /** Synchronous label-propagation rounds — bounded at
+    * [[labelPropRounds]] so the DuckDB oracle can replay each round as a
+    * chained CTE (the [[graphLouvainMove]] posture: a FIXED number of
+    * exactly-specified rounds, not a run-to-convergence heuristic). */
+  val labelPropRounds = 2
+
+  /** One synchronous round: every vertex adopts the most frequent label
+    * among its neighbours, ties broken by the SMALLEST label — the
+    * deterministic variant of Raghavan et al. 2007's LPA (the async,
+    * random-order original is irreproducible across engines by design).
+    * The majority vote is `min_by` over (−cnt, lbl) — a second PARTIAL
+    * aggregate, not a rank window: no per-vertex sort, and both phases
+    * map-side combine (the ladder showed the window spelling paying a
+    * per-round sort over the degree-bounded vote frame). Extracted so
+    * PlanSpec can pin the round's physical shape. */
+  private[graft] def labelPropRound(sym: DataFrame, labels: DataFrame): DataFrame =
+    sym.join(labels.select(col("v").as("u"), col("lbl")), Seq("u"))
+      .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("v"))
+      .agg(min_by(col("lbl"), struct((-col("cnt")).as("nc"), col("lbl")))
+        .as("lbl"))
+
+  /** Community detection by [[labelPropRounds]] synchronous LPA rounds
+    * over the co-occurrence graph, each vertex seeded with its own id.
+    * Output: (v, lbl, community_size) per vertex. Round 1 degenerates to
+    * "adopt the smallest neighbour id" (all neighbour labels are
+    * distinct, so every count ties at 1); round 2 is the first true
+    * majority vote — communities emerge where low-id vertices anchor
+    * dense neighbourhoods.
+    *
+    * 100 TB shape, per round: one edge-sized shuffle keyed by the
+    * neighbour endpoint (the label table joins in vertex-keyed — Spark
+    * picks broadcast vs shuffle-hash by stats), one (v, lbl) partial
+    * count whose width is bounded by degree, and a row_number window
+    * partitioned BY VERTEX (never global). `localCheckpoint` per round
+    * keeps the plan constant-depth (the [[graphKcore]] convention), so
+    * rounds never compound into a lineage explosion. */
+  val graphLabelProp: Q = (s, d) => {
+    val e = edges(s, d).localCheckpoint()
+    val sym = e.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("u")))
+    var labels = sym.select(col("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to labelPropRounds)
+      labels = labelPropRound(sym, labels).localCheckpoint()
+    labels
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy(col("lbl"))))
+      .orderBy(col("v"))
+  }
+
   /** One BFS level: frontier × adjacency probe, minus everything visited.
     * Extracted so PlanSpec can pin the round's physical shape (both the
     * probe and the anti-join broadcast the vertex-bounded side; the edge
@@ -953,6 +1005,7 @@ object GraphOps {
     "graph_random_walk" -> graphRandomWalk,
     "graph_louvain_move" -> graphLouvainMove,
     "graph_closeness" -> graphCloseness,
+    "graph_label_prop" -> graphLabelProp,
   )
 
   /** Shared edge/degree CTEs: DuckDB derives the same distinct (a < b)
@@ -1196,6 +1249,25 @@ object GraphOps {
            CAST(SUM(CAST(round(1.0 / dist, 6) AS DECIMAL(18,6))) AS DOUBLE)
              AS harmonic
          FROM bfs WHERE dist > 0 GROUP BY s0 ORDER BY source""",
+    "graph_label_prop" -> {
+      val rounds = (1 to labelPropRounds).map { r =>
+        s"""n$r AS (SELECT s.v, l.lbl, COUNT(*) AS cnt
+             FROM sym s JOIN l${r - 1} l ON s.u = l.v GROUP BY 1, 2),
+           l$r AS (SELECT v, lbl FROM (
+             SELECT v, lbl, ROW_NUMBER() OVER (
+               PARTITION BY v ORDER BY cnt DESC, lbl) AS rn
+             FROM n$r) WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH $edgeCtes,
+         sym AS (SELECT a AS v, b AS u FROM e
+                 UNION ALL SELECT b, a FROM e),
+         l0 AS (SELECT DISTINCT v, v AS lbl FROM sym),
+         $rounds
+         SELECT v, lbl,
+           CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT)
+             AS community_size
+         FROM l$labelPropRounds ORDER BY v"""
+    },
     "graph_random_walk" -> {
       import graft.functions.PolyHash.{affineSql, P}
       val steps = (0 until walkSteps).map { t =>

@@ -1118,6 +1118,47 @@ object RelOps {
       .orderBy($"event_type", $"hour")
   }
 
+  /** EWMA lookback horizon: α = 1/2 over the last [[ewmaLags]]
+    * observations. 2⁻¹⁶ < 10⁻⁴·2⁻¹ of the mass — anything further back
+    * is invisible at the 6-decimal output quantum anyway. */
+  val ewmaLags = 16
+
+  /** Exponentially-weighted moving average of each event type's hourly
+    * event count — the smoothed rate curve behind every ops dashboard
+    * and rate-limiter baseline. α = 1/2 truncated at [[ewmaLags]] lags
+    * makes the EWMA a RATIO OF INTEGERS: weight 2^(15−j) on lag j, so
+    * ewma = Σⱼ 2^(15−j)·n₍ₜ₋ⱼ₎ / Σⱼ∈present 2^(15−j), exact int64
+    * moments (a count would have to exceed 2⁴⁸ to overflow beside the
+    * 2¹⁵ weight) and ONE float division under identical formula text —
+    * the same no-float-accumulation discipline as [[resampleOhlc]]'s
+    * sums. Series gaps: lags step over the OBSERVATION sequence, not
+    * wall-clock hours (compose with [[resampleGapfill]] for a zero-
+    * filled clock grid); leading partial windows renormalize by the
+    * present-weight sum, so row 1's ewma is exactly its own count.
+    *
+    * 100 TB shape: one map-side-combined aggregate collapses events to
+    * the types×hours frame; the 16 lags are ONE window pass partitioned
+    * by event_type over that already-tiny frame (never over raw
+    * events), each partition sorted once. */
+  val resampleEwma: Q = (s, d) => {
+    val hourly = t(s, d, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"hour")
+    val terms = (0 until ewmaLags).map { j =>
+      val weight = 1L << (ewmaLags - 1 - j)
+      val lj = if (j == 0) $"n" else lag($"n", j).over(w)
+      (coalesce(lj * weight, lit(0L)),
+        when(lj.isNotNull, weight).otherwise(0L))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    hourly
+      .select($"event_type", $"hour", $"n",
+        round(num.cast(DoubleType) / den.cast(DoubleType), 6).as("ewma"))
+      .orderBy($"event_type", $"hour")
+  }
+
   /** Batch sessionization: a session break is a >30-minute gap; the
     * session id is the running count of breaks (lag + cumulative sum, the
     * textbook spelling — same semantics as the streaming
@@ -1442,6 +1483,7 @@ object RelOps {
     "agg_approx_topk" -> aggApproxTopK,
     "resample_gapfill" -> resampleGapfill,
     "resample_ohlc" -> resampleOhlc,
+    "resample_ewma" -> resampleEwma,
     "sessionize_batch" -> sessionizeBatch,
     "sessionize_native" -> sessionizeNative,
     "tpch_q1" -> tpchQ1,
@@ -1991,6 +2033,31 @@ object RelOps {
            MAX(CASE WHEN rn_z = 1 THEN value END) AS close_v,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM r GROUP BY event_type, hour ORDER BY event_type, hour""",
+    "resample_ewma" -> {
+      val lagCols = (1 until ewmaLags).map(j =>
+        s"LAG(n, $j) OVER (PARTITION BY event_type ORDER BY hour) AS l$j")
+        .mkString(",\n             ")
+      val num = (0 until ewmaLags).map { j =>
+        val weight = 1L << (ewmaLags - 1 - j)
+        if (j == 0) s"n * $weight" else s"COALESCE(l$j * $weight, 0)"
+      }.mkString(" + ")
+      val den = (0 until ewmaLags).map { j =>
+        val weight = 1L << (ewmaLags - 1 - j)
+        if (j == 0) s"$weight"
+        else s"(CASE WHEN l$j IS NOT NULL THEN $weight ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         lagged AS (
+           SELECT event_type, hour, n,
+             $lagCols
+           FROM hourly)
+         SELECT event_type, hour, n,
+           round(CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 6) AS ewma
+         FROM lagged ORDER BY event_type, hour"""
+    },
     "sessionize_batch" ->
       """WITH e AS (
            SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts

@@ -832,7 +832,51 @@ object SimilarityOps {
       .orderBy(col("rk"))
   }
 
+  /** Query-sample size / neighborhood size for [[embeddingHubness]]. */
+  val hubnessQueries = 64
+  val hubnessK = 10
+
+  /** Hubness audit of the embedding space: the k-occurrence distribution
+    * N_k (Radovanović et al. 2010) — for a [[hubnessQueries]]-point query
+    * sample, how many times each corpus point lands in a query's
+    * top-[[hubnessK]] cosine neighborhood. High-dimensional spaces grow
+    * "hubs" (points in everyone's neighbor list) and "antihubs" (k_occ =
+    * 0); a skewed N_k histogram is the classic warning that cosine
+    * retrieval quality will be uneven — checked before trusting any
+    * dedup_semantic / sim_search verdict on a new embedding batch.
+    * Output: (k_occ, n_points) histogram including the antihub 0-row.
+    *
+    * 100 TB shape: the query sample broadcasts (requires ≪ driver-safe
+    * [[graft.Limits.maxDriverCentroids]]-scale rows, enforced by the
+    * `vec_id` range filter); the corpus scans ONCE, scoring |Q| bounded
+    * probes per row map-side; the per-query top-k is a window partitioned
+    * by query over the Q×k-bounded candidate frame; k_occ counts and the
+    * zero-fill join exchange corpus-id-sized keys only. Work is linear in
+    * the corpus — the all-pairs N² hubness census is exactly what this
+    * audit avoids. */
+  val embeddingHubness: Q = (s, d) => {
+    import graft.functions.CosineSimilarity.cosine_similarity
+    val qs = emb(s, d).filter(col("vec_id").between(1, hubnessQueries))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val kocc = emb(s, d)
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine_similarity(col("embedding"), col("qv")).as("score"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rn") <= hubnessK)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("k_occ"))
+    emb(s, d).select(col("vec_id"))
+      .join(broadcast(kocc), Seq("vec_id"), "left")
+      .select(coalesce(col("k_occ"), lit(0L)).as("k_occ"))
+      .groupBy(col("k_occ")).agg(count(lit(1)).as("n_points"))
+      .orderBy(col("k_occ"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "embedding_hubness" -> embeddingHubness,
     "embedding_pca_top" -> embeddingPcaTop,
     "sim_search_pq" -> simSearchPq,
     "sim_ivf_recall" -> simIvfRecall,
@@ -1006,6 +1050,30 @@ object SimilarityOps {
          FROM topk ORDER BY score DESC, vec_id"""
 
   val oracle: Map[String, String] = Map(
+    "embedding_hubness" ->
+      s"""WITH flat AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         qs AS (SELECT vec_id AS q_id, val AS qv, i FROM flat
+                WHERE vec_id BETWEEN 1 AND $hubnessQueries),
+         scored AS (
+           SELECT q.q_id, f.vec_id,
+             SUM(f.val * q.qv) /
+             (SQRT(SUM(f.val * f.val)) * SQRT(SUM(q.qv * q.qv))) AS score
+           FROM flat f JOIN qs q ON f.i = q.i AND f.vec_id != q.q_id
+           GROUP BY q.q_id, f.vec_id),
+         top AS (SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY score DESC, vec_id) AS rn
+             FROM scored) WHERE rn <= $hubnessK),
+         kocc AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS k_occ
+                  FROM top GROUP BY vec_id)
+         SELECT COALESCE(k.k_occ, 0) AS k_occ,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+         FROM (SELECT DISTINCT vec_id FROM embeddings) e
+         LEFT JOIN kocc k USING (vec_id)
+         GROUP BY 1 ORDER BY 1""",
     "embedding_pca_top" -> {
       // the engine's driver-side int64 power sweeps, unrolled (the
       // eigencentrality convention): identical truncated divisions, so the

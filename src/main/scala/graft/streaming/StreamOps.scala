@@ -518,7 +518,95 @@ object StreamOps {
     DedupOps.bloomStats(DedupOps.bloomWithExact(s, d, probed))
   }
 
+  /** The watermark delay every windowed stream_* op above declares. */
+  val watermarkDelayUs: Long = 10L * 60 * 1000000
+
+  /** The audit's tighter candidate delay (30 s) and the per-user
+    * delivery-skew model (user_id mod 60 seconds) it is probed against. */
+  val auditDelayUs: Long = 30L * 1000000
+  val auditSkewSlots = 60
+
+  /** Watermark-sizing audit: per event type, the event-time DISORDER a
+    * streaming consumer would observe and what a candidate watermark
+    * delay would drop. The fixture's events are ts-sorted, so arrival is
+    * modeled with the standard per-source-lag simulation: user u's
+    * events arrive (u mod [[auditSkewSlots]]) seconds after their event
+    * time, and arrival order is (skewed ts, event_id) — deterministic,
+    * hence oracle-replayable, unlike a live run whose drops depend on
+    * microbatch boundaries. The watermark before row i is
+    * max(event-time of rows arriving before i) − delay, the tightest
+    * bound Structured Streaming can reach (real runs drop a subset: the
+    * watermark only advances between batches). Output per type:
+    * n_events, what a [[auditDelayUs]] watermark would drop (count,
+    * share, worst lateness) and `max_disorder_us` — the largest
+    * arrival-order event-time regression, i.e. the SMALLEST safe
+    * watermark: the number `withWatermark` is sized from, and the audit
+    * proof that the stream_* ops' 10-minute delay holds this skew with
+    * room (disorder caps at 59 s here).
+    *
+    * 100 TB shape: the global running max is the [[graft.operators
+    * .PipelineOps]] sample_token_budget two-phase prefix pattern —
+    * per-block prefix maxima (window keyed BY BLOCK, never global), a
+    * #blocks-row offsets frame for the cross-block carry, broadcast
+    * back. The block id derives from the `event_id` VALUE (id range
+    * split 32 ways off a broadcast min/max), NOT from
+    * `repartitionByRange` + `spark_partition_id`: range boundaries are
+    * SAMPLED per exchange, and this plan evaluates the blocked frame
+    * twice with different column pruning — two un-reused exchanges can
+    * draw different boundaries, and a row carried under one boundary set
+    * but offset under the other reads a "prefix" max that includes its
+    * own future (measured: 57 phantom late events at sf0.01).
+    * Value-derived blocks are evaluation-order-free. The oracle spells
+    * the same prefix max as one global window — equivalent by
+    * associativity of max, quadratic nowhere. */
+  val watermarkAudit: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+    val src = graft.Tables.load(s, d, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"),
+        (unix_micros(col("ts")) +
+          (col("user_id") % auditSkewSlots) * 1000000L).as("arr_us"))
+    val bounds = src.agg(min(col("arr_us")).as("lo"),
+      max(col("arr_us")).as("hi"))
+    val ev = src.crossJoin(broadcast(bounds))
+      // (arr − lo)·32 stays exact: the corpus's arrival SPAN would have
+      // to exceed 2^57 µs (≈ 4500 years) to overflow beside the ×32
+      .withColumn("part", ((col("arr_us") - col("lo")) * 32L /
+        (col("hi") - col("lo") + 1L)).cast(IntegerType))
+      .drop("lo", "hi")
+      .repartition(col("part"))
+    val wIn = w.partitionBy(col("part")).orderBy(col("arr_us"), col("event_id"))
+      .rowsBetween(w.unboundedPreceding, -1)
+    val local = ev.withColumn("pmax_in", max(col("ts_us")).over(wIn))
+    // one row per block — the single-partition window below folds
+    // #blocks rows, never events
+    val wOff = w.orderBy(col("part")).rowsBetween(w.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("part"))
+      .agg(max(col("ts_us")).as("part_max"))
+      .withColumn("prev_max", max(col("part_max")).over(wOff))
+      .select(col("part"), col("prev_max"))
+    local.join(broadcast(offsets), "part")
+      // greatest() skips nulls; both null (first arrival overall) → null
+      // disorder → never late, identically in the oracle
+      .withColumn("disorder_us",
+        greatest(col("pmax_in"), col("prev_max")) - col("ts_us"))
+      .withColumn("late_us", col("disorder_us") - lit(auditDelayUs))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        coalesce(max(when(col("late_us") > 0, col("late_us"))), lit(0L))
+          .as("max_late_us"),
+        coalesce(max(when(col("disorder_us") > 0, col("disorder_us"))),
+          lit(0L)).as("max_disorder_us"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        round(col("n_late").cast(DoubleType) /
+          col("n_events").cast(DoubleType), 6).as("late_share"),
+        col("max_late_us"), col("max_disorder_us"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "watermark_audit" -> watermarkAudit,
     "stream_funnel" -> streamFunnel,
     "stream_bloom" -> streamBloom,
     "stream_anomaly" -> streamAnomaly,
@@ -537,6 +625,32 @@ object StreamOps {
     * two half-hour-offset tumbling grids. ts is truncated to microseconds on
     * the DuckDB side to match the stream's nanos→micros conversion. */
   val oracle: Map[String, String] = Map(
+    "watermark_audit" ->
+      s"""WITH b AS (
+           SELECT event_type, event_id,
+             epoch_us(date_trunc('microseconds', ts)) AS ts_us,
+             epoch_us(date_trunc('microseconds', ts))
+               + (user_id % $auditSkewSlots) * 1000000 AS arr_us
+           FROM events),
+         w AS (
+           SELECT event_type, ts_us,
+             MAX(ts_us) OVER (ORDER BY arr_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts_us
+               AS disorder_us
+           FROM b)
+         SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE disorder_us - $auditDelayUs > 0)
+             AS BIGINT) AS n_late,
+           round(CAST(COUNT(*) FILTER (WHERE disorder_us - $auditDelayUs > 0)
+               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS late_share,
+           CAST(COALESCE(MAX(disorder_us - $auditDelayUs)
+             FILTER (WHERE disorder_us - $auditDelayUs > 0), 0) AS BIGINT)
+             AS max_late_us,
+           CAST(COALESCE(MAX(disorder_us)
+             FILTER (WHERE disorder_us > 0), 0) AS BIGINT)
+             AS max_disorder_us
+         FROM w GROUP BY event_type ORDER BY event_type""",
     // first-touch funnel: unconditional per-stage minima, ordered chaining
     "stream_funnel" ->
       """WITH f AS (

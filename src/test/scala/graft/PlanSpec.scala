@@ -550,6 +550,114 @@ class PlanSpec extends AnyFunSuite {
       assert(!b.contains("text#"), s"document text crosses an exchange:\n$b"))
   }
 
+  test("lm_kneser_ney: keyed windows only, scalar broadcast, top-20 TakeOrdered") {
+    val plan = formatted("lm_kneser_ney")
+    // c1/n1/nc are windows PARTITIONED by a word — a global (empty-spec)
+    // window would single-partition the bigram table
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, plan)
+    winLines.foreach(l =>
+      assert(l.contains("w1#") || l.contains("w2#"), s"unkeyed window: $l"))
+    // the bigram-type total T joins in as a one-row broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("events_seasonality: one scan, two-phase aggregate, no join") {
+    val plan = formatted("events_seasonality")
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("partial_"), s"map-side partials expected:\n$plan")
+    // the per-type total is a window over the ≤7·|types| aggregate frame,
+    // partitioned by event_type — never a second events pass
+    assert(plan.linesIterator.count(l =>
+      l.startsWith("(") && l.contains("Scan parquet")) == 1, plan)
+  }
+
+  test("graph_label_prop round: two partial aggregates, no rank window, no sort") {
+    import spark.implicits._
+    val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("v", "u")
+    val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("v", "lbl")
+    val plan = graft.operators.GraphOps.labelPropRound(sym, labels)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // majority vote is min_by aggregation — both the (v,lbl) count and the
+    // per-vertex argmin map-side combine; a rank-window spelling would sort
+    // every vertex's vote frame per round
+    assert(plan.contains("partial_count") && plan.contains("partial_min_by"), plan)
+    assert(!plan.contains("Window"), s"no rank window expected:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("watermark_audit: event-sized windows keyed by partition; offsets broadcast") {
+    val plan = formatted("watermark_audit")
+    // the prefix max over EVENTS must be partitioned (two-phase pattern);
+    // the only unkeyed window is the #partitions-row offsets fold
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, plan)
+    val unkeyed = winLines.filterNot(_.contains("part#"))
+    assert(unkeyed.size <= 1, s"events-sized unkeyed window:\n${unkeyed.mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("embedding_hubness: query sample broadcasts; corpus never shuffles raw vectors") {
+    val plan = formatted("embedding_hubness")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("q_id#")),
+      s"top-k window must partition by query:\n$plan")
+    // the embedding payload must not cross an exchange — only ids/counts do
+    val blocks = plan.split("\n\n").filter(_.startsWith("(")).filter(b =>
+      b.linesIterator.next().contains("Exchange"))
+    blocks.foreach(b =>
+      assert(!b.contains("embedding#"), s"raw vectors cross an exchange:\n$b"))
+  }
+
+  test("resample_ewma: one scan, one window pass over the hourly frame") {
+    val plan = formatted("resample_ewma")
+    assert(plan.linesIterator.count(l =>
+      l.startsWith("(") && l.contains("Scan parquet")) == 1, plan)
+    assert(plan.contains("partial_"), plan)
+    // all 15 lags fuse into ONE Window node over (event_type, hour)
+    assert(plan.linesIterator.count(l =>
+      l.startsWith("(") && l.trim.matches("\\(\\d+\\) Window")) == 1, plan)
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.forall(_.contains("event_type#")), plan)
+  }
+
+  test("events_autocorr: one scan, all lags in one keyed window pass") {
+    val plan = formatted("events_autocorr")
+    assert(plan.linesIterator.count(l =>
+      l.startsWith("(") && l.contains("Scan parquet")) == 1, plan)
+    assert(plan.linesIterator.count(l =>
+      l.startsWith("(") && l.trim.matches("\\(\\d+\\) Window")) == 1, plan)
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("event_type#")), plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("events_changepoint: keyed windows, min_by argmax — no rank window over days") {
+    val plan = formatted("events_changepoint")
+    assert(plan.contains("partial_min_by"), plan)
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("event_type#")), plan)
+    assert(plan.linesIterator.count(l =>
+      l.startsWith("(") && l.contains("Scan parquet")) == 1, plan)
+  }
+
+  test("events_pmi: width-bounded pair expansion, broadcast dims, no corpus self-join") {
+    val plan = formatted("events_pmi")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // pair source is the collect_set basket explode, not a join of events
+    // against itself: every join input must be aggregate-sized
+    assert(plan.contains("collect_set"), plan)
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
