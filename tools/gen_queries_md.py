@@ -27,7 +27,7 @@ fams = [
      'Text analysis & corpus curation'),
     ('shard_', 'Sharding & export'),
     ('mm_', 'Multimodal'),
-    ('stream_', 'Structured Streaming'),
+    ('stream_|watermark_', 'Structured Streaming'),
 ]
 lines = ["# Query inventory", "",
          "One row per `SparkEntry.queries` entry; every query is DuckDB-oracle-checked",
