@@ -31,7 +31,7 @@ FAMS = [
     ("text_|corpus_|sample_|pack_|decontaminate|quality_|split_|data_profile|curation_|shard_|tokenizer_",
      "Text/curation"),
     ("mm_", "Multimodal"),
-    ("stream_", "Streaming"),
+    ("stream_|watermark_", "Streaming"),
     ("", "Other"),
 ]
 
