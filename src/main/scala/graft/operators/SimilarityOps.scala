@@ -832,6 +832,42 @@ object SimilarityOps {
       .orderBy(col("rk"))
   }
 
+  /** Cutoffs probed by [[simRecallCurve]]. */
+  val recallCurveKs = Seq(1, 3, 5, 10)
+
+  /** Recall@k CURVE of the IVF probe against the exact scan, k ∈
+    * {1, 3, 5, 10} — the standard ANN evaluation readout
+    * ([[simIvfRecall]] gives the k = 10 point; the curve shows WHERE the
+    * probe starts missing: a recall@1 miss means the probe skipped the
+    * true nearest's list, far worse news than a tail miss at k = 10).
+    * Both lists re-rank by the same (rounded score, id) order their
+    * queries publish, so the curve is deterministic; recall@k =
+    * |exact@k ∩ ivf@k| / k with one float division per k.
+    *
+    * 100 TB shape: both retrieval legs are the existing pay-as-designed
+    * pipelines (TakeOrdered exact scan; broadcast-pruned IVF probe); the
+    * curve logic itself joins two k-row lists and crosses a 4-row
+    * cutoff frame — audit-sized, corpus-free. */
+  val simRecallCurve: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+    val rw = w.orderBy(col("score").desc, col("vec_id")) // 10-row frames
+    val exact = simSearchTopK(s, d)
+      .select(col("vec_id"), row_number().over(rw).as("rn_e"))
+    val ivf = simSearchIvf(s, d)
+      .select(col("vec_id"), row_number().over(rw).as("rn_i"))
+    val both = exact.join(ivf, Seq("vec_id"))
+    import s.implicits._
+    recallCurveKs.toDF("k").select(col("k").cast(LongType).as("k"))
+      .join(broadcast(both), lit(true), "left")
+      .groupBy(col("k"))
+      .agg(sum(when(col("rn_e") <= col("k") && col("rn_i") <= col("k"), 1L)
+        .otherwise(0L)).as("n_hit"))
+      .select(col("k"), col("n_hit"),
+        round(col("n_hit").cast(DoubleType) / col("k").cast(DoubleType), 6)
+          .as("recall"))
+      .orderBy(col("k"))
+  }
+
   /** Query-sample size / neighborhood size for [[embeddingHubness]]. */
   val hubnessQueries = 64
   val hubnessK = 10
@@ -876,6 +912,7 @@ object SimilarityOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "sim_recall_curve" -> simRecallCurve,
     "embedding_hubness" -> embeddingHubness,
     "embedding_pca_top" -> embeddingPcaTop,
     "sim_search_pq" -> simSearchPq,
@@ -1325,6 +1362,29 @@ object SimilarityOps {
          SELECT n_exact, n_ivf, n_found,
            CAST(n_found AS DOUBLE) / n_exact AS recall
          FROM counts""",
+    "sim_recall_curve" -> {
+      val kvals = recallCurveKs
+        .map(k => s"(CAST($k AS BIGINT))").mkString(", ")
+      s"""WITH exact AS (
+           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id)
+             AS rn_e
+           FROM ($topkOracle) t),
+         ivf AS (
+           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id)
+             AS rn_i
+           FROM ($ivfOracle) v),
+         hits AS (SELECT e.vec_id, rn_e, rn_i
+                  FROM exact e JOIN ivf i USING (vec_id)),
+         ks(k) AS (VALUES $kvals)
+         SELECT k,
+           CAST(COALESCE(SUM(CASE WHEN rn_e <= k AND rn_i <= k
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+           round(CAST(COALESCE(SUM(CASE WHEN rn_e <= k AND rn_i <= k
+             THEN 1 ELSE 0 END), 0) AS DOUBLE) / CAST(k AS DOUBLE), 6)
+             AS recall
+         FROM ks LEFT JOIN hits ON TRUE
+         GROUP BY k ORDER BY k"""
+    },
     "sim_rerank" ->
       """WITH q AS (
            SELECT u.val AS qv, u.i AS i FROM (

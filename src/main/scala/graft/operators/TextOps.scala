@@ -419,7 +419,43 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary-richness audit per language: token total, vocabulary
+    * size, hapax legomena (words seen exactly once), dis legomena
+    * (exactly twice), hapax share of the vocabulary and type-token
+    * ratio. Hapax share is the classic Zipf-consistency check (~50% in
+    * natural language; far lower in templated/duplicated text, so a
+    * collapsing hapax share flags boilerplate BEFORE dedup runs) and
+    * bounds the unseen-mass estimate (Good–Turing's n₁/N). Words
+    * aggregate by PolyHash so the exchange carries (lang, int64) keys
+    * with map-side partial counts — the [[graft.operators
+    * .AnalyticsOps]] lm_bigram_entropy posture; the oracle replays the
+    * hash, so collisions merge identically. Counts are exact integers;
+    * the two shares divide once each under identical formula text.
+    *
+    * 100 TB shape: one corpus scan, one vocabulary-bounded exchange,
+    * |languages| rows out. */
+  val textHapax: Q = (s, d) => {
+    val counts = docs(s, d)
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+      .select(col("lang"), graft.functions.PolyHash.poly_hash(col("w")).as("h"))
+      .groupBy(col("lang"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("dis"))
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("hapax"),
+        col("dis"),
+        round(col("hapax").cast(DoubleType) / col("vocab").cast(DoubleType), 6)
+          .as("hapax_share"),
+        round(col("vocab").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)
+          .as("ttr"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_hapax" -> textHapax,
     "text_entropy" -> textEntropy,
     "quality_score_linear" -> qualityScoreLinear,
     "text_chunk" -> textChunk,
@@ -440,6 +476,24 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_hapax" -> {
+      import graft.functions.PolyHash
+      s"""WITH wc AS (
+           SELECT lang, ${PolyHash.duckSql("w")} AS h, COUNT(*) AS c
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           GROUP BY 1, 2)
+         SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax,
+           CAST(COUNT(*) FILTER (WHERE c = 2) AS BIGINT) AS dis,
+           round(CAST(COUNT(*) FILTER (WHERE c = 1) AS DOUBLE) /
+             CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share,
+           round(CAST(COUNT(*) AS DOUBLE) /
+             CAST(SUM(c) AS DOUBLE), 6) AS ttr
+         FROM wc GROUP BY lang ORDER BY lang"""
+    },
     "text_zipf_slope" ->
       s"""WITH wc AS (
            SELECT lang, w, COUNT(*) AS c

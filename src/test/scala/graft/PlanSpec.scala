@@ -658,6 +658,26 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("collect_set"), plan)
   }
 
+  test("text_hapax: vocabulary-keyed exchange, words hashed before the shuffle") {
+    val plan = formatted("text_hapax")
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("Join"), plan)
+    // the raw word string must not cross an exchange — only (lang, hash)
+    val blocks = plan.split("\n\n").filter(_.startsWith("(")).filter(b =>
+      b.linesIterator.next().contains("Exchange"))
+    assert(blocks.nonEmpty, plan)
+    blocks.foreach(b =>
+      assert(!b.contains("w#") && !b.contains("text#"),
+        s"raw text crosses an exchange:\n$b"))
+  }
+
+  test("sim_recall_curve: retrieval legs stay TakeOrdered; curve joins are broadcast") {
+    val plan = formatted("sim_recall_curve")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
