@@ -524,6 +524,41 @@ object AnalyticsOps {
       .orderBy(col("event_type"), col("isodow"))
   }
 
+  /** Forecast horizon of [[eventsForecastNaive]]: seasonal-naive ŷ_t =
+    * y_{t−7}, the week-ago value — the baseline every real forecaster
+    * must beat. */
+  val forecastLag = 7
+
+  /** Seasonal-naive backtest per event type: forecast each day's count
+    * with the value [[forecastLag]] observations back and report MAE and
+    * mean bias over the evaluable days — the sanity floor for any
+    * capacity-planning or anomaly model on this stream (a model that
+    * can't beat week-ago-naive has learned nothing; [[eventsAutocorr]]'s
+    * lag-7 peak says how beatable the floor is). Absolute and signed
+    * error totals stay exact int64; each mean is ONE float division
+    * under identical formula text.
+    *
+    * 100 TB shape: one map-side-combined collapse to types×days, one
+    * keyed window pass for the lag, one aggregate. */
+  val eventsForecastNaive: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily.withColumn("yhat", lag(col("y"), forecastLag).over(w))
+      .filter(col("yhat").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("y") - col("yhat"))).as("abs_err_total"),
+        sum(col("y") - col("yhat")).as("bias_total"))
+      .select(col("event_type"), col("n_eval"), col("abs_err_total"),
+        round(col("abs_err_total").cast(DoubleType) /
+          col("n_eval").cast(DoubleType), 6).as("mae"),
+        round(col("bias_total").cast(DoubleType) /
+          col("n_eval").cast(DoubleType), 6).as("mean_bias"))
+      .orderBy(col("event_type"))
+  }
+
   /** Pointwise mutual information between event types co-occurring in
     * the same user-day — the association readout behind "users who error
     * also purchase?" questions, complementing [[eventsPathing]] (which
@@ -1082,6 +1117,7 @@ object AnalyticsOps {
     "events_autocorr" -> eventsAutocorr,
     "events_changepoint" -> eventsChangepoint,
     "events_pmi" -> eventsPmi,
+    "events_forecast_naive" -> eventsForecastNaive,
     "lm_kneser_ney" -> lmKneserNey,
     "rfm_segment" -> rfmSegment,
     "text_vocab_growth" -> textVocabGrowth,
@@ -1313,6 +1349,25 @@ object AnalyticsOps {
          JOIN singles sa ON sa.event_type = a
          JOIN singles sb ON sb.event_type = b, nb
          ORDER BY a, b""",
+    "events_forecast_naive" ->
+      s"""WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         lagged AS (
+           SELECT event_type, y,
+             LAG(y, $forecastLag) OVER (PARTITION BY event_type
+               ORDER BY day) AS yhat
+           FROM daily)
+         SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(abs(y - yhat)) AS BIGINT) AS abs_err_total,
+           round(CAST(SUM(abs(y - yhat)) AS DOUBLE) /
+             CAST(COUNT(*) AS DOUBLE), 6) AS mae,
+           round(CAST(SUM(y - yhat) AS DOUBLE) /
+             CAST(COUNT(*) AS DOUBLE), 6) AS mean_bias
+         FROM lagged WHERE yhat IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
     "lm_kneser_ney" ->
       """WITH ws AS (
            SELECT string_split(text, ' ') AS w FROM documents

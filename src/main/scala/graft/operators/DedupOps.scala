@@ -152,6 +152,79 @@ object DedupOps {
   val dedupMinhash: Q = (s, d) =>
     verifyJaccard(s, d, minhashCandidates(s, d), 0.5)
 
+  /** Exact-dedup impact accounting per source: how many documents and
+    * characters exact dedup (keep the smallest doc_id per content
+    * digest) would REMOVE from each source, and the removed share — the
+    * ledger a corpus owner reads to see which ingest feed is paying for
+    * duplication (a mirror-heavy crawl shows up here before any
+    * near-dup pass runs). One digest-keyed window min (the dedup
+    * shuffle itself — 16-byte md5 keys, text projected away map-side),
+    * one source-bounded aggregate; counts exact, one float division.
+    * Non-canonical rows are charged to THEIR source, so a cross-source
+    * duplicate debits the copy's feed, not the original's. */
+  val dedupImpact: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ch"))
+    docs(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text")).as("ch"))
+      .withColumn("canon", min(col("doc_id")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("canon"), 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("doc_id") =!= col("canon"), col("n_chars"))
+          .otherwise(0L)).as("chars_removed"))
+      .select(col("source"), col("n_docs"), col("n_removed"),
+        col("chars_removed"),
+        round(col("n_removed").cast(DoubleType) /
+          col("n_docs").cast(DoubleType), 6).as("removed_share"))
+      .orderBy(col("source"))
+  }
+
+  /** Hash count of the 1-bit sketch audited by [[dedupMinhash1bit]]. */
+  val oneBitK = 32
+
+  /** b-bit MinHash estimator audit (Li & König 2011, b = 1): keep only
+    * each minhash's PARITY — 32 bits ≈ 4 bytes per document instead of
+    * 32×8 — and estimate Jaccard as Ĵ = (2m − K)/K from the m agreeing
+    * bits (a bit agrees with probability J + (1−J)/2). Runs over the
+    * materialized LSH candidate pairs with the exact Jaccard beside the
+    * estimate and the |error| per pair — the calibration table a dedup
+    * owner reads before swapping full signatures for b-bit sketches at
+    * 100 TB (64× less signature traffic; the error column says what that
+    * buys at which similarity band; negative Ĵ on dissimilar pairs is
+    * the estimator's documented behaviour, not a bug). All arithmetic is
+    * exact integers until one float division per column, identical
+    * formula text in the oracle.
+    *
+    * 100 TB shape: the parity sketch is one map-side native-expression
+    * pass (the [[graft.functions.MinHashSignature]] mins, mod 2); the
+    * sketch table semi-joins down to candidate ids BEFORE any pair join,
+    * so the agreement count exchanges candidate-pair-bounded rows. */
+  val dedupMinhash1bit: Q = (s, d) => {
+    val pairs = s.read.parquet(s"${minhashCandPath(s, d)}/pairs")
+      .localCheckpoint()
+    val scored = verifyJaccard(s, d, pairs, 0.0)
+    val ids = pairs.select(col("a").as("doc_id"))
+      .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
+    val bits = docs(s, d).join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        transform(graft.functions.MinHashSignature.minhash_signature(
+          shingles(col("text")), oneBitK), v => v % 2).as("bits"))
+    val est = (lit(2L) * col("m") - oneBitK).cast(DoubleType) / oneBitK
+    scored
+      .join(bits.select(col("doc_id").as("a"), col("bits").as("ba")), Seq("a"))
+      .join(bits.select(col("doc_id").as("b"), col("bits").as("bb")), Seq("b"))
+      .select(col("a"), col("b"), col("jaccard"),
+        aggregate(zip_with(col("ba"), col("bb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _).as("m"))
+      .select(col("a"), col("b"), col("m"),
+        round(col("jaccard"), 6).as("j_exact"),
+        round(est, 6).as("j_est_1bit"),
+        round(abs(round(est, 6) - round(col("jaccard"), 6)), 6).as("abs_err"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** MinHash-LSH candidate pairs (shared by the Jaccard and edit-distance
     * verifiers): text → 8 band-bucket keys in ONE native map-side
     * expression (shingles → 32 affine mins → per-band PolyHash fold, see
@@ -941,6 +1014,8 @@ object DedupOps {
     "dedup_lsh_recall" -> dedupLshRecall,
     "dedup_source_matrix" -> dedupSourceMatrix,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_minhash_1bit" -> dedupMinhash1bit,
+    "dedup_impact" -> dedupImpact,
     "dedup_threshold_curve" -> dedupThresholdCurve,
     "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
@@ -1048,6 +1123,39 @@ object DedupOps {
                   JOIN sizes nb ON inter.b = nb.doc_id
        WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
        ORDER BY a, b"""
+
+  private def minhash1bitOracle: String =
+    s"""WITH $shingleCtes,
+       $minhashCandCtes,
+       bits AS (SELECT doc_id, i, h % 2 AS bit FROM sig),
+       agree AS (
+         SELECT c.a, c.b,
+           CAST(SUM(CASE WHEN x.bit = y.bit THEN 1 ELSE 0 END) AS BIGINT)
+             AS m
+         FROM cand c
+         JOIN bits x ON x.doc_id = c.a
+         JOIN bits y ON y.doc_id = c.b AND y.i = x.i
+         GROUP BY c.a, c.b),
+       inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+                 FROM posting x JOIN posting y
+                   ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                 JOIN cand c ON c.a = x.doc_id AND c.b = y.doc_id
+                 GROUP BY x.doc_id, y.doc_id),
+       jac AS (
+         SELECT c.a, c.b,
+           round(CAST(COALESCE(i, 0) AS DOUBLE) /
+             (na.n + nb.n - COALESCE(i, 0)), 6) AS j_exact
+         FROM cand c
+         LEFT JOIN inter ON inter.a = c.a AND inter.b = c.b
+         JOIN sizes na ON c.a = na.doc_id
+         JOIN sizes nb ON c.b = nb.doc_id)
+       SELECT j.a, j.b, g.m, j.j_exact,
+         round(CAST(2 * g.m - $oneBitK AS DOUBLE) / $oneBitK, 6)
+           AS j_est_1bit,
+         round(abs(round(CAST(2 * g.m - $oneBitK AS DOUBLE) / $oneBitK, 6)
+           - j.j_exact), 6) AS abs_err
+       FROM jac j JOIN agree g ON g.a = j.a AND g.b = j.b
+       ORDER BY j.a, j.b"""
 
   private def thresholdCurveOracle: String = {
     val values = curveThresholds.map(t => s"($t)").mkString(", ")
@@ -1359,6 +1467,21 @@ object DedupOps {
          WHERE CAST(i AS DOUBLE) / LEAST(na.n, nb.n) >= 0.8
          ORDER BY a, b""",
     "dedup_minhash" -> minhashOracle,
+    "dedup_minhash_1bit" -> minhash1bitOracle,
+    "dedup_impact" ->
+      """WITH k AS (
+           SELECT doc_id, source, n_chars, md5(text) AS ch,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+           FROM documents)
+         SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE doc_id != canon) AS BIGINT)
+             AS n_removed,
+           CAST(COALESCE(SUM(n_chars) FILTER (WHERE doc_id != canon), 0)
+             AS BIGINT) AS chars_removed,
+           round(CAST(COUNT(*) FILTER (WHERE doc_id != canon) AS DOUBLE) /
+             CAST(COUNT(*) AS DOUBLE), 6) AS removed_share
+         FROM k GROUP BY source ORDER BY source""",
     "dedup_threshold_curve" -> thresholdCurveOracle,
     "dedup_fuzzy" -> fuzzyOracle,
     "dedup_lsh_recall" -> lshRecallOracle,

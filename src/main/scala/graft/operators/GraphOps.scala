@@ -74,6 +74,17 @@ object GraphOps {
   val graphDegree: Q = (s, d) =>
     degrees(edges(s, d)).orderBy(col("v"))
 
+  /** Degree distribution: the counts-of-counts histogram over
+    * [[degrees]] — the first thing read off any graph before trusting a
+    * wedge/triangle cost model (a heavy tail says the O(m^1.5)
+    * degree-oriented bounds are doing real work; a flat histogram says
+    * the graph is near-regular and simpler plans suffice). Output is
+    * |distinct degrees| rows; two aggregates, both map-side combined. */
+  val graphDegreeDist: Q = (s, d) =>
+    degrees(edges(s, d))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
+      .orderBy(col("degree"))
+
   /** Global triangle census: vertices, edges, wedges (open two-paths,
     * Σ d(d−1)/2 — exact integer), and triangles via the degree-oriented
     * closure join. One row out; the wedge/triangle ratio is the global
@@ -990,6 +1001,7 @@ object GraphOps {
 
   val queries: Map[String, Q] = Map(
     "graph_degree" -> graphDegree,
+    "graph_degree_dist" -> graphDegreeDist,
     "graph_triangles" -> graphTriangles,
     "graph_components" -> graphComponents,
     "graph_common_neighbors" -> graphCommonNeighbors,
@@ -1023,6 +1035,10 @@ object GraphOps {
     "graph_degree" ->
       s"""WITH $edgeCtes
          SELECT v, degree FROM deg ORDER BY v""",
+    "graph_degree_dist" ->
+      s"""WITH $edgeCtes
+         SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
+         FROM deg GROUP BY degree ORDER BY degree""",
     "graph_assortativity" ->
       s"""WITH $edgeCtes,
          sym AS (SELECT a AS src, b AS dst FROM e

@@ -426,7 +426,62 @@ object MultimodalOps {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Scene-cut threshold on the |Δ raster-sum| between consecutive
+    * frames — calibrated to the synthesized 8–31 px fill rasters, where
+    * any real content change moves the sum by far more than this. */
+  val sceneCutThreshold = 100000L
+
+  /** Scene-cut detection over a per-source frame stream: each source's
+    * documents, in doc_id order, stand in for the frames of one clip;
+    * every frame is REALLY decoded (ImageIO BMP, the
+    * [[mmDecodeFeatures]] path) and reduced to its exact int64 RGB
+    * raster sum; a cut is a |Δsum| > [[sceneCutThreshold]] jump between
+    * consecutive frames — the shot-boundary heuristic every video
+    * curation pipeline runs before frame dedup (cuts decide which
+    * frames are worth keeping). Output per source: frame count, cut
+    * count, the largest jump and the cut rate (one float division).
+    *
+    * 100 TB shape: the decode+sum is one map-side `mapPartitions` batch
+    * pass (a row per frame, no pixel data past the map side); the
+    * consecutive-frame delta is ONE lag window keyed by source; the
+    * aggregate is sources-bounded. */
+  val mmSceneCut: Q = (s, d) => {
+    val in = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("payload"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("raster_sum", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val sums = in.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = BmpCodec.decodeRaster(synthBmp(r.getAs[Array[Byte]](2)))
+        var sum = 0L
+        var i = 0
+        while (i < w * h) {
+          val p = px(i)
+          sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+          i += 1
+        }
+        Row(r.getLong(0), r.getString(1), sum)
+      }
+    }(enc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    sums
+      .withColumn("delta", abs(col("raster_sum") - lag(col("raster_sum"), 1).over(w)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("delta") > sceneCutThreshold, 1L).otherwise(0L)).as("n_cuts"),
+        coalesce(max(col("delta")), lit(0L)).as("max_delta"))
+      .select(col("source"), col("n_frames"), col("n_cuts"), col("max_delta"),
+        round(col("n_cuts").cast(DoubleType) /
+          col("n_frames").cast(DoubleType), 6).as("cut_rate"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_scene_cut" -> mmSceneCut,
     "mm_dedup_phash" -> mmDedupPhash,
     "mm_meta" -> mmMeta,
     "mm_decode_features" -> mmDecodeFeatures,
@@ -443,6 +498,26 @@ object MultimodalOps {
     s"WITH h AS (SELECT doc_id, ${graft.functions.PolyHash.duckSql("text")} AS h FROM documents)"
 
   val oracle: Map[String, String] = Map(
+    "mm_scene_cut" ->
+      s"""$hashCte,
+         dims AS (SELECT doc_id, 8 + h % 24 AS w, 8 + (h >> 5) % 24 AS ht,
+                    h % 256 AS r, (h >> 8) % 256 AS g, (h >> 16) % 256 AS b
+                  FROM h),
+         sums AS (SELECT d.doc_id, doc.source,
+                    CAST(w * ht * (r + g + b) AS BIGINT) AS raster_sum
+                  FROM dims d JOIN documents doc ON doc.doc_id = d.doc_id),
+         dl AS (SELECT source, raster_sum,
+                  abs(raster_sum - LAG(raster_sum, 1) OVER (
+                    PARTITION BY source ORDER BY doc_id)) AS delta
+                FROM sums)
+         SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) FILTER (WHERE delta > $sceneCutThreshold)
+             AS BIGINT) AS n_cuts,
+           CAST(COALESCE(MAX(delta), 0) AS BIGINT) AS max_delta,
+           round(CAST(COUNT(*) FILTER (WHERE delta > $sceneCutThreshold)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS cut_rate
+         FROM dl GROUP BY source ORDER BY source""",
     "mm_dedup_phash" -> {
       val P = graft.functions.PolyHash.P
       val mb = DedupOps.maxBucket

@@ -678,6 +678,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("dedup_minhash_1bit: sketch table semi-joins to pair ids; no corpus pair blowup") {
+    val plan = formatted("dedup_minhash_1bit")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the parity sketch only ever computes for candidate-pair members
+    assert(plan.contains("LeftSemi"), s"ids semi-join expected:\n$plan")
+  }
+
+  test("events_forecast_naive: one scan, keyed lag window, two-phase aggregate") {
+    val plan = formatted("events_forecast_naive")
+    assert(plan.linesIterator.count(l =>
+      l.startsWith("(") && l.contains("Scan parquet")) == 1, plan)
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("event_type#")), plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("mm_scene_cut: pixels stay map-side; delta window keyed by source") {
+    val plan = formatted("mm_scene_cut")
+    assert(!plan.contains("Join"), plan)
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("source#")), plan)
+    // only (doc_id, source, raster_sum) survives the mapPartitions batch —
+    // no binary payload column crosses an exchange
+    val blocks = plan.split("\n\n").filter(_.startsWith("(")).filter(b =>
+      b.linesIterator.next().contains("Exchange"))
+    blocks.foreach(b =>
+      assert(!b.contains("payload#") && !b.contains("img#"),
+        s"binary payload crosses an exchange:\n$b"))
+  }
+
+  test("dedup_impact: digest-keyed canonical window; text projected away map-side") {
+    val plan = formatted("dedup_impact")
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("ch#")),
+      s"canonical window must key on the digest:\n$plan")
+    val blocks = plan.split("\n\n").filter(_.startsWith("(")).filter(b =>
+      b.linesIterator.next().contains("Exchange"))
+    blocks.foreach(b =>
+      assert(!b.contains("text#"), s"document text crosses an exchange:\n$b"))
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
