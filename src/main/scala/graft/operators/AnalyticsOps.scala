@@ -524,6 +524,43 @@ object AnalyticsOps {
       .orderBy(col("event_type"), col("isodow"))
   }
 
+  /** Conditional entropy of the event-type transition matrix,
+    * H(next | cur) in nats per context type — the predictability readout
+    * over [[eventsPathing]]'s transitions (a type whose successors are
+    * near-uniform needs a model; one with H ≈ 0 is a deterministic
+    * funnel step). The [[lmBigramEntropy]] arithmetic verbatim: both log
+    * terms quantize to DECIMAL(18,6) BEFORE the exact decimal sum, one
+    * float division at the end under identical formula text.
+    *
+    * 100 TB shape: one keyed LEAD window over (user, time) — the
+    * pathing shuffle — collapsing map-side to the |types|²-bounded
+    * transition counts; everything after runs on that tiny frame. */
+  val eventsTransitionEntropy: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    def qln(c: org.apache.spark.sql.Column) =
+      round(log(c.cast(DoubleType)), 6).cast(dec6)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur_type"))
+      .withColumn("next_type", lead(col("cur_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("ctx", sum(col("n")).over(
+        Window.partitionBy(col("cur_type"))))
+      .groupBy(col("cur_type"))
+      .agg(sum(col("n")).as("n_transitions"),
+        count(lit(1)).as("n_next_types"),
+        sum(col("n") * (qln(col("ctx")) - qln(col("n")))).as("st"))
+      .select(col("cur_type"), col("n_transitions"), col("n_next_types"),
+        round(col("st").cast(DoubleType) / col("n_transitions"), 6)
+          .as("cond_entropy_nats"))
+      .orderBy(col("cur_type"))
+  }
+
   /** Forecast horizon of [[eventsForecastNaive]]: seasonal-naive ŷ_t =
     * y_{t−7}, the week-ago value — the baseline every real forecaster
     * must beat. */
@@ -1118,6 +1155,7 @@ object AnalyticsOps {
     "events_changepoint" -> eventsChangepoint,
     "events_pmi" -> eventsPmi,
     "events_forecast_naive" -> eventsForecastNaive,
+    "events_transition_entropy" -> eventsTransitionEntropy,
     "lm_kneser_ney" -> lmKneserNey,
     "rfm_segment" -> rfmSegment,
     "text_vocab_growth" -> textVocabGrowth,
@@ -1349,6 +1387,25 @@ object AnalyticsOps {
          JOIN singles sa ON sa.event_type = a
          JOIN singles sb ON sb.event_type = b, nb
          ORDER BY a, b""",
+    "events_transition_entropy" ->
+      """WITH seq AS (
+           SELECT event_type AS cur_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY date_trunc('microseconds', ts), event_id) AS next_type
+           FROM events),
+         cnt AS (SELECT cur_type, next_type, COUNT(*) AS n FROM seq
+                 WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         ctxd AS (SELECT *, SUM(n) OVER (PARTITION BY cur_type) AS ctx
+                  FROM cnt),
+         q AS (SELECT cur_type, n,
+                 CAST(round(ln(ctx), 6) AS DECIMAL(18,6)) AS y1,
+                 CAST(round(ln(n), 6) AS DECIMAL(18,6)) AS y2
+               FROM ctxd)
+         SELECT cur_type, CAST(SUM(n) AS BIGINT) AS n_transitions,
+           CAST(COUNT(*) AS BIGINT) AS n_next_types,
+           round(CAST(SUM(n * (y1 - y2)) AS DOUBLE)
+             / CAST(SUM(n) AS BIGINT), 6) AS cond_entropy_nats
+         FROM q GROUP BY cur_type ORDER BY cur_type""",
     "events_forecast_naive" ->
       s"""WITH daily AS (
            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -152,6 +152,29 @@ object DedupOps {
   val dedupMinhash: Q = (s, d) =>
     verifyJaccard(s, d, minhashCandidates(s, d), 0.5)
 
+  /** LSH bucket-occupancy histogram: how many (band, hash) buckets hold
+    * exactly k documents — the skew audit behind the candidate-pair
+    * budget (pairs grow as Σ k·(k−1)/2 over this histogram, so one
+    * boilerplate mega-bucket dominates everything; the [[maxBucket]]
+    * anchor-star degrade exists precisely for the tail this table
+    * makes visible). Output: (bucket_size, n_buckets, over_cap) with
+    * singleton buckets included — they are the no-candidate mass that
+    * makes LSH cheap. Two aggregates over the map-side band keys; the
+    * exchange carries (band, hash) pairs, never text.
+    *
+    * 100 TB: this is the same first exchange the dedup pipeline itself
+    * pays — the histogram is a free byproduct worth materializing on
+    * every corpus version. */
+  val dedupBucketDist: Q = (s, d) => {
+    val sizes = bandKeys(docs(s, d))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
+    sizes.groupBy(col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(col("bucket_size"), col("n_buckets"),
+        (col("bucket_size") > maxBucket).as("over_cap"))
+      .orderBy(col("bucket_size"))
+  }
+
   /** Exact-dedup impact accounting per source: how many documents and
     * characters exact dedup (keep the smallest doc_id per content
     * digest) would REMOVE from each source, and the removed share — the
@@ -1016,6 +1039,7 @@ object DedupOps {
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_1bit" -> dedupMinhash1bit,
     "dedup_impact" -> dedupImpact,
+    "dedup_bucket_dist" -> dedupBucketDist,
     "dedup_threshold_curve" -> dedupThresholdCurve,
     "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
@@ -1468,6 +1492,15 @@ object DedupOps {
          ORDER BY a, b""",
     "dedup_minhash" -> minhashOracle,
     "dedup_minhash_1bit" -> minhash1bitOracle,
+    "dedup_bucket_dist" -> {
+      s"""WITH $shingleCtes,
+         $bandCtes,
+         bs AS (SELECT band, bh, CAST(COUNT(*) AS BIGINT) AS bucket_size
+                FROM band GROUP BY band, bh)
+         SELECT bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           bucket_size > $maxBucket AS over_cap
+         FROM bs GROUP BY bucket_size ORDER BY bucket_size"""
+    },
     "dedup_impact" ->
       """WITH k AS (
            SELECT doc_id, source, n_chars, md5(text) AS ch,

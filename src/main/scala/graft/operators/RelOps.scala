@@ -1019,6 +1019,98 @@ object RelOps {
     * h-keyed semi-join; every sketch-side probe broadcasts K rows. In a
     * production pipeline the per-cohort sketches would persist (they
     * merge by min-of-unions) — this query is the build + audit pass. */
+  /** Rolling event-TIME window: per event, the count and exact value
+    * sum of its type's events in the trailing hour — a RANGE frame over
+    * `unix_micros(ts)`, so the frame is defined by TIME distance, not
+    * row count (the [[windowRunning]] ROWS frames answer a different
+    * question), and ties on the timestamp all share one frame
+    * identically in both engines. The rolling rate every alerting
+    * threshold is actually defined against.
+    *
+    * 100 TB shape: one shuffle keyed by event_type, one sort per
+    * partition, streaming frame evaluation — no per-row rescan of the
+    * trailing hour. */
+  val windowTimeRange: Q = (s, d) => {
+    val hourUs = 3600L * 1000000
+    val w = Window.partitionBy($"event_type").orderBy(unix_micros($"ts"))
+      .rangeBetween(-hourUs, 0)
+    t(s, d, "events")
+      .select($"event_id", $"event_type", $"ts", $"value")
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .withColumn("value_last_hour",
+        round(sum($"value".cast(DecimalType(18, 6))).over(w)
+          .cast(DoubleType), 6))
+      .select($"event_id", $"event_type", $"n_last_hour", $"value_last_hour")
+      .orderBy($"event_id")
+  }
+
+  /** Count-min geometry: depth 4 independent hash rows × width 1024
+    * counters — 4 KB of state for frequency estimates over any key
+    * cardinality. */
+  val cmDepth = 4
+  val cmWidth = 1024
+
+  /** Count-min sketch build + exact audit (Cormode & Muthukrishnan
+    * 2005): per-user event counts estimated from a [[cmDepth]]×
+    * [[cmWidth]] counter grid — est(u) = minᵢ counter[i][hᵢ(u)], an
+    * OVERESTIMATE by construction, never under. The hash rows reuse the
+    * [[graft.functions.PolyHash]] affine family on the int64 key, so
+    * the sketch replays bit-for-bit in the oracle (unlike a serialized
+    * CMS blob). Output: the top-10 users by TRUE count with true/est/
+    * overestimate columns, plus the corpus-wide worst overestimate
+    * among all users — the table that says whether 4 KB of sketch
+    * suffices at this key cardinality or the width must grow.
+    * Completes the sketch family next to KMV (distinct/intersection),
+    * HLL, bitmap and bloom.
+    *
+    * 100 TB shape: the counter build is ONE two-phase aggregate whose
+    * exchange carries ≤ depth×width rows regardless of event volume;
+    * the 4 KB sketch BROADCASTS back onto the per-user audit frame;
+    * top-10 is TakeOrdered. In production only the build runs (the
+    * audit is this query's point: it needs the exact counts). */
+  /** The sketch-build + per-user estimate pipeline, pre-checkpoint —
+    * extracted so PlanSpec can pin the broadcast/partial shapes that the
+    * checkpoint in [[aggCmSketch]] hides from an outer explain. */
+  private[graft] def cmEstimates(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PolyHash.{Mult, P}
+    // key reduces mod P BEFORE the multiply: a·(key mod P) stays under
+    // 2^62 for any int64 key, where a·key itself would overflow past
+    // ~2^32-scale ids
+    def bucket(i: Int, key: Column): Column =
+      (lit((2L * i + 1) * Mult % P) * (key % P) +
+        lit(i * 1000003L + 12345L)) % P % cmWidth
+    val ev = t(s, d, "events").select($"user_id")
+    val rows = (0 until cmDepth).map(i =>
+      ev.select(lit(i).as("row"), bucket(i, $"user_id").as("bucket")))
+      .reduce(_ unionAll _)
+    val sketch = rows.groupBy($"row", $"bucket")
+      .agg(count(lit(1)).as("counter"))
+    val trueCounts = ev.groupBy($"user_id").agg(count(lit(1)).as("true_n"))
+    (0 until cmDepth).map(i =>
+        trueCounts.select($"user_id", $"true_n",
+          lit(i).as("row"), bucket(i, $"user_id").as("bucket")))
+      .reduce(_ unionAll _)
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy($"user_id")
+      .agg(first($"true_n").as("true_n"), min($"counter").as("est_n"))
+  }
+
+  val aggCmSketch: Q = (s, d) => {
+    val est = cmEstimates(s, d)
+      .localCheckpoint() // feeds both the top-10 and the global audit
+    val worst = est.agg(max($"est_n" - $"true_n").as("max_overest_all"))
+    est
+      .orderBy($"true_n".desc, $"user_id")
+      .limit(10)
+      .withColumn("rn", row_number().over(
+        Window.orderBy($"true_n".desc, $"user_id")))
+      .crossJoin(broadcast(worst))
+      .select($"rn".cast(LongType).as("rn"), $"user_id", $"true_n",
+        $"est_n", ($"est_n" - $"true_n").as("overest"),
+        $"max_overest_all")
+      .orderBy($"rn")
+  }
+
   val aggKmvIntersect: Q = (s, d) => {
     import graft.functions.PolyHash.{Mult, P}
     val ev = t(s, d, "events")
@@ -1480,6 +1572,8 @@ object RelOps {
     "agg_weighted_avg" -> aggWeightedAvg,
     "agg_incremental_merge" -> aggIncrementalMerge,
     "agg_kmv_intersect" -> aggKmvIntersect,
+    "agg_cm_sketch" -> aggCmSketch,
+    "window_time_range" -> windowTimeRange,
     "agg_approx_topk" -> aggApproxTopK,
     "resample_gapfill" -> resampleGapfill,
     "resample_ohlc" -> resampleOhlc,
@@ -1898,6 +1992,49 @@ object RelOps {
          SELECT event_id, ts, user_id, 'corrected' AS event_type,
                 value + 1000 AS value
          FROM ev WHERE event_id % 7 = 0
+         ORDER BY event_id""",
+    "agg_cm_sketch" -> {
+      import graft.functions.PolyHash.{Mult, P}
+      def bsql(i: Int, key: String) =
+        s"(((${(2L * i + 1) * Mult % P} * ($key % $P) + " +
+          s"${i * 1000003L + 12345L}) % $P) % $cmWidth)"
+      val rowsSql = (0 until cmDepth).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS row_i, ${bsql(i, "user_id")} AS bucket FROM events")
+        .mkString("\n           UNION ALL ")
+      val probesSql = (0 until cmDepth).map(i =>
+        s"SELECT user_id, true_n, CAST($i AS BIGINT) AS row_i, ${bsql(i, "user_id")} AS bucket FROM tc")
+        .mkString("\n           UNION ALL ")
+      s"""WITH sk AS (
+           SELECT row_i, bucket, CAST(COUNT(*) AS BIGINT) AS counter
+           FROM ($rowsSql) GROUP BY 1, 2),
+         tc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+                FROM events GROUP BY 1),
+         probes AS ($probesSql),
+         est AS (
+           SELECT p.user_id, MAX(p.true_n) AS true_n,
+             CAST(MIN(s.counter) AS BIGINT) AS est_n
+           FROM probes p
+           JOIN sk s ON s.row_i = p.row_i AND s.bucket = p.bucket
+           GROUP BY p.user_id),
+         worst AS (SELECT CAST(MAX(est_n - true_n) AS BIGINT)
+                     AS max_overest_all FROM est),
+         top AS (SELECT user_id, true_n, est_n,
+                   ROW_NUMBER() OVER (ORDER BY true_n DESC, user_id) AS rn
+                 FROM est)
+         SELECT CAST(rn AS BIGINT) AS rn, user_id,
+           CAST(true_n AS BIGINT) AS true_n, est_n,
+           CAST(est_n - true_n AS BIGINT) AS overest, max_overest_all
+         FROM top, worst WHERE rn <= 10 ORDER BY rn"""
+    },
+    "window_time_range" ->
+      """SELECT event_id, event_type,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+             AS value_last_hour
+         FROM events
+         WINDOW w AS (PARTITION BY event_type
+           ORDER BY epoch_us(date_trunc('microseconds', ts))
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
     "window_first_last" ->
       """SELECT user_id, event_id,

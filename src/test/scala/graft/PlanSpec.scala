@@ -719,6 +719,47 @@ class PlanSpec extends AnyFunSuite {
       assert(!b.contains("text#"), s"document text crosses an exchange:\n$b"))
   }
 
+  test("events_transition_entropy: keyed windows only, one scan") {
+    val plan = formatted("events_transition_entropy")
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(l =>
+      l.contains("user_id#") || l.contains("cur_type#")), plan)
+    assert(plan.linesIterator.count(l =>
+      l.startsWith("(") && l.contains("Scan parquet")) == 1, plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("dedup_bucket_dist: map-side band keys, two aggregates, no join, no text exchange") {
+    val plan = formatted("dedup_bucket_dist")
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("partial_"), plan)
+    val blocks = plan.split("\n\n").filter(_.startsWith("(")).filter(b =>
+      b.linesIterator.next().contains("Exchange"))
+    assert(blocks.nonEmpty, plan)
+    blocks.foreach(b =>
+      assert(!b.contains("text#"), s"document text crosses an exchange:\n$b"))
+  }
+
+  test("agg_cm_sketch: 4KB sketch broadcasts into the estimate pipeline") {
+    // the checkpoint in the full query hides the build — pin the extracted
+    // pre-checkpoint pipeline
+    val plan = RelOps.cmEstimates(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("window_time_range: one scan, type-keyed RANGE frame") {
+    val plan = formatted("window_time_range")
+    assert(plan.linesIterator.count(l =>
+      l.startsWith("(") && l.contains("Scan parquet")) == 1, plan)
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(l =>
+      l.contains("event_type#") && l.contains("specifiedwindowframe(RangeFrame")),
+      s"type-keyed RANGE frame expected:\n$plan")
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DedupOps, GraphOps, MultimodalOps}
+import graft.operators.{AnalyticsOps, DedupOps, GraphOps, MultimodalOps}
 
 /** Round-8 ninth batch: per-source scene cuts over really-decoded
   * rasters, the degree histogram, and exact-dedup impact accounting. */
@@ -66,6 +66,79 @@ class RoundEightBatchNineSpec extends AnyFunSuite {
     assert(got == hist)
     // the histogram re-sums to the vertex count
     assert(got.values.sum == degs.size.toLong)
+  }
+
+  test("events_transition_entropy: quantized-log conditional entropy replays exactly") {
+    def qln(x: Long): BigDecimal =
+      BigDecimal(math.log(x.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val trans = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).values.flatMap { rows =>
+        val sorted = rows.sortBy(r => (r._2, r._3)).map(_._4)
+        sorted.zip(sorted.drop(1))
+      }.toSeq
+    val cnt = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctx = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = AnalyticsOps.queries("events_transition_entropy")(spark, dir)
+      .collect()
+    assert(got.length == ctx.size)
+    got.foreach { r =>
+      val c = r.getString(0)
+      val nexts = cnt.filter(_._1._1 == c)
+      assert(r.getLong(1) == ctx(c) && r.getLong(2) == nexts.size.toLong)
+      val st = nexts.values.map(n => BigDecimal(n) * (qln(ctx(c)) - qln(n))).sum
+      assert(math.abs(r.getDouble(3) - r6((st / BigDecimal(ctx(c))).toDouble))
+        < 1e-12, c)
+      // conditional entropy is bounded by ln(alphabet size)
+      assert(r.getDouble(3) >= 0.0 &&
+        r.getDouble(3) <= math.log(ctx.size.toDouble) + 1e-6)
+    }
+  }
+
+  test("dedup_bucket_dist: band-bucket occupancy histogram replays through the signature fold") {
+    import graft.functions.PolyHash
+    val texts = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingleSet(text: String): Set[String] = {
+      val w = text.split(" ", -1)
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet else Set(text)
+    }
+    val numHashes = 32; val bands = 8; val rowsPerBand = numHashes / bands
+    val bucketOf = collection.mutable.Map.empty[(Int, Long), Long]
+      .withDefaultValue(0L)
+    texts.foreach { case (_, text) =>
+      val mins = Array.fill(numHashes)(PolyHash.P)
+      for (sh <- shingleSet(text)) {
+        val h = PolyHash.hash(sh)
+        var j = 0
+        while (j < numHashes) {
+          val v = (((2L * j + 1) * PolyHash.Mult) % PolyHash.P * h +
+            j * 1000003L + 12345L) % PolyHash.P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      for (b <- 0 until bands) {
+        var acc = 0L
+        for (k <- 0 until rowsPerBand)
+          acc = (acc * PolyHash.B + mins(b * rowsPerBand + k)) % PolyHash.P
+        bucketOf((b, acc)) += 1
+      }
+    }
+    val hist = bucketOf.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = DedupOps.queries("dedup_bucket_dist")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(g => g._1 -> g._2).toMap == hist)
+    got.foreach { case (size, _, over) =>
+      assert(over == (size > DedupOps.maxBucket))
+    }
+    // buckets × occupancy re-sums to docs × bands
+    assert(got.map(g => g._1 * g._2).sum == texts.length.toLong * bands)
   }
 
   test("dedup_impact: digest-canonical accounting replays per source") {
