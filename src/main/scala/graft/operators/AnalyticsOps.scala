@@ -561,6 +561,101 @@ object AnalyticsOps {
       .orderBy(col("cur_type"))
   }
 
+  /** Kaplan–Meier conversion-survival curve over whole days of
+    * view→purchase latency: for each latency day t, the at-risk count
+    * n_t (users with a first view who have not converted before t), the
+    * converting count d_t, the per-day hazard d_t/n_t, and the KM
+    * estimate S(t) = Π_{u≤t} (1 − d_u/n_u). Non-converting users never
+    * leave the risk set (no interval censoring in a fixed-window
+    * extract), so n_t is N − cumulative prior conversions — exact
+    * integers end to end. The product goes through the repo's
+    * quantized-log convention (each ln term rounds to 6 dp and sums as
+    * DECIMAL(18,6), then one exp + round on the day-grain result) so
+    * both engines hash-agree; a day that empties the risk set (everyone
+    * left converts) pins S(t) to exactly 0.0 from there on instead of
+    * pushing ln(0) through the sum. Scale shape: the per-user reduction is
+    * [[eventsTimeToConvert]]'s two min-aggregates + one user-keyed join;
+    * everything after runs on the DAY-grain frame (≤ observation window
+    * in rows), so the two running windows are audit-sized — the event
+    * stream itself is never windowed. */
+  val eventsSurvival: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    val e = events(s, d)
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val lat = e.filter(col("event_type") === "purchase")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+      .select(expr("(unix_timestamp(t2) - unix_timestamp(t1)) DIV 86400")
+        .as("lat_day"))
+    val n = t1.agg(count(lit(1)).as("n_risk0"))
+    val byDay = lat.groupBy(col("lat_day")).agg(count(lit(1)).as("n_converted"))
+    val prior = Window.orderBy(col("lat_day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.orderBy(col("lat_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay.crossJoin(broadcast(n))
+      .withColumn("n_at_risk",
+        col("n_risk0") - coalesce(sum(col("n_converted")).over(prior), lit(0L)))
+      // a day where EVERY remaining at-risk user converts drives S(t) to
+      // exactly 0; ln(0) is no engine's friend, so that day contributes a
+      // NULL term (SUM skips it in both engines) and a depletion flag
+      // that pins survival to 0.0 from there on
+      .withColumn("t",
+        when(col("n_at_risk") > col("n_converted"),
+          round(log((col("n_at_risk") - col("n_converted")).cast(DoubleType) /
+            col("n_at_risk")), 6).cast(dec6)))
+      .withColumn("depleted",
+        sum(when(col("n_at_risk") === col("n_converted"), 1L).otherwise(0L))
+          .over(upto))
+      .select(col("lat_day"), col("n_at_risk"), col("n_converted"),
+        round(col("n_converted").cast(DoubleType) / col("n_at_risk"), 6)
+          .as("hazard"),
+        when(col("depleted") > 0L, lit(0.0d))
+          .otherwise(round(exp(sum(col("t")).over(upto).cast(DoubleType)), 6))
+          .as("survival"))
+      .orderBy(col("lat_day"))
+  }
+
+  /** Cohort LTV curve: users cohorted by the Monday of their first-ever
+    * event week; per (cohort_week, weeks-since-own-first-day) cell, the
+    * purchase count, exact cumulative revenue and cumulative revenue per
+    * cohort user — the payback-period readout every growth team plots.
+    * Revenue sums quantize to DECIMAL(18,6) before aggregation (the
+    * repo's float-sum convention) so cumulative values are
+    * order-insensitive and hash-exact; age weeks are exact integer day
+    * differences floor-divided by 7 (both engines truncate toward zero).
+    * Scale shape: one user-keyed min-aggregate, one user-keyed join to
+    * annotate purchases, one (cohort, age) aggregate — the running sum
+    * then rides the cohort×age grid (weeks², audit-sized), partitioned
+    * by cohort week, never the purchase stream. */
+  val eventsCohortLtv: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    val e = events(s, d)
+    val first = e.groupBy(col("user_id")).agg(min(col("ts")).as("ft"))
+      .select(col("user_id"),
+        date_trunc("week", col("ft")).cast(DateType).as("cohort_week"),
+        to_date(col("ft")).as("fd"))
+    val sizes = first.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = e.filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .select(col("cohort_week"),
+        expr("CAST(datediff(to_date(ts), fd) AS BIGINT) DIV 7").as("age_w"),
+        col("value").cast(dec6).as("v"))
+      .groupBy(col("cohort_week"), col("age_w"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("v")).as("rev"))
+    val byAge = Window.partitionBy(col("cohort_week")).orderBy(col("age_w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("age_w"), col("n_purchases"),
+        sum(col("rev")).over(byAge).cast(dec6).as("cum_value"),
+        col("cohort_users"),
+        round(sum(col("rev")).over(byAge).cast(DoubleType) /
+          col("cohort_users"), 6).as("ltv"))
+      .orderBy(col("cohort_week"), col("age_w"))
+  }
+
   /** Forecast horizon of [[eventsForecastNaive]]: seasonal-naive ŷ_t =
     * y_{t−7}, the week-ago value — the baseline every real forecaster
     * must beat. */
@@ -1156,6 +1251,8 @@ object AnalyticsOps {
     "events_pmi" -> eventsPmi,
     "events_forecast_naive" -> eventsForecastNaive,
     "events_transition_entropy" -> eventsTransitionEntropy,
+    "events_survival" -> eventsSurvival,
+    "events_cohort_ltv" -> eventsCohortLtv,
     "lm_kneser_ney" -> lmKneserNey,
     "rfm_segment" -> rfmSegment,
     "text_vocab_growth" -> textVocabGrowth,
@@ -1406,6 +1503,71 @@ object AnalyticsOps {
            round(CAST(SUM(n * (y1 - y2)) AS DOUBLE)
              / CAST(SUM(n) AS BIGINT), 6) AS cond_entropy_nats
          FROM q GROUP BY cur_type ORDER BY cur_type""",
+    "events_survival" ->
+      """WITH t1 AS (
+           SELECT user_id, MIN(date_trunc('microseconds', ts)) AS t1
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+         n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_risk0 FROM t1),
+         lat AS (
+           SELECT (CAST(floor(epoch(MIN(date_trunc('microseconds', e.ts)))) AS BIGINT)
+                   - CAST(floor(epoch(MIN(t1.t1))) AS BIGINT)) // 86400 AS lat_day
+           FROM events e JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'purchase'
+             AND date_trunc('microseconds', e.ts) > t1.t1
+           GROUP BY e.user_id),
+         byday AS (SELECT lat_day, CAST(COUNT(*) AS BIGINT) AS n_converted
+                   FROM lat GROUP BY lat_day),
+         risk AS (
+           SELECT lat_day, n_converted,
+             CAST((SELECT n_risk0 FROM n0) - COALESCE(SUM(n_converted) OVER
+               (ORDER BY lat_day ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+           FROM byday),
+         terms AS (
+           SELECT lat_day, n_at_risk, n_converted,
+             CASE WHEN n_at_risk > n_converted THEN
+               CAST(round(ln(CAST(n_at_risk - n_converted AS DOUBLE)
+                 / n_at_risk), 6) AS DECIMAL(18,6)) END AS t,
+             SUM(CASE WHEN n_at_risk = n_converted THEN 1 ELSE 0 END)
+               OVER (ORDER BY lat_day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS depleted
+           FROM risk)
+         SELECT lat_day, n_at_risk, n_converted,
+           round(CAST(n_converted AS DOUBLE) / n_at_risk, 6) AS hazard,
+           CASE WHEN depleted > 0 THEN 0.0
+             ELSE round(exp(CAST(SUM(t) OVER (ORDER BY lat_day ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) END
+             AS survival
+         FROM terms ORDER BY lat_day""",
+    "events_cohort_ltv" ->
+      """WITH f AS (
+           SELECT user_id, MIN(date_trunc('microseconds', ts)) AS ft
+           FROM events GROUP BY user_id),
+         coh AS (SELECT user_id,
+                   CAST(date_trunc('week', ft) AS DATE) AS cohort_week,
+                   CAST(ft AS DATE) AS fd
+                 FROM f),
+         sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+                   FROM coh GROUP BY cohort_week),
+         p AS (SELECT c.cohort_week,
+                 CAST(CAST(date_trunc('microseconds', e.ts) AS DATE) - c.fd
+                   AS BIGINT) // 7 AS age_w,
+                 CAST(e.value AS DECIMAL(18,6)) AS v
+               FROM events e JOIN coh c USING (user_id)
+               WHERE e.event_type = 'purchase'),
+         g AS (SELECT cohort_week, age_w,
+                 CAST(COUNT(*) AS BIGINT) AS n_purchases, SUM(v) AS rev
+               FROM p GROUP BY cohort_week, age_w)
+         SELECT g.cohort_week, g.age_w, g.n_purchases,
+           CAST(SUM(rev) OVER (PARTITION BY g.cohort_week ORDER BY g.age_w
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DECIMAL(18,6)) AS cum_value,
+           s.cohort_users,
+           round(CAST(SUM(rev) OVER (PARTITION BY g.cohort_week
+             ORDER BY g.age_w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / s.cohort_users, 6) AS ltv
+         FROM g JOIN sizes s USING (cohort_week)
+         ORDER BY g.cohort_week, g.age_w""",
     "events_forecast_naive" ->
       s"""WITH daily AS (
            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

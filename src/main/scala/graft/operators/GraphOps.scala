@@ -280,6 +280,64 @@ object GraphOps {
     j.orderBy(col("jaccard").desc, col("a"), col("b")).limit(20)
   }
 
+  /** Weak ties / local bridges: the 20 edges with the FEWEST capped
+    * common neighbors — Granovetter's weak ties, the links whose removal
+    * lengthens paths because no triangle backs them up (common_neighbors
+    * = 0 ⇒ a local bridge: span > 2). The evidence is the same
+    * hub-capped count table every link-analysis query shares (a common
+    * neighbor of degree > [[wedgeDegreeCap]] carries no tie signal), so
+    * the declared statistic is "capped common neighbors", matching
+    * [[graphJaccard]]. Ordering: count asc, then endpoint-degree sum
+    * desc (the BUSIEST endpoints with the least shared context are the
+    * most surprising ties), then (a, b); `n_bridges` (total zero-support
+    * edges) rides every row as the one-row broadcast census.
+    *
+    * 100 TB shape: the pay-once pair-count artifact streams through ONE
+    * semi-join against the packed edge set (broadcast within
+    * [[graft.Limits.maxBroadcastEdges]] reach, shuffled hash join past
+    * it) giving the edge-bounded supported-tie table; zero-support edges
+    * are the anti-join of the edge set against THAT table (both sides
+    * edge-bounded — the artifact never joins twice); then two broadcast
+    * degree annotations and TakeOrdered top-20 — no wedge work at query
+    * time, no global sort. */
+  val graphWeakTies: Q = (s, d) => {
+    val e = edges(s, d)
+    val nEdges = e.count()
+    val ep = e.select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("p"))
+    val deg = degrees(e)
+    val pc = pairCounts(s, d)
+    // pair counts restricted TO edges (graphJaccard's semi-join shape) —
+    // edge-bounded, so it both backs the supported-tie rows and serves as
+    // the build side of the zero-support anti-join
+    val onE =
+      (if (nEdges <= graft.Limits.maxBroadcastEdges)
+        pc.join(broadcast(ep), Seq("p"), "left_semi")
+      else pc.join(ep.hint("SHUFFLE_HASH"), Seq("p"), "left_semi"))
+        .localCheckpoint()
+    val zero =
+      (if (nEdges <= graft.Limits.maxBroadcastEdges)
+        ep.join(broadcast(onE.select(col("p"))), Seq("p"), "left_anti")
+      else ep.join(onE.select(col("p")).hint("SHUFFLE_HASH"),
+        Seq("p"), "left_anti"))
+        .select(col("p"), lit(0L).as("c"))
+    val ties = onE.unionByName(zero)
+      .select(shiftright(col("p"), 32).as("a"),
+        col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
+        col("c").as("common_neighbors"))
+      .localCheckpoint()
+    val census = ties.filter(col("common_neighbors") === 0L)
+      .agg(count(lit(1)).as("n_bridges"))
+    ties
+      .join(broadcast(deg.select(col("v").as("a"), col("degree").as("deg_a"))), "a")
+      .join(broadcast(deg.select(col("v").as("b"), col("degree").as("deg_b"))), "b")
+      .crossJoin(broadcast(census))
+      .select(col("a"), col("b"), col("common_neighbors"),
+        col("deg_a"), col("deg_b"), col("n_bridges"))
+      .orderBy(col("common_neighbors"),
+        (col("deg_a") + col("deg_b")).desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   /** Exact per-key count of a partition's packed-pair stream, one pass
     * over reused UnsafeRows (no per-element allocation — a Dataset
     * iterator would box every Long). The count lives in two primitive
@@ -1006,6 +1064,7 @@ object GraphOps {
     "graph_components" -> graphComponents,
     "graph_common_neighbors" -> graphCommonNeighbors,
     "graph_jaccard" -> graphJaccard,
+    "graph_weak_ties" -> graphWeakTies,
     "graph_kcore" -> graphKcore,
     "basket_rules" -> basketRules,
     "graph_pagerank" -> graphPagerank,
@@ -1187,6 +1246,26 @@ object GraphOps {
          FROM e JOIN cn ON cn.a = e.a AND cn.b = e.b
          JOIN ds da ON da.v = e.a JOIN ds db ON db.v = e.b
          ORDER BY jaccard DESC, e.a, e.b LIMIT 20""",
+    "graph_weak_ties" ->
+      s"""WITH $edgeCtes,
+         adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+         kept AS (SELECT w FROM adj GROUP BY w
+                  HAVING COUNT(*) <= $wedgeDegreeCap),
+         cn AS (SELECT x.n AS a, y.n AS b, CAST(COUNT(*) AS BIGINT) AS c
+                FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+                WHERE x.w IN (SELECT w FROM kept)
+                GROUP BY x.n, y.n),
+         ties AS (SELECT e.a, e.b, COALESCE(cn.c, 0) AS common_neighbors
+                  FROM e LEFT JOIN cn ON cn.a = e.a AND cn.b = e.b),
+         census AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bridges
+                    FROM ties WHERE common_neighbors = 0)
+         SELECT t.a, t.b, CAST(t.common_neighbors AS BIGINT) AS common_neighbors,
+           da.degree AS deg_a, db.degree AS deg_b, census.n_bridges
+         FROM ties t
+         JOIN deg da ON da.v = t.a JOIN deg db ON db.v = t.b
+         CROSS JOIN census
+         ORDER BY t.common_neighbors, (da.degree + db.degree) DESC, t.a, t.b
+         LIMIT 20""",
     "basket_rules" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          n_ord AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op),

@@ -346,6 +346,48 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Coverage checkpoints: the fraction of running-token mass the top-k
+    * word types cover, evaluated at these k. */
+  val coverageKs: Seq[Int] = Seq(10, 100, 1000)
+
+  /** Head-vocabulary coverage curve per language: what fraction of all
+    * token OCCURRENCES the top-{10,100,1000} word types cover — the
+    * statistic that sizes a tokenizer's vocabulary budget (BPE merges
+    * chase exactly this curve) and predicts OOV rates per language.
+    * Ranking is deterministic (count desc, then word); a language with
+    * fewer than k types reports its full mass (coverage 1.0) at that
+    * checkpoint, so the curve is defined at every checkpoint regardless
+    * of vocabulary size.
+    *
+    * Scale shape: one (lang, word)-keyed count aggregate (map-side
+    * combined), a per-language rank window over the VOCABULARY (types,
+    * not tokens — orders of magnitude smaller than the corpus, same
+    * posture as [[textZipfSlope]]), a filter to the ≤1000-row head
+    * BEFORE the 3-row checkpoint table nested-loop-joins in (head×3
+    * rows, never vocab×3), and one broadcast totals annotation. */
+  val textTopkCoverage: Q = (s, d) => {
+    import s.implicits._
+    val wc = docs(s, d)
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("c").desc, col("w"))
+    val head = wc.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= coverageKs.max)
+    val tot = wc.groupBy(col("lang"))
+      .agg(sum(col("c")).as("total_tokens"), count(lit(1)).as("n_types"))
+    val ks = coverageKs.map(_.toLong).toDF("k")
+    head.join(broadcast(ks), col("rk") <= col("k"))
+      .groupBy(col("lang"), col("k"))
+      .agg(count(lit(1)).as("head_types"), sum(col("c")).as("head_tokens"))
+      .join(broadcast(tot), "lang")
+      .select(col("lang"), col("k"), col("head_types"), col("head_tokens"),
+        col("total_tokens"), col("n_types"),
+        round(col("head_tokens").cast(DoubleType) / col("total_tokens"), 6)
+          .as("coverage"))
+      .orderBy(col("lang"), col("k"))
+  }
+
   /** Corpus n-gram statistics: top-10 word bigrams per language (tie-broken
     * lexicographically). The explode output shuffles once on (lang, bigram)
     * with map-side partial counts; the top-k window only sees the distinct
@@ -473,6 +515,7 @@ object TextOps {
     "text_doc_freq" -> textDocFreq,
     "text_keywords" -> textKeywords,
     "text_zipf_slope" -> textZipfSlope,
+    "text_topk_coverage" -> textTopkCoverage,
   )
 
   val oracle: Map[String, String] = Map(
@@ -521,6 +564,34 @@ object TextOps {
                / (CAST(n_ranks AS DOUBLE) * CAST(sx2 AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
          FROM agg ORDER BY lang""",
+    "text_topk_coverage" ->
+      s"""WITH wc AS (
+           SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           GROUP BY lang, w),
+         rk AS (
+           SELECT lang, c,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rk
+           FROM wc),
+         tot AS (
+           SELECT lang, CAST(SUM(c) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+           FROM wc GROUP BY lang),
+         ks AS (SELECT CAST(k AS BIGINT) AS k
+                FROM (VALUES ${coverageKs.map(k => s"($k)").mkString(", ")})
+                  t(k)),
+         h AS (
+           SELECT lang, k, CAST(COUNT(*) AS BIGINT) AS head_types,
+             CAST(SUM(c) AS BIGINT) AS head_tokens
+           FROM rk JOIN ks ON rk.rk <= ks.k
+           WHERE rk.rk <= ${coverageKs.max}
+           GROUP BY lang, k)
+         SELECT h.lang, h.k, h.head_types, h.head_tokens,
+           tot.total_tokens, tot.n_types,
+           round(CAST(h.head_tokens AS DOUBLE) / tot.total_tokens, 6)
+             AS coverage
+         FROM h JOIN tot USING (lang) ORDER BY h.lang, h.k""",
     "text_entropy" ->
       """WITH c AS (
            SELECT doc_id, ch, COUNT(*) AS c

@@ -760,6 +760,57 @@ class PlanSpec extends AnyFunSuite {
       s"type-keyed RANGE frame expected:\n$plan")
   }
 
+  test("events_survival: day-grain windows, one-row census broadcast") {
+    val plan = formatted("events_survival")
+    // the at-risk population count rides every day row as a broadcast
+    // one-row nested-loop join — the event stream is never re-scanned
+    // per row
+    assert(plan.linesIterator.count(_.contains("- BroadcastNestedLoopJoin")) == 1,
+      plan)
+    // both running windows are ROWS frames over the day-grain aggregate
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(l =>
+      l.contains("specifiedwindowframe(RowFrame")), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("events_cohort_ltv: cohort-keyed window, sizes broadcast") {
+    val plan = formatted("events_cohort_ltv")
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("cohort_week#")),
+      s"running sum must partition by cohort_week:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("graph_weak_ties: artifact streams once; all probes broadcast at this scale") {
+    val plan = formatted("graph_weak_ties")
+    // the checkpointed tie table enters as an ExistingRDD scan (the semi
+    // and anti probes against the pair-count artifact ran at checkpoint
+    // time, broadcast within maxBroadcastEdges reach); what remains is
+    // two broadcast degree annotations plus the one-row census
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.linesIterator.count(_.contains("- BroadcastExchange")) >= 3, plan)
+    assert(plan.linesIterator.count(_.contains("- BroadcastNestedLoopJoin")) == 1,
+      plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("text_topk_coverage: head filtered before the checkpoint NL join") {
+    val plan = formatted("text_topk_coverage")
+    // the 3-row checkpoint table joins the ≤1000-row HEAD, not the
+    // vocabulary: the rank filter sits below the nested-loop join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Filter") || l.contains("(rk")), plan)
+    assert(plan.contains("rk#") && plan.contains("<= 1000"), plan)
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("lang#")),
+      s"rank window must partition by lang:\n$plan")
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
