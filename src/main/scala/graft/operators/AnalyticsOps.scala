@@ -155,6 +155,42 @@ object AnalyticsOps {
       .orderBy(col("lang"))
   }
 
+  /** Unigram domain shift per source: KL(P_source ‖ P_corpus) in nats
+    * over the word distribution — the statistic that ranks which sources
+    * drag a training mix away from the corpus average (and the term
+    * CCNet-style importance sampling reweights by). Every word in a
+    * source exists in the corpus by construction, so no term needs
+    * smoothing. Arithmetic is the [[lmBigramEntropy]] convention: KL·N_s
+    * = Σ c_sw·(ln c_sw − ln N_s − ln c_w + ln N), each log quantized to
+    * DECIMAL(18,6) BEFORE the exact count-weighted decimal sum (the sum
+    * reassociates freely), one float division per source at the end.
+    *
+    * 100 TB shape: one (source, word) aggregate collapses the corpus;
+    * the corpus-marginal re-aggregate and its equi-join back ride the
+    * VOCABULARY-grain frame keyed on word; source totals and the scalar
+    * grand total broadcast. */
+  val lmUnigramKl: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    def qln(c: org.apache.spark.sql.Column) =
+      round(log(c.cast(DoubleType)), 6).cast(dec6)
+    val wc = docs(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+    val srcTot = wc.groupBy(col("source")).agg(sum(col("c_sw")).as("tot_s"))
+    val corpus = wc.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val tot = corpus.agg(sum(col("c_w")).as("tot"))
+    wc.join(corpus, "w")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(max(col("tot_s")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c_sw") * (qln(col("c_sw")) - qln(col("tot_s")) -
+          qln(col("c_w")) + qln(col("tot")))).as("st"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("st").cast(DoubleType) / col("n_tokens"), 6).as("kl_nats"))
+      .orderBy(col("source"))
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities (fixed discount
     * D = 3/4) for the corpus's top-20 bigrams — the standard n-gram LM
     * smoother (Kneser & Ney 1995; Chen & Goodman 1998):
@@ -522,6 +558,107 @@ object AnalyticsOps {
         round((col("n") * 7).cast(DoubleType) /
           col("total").cast(DoubleType), 6).as("dow_index"))
       .orderBy(col("event_type"), col("isodow"))
+  }
+
+  /** Revenue-concentration readout per event type: the Gini coefficient
+    * of per-user total value plus the top-decile share — the whale-curve
+    * ("how much of revenue do the top 10% of users carry") every
+    * monetization review opens with. Per-user totals are exact
+    * DECIMAL(18,6) sums; users rank by (value, user_id) so the Lorenz
+    * order is total; Gini uses the rank identity
+    * G = (2·Σ i·vᵢ − (n+1)·Σv) / (n·Σv) with the rank-weighted sum
+    * Σ i·vᵢ kept as an exact BIGINT×DECIMAL product until the single
+    * float evaluation (identical formula text in the oracle); the
+    * top-decile cut is k = ⌈n/10⌉ users by integer arithmetic.
+    *
+    * 100 TB shape: one user-keyed aggregate collapses the event stream;
+    * the rank window and both sums ride the USER-grain frame partitioned
+    * by event_type (users ≪ events, types bound the partitions), and the
+    * two-row-group output joins nothing back. */
+  val eventsGini: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    val perUser = events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("value").cast(dec6)).as("v"))
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("v"), col("user_id"))
+    perUser
+      .withColumn("i", row_number().over(byType).cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("v")).as("tot"),
+        sum(col("i") * col("v")).as("iv"))
+      .select(col("event_type"), col("n_users"),
+        round(col("tot").cast(DoubleType), 6).as("total_value"),
+        round((lit(2.0d) * col("iv").cast(DoubleType) -
+            (col("n_users") + 1L).cast(DoubleType) * col("tot").cast(DoubleType)) /
+          (col("n_users").cast(DoubleType) * col("tot").cast(DoubleType)), 6)
+          .as("gini"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Top-decile (whale) share per event type: the fraction of total value
+    * carried by the top ⌈n/10⌉ users — [[eventsGini]]'s companion
+    * readout, split out so each statistic stays one exact aggregate.
+    * Ranks descend by (value, user_id); the decile cut is exact integer
+    * arithmetic ((n + 9) DIV 10 in both engines); shares divide two
+    * exact decimals once. Same USER-grain scale shape as the Gini. */
+  val eventsWhaleShare: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    val perUser = events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("value").cast(dec6)).as("v"))
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("v").desc, col("user_id").desc)
+    perUser
+      .withColumn("i", row_number().over(byType).cast(LongType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("k", expr("(n + 9) DIV 10"))
+      .groupBy(col("event_type"))
+      .agg(max(col("k")).as("top_users"),
+        sum(when(col("i") <= col("k"), col("v")).otherwise(lit(0).cast(dec6)))
+          .as("top_v"),
+        sum(col("v")).as("tot"))
+      .select(col("event_type"), col("top_users"),
+        round(col("top_v").cast(DoubleType), 6).as("top_value"),
+        round(col("top_v").cast(DoubleType) / col("tot").cast(DoubleType), 6)
+          .as("top_share"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Inter-arrival cadence histogram: per event type, the distribution of
+    * same-user gaps between consecutive events of that type, bucketed by
+    * binary order of magnitude — bucket k holds gaps of k binary digits
+    * (2^(k−1) ≤ gap < 2^k seconds; 0-second gaps share bucket 1 with
+    * 1-second gaps), the log-scale cadence readout that sizes session
+    * timeouts and rate alarms without a single float: the bucket is the
+    * LENGTH OF THE BINARY STRING of the integer second gap (`bin()` in
+    * both engines), gaps are whole-second unix-time differences, and the
+    * share divides two exact longs once.
+    *
+    * 100 TB shape: one keyed LAG window over (user, type, time) — the
+    * sessionize shuffle — collapsing map-side to |types|×~40 bucket rows;
+    * no joins, no global sort until the bucket-grain output. */
+  val eventsInterarrival: Q = (s, d) => {
+    val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(unix_timestamp(col("ts")), 1).over(byUserType))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        (unix_timestamp(col("ts")) - col("prev")).as("gap_s"))
+    gaps
+      .groupBy(col("event_type"), length(bin(col("gap_s"))).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("gap_s")).as("min_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+      .withColumn("type_n", sum(col("n")).over(
+        Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("bucket"), col("n"),
+        col("min_gap_s"), col("max_gap_s"),
+        round(col("n").cast(DoubleType) / col("type_n").cast(DoubleType), 6)
+          .as("share"))
+      .orderBy(col("event_type"), col("bucket"))
   }
 
   /** Conditional entropy of the event-type transition matrix,
@@ -1253,6 +1390,10 @@ object AnalyticsOps {
     "events_transition_entropy" -> eventsTransitionEntropy,
     "events_survival" -> eventsSurvival,
     "events_cohort_ltv" -> eventsCohortLtv,
+    "events_gini" -> eventsGini,
+    "events_whale_share" -> eventsWhaleShare,
+    "events_interarrival" -> eventsInterarrival,
+    "lm_unigram_kl" -> lmUnigramKl,
     "lm_kneser_ney" -> lmKneserNey,
     "rfm_segment" -> rfmSegment,
     "text_vocab_growth" -> textVocabGrowth,
@@ -1503,6 +1644,84 @@ object AnalyticsOps {
            round(CAST(SUM(n * (y1 - y2)) AS DOUBLE)
              / CAST(SUM(n) AS BIGINT), 6) AS cond_entropy_nats
          FROM q GROUP BY cur_type ORDER BY cur_type""",
+    "events_gini" ->
+      """WITH pu AS (
+           SELECT event_type, user_id,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v
+           FROM events GROUP BY event_type, user_id),
+         r AS (
+           SELECT event_type, v,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY v, user_id) AS BIGINT) AS i
+           FROM pu)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(CAST(SUM(v) AS DOUBLE), 6) AS total_value,
+           round((2.0 * CAST(SUM(i * v) AS DOUBLE)
+               - CAST(COUNT(*) + 1 AS DOUBLE) * CAST(SUM(v) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)), 6)
+             AS gini
+         FROM r GROUP BY event_type ORDER BY event_type""",
+    "events_whale_share" ->
+      """WITH pu AS (
+           SELECT event_type, user_id,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v
+           FROM events GROUP BY event_type, user_id),
+         r AS (
+           SELECT event_type, v,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY v DESC, user_id DESC) AS BIGINT) AS i,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM pu),
+         kk AS (SELECT *, (n + 9) // 10 AS k FROM r)
+         SELECT event_type, CAST(MAX(k) AS BIGINT) AS top_users,
+           round(CAST(SUM(CASE WHEN i <= k THEN v
+             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS top_value,
+           round(CAST(SUM(CASE WHEN i <= k THEN v
+               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(v) AS DOUBLE), 6) AS top_share
+         FROM kk GROUP BY event_type ORDER BY event_type""",
+    "events_interarrival" ->
+      """WITH g AS (
+           SELECT event_type,
+             CAST(floor(epoch(date_trunc('microseconds', ts))) AS BIGINT)
+               - LAG(CAST(floor(epoch(date_trunc('microseconds', ts)))
+                   AS BIGINT)) OVER
+                 (PARTITION BY user_id, event_type
+                  ORDER BY date_trunc('microseconds', ts), event_id) AS gap_s
+           FROM events),
+         b AS (
+           SELECT event_type, CAST(length(bin(gap_s)) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(gap_s) AS min_gap_s, MAX(gap_s) AS max_gap_s
+           FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY event_type)
+                 AS BIGINT) AS type_n FROM b)
+         SELECT event_type, bucket, n, min_gap_s, max_gap_s,
+           round(CAST(n AS DOUBLE) / CAST(type_n AS DOUBLE), 6) AS share
+         FROM t ORDER BY event_type, bucket""",
+    "lm_unigram_kl" ->
+      """WITH wc AS (
+           SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           GROUP BY source, w),
+         st AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS tot_s
+                FROM wc GROUP BY source),
+         cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w
+                FROM wc GROUP BY w),
+         tt AS (SELECT CAST(SUM(c_w) AS BIGINT) AS tot FROM cw),
+         q AS (
+           SELECT wc.source, wc.c_sw, st.tot_s,
+             CAST(round(ln(wc.c_sw), 6) AS DECIMAL(18,6)) AS y1,
+             CAST(round(ln(st.tot_s), 6) AS DECIMAL(18,6)) AS y2,
+             CAST(round(ln(cw.c_w), 6) AS DECIMAL(18,6)) AS y3,
+             CAST(round(ln(tt.tot), 6) AS DECIMAL(18,6)) AS y4
+           FROM wc JOIN cw USING (w) JOIN st USING (source) CROSS JOIN tt)
+         SELECT source, MAX(tot_s) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           round(CAST(SUM(c_sw * (y1 - y2 - y3 + y4)) AS DOUBLE)
+             / MAX(tot_s), 6) AS kl_nats
+         FROM q GROUP BY source ORDER BY source""",
     "events_survival" ->
       """WITH t1 AS (
            SELECT user_id, MIN(date_trunc('microseconds', ts)) AS t1

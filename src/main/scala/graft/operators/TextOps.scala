@@ -388,6 +388,45 @@ object TextOps {
       .orderBy(col("lang"), col("k"))
   }
 
+  /** How many of the most document-frequent words [[textBurstiness]]
+    * reports. */
+  val burstTopWords = 50
+
+  /** Word burstiness for the top-[[burstTopWords]] words by document
+    * frequency: the variance-to-mean ratio of per-document counts
+    * (zeros included) — ≈1 for Poisson "function words" scattered
+    * evenly, ≫1 for topical words that arrive in bursts. The classifier
+    * feature behind stopword lists and TF-IDF damping choices. All three
+    * moments (document frequency, Σc, Σc²) are exact integers; the VMR
+    * = (N·Σc² − (Σc)²) / ((N−1)·Σc) evaluates once per word in doubles
+    * with identical formula text both engines (the widen-first rule:
+    * N·Σc² as int64 overflows past ~1e12 docs, so both factors cast to
+    * double BEFORE the multiply).
+    *
+    * Scale shape: one (word, doc) count aggregate (map-side combined),
+    * one word-keyed moment aggregate over that — both corpus-shuffle
+    * passes on narrow keys; the top-50 cut is TakeOrdered over the
+    * VOCABULARY-grain moments (never a global sort), and the one-row
+    * doc census broadcasts in. */
+  val textBurstiness: Q = (s, d) => {
+    val dc = docs(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val nd = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    dc.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("tot_c"),
+        sum(col("c") * col("c")).as("sq_c"))
+      .crossJoin(broadcast(nd))
+      .select(col("w").as("word"), col("df"), col("tot_c"),
+        round((col("n_docs").cast(DoubleType) * col("sq_c").cast(DoubleType) -
+            col("tot_c").cast(DoubleType) * col("tot_c").cast(DoubleType)) /
+          ((col("n_docs") - 1L).cast(DoubleType) *
+            col("tot_c").cast(DoubleType)), 6)
+          .as("burstiness"))
+      .orderBy(col("df").desc, col("word"))
+      .limit(burstTopWords)
+  }
+
   /** Corpus n-gram statistics: top-10 word bigrams per language (tie-broken
     * lexicographically). The explode output shuffles once on (lang, bigram)
     * with map-side partial counts; the top-k window only sees the distinct
@@ -516,6 +555,7 @@ object TextOps {
     "text_keywords" -> textKeywords,
     "text_zipf_slope" -> textZipfSlope,
     "text_topk_coverage" -> textTopkCoverage,
+    "text_burstiness" -> textBurstiness,
   )
 
   val oracle: Map[String, String] = Map(
@@ -592,6 +632,25 @@ object TextOps {
            round(CAST(h.head_tokens AS DOUBLE) / tot.total_tokens, 6)
              AS coverage
          FROM h JOIN tot USING (lang) ORDER BY h.lang, h.k""",
+    "text_burstiness" ->
+      s"""WITH dc AS (
+           SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           GROUP BY w, doc_id),
+         nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         m AS (
+           SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS tot_c,
+             CAST(SUM(c * c) AS BIGINT) AS sq_c
+           FROM dc GROUP BY w)
+         SELECT w AS word, df, tot_c,
+           round((CAST(n_docs AS DOUBLE) * CAST(sq_c AS DOUBLE)
+               - CAST(tot_c AS DOUBLE) * CAST(tot_c AS DOUBLE))
+             / (CAST(n_docs - 1 AS DOUBLE) * CAST(tot_c AS DOUBLE)), 6)
+             AS burstiness
+         FROM m CROSS JOIN nd
+         ORDER BY df DESC, word LIMIT $burstTopWords""",
     "text_entropy" ->
       """WITH c AS (
            SELECT doc_id, ch, COUNT(*) AS c

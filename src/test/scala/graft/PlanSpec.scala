@@ -811,6 +811,50 @@ class PlanSpec extends AnyFunSuite {
       s"rank window must partition by lang:\n$plan")
   }
 
+  test("events_gini: user-grain rank window keyed by event_type") {
+    val plan = formatted("events_gini")
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("event_type#")),
+      s"rank window must partition by event_type:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("events_interarrival: one keyed LAG window, no joins") {
+    val plan = formatted("events_interarrival")
+    assert(!plan.contains("Join"), s"no join belongs in this plan:\n$plan")
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    // the event-stream LAG window keys on (user, type); the only other
+    // window is the share fold over the |types|×~40-row bucket aggregate
+    val lagLines = winLines.filter(_.contains("lag("))
+    assert(lagLines.nonEmpty && lagLines.forall(l =>
+      l.contains("user_id#") && l.contains("event_type#")),
+      s"LAG window must partition by (user, type):\n$plan")
+    assert(winLines.filterNot(_.contains("lag(")).forall(_.contains("event_type#")),
+      s"share fold must key on event_type:\n$plan")
+    // exactly one scan of the event stream
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+      plan)
+  }
+
+  test("lm_unigram_kl: marginals broadcast; corpus shuffles on narrow keys") {
+    val plan = formatted("lm_unigram_kl")
+    // source totals + scalar grand total enter as broadcasts
+    assert(plan.linesIterator.count(_.contains("- BroadcastExchange")) >= 2, plan)
+    assert(plan.linesIterator.count(_.contains("- BroadcastNestedLoopJoin")) == 1,
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("text_burstiness: TakeOrdered over vocabulary moments, census broadcast") {
+    val plan = formatted("text_burstiness")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.linesIterator.count(_.contains("- BroadcastNestedLoopJoin")) == 1,
+      plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
