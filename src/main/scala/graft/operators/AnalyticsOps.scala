@@ -1065,6 +1065,177 @@ object AnalyticsOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Robust daily-count monitor per event type: the median/MAD twin of
+    * [[eventsAnomaly]] — a level shift or fat-tailed day poisons a
+    * mean/σ z-score (the outlier inflates its own yardstick) while the
+    * median absolute deviation barely moves. Both medians are LOWER
+    * medians picked by rank ((n+1) DIV 2 over the sorted day counts,
+    * ties broken by day), so every statistic stays an exact integer end
+    * to end; a day flags when |n − median| > 3·MAD in pure int64
+    * arithmetic — no float enters the query at all.
+    *
+    * 100 TB shape: one (type, day) count aggregate collapses the event
+    * stream; both rank windows and the two broadcast annotations ride
+    * the DAY-grain frame (types × days rows). */
+  val eventsAnomalyMad: Q = (s, d) => {
+    // the day-grain aggregate pins so the event stream scans ONCE — the
+    // median, deviation and MAD branches all reuse the tiny frame
+    val daily = events(s, d)
+      .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    def lowerMedian(df: DataFrame, value: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col(value), col("day"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+        .select(col("event_type"), col(value).as(out))
+    }
+    val med = lowerMedian(daily, "n", "median_n")
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("ad", abs(col("n") - col("median_n")))
+    val mad = lowerMedian(dev, "ad", "mad_n")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), max(col("median_n")).as("median_n"),
+        max(col("mad_n")).as("mad_n"),
+        sum(when(col("ad") > lit(3L) * col("mad_n"), 1L).otherwise(0L))
+          .as("n_anomalies"),
+        max(col("ad")).as("max_abs_dev"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Held-out unigram perplexity per language: documents hash-split
+    * 80/20 by content digest (the [[graft.operators.PipelineOps]]
+    * split convention — leakage impossible, a duplicated text lands on
+    * one side), an add-one-smoothed unigram LM fits on the train side,
+    * and the held-out side scores PPL = exp(−(1/N_h)·Σ ln p(w)) with
+    * p(w) = (c_train(w)+1)/(N_train+V_train+1) — unseen words take the
+    * +1 floor, so OOV mass is defined without a backoff table. The
+    * eval loop every tokenizer/corpus ablation runs. Logs quantize to
+    * DECIMAL(18,6) before the count-weighted exact sum ([[lmBigramEntropy]]
+    * convention); the one exp+round lands on the language-grain output.
+    *
+    * 100 TB shape: ONE (lang, word) aggregate carries both splits as
+    * conditional counts (the corpus tokenizes and shuffles exactly
+    * once); the held-out fold and the broadcast language totals ride
+    * the vocabulary-grain frame. */
+  val lmHeldoutPpl: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    def qln(c: org.apache.spark.sql.Column) =
+      round(log(c.cast(DoubleType)), 6).cast(dec6)
+    val wc = docs(s, d)
+      .select(col("lang"),
+        (graft.functions.PolyHash.poly_hash(md5(col("text"))) % 100 < 80)
+          .as("is_train"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("w"))
+      .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("c_tr"),
+        sum(when(col("is_train"), 0L).otherwise(1L)).as("c_h"))
+      .localCheckpoint()
+    val trainTot = wc.filter(col("c_tr") > 0L).groupBy(col("lang"))
+      .agg(sum(col("c_tr")).as("n_train"), count(lit(1)).as("v_train"))
+    wc.filter(col("c_h") > 0L)
+      .join(broadcast(trainTot), "lang")
+      .groupBy(col("lang"))
+      .agg(max(col("n_train")).as("n_train"), max(col("v_train")).as("v_train"),
+        sum(col("c_h")).as("n_heldout"),
+        sum(when(col("c_tr") === 0L, col("c_h")).otherwise(0L)).as("n_oov"),
+        sum(col("c_h") *
+          (qln(col("c_tr") + 1L) -
+            qln(col("n_train") + col("v_train") + 1L))).as("st"))
+      .select(col("lang"), col("n_train"), col("v_train"), col("n_heldout"),
+        round(col("n_oov").cast(DoubleType) / col("n_heldout"), 6)
+          .as("oov_rate"),
+        round(exp(-col("st").cast(DoubleType) / col("n_heldout")), 6)
+          .as("ppl"))
+      .orderBy(col("lang"))
+  }
+
+  /** Daily-count correlation matrix: Pearson r between every event-type
+    * pair's day-by-day counts — the "do errors spike with signups"
+    * co-movement readout. Each pair carries exact product moments
+    * (Σx, Σy, Σxy, Σx², Σy² — the squares widen to DECIMAL(38,0)
+    * BEFORE multiplying, the Spark twin of the oracle's HUGEINT, since
+    * day-counts square past int64 at ~1e10 events/day) and r evaluates
+    * once per pair in doubles with identical formula text both engines.
+    *
+    * 100 TB shape: one (day, type) count aggregate collapses the stream;
+    * the pair join and moment fold ride the DAY-grain frame
+    * (days × types rows, self-joined on day — types² output). */
+  val eventsTypeCorr: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    // day-grain aggregate pins: both self-join sides reuse one event scan
+    val daily = events(s, d)
+      .groupBy(expr("CAST(ts AS DATE)").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val a = daily.select(col("day"), col("event_type").as("type_a"),
+      col("n").as("x"))
+    val b = daily.select(col("day"), col("event_type").as("type_b"),
+      col("n").as("y"))
+    a.join(b, "day").filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(dec38) * col("y")).as("sxy"),
+        sum(col("x").cast(dec38) * col("x")).as("sxx"),
+        sum(col("y").cast(dec38) * col("y")).as("syy"))
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        round((col("n_days").cast(DoubleType) * col("sxy").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+          (sqrt(col("n_days").cast(DoubleType) * col("sxx").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
+           sqrt(col("n_days").cast(DoubleType) * col("syy").cast(DoubleType) -
+            col("sy").cast(DoubleType) * col("sy").cast(DoubleType))), 6)
+          .as("pearson_r"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Daily top-20 leaderboard churn: how much of each day's top-20
+    * most-active users carries over from the previous calendar day —
+    * overlap count, exact-integer Jaccard of the two sets, and the
+    * entrant count. High churn means engagement is broad; zero churn
+    * means the same whales every day. Ranks break ties by user_id so
+    * the leaderboard is deterministic; a day reports only if the
+    * previous calendar day has a leaderboard.
+    *
+    * 100 TB shape: one (day, user) count aggregate collapses the
+    * stream; the top-20 cut is a rank window over the user-day frame
+    * keyed by day (at extreme user counts the evolution is a bounded
+    * per-day top-k aggregate — the [[graft.functions.TopKAggregator]]
+    * pattern); everything after rides the days×20 leaderboard. */
+  val eventsTopkChurn: Q = (s, d) => {
+    val byDay = Window.partitionBy(col("day"))
+      .orderBy(col("n").desc, col("user_id"))
+    val top = events(s, d)
+      .groupBy(expr("CAST(ts AS DATE)").as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") <= 20)
+      .select(col("day"), col("user_id"))
+      .localCheckpoint()
+    val sizes = top.groupBy(col("day")).agg(count(lit(1)).as("k"))
+    val common = top.as("t")
+      .join(top.select(date_add(col("day"), 1).as("day"),
+        col("user_id")).as("p"), Seq("day", "user_id"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_common"))
+    sizes.as("s")
+      .join(broadcast(sizes.select(date_add(col("day"), 1).as("day"),
+        col("k").as("k_prev"))), "day")
+      .join(broadcast(common), Seq("day"), "left")
+      .select(col("day"), col("k"), col("k_prev"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast(DoubleType) /
+          (col("k") + col("k_prev") -
+            coalesce(col("n_common"), lit(0L))).cast(DoubleType), 6)
+          .as("jaccard"),
+        (col("k") - coalesce(col("n_common"), lit(0L))).as("new_entrants"))
+      .orderBy(col("day"))
+  }
+
   /** Cross-document trigram novelty: the share of a document's trigrams
     * that appear in no OTHER document — the memorization/contamination
     * signal (a doc of all-shared trigrams is boilerplate or a copy; one of
@@ -1394,6 +1565,10 @@ object AnalyticsOps {
     "events_whale_share" -> eventsWhaleShare,
     "events_interarrival" -> eventsInterarrival,
     "lm_unigram_kl" -> lmUnigramKl,
+    "events_anomaly_mad" -> eventsAnomalyMad,
+    "lm_heldout_ppl" -> lmHeldoutPpl,
+    "events_type_corr" -> eventsTypeCorr,
+    "events_topk_churn" -> eventsTopkChurn,
     "lm_kneser_ney" -> lmKneserNey,
     "rfm_segment" -> rfmSegment,
     "text_vocab_growth" -> textVocabGrowth,
@@ -1644,6 +1819,125 @@ object AnalyticsOps {
            round(CAST(SUM(n * (y1 - y2)) AS DOUBLE)
              / CAST(SUM(n) AS BIGINT), 6) AS cond_entropy_nats
          FROM q GROUP BY cur_type ORDER BY cur_type""",
+    "events_anomaly_mad" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         med AS (
+           SELECT event_type, n AS median_n FROM (
+             SELECT event_type, day, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, day)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+             FROM daily)
+           WHERE rn = (cnt + 1) // 2),
+         dev AS (
+           SELECT d.event_type, d.day, d.n, m.median_n,
+             abs(d.n - m.median_n) AS ad
+           FROM daily d JOIN med m USING (event_type)),
+         mad AS (
+           SELECT event_type, ad AS mad_n FROM (
+             SELECT event_type, day, ad,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad, day)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+             FROM dev)
+           WHERE rn = (cnt + 1) // 2)
+         SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(d.median_n) AS BIGINT) AS median_n,
+           CAST(MAX(a.mad_n) AS BIGINT) AS mad_n,
+           CAST(SUM(CASE WHEN d.ad > 3 * a.mad_n THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_anomalies,
+           CAST(MAX(d.ad) AS BIGINT) AS max_abs_dev
+         FROM dev d JOIN mad a USING (event_type)
+         GROUP BY d.event_type ORDER BY d.event_type""",
+    "lm_heldout_ppl" ->
+      s"""WITH toks AS (
+           SELECT lang,
+             (${graft.functions.PolyHash.duckSql("md5(text)")}) % 100 < 80
+               AS is_train,
+             unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         tr AS (
+           SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c_tr
+           FROM toks WHERE is_train GROUP BY lang, w),
+         tt AS (
+           SELECT lang, CAST(SUM(c_tr) AS BIGINT) AS n_train,
+             CAST(COUNT(*) AS BIGINT) AS v_train
+           FROM tr GROUP BY lang),
+         hw AS (
+           SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c_h
+           FROM toks WHERE NOT is_train GROUP BY lang, w),
+         q AS (
+           SELECT hw.lang, hw.c_h, tr.c_tr, tt.n_train, tt.v_train,
+             CAST(round(ln(COALESCE(tr.c_tr, 0) + 1), 6) AS DECIMAL(18,6))
+               AS y1,
+             CAST(round(ln(tt.n_train + tt.v_train + 1), 6) AS DECIMAL(18,6))
+               AS y2
+           FROM hw LEFT JOIN tr USING (lang, w) JOIN tt USING (lang))
+         SELECT lang, MAX(n_train) AS n_train, MAX(v_train) AS v_train,
+           CAST(SUM(c_h) AS BIGINT) AS n_heldout,
+           round(CAST(SUM(CASE WHEN c_tr IS NULL THEN c_h ELSE 0 END)
+               AS DOUBLE) / CAST(SUM(c_h) AS BIGINT), 6) AS oov_rate,
+           round(exp(-CAST(SUM(c_h * (y1 - y2)) AS DOUBLE)
+             / CAST(SUM(c_h) AS BIGINT)), 6) AS ppl
+         FROM q GROUP BY lang ORDER BY lang""",
+    "events_type_corr" ->
+      """WITH daily AS (
+           SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n AS x, b.n AS y
+           FROM daily a JOIN daily b ON a.day = b.day
+           WHERE a.event_type < b.event_type),
+         m AS (
+           SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+           FROM p GROUP BY type_a, type_b)
+         SELECT type_a, type_b, n_days,
+           round((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS pearson_r
+         FROM m ORDER BY type_a, type_b""",
+    "events_topk_churn" ->
+      """WITH ud AS (
+           SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         top AS (
+           SELECT day, user_id FROM (
+             SELECT day, user_id,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, user_id)
+                 AS rn
+             FROM ud)
+           WHERE rn <= 20),
+         sizes AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS k
+                   FROM top GROUP BY day),
+         com AS (
+           SELECT t.day, CAST(COUNT(*) AS BIGINT) AS n_common
+           FROM top t JOIN top p
+             ON p.day + INTERVAL 1 DAY = t.day AND p.user_id = t.user_id
+           GROUP BY t.day)
+         SELECT s.day, s.k, sp.k AS k_prev,
+           COALESCE(c.n_common, 0) AS n_common,
+           round(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+             / CAST(s.k + sp.k - COALESCE(c.n_common, 0) AS DOUBLE), 6)
+             AS jaccard,
+           CAST(s.k - COALESCE(c.n_common, 0) AS BIGINT) AS new_entrants
+         FROM sizes s
+         JOIN sizes sp ON sp.day + INTERVAL 1 DAY = s.day
+         LEFT JOIN com c ON c.day = s.day
+         ORDER BY s.day""",
     "events_gini" ->
       """WITH pu AS (
            SELECT event_type, user_id,

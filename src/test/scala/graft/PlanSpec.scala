@@ -855,6 +855,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("events_anomaly_mad: day-grain frame checkpointed once; no float in plan") {
+    val plan = formatted("events_anomaly_mad")
+    // the three derivation branches reuse the checkpointed day-grain
+    // aggregate instead of re-scanning events
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 0,
+      s"event stream must not re-scan:\n$plan")
+    assert(plan.linesIterator.count(_.contains("- BroadcastExchange")) >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("events_type_corr: day-grain self-join reuses one checkpointed scan") {
+    val plan = formatted("events_type_corr")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 0,
+      s"event stream must not re-scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("lm_heldout_ppl: one tokenize pass carries both splits") {
+    val plan = formatted("lm_heldout_ppl")
+    // the single (lang, word) conditional-count aggregate is checkpointed;
+    // train totals broadcast into the held-out fold
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 0,
+      s"corpus must tokenize exactly once:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("events_topk_churn: leaderboard checkpointed; day-pair joins broadcast") {
+    val plan = formatted("events_topk_churn")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.linesIterator.count(_.contains("- BroadcastExchange")) >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
