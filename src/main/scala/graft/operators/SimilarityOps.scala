@@ -111,6 +111,126 @@ object SimilarityOps {
       .orderBy(col("score").desc, col("vec_id"))
   }
 
+  /** Hyperplane count for [[simSearchLsh]]: 8 sign bits → 256 buckets. */
+  val lshHyperplanes = 8
+
+  /** Multiprobe Hamming radius for [[simSearchLsh]]: signatures within
+    * this many bit flips of the query's bucket are candidates. */
+  val lshProbeRadius = 2
+
+  /** Shared signature pass for the LSH family: one map-side-combined
+    * aggregate over the posexploded corpus producing (vec_id, label,
+    * packed sign bits), checkpointed so each consumer pays it once. */
+  private def lshSignatures(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PolyHash.poly_hash
+    def hv(p: Int): Column =
+      ((poly_hash(concat(lit(s"$p:"), col("pos").cast(StringType))) % 2001L)
+        .cast(DoubleType) - 1000.0d) / 1000.0d
+    val projections = (0 until lshHyperplanes).map(p =>
+      sum(col("val") * hv(p)).as(s"s$p"))
+    emb(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(asD(col("embedding"))).as(Seq("pos", "val")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(projections.head, projections.tail: _*)
+      .select(col("vec_id"), col("label"),
+        (0 until lshHyperplanes).map(p =>
+          when(round(col(s"s$p"), 6) >= 0.0d, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+      .localCheckpoint()
+  }
+
+  /** Random-hyperplane LSH ANN (SimHash for vectors, Charikar 2002): each
+    * vector's signature packs the sign of its dot product with
+    * [[lshHyperplanes]] deterministic pseudo-random hyperplanes (component
+    * for plane p at 0-based dim i = polyhash("p:i") mapped affinely onto
+    * [−1, 1] — reproducible on any engine, no RNG state); candidates are
+    * vectors whose signature sits within Hamming distance
+    * [[lshProbeRadius]] of the query's (multiprobe), exact-cosine-reranked
+    * to the top 10. The sign threshold applies to the 6-dp-rounded
+    * projection so the bucket assignment is engine-exact; `n_candidates`
+    * rides every row as the probe-selectivity audit.
+    *
+    * This is the third ANN scale path next to IVF and PQ: no training
+    * pass at all (the index is pure hashing), the right trade when the
+    * corpus churns faster than a k-means fit amortizes.
+    *
+    * 100 TB shape: signatures are ONE map-side-combined aggregate over
+    * the posexploded corpus (8 conditional sums per vector, no plane
+    * table join), checkpointed so probe + query reuse it; the candidate
+    * filter is a one-row broadcast against the vector-grain signature
+    * frame; the rerank joins the bounded candidate set (broadcast) back
+    * to the corpus scan and TakeOrders top-10. The corpus never pairs
+    * with itself. */
+  val simSearchLsh: Q = (s, d) => {
+    import graft.functions.CosineSimilarity.cosine_similarity
+    val k = 10
+    val sigs = lshSignatures(s, d)
+    val q = sigs.filter(col("vec_id") === 0).select(col("sig").as("qsig"))
+    val cand = sigs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .filter(bit_count(col("sig").bitwiseXOR(col("qsig"))) <= lshProbeRadius)
+      .select(col("vec_id"))
+    val census = cand.agg(count(lit(1)).as("n_candidates"))
+    val qv = emb(s, d).filter(col("vec_id") === 0)
+      .select(asD(col("embedding")).as("qv"))
+    emb(s, d)
+      .join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"),
+        cosine_similarity(asD(col("embedding")), col("qv")).as("score_raw"))
+      .orderBy(col("score_raw").desc, col("vec_id"))
+      .limit(k)
+      .crossJoin(broadcast(census))
+      .select(col("vec_id"), col("label"),
+        round(col("score_raw"), 6).as("score"), col("n_candidates"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  /** Probe-budget tuning curve for [[simSearchLsh]]: for every Hamming
+    * radius 0..4, the candidate-set size and the recall@10 against the
+    * exact cosine top-10 — the selectivity/recall trade-off that picks
+    * the production radius (the same audit [[simIvfRecall]] runs for the
+    * nprobe knob). Because the rerank is exact cosine, recall@10 IS the
+    * fraction of the exact top-10 whose signature falls inside the
+    * radius. Counts and hits are exact integers; recall divides once.
+    *
+    * 100 TB shape: signatures come from the one aggregate pass
+    * ([[simSearchLsh]]'s shape); the radius expansion is a 5-row
+    * broadcast against the vector-grain signature frame; the exact
+    * top-10 is TakeOrdered over one corpus scan and broadcasts into the
+    * hit flags. */
+  val simLshRecall: Q = (s, d) => {
+    import graft.functions.CosineSimilarity.cosine_similarity
+    val sigs = lshSignatures(s, d)
+    val q = sigs.filter(col("vec_id") === 0).select(col("sig").as("qsig"))
+    val qv = emb(s, d).filter(col("vec_id") === 0)
+      .select(asD(col("embedding")).as("qv"))
+    val top10 = emb(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        cosine_similarity(asD(col("embedding")), col("qv")).as("score_raw"))
+      .orderBy(col("score_raw").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), lit(1L).as("is_top"))
+    val radii = {
+      import s.implicits._
+      (0 to 4).map(_.toLong).toDF("radius")
+    }
+    sigs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        bit_count(col("sig").bitwiseXOR(col("qsig"))).cast(LongType).as("hd"))
+      .join(broadcast(top10), Seq("vec_id"), "left")
+      .join(broadcast(radii), col("hd") <= col("radius"))
+      .groupBy(col("radius"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("is_top"), lit(0L))).as("n_top10_in"))
+      .select(col("radius"), col("n_candidates"), col("n_top10_in"),
+        round(col("n_top10_in").cast(DoubleType) / 10.0d, 6).as("recall_at_10"))
+      .orderBy(col("radius"))
+  }
+
   /** Persistent-index variant of [[simSearchIvf]]: build the partitioned IVF
     * index once, then search with partition pruning (see
     * [[graft.plans.IvfIndex]]). Same centroids/nprobe → same results as the
@@ -934,6 +1054,8 @@ object SimilarityOps {
     "sim_search_topk_native" -> simSearchTopKNative,
     "sim_search_ivf" -> simSearchIvf,
     "sim_search_ivf_indexed" -> simSearchIvfIndexed,
+    "sim_search_lsh" -> simSearchLsh,
+    "sim_lsh_recall" -> simLshRecall,
   )
 
   /** Generated [[kmeansMaxIters]]-iteration replay of [[embeddingKmeans]]:
@@ -1040,6 +1162,112 @@ object SimilarityOps {
          SELECT vec_id, label, ROUND(score_raw, 6) AS score
          FROM (SELECT * FROM scored ORDER BY score_raw DESC, vec_id LIMIT 10)
          ORDER BY score DESC, vec_id"""
+
+  /** LSH oracle: replays [[simSearchLsh]] end to end — hyperplane values
+    * from the portable polyhash, sign buckets on the 6-dp-rounded
+    * projection, Hamming-radius multiprobe, exact-cosine rerank. Raw
+    * double projection sums may differ between engines at ~1e-15; the
+    * 6-dp rounding before the sign test absorbs that (same argument as
+    * [[ivfOracle]]'s scoring). */
+  private def lshOracle: String = {
+    // the dim column is named `dim`, not `i`: duckSql's list comprehension
+    // binds its own loop variable `i`, which would shadow an outer column
+    // of that name inside the hash-input expression
+    val hash = graft.functions.PolyHash.duckSql(
+      "CAST(p AS VARCHAR) || ':' || CAST(dim - 1 AS VARCHAR)")
+    s"""WITH flat AS (
+         SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,
+                generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       hp AS (
+         SELECT p, dim, (($hash % 2001) - 1000) / 1000.0 AS hv
+         FROM (SELECT unnest(generate_series(0, ${lshHyperplanes - 1})) AS p)
+         CROSS JOIN (SELECT DISTINCT i AS dim FROM flat) di),
+       su AS (
+         SELECT f.vec_id, f.label, h.p, SUM(f.val * h.hv) AS sp
+         FROM flat f JOIN hp h ON h.dim = f.i
+         GROUP BY 1, 2, 3),
+       sigs AS (
+         SELECT vec_id, label,
+           CAST(SUM(CASE WHEN round(sp, 6) >= 0 THEN 1 << p ELSE 0 END)
+             AS BIGINT) AS sig
+         FROM su GROUP BY 1, 2),
+       qs AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0),
+       cand AS (
+         SELECT s.vec_id FROM sigs s CROSS JOIN qs
+         WHERE s.vec_id <> 0
+           AND bit_count(xor(s.sig, qs.qsig)) <= $lshProbeRadius),
+       census AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+       q AS (
+         SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+                generate_subscripts(embedding, 1) AS i
+         FROM embeddings WHERE vec_id = 0),
+       scored AS (
+         SELECT f.vec_id, f.label,
+           SUM(f.val * q.qv) /
+           (SQRT(SUM(f.val * f.val)) * SQRT(SUM(q.qv * q.qv))) AS score_raw
+         FROM flat f JOIN q ON f.i = q.i
+         WHERE f.vec_id IN (SELECT vec_id FROM cand)
+         GROUP BY f.vec_id, f.label)
+       SELECT vec_id, label, ROUND(score_raw, 6) AS score, n_candidates
+       FROM (SELECT * FROM scored ORDER BY score_raw DESC, vec_id LIMIT 10)
+       CROSS JOIN census
+       ORDER BY score DESC, vec_id"""
+  }
+
+  /** Recall-curve oracle: [[lshOracle]]'s signature pipeline, the exact
+    * top-10 from [[topkOracle]]'s scoring, and a 5-row radius table. */
+  private def lshRecallOracle: String = {
+    val hash = graft.functions.PolyHash.duckSql(
+      "CAST(p AS VARCHAR) || ':' || CAST(dim - 1 AS VARCHAR)")
+    s"""WITH flat AS (
+         SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,
+                generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       hp AS (
+         SELECT p, dim, (($hash % 2001) - 1000) / 1000.0 AS hv
+         FROM (SELECT unnest(generate_series(0, ${lshHyperplanes - 1})) AS p)
+         CROSS JOIN (SELECT DISTINCT i AS dim FROM flat) di),
+       su AS (
+         SELECT f.vec_id, h.p, SUM(f.val * h.hv) AS sp
+         FROM flat f JOIN hp h ON h.dim = f.i
+         GROUP BY 1, 2),
+       sigs AS (
+         SELECT vec_id,
+           CAST(SUM(CASE WHEN round(sp, 6) >= 0 THEN 1 << p ELSE 0 END)
+             AS BIGINT) AS sig
+         FROM su GROUP BY 1),
+       qs AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0),
+       q AS (
+         SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+                generate_subscripts(embedding, 1) AS i
+         FROM embeddings WHERE vec_id = 0),
+       scored AS (
+         SELECT f.vec_id,
+           SUM(f.val * q.qv) /
+           (SQRT(SUM(f.val * f.val)) * SQRT(SUM(q.qv * q.qv))) AS score_raw
+         FROM flat f JOIN q ON f.i = q.i
+         WHERE f.vec_id <> 0
+         GROUP BY f.vec_id),
+       top10 AS (
+         SELECT vec_id, CAST(1 AS BIGINT) AS is_top
+         FROM (SELECT vec_id FROM scored ORDER BY score_raw DESC, vec_id
+               LIMIT 10)),
+       hd AS (
+         SELECT s.vec_id,
+           CAST(bit_count(xor(s.sig, qs.qsig)) AS BIGINT) AS hd,
+           COALESCE(t.is_top, 0) AS is_top
+         FROM sigs s CROSS JOIN qs
+         LEFT JOIN top10 t USING (vec_id)
+         WHERE s.vec_id <> 0),
+       radii AS (SELECT CAST(unnest(generate_series(0, 4)) AS BIGINT)
+                   AS radius)
+       SELECT r.radius, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(h.is_top) AS BIGINT) AS n_top10_in,
+         round(CAST(SUM(h.is_top) AS DOUBLE) / 10.0, 6) AS recall_at_10
+       FROM hd h JOIN radii r ON h.hd <= r.radius
+       GROUP BY r.radius ORDER BY r.radius"""
+  }
 
   /** IVF oracle: replays the whole deterministic pipeline in SQL — centroid
     * assignment (argmax dot, ties to lowest cent_id), nprobe probe selection,
@@ -1286,6 +1514,8 @@ object SimilarityOps {
          FROM rk WHERE rn <= 3 ORDER BY q_id, rn""",
     "sim_search_topk" -> topkOracle,
     "sim_search_topk_native" -> topkOracle,
+    "sim_search_lsh" -> lshOracle,
+    "sim_lsh_recall" -> lshRecallOracle,
     "sim_search_ivf" -> ivfOracle,
     "sim_search_pq" ->
       """WITH flat AS (

@@ -892,6 +892,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("sim_search_lsh: signature frame checkpointed; probe and rerank broadcast") {
+    val plan = formatted("sim_search_lsh")
+    // candidates, query vector and census all enter as broadcasts; the
+    // rerank is a broadcast hash join against one corpus scan — the
+    // corpus never pairs with itself
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.linesIterator.count(_.contains("- BroadcastExchange")) >= 3, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("sim_lsh_recall: radius table and top-10 broadcast over signature frame") {
+    val plan = formatted("sim_lsh_recall")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.linesIterator.count(_.contains("- BroadcastExchange")) >= 3, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
