@@ -480,7 +480,56 @@ object MultimodalOps {
       .orderBy(col("source"))
   }
 
+  /** Corpus-wide luminance histogram over the REAL decoded rasters: every
+    * image decodes through [[BmpCodec]], every pixel contributes its
+    * BT.601 integer luma ((299·r + 587·g + 114·b) DIV 1000 — exact int64
+    * arithmetic both engines), and each image lands in one of 8 luma
+    * octaves (bucket = luma DIV 32) — the exposure-distribution audit a
+    * vision-data pipeline runs before training (a spike in bucket 0 or 7
+    * means crushed blacks / blown highlights). The per-image luma is the
+    * full-raster pixel scan's min AND max (asserted equal — the uniform
+    * proof that gates a genuine decode of every pixel, same contract as
+    * [[mmDecodeFeatures]]); the histogram then aggregates images and
+    * pixel volumes per bucket.
+    *
+    * 100 TB shape: embarrassingly parallel decode (mapPartitions batch
+    * shape, schema up front), collapsed map-side to ≤8 bucket rows —
+    * decode CPU is the only cost, nothing shuffles but the 8-row
+    * aggregate. */
+  val mmLumaHist: Q = (s, d) => {
+    val in = Tables.load(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("luma", LongType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = BmpCodec.decodeRaster(synthBmp(r.getAs[Array[Byte]](1)))
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          val l = (299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) +
+            114L * (p & 0xFF)) / 1000L
+          if (l < mn) mn = l
+          if (l > mx) mx = l
+          i += 1
+        }
+        require(mn == mx, s"non-uniform raster for doc ${r.getLong(0)}")
+        Row(r.getLong(0), mn, w.toLong * h)
+      }
+    }(enc)
+      .groupBy(expr("luma DIV 32").as("bucket"))
+      .agg(count(lit(1)).as("n_images"), sum(col("n_pixels")).as("n_pixels"),
+        min(col("luma")).as("min_luma"), max(col("luma")).as("max_luma"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_luma_hist" -> mmLumaHist,
     "mm_scene_cut" -> mmSceneCut,
     "mm_dedup_phash" -> mmDedupPhash,
     "mm_meta" -> mmMeta,
@@ -560,6 +609,22 @@ object MultimodalOps {
     // content hash) and the expected feature norm; the Spark side only gets
     // there by actually encoding the BMP and ImageIO-decoding it back, with
     // `uniform` pinning a full-raster scan — so a decode bug breaks the hash.
+    // Replays the synthesis arithmetic for the fill color's BT.601 integer
+    // luma; the Spark side only gets there by decoding every raster and
+    // scanning every pixel (min==max gate inside the operator).
+    "mm_luma_hist" ->
+      s"""$hashCte,
+         img AS (
+           SELECT doc_id,
+             (299 * (h % 256) + 587 * ((h >> 8) % 256)
+               + 114 * ((h >> 16) % 256)) // 1000 AS luma,
+             CAST((8 + h % 24) * (8 + (h >> 5) % 24) AS BIGINT) AS n_pixels
+           FROM h)
+         SELECT luma // 32 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(n_pixels) AS BIGINT) AS n_pixels,
+           CAST(MIN(luma) AS BIGINT) AS min_luma,
+           CAST(MAX(luma) AS BIGINT) AS max_luma
+         FROM img GROUP BY 1 ORDER BY bucket""",
     "mm_decode_features" ->
       s"""$hashCte
          SELECT doc_id,

@@ -31,6 +31,62 @@ object PipelineOps {
   private def prio(id: Column): Column = (id % P) * Mult % P
   private val prioSql = s"((doc_id % $P) * $Mult) % $P"
 
+  /** Bootstrap replica count for [[corpusBootstrapCi]]. */
+  val bootstrapReplicas = 100
+
+  /** Deterministic Poisson(1) bootstrap CI for the corpus mean document
+    * length: every (replica b, doc) pair draws a multiplicity from the
+    * truncated-Poisson inverse CDF applied to the hash-uniform
+    * u = polyhash("b:doc_id") / P (thresholds are 9-dp literals — the
+    * e^-1·Σ1/k! prefix sums — so both engines binarize identically;
+    * tail mass above k = 4 truncates to 4, a 0.37% distortion far inside
+    * the CI width). Each replica's mean is one float division of exact
+    * integer sums; the 90% interval takes the rank-5 and rank-95 replica
+    * means (exact order statistics, ties broken by replica id). This is
+    * the error bar every corpus-metric dashboard should carry — and the
+    * Poisson bootstrap is THE resampling scheme that works on a stream
+    * (each doc draws independently; no global resample pass).
+    *
+    * 100 TB shape: the [[bootstrapReplicas]]-row replica table broadcasts
+    * into a nested-loop expansion of the doc-grain scan (B× map-side
+    * work, zero extra shuffle) and collapses map-side to B partial sums;
+    * the order statistics ride the B-row frame. */
+  val corpusBootstrapCi: Q = (s, d) => {
+    import graft.functions.PolyHash.poly_hash
+    val b = {
+      import s.implicits._
+      (0 until bootstrapReplicas).map(_.toLong).toDF("b")
+    }
+    val u = poly_hash(concat(col("b").cast(StringType), lit(":"),
+      col("doc_id").cast(StringType))).cast(DoubleType) / P.toDouble
+    val mult = when(u < 0.367879441d, 0L)
+      .when(u < 0.735758882d, 1L)
+      .when(u < 0.919698603d, 2L)
+      .when(u < 0.981011843d, 3L)
+      .otherwise(4L)
+    val reps = docs(s, d).select(col("doc_id"), col("n_chars"))
+      .join(broadcast(b), lit(true))
+      .select(col("b"), mult.as("m"), col("n_chars"))
+      .groupBy(col("b"))
+      .agg(sum(col("m")).as("n"), sum(col("m") * col("n_chars")).as("s"))
+      .select(col("b"),
+        round(col("s").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("mean_b"))
+    val rk = Window.orderBy(col("mean_b"), col("b"))
+    val stats = reps.withColumn("rn", row_number().over(rk))
+    val base = docs(s, d)
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 6).as("mean_len"))
+    base
+      .crossJoin(broadcast(stats.filter(col("rn") === 5)
+        .select(col("mean_b").as("ci_lo"))))
+      .crossJoin(broadcast(stats.filter(col("rn") === 95)
+        .select(col("mean_b").as("ci_hi"))))
+      .select(col("n_docs"), col("mean_len"), col("ci_lo"), col("ci_hi"),
+        lit(bootstrapReplicas.toLong).as("b_replicas"))
+  }
+
   // ------------------------------------------------------------- sampling
   /** Deterministic 10% Bernoulli sample: keep where hash(doc_id) mod 100 <
     * 10. Pure map-side filter — no shuffle, no RNG state, no seed
@@ -688,6 +744,7 @@ object PipelineOps {
     "corpus_stats" -> corpusStats,
     "sample_hash" -> sampleHash,
     "sample_weighted" -> sampleWeighted,
+    "corpus_bootstrap_ci" -> corpusBootstrapCi,
     "sample_stratified" -> sampleStratified,
     "agg_histogram" -> aggHistogram,
     "pack_sequences" -> packSequences,
@@ -832,6 +889,40 @@ object PipelineOps {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          WHERE ($prioSql) % 100 < 10
          ORDER BY doc_id""",
+    "corpus_bootstrap_ci" -> {
+      val hash = graft.functions.PolyHash.duckSql(
+        "CAST(b AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+      s"""WITH bt AS (SELECT CAST(unnest(generate_series(0,
+             ${bootstrapReplicas - 1})) AS BIGINT) AS b),
+         e AS (
+           SELECT bt.b, d.n_chars,
+             CAST(($hash) AS DOUBLE) / ${P.toDouble} AS u
+           FROM documents d CROSS JOIN bt),
+         m AS (
+           SELECT b, n_chars,
+             CASE WHEN u < 0.367879441 THEN 0 WHEN u < 0.735758882 THEN 1
+                  WHEN u < 0.919698603 THEN 2 WHEN u < 0.981011843 THEN 3
+                  ELSE 4 END AS m
+           FROM e),
+         reps AS (
+           SELECT b, CAST(SUM(m) AS BIGINT) AS n,
+             CAST(SUM(m * n_chars) AS BIGINT) AS s
+           FROM m GROUP BY b),
+         rm AS (SELECT b, round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                  AS mean_b FROM reps),
+         rk AS (SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rn
+                FROM rm),
+         base AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             round(CAST(SUM(n_chars) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_len
+           FROM documents)
+         SELECT base.n_docs, base.mean_len,
+           (SELECT mean_b FROM rk WHERE rn = 5) AS ci_lo,
+           (SELECT mean_b FROM rk WHERE rn = 95) AS ci_hi,
+           CAST($bootstrapReplicas AS BIGINT) AS b_replicas
+         FROM base"""
+    },
     "sample_weighted" ->
       s"""SELECT doc_id, lang, n_chars,
            round(CAST(n_chars AS DOUBLE) * ${P + 1} / (($prioSql) + 1), 6)

@@ -913,6 +913,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("mm_luma_hist: decode collapses map-side to bucket rows, no join") {
+    val plan = formatted("mm_luma_hist")
+    assert(!plan.contains("Join"), s"no join belongs in this plan:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("MapPartitions") || plan.contains("mapPartitions") ||
+      plan.contains("SerializeFromObject"), plan)
+  }
+
+  test("corpus_bootstrap_ci: replica table broadcasts into one doc scan") {
+    val plan = formatted("corpus_bootstrap_ci")
+    // the B-row replica table and both order-statistic rows enter as
+    // broadcast nested loops; the doc scan never shuffles beyond the
+    // B-row aggregate
+    assert(plan.linesIterator.count(_.contains("- BroadcastNestedLoopJoin")) >= 3,
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
