@@ -1065,6 +1065,65 @@ object AnalyticsOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Daily new-vs-returning split: each active day's user count divided
+    * into first-ever-seen-today vs returning — the growth-vs-retention
+    * decomposition on every product dashboard. Two aggregates (first-seen
+    * day per user, distinct active (day, user) pairs) joined on user_id;
+    * the classification is exact date equality; one rounded division per
+    * day row.
+    *
+    * 100 TB shape: both reductions key on user_id and reuse one hash
+    * partitioning; the join is user-grain × user-grain (never the raw
+    * stream); output is day-grain. */
+  val eventsNewVsReturning: Q = (s, d) => {
+    val e = events(s, d)
+    val first = e.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("fd"))
+    val active = e.select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    active.join(first, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("fd"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        round(col("n_new").cast(DoubleType) / col("n_active"), 6)
+          .as("pct_new"))
+      .orderBy(col("day"))
+  }
+
+  /** Windowed conversion funnel: view → click within 24 h of the FIRST
+    * view → purchase within 24 h of that first qualifying click — the
+    * attribution-window variant of [[eventsFunnel]] (an unbounded funnel
+    * overcounts: a purchase a month after the click is not that click's
+    * conversion). Same chained min-aggregate shape, each stage adding an
+    * upper time bound; per-stage surviving-user counts out.
+    *
+    * 100 TB shape: identical to [[eventsFunnel]] — three user-keyed
+    * reductions reusing one hash partitioning; the interval bound is a
+    * filter, not a join condition blowup. */
+  val eventsFunnelWindowed: Q = (s, d) => {
+    val e = events(s, d)
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val stages = Seq("1_view" -> t1, "2_click_24h" -> t2,
+      "3_purchase_24h" -> t3)
+    stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("stage"), col("n_users"))
+    }.reduce(_ unionAll _).orderBy(col("stage"))
+  }
+
   /** Robust daily-count monitor per event type: the median/MAD twin of
     * [[eventsAnomaly]] — a level shift or fat-tailed day poisons a
     * mean/σ z-score (the outlier inflates its own yardstick) while the
@@ -1565,6 +1624,8 @@ object AnalyticsOps {
     "events_whale_share" -> eventsWhaleShare,
     "events_interarrival" -> eventsInterarrival,
     "lm_unigram_kl" -> lmUnigramKl,
+    "events_new_vs_returning" -> eventsNewVsReturning,
+    "events_funnel_windowed" -> eventsFunnelWindowed,
     "events_anomaly_mad" -> eventsAnomalyMad,
     "lm_heldout_ppl" -> lmHeldoutPpl,
     "events_type_corr" -> eventsTypeCorr,
@@ -1819,6 +1880,50 @@ object AnalyticsOps {
            round(CAST(SUM(n * (y1 - y2)) AS DOUBLE)
              / CAST(SUM(n) AS BIGINT), 6) AS cond_entropy_nats
          FROM q GROUP BY cur_type ORDER BY cur_type""",
+    "events_new_vs_returning" ->
+      """WITH f AS (
+           SELECT user_id, MIN(CAST(date_trunc('microseconds', ts) AS DATE))
+             AS fd
+           FROM events GROUP BY user_id),
+         a AS (
+           SELECT DISTINCT CAST(date_trunc('microseconds', ts) AS DATE)
+             AS day, user_id
+           FROM events)
+         SELECT a.day, CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN a.day = f.fd THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(COUNT(*) - SUM(CASE WHEN a.day = f.fd THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_returning,
+           round(CAST(SUM(CASE WHEN a.day = f.fd THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*), 6) AS pct_new
+         FROM a JOIN f USING (user_id)
+         GROUP BY a.day ORDER BY a.day""",
+    "events_funnel_windowed" ->
+      """WITH t1 AS (
+           SELECT user_id, MIN(date_trunc('microseconds', ts)) AS t1
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+         t2 AS (
+           SELECT e.user_id, MIN(date_trunc('microseconds', e.ts)) AS t2
+           FROM events e JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click'
+             AND date_trunc('microseconds', e.ts) > t1.t1
+             AND date_trunc('microseconds', e.ts) <= t1.t1 + INTERVAL 24 HOUR
+           GROUP BY e.user_id),
+         t3 AS (
+           SELECT e.user_id, MIN(date_trunc('microseconds', e.ts)) AS t3
+           FROM events e JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase'
+             AND date_trunc('microseconds', e.ts) > t2.t2
+             AND date_trunc('microseconds', e.ts) <= t2.t2 + INTERVAL 24 HOUR
+           GROUP BY e.user_id)
+         SELECT stage, n_users FROM (
+           SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users
+           FROM t1
+           UNION ALL
+           SELECT '2_click_24h', CAST(COUNT(*) AS BIGINT) FROM t2
+           UNION ALL
+           SELECT '3_purchase_24h', CAST(COUNT(*) AS BIGINT) FROM t3)
+         ORDER BY stage""",
     "events_anomaly_mad" ->
       """WITH daily AS (
            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

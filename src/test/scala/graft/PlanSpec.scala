@@ -932,6 +932,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("events_new_vs_returning: user-grain join, no window over the stream") {
+    val plan = formatted("events_new_vs_returning")
+    assert(!plan.contains("Window"), s"no window belongs in this plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("events_funnel_windowed: three keyed reductions, no cartesian") {
+    val plan = formatted("events_funnel_windowed")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
