@@ -1065,6 +1065,45 @@ object AnalyticsOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Classical time-series decomposition of the daily count series per
+    * event type: observed = trend + seasonal + residual, with trend the
+    * centered 7-day moving mean, seasonal the per-weekday mean of the
+    * detrended series, and residual the remainder — the STL-shaped
+    * readout that separates "we're growing" from "it's just Tuesday".
+    * Defined on interior days only (a full ±3-day window exists). Every
+    * component is RATIONAL with exact int64 numerators: detrended·7 =
+    * 7y − Σ₇y, seasonal·7·n_dow = Σ_dow(7y − Σ₇y), residual·7·n_dow =
+    * (7y − Σ₇y)·n_dow − Σ_dow(7y − Σ₇y) — each renders once as one
+    * float division + round with identical formula text both engines,
+    * so no double ever sums across rows.
+    *
+    * 100 TB shape: one (type, day) count aggregate collapses the
+    * stream; the ±3 window, the weekday aggregate and its broadcast
+    * join-back all ride the DAY-grain frame. */
+  val eventsDecompose: Q = (s, d) => {
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val interior = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("t_cnt", count(lit(1)).over(w7))
+      .withColumn("t_sum", sum(col("y")).over(w7))
+      .filter(col("t_cnt") === 7)
+      .withColumn("det7", lit(7L) * col("y") - col("t_sum"))
+      .withColumn("isodow", (weekday(col("day")) + lit(1)).cast(LongType))
+      .localCheckpoint()
+    val seas = interior.groupBy(col("event_type"), col("isodow"))
+      .agg(sum(col("det7")).as("s_num"), count(lit(1)).as("n_dow"))
+    interior.join(broadcast(seas), Seq("event_type", "isodow"))
+      .select(col("event_type"), col("day"), col("y"),
+        round(col("t_sum").cast(DoubleType) / 7.0d, 6).as("trend"),
+        round(col("s_num").cast(DoubleType) /
+          (lit(7L) * col("n_dow")).cast(DoubleType), 6).as("seasonal"),
+        round((col("det7") * col("n_dow") - col("s_num")).cast(DoubleType) /
+          (lit(7L) * col("n_dow")).cast(DoubleType), 6).as("residual"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Daily new-vs-returning split: each active day's user count divided
     * into first-ever-seen-today vs returning — the growth-vs-retention
     * decomposition on every product dashboard. Two aggregates (first-seen
@@ -1399,6 +1438,34 @@ object AnalyticsOps {
         round(col("n_kept").cast(DoubleType) / col("n_docs"), 6).as("kept_share"))
   }
 
+  /** Join-key skew audit on `lineitem.l_orderkey` (the fact table's join
+    * key): the top-20 hottest keys with their row share, plus the
+    * key-cardinality and skew-ratio census (hottest key ÷ mean rows/key)
+    * riding every row — the report that decides whether a join needs
+    * salting or AQE skew handling BEFORE it runs at 100 TB. All counts
+    * exact; the two ratios divide exact longs once.
+    *
+    * 100 TB shape: one key-grain count aggregate (map-side combined),
+    * TakeOrdered top-20 over it — never a global sort — and a one-row
+    * census broadcast. */
+  val profileKeySkew: Q = (s, d) => {
+    val counts = Tables.load(s, d, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val census = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"), max(col("n")).as("max_n"))
+    counts
+      .crossJoin(broadcast(census))
+      .select(col("l_orderkey"), col("n"),
+        round(col("n").cast(DoubleType) / col("n_rows").cast(DoubleType), 6)
+          .as("share"),
+        col("n_keys"),
+        round(col("max_n").cast(DoubleType) * col("n_keys").cast(DoubleType) /
+          col("n_rows").cast(DoubleType), 6).as("skew_ratio"))
+      .orderBy(col("n").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
   /** Columns profiled by [[dataProfile]] — string/integer only: their
     * to-string casts render identically in both engines, unlike doubles
     * (shortest-repr vs Java formatting) or timestamps (fraction padding). */
@@ -1626,6 +1693,8 @@ object AnalyticsOps {
     "lm_unigram_kl" -> lmUnigramKl,
     "events_new_vs_returning" -> eventsNewVsReturning,
     "events_funnel_windowed" -> eventsFunnelWindowed,
+    "events_decompose" -> eventsDecompose,
+    "profile_key_skew" -> profileKeySkew,
     "events_anomaly_mad" -> eventsAnomalyMad,
     "lm_heldout_ppl" -> lmHeldoutPpl,
     "events_type_corr" -> eventsTypeCorr,
@@ -1880,6 +1949,52 @@ object AnalyticsOps {
            round(CAST(SUM(n * (y1 - y2)) AS DOUBLE)
              / CAST(SUM(n) AS BIGINT), 6) AS cond_entropy_nats
          FROM q GROUP BY cur_type ORDER BY cur_type""",
+    "events_decompose" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         win AS (
+           SELECT event_type, day, y,
+             COUNT(*) OVER w AS t_cnt,
+             CAST(SUM(y) OVER w AS BIGINT) AS t_sum
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         interior AS (
+           SELECT event_type, day, y, t_sum,
+             7 * y - t_sum AS det7,
+             CAST(date_part('isodow', day) AS BIGINT) AS isodow
+           FROM win WHERE t_cnt = 7),
+         seas AS (
+           SELECT event_type, isodow, CAST(SUM(det7) AS BIGINT) AS s_num,
+             CAST(COUNT(*) AS BIGINT) AS n_dow
+           FROM interior GROUP BY 1, 2)
+         SELECT i.event_type, i.day, i.y,
+           round(CAST(i.t_sum AS DOUBLE) / 7.0, 6) AS trend,
+           round(CAST(s.s_num AS DOUBLE) / CAST(7 * s.n_dow AS DOUBLE), 6)
+             AS seasonal,
+           round(CAST(i.det7 * s.n_dow - s.s_num AS DOUBLE)
+             / CAST(7 * s.n_dow AS DOUBLE), 6) AS residual
+         FROM interior i JOIN seas s USING (event_type, isodow)
+         ORDER BY i.event_type, i.day""",
+    "profile_key_skew" ->
+      """WITH c AS (
+           SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY l_orderkey),
+         census AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(MAX(n) AS BIGINT) AS max_n
+           FROM c)
+         SELECT c.l_orderkey, c.n,
+           round(CAST(c.n AS DOUBLE) / CAST(census.n_rows AS DOUBLE), 6)
+             AS share,
+           census.n_keys,
+           round(CAST(census.max_n AS DOUBLE) * CAST(census.n_keys AS DOUBLE)
+             / CAST(census.n_rows AS DOUBLE), 6) AS skew_ratio
+         FROM c CROSS JOIN census
+         ORDER BY c.n DESC, c.l_orderkey LIMIT 20""",
     "events_new_vs_returning" ->
       """WITH f AS (
            SELECT user_id, MIN(CAST(date_trunc('microseconds', ts) AS DATE))

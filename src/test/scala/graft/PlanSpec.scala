@@ -946,6 +946,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("events_decompose: day-grain checkpoint; seasonal join broadcast") {
+    val plan = formatted("events_decompose")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 0,
+      s"event stream must not re-scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("profile_key_skew: TakeOrdered over key counts, census broadcast") {
+    val plan = formatted("profile_key_skew")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.linesIterator.count(_.contains("- BroadcastNestedLoopJoin")) == 1,
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
