@@ -1104,6 +1104,55 @@ object AnalyticsOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Weekly growth accounting (the new/retained/resurrected/churned
+    * quadrants): each active (user, week) classifies as NEW (first-ever
+    * week), RETAINED (also active the immediately prior week) or
+    * RESURRECTED (returning after a gap); CHURNED counts last week's
+    * actives who went silent. The identity n_churned =
+    * prev_active − n_retained holds by construction, and the quick
+    * ratio (new + resurrected) / churned is the header number of every
+    * growth review. All counts exact; one guarded division.
+    *
+    * 100 TB shape: the stream collapses to the distinct user-week grain
+    * (one shuffle), the classification is one per-user LAG window plus
+    * a user-keyed first-week join on that grain, and the week-over-week
+    * churn join rides the WEEKS-sized census frame (broadcast). */
+  val eventsLifecycle: Q = (s, d) => {
+    val uw = events(s, d)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    val first = uw.groupBy(col("user_id")).agg(min(col("week")).as("fw"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val classified = uw
+      .withColumn("prev", lag(col("week"), 1).over(byUser))
+      .join(first, "user_id")
+      .select(col("week"),
+        when(col("week") === col("fw"), "new")
+          .when(col("prev") === date_sub(col("week"), 7), "retained")
+          .otherwise("resurrected").as("state"))
+    val sizes = classified.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+      .localCheckpoint()
+    sizes
+      .join(broadcast(sizes.select(date_add(col("week"), 7).as("week"),
+        col("n_active").as("prev_active"))), Seq("week"), "left")
+      .select(col("week"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        (coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+          .as("n_churned"),
+        when(coalesce(col("prev_active"), lit(0L)) - col("n_retained") > 0L,
+          round((col("n_new") + col("n_resurrected")).cast(DoubleType) /
+            (coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+              .cast(DoubleType), 6)).as("quick_ratio"))
+      .orderBy(col("week"))
+  }
+
   /** Daily new-vs-returning split: each active day's user count divided
     * into first-ever-seen-today vs returning — the growth-vs-retention
     * decomposition on every product dashboard. Two aggregates (first-seen
@@ -1695,6 +1744,7 @@ object AnalyticsOps {
     "events_funnel_windowed" -> eventsFunnelWindowed,
     "events_decompose" -> eventsDecompose,
     "profile_key_skew" -> profileKeySkew,
+    "events_lifecycle" -> eventsLifecycle,
     "events_anomaly_mad" -> eventsAnomalyMad,
     "lm_heldout_ppl" -> lmHeldoutPpl,
     "events_type_corr" -> eventsTypeCorr,
@@ -1949,6 +1999,39 @@ object AnalyticsOps {
            round(CAST(SUM(n * (y1 - y2)) AS DOUBLE)
              / CAST(SUM(n) AS BIGINT), 6) AS cond_entropy_nats
          FROM q GROUP BY cur_type ORDER BY cur_type""",
+    "events_lifecycle" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+           FROM events),
+         f AS (SELECT user_id, MIN(week) AS fw FROM uw GROUP BY user_id),
+         cl AS (
+           SELECT uw.week,
+             CASE WHEN uw.week = f.fw THEN 'new'
+                  WHEN LAG(uw.week) OVER (PARTITION BY uw.user_id
+                    ORDER BY uw.week) = uw.week - INTERVAL 7 DAY
+                    THEN 'retained'
+                  ELSE 'resurrected' END AS state
+           FROM uw JOIN f USING (user_id)),
+         sizes AS (
+           SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_resurrected
+           FROM cl GROUP BY week)
+         SELECT s.week, s.n_active, s.n_new, s.n_retained, s.n_resurrected,
+           CAST(COALESCE(p.n_active, 0) - s.n_retained AS BIGINT)
+             AS n_churned,
+           CASE WHEN COALESCE(p.n_active, 0) - s.n_retained > 0 THEN
+             round(CAST(s.n_new + s.n_resurrected AS DOUBLE)
+               / CAST(COALESCE(p.n_active, 0) - s.n_retained AS DOUBLE), 6)
+           END AS quick_ratio
+         FROM sizes s
+         LEFT JOIN sizes p ON p.week + INTERVAL 7 DAY = s.week
+         ORDER BY s.week""",
     "events_decompose" ->
       """WITH daily AS (
            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

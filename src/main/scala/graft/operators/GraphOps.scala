@@ -320,13 +320,16 @@ object GraphOps {
       else ep.join(onE.select(col("p")).hint("SHUFFLE_HASH"),
         Seq("p"), "left_anti"))
         .select(col("p"), lit(0L).as("c"))
+    // every edge is supported or a bridge, so the census is nEdges minus
+    // the (distinct-by-construction) supported-tie count — a one-row
+    // aggregate over the CHECKPOINTED semi-join result, not a second
+    // materialization of the union (the sf1 ladder measured the previous
+    // ties-checkpoint + filter-census spelling at 5× the sibling queries)
+    val census = onE.agg((lit(nEdges) - count(lit(1))).as("n_bridges"))
     val ties = onE.unionByName(zero)
       .select(shiftright(col("p"), 32).as("a"),
         col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
         col("c").as("common_neighbors"))
-      .localCheckpoint()
-    val census = ties.filter(col("common_neighbors") === 0L)
-      .agg(count(lit(1)).as("n_bridges"))
     ties
       .join(broadcast(deg.select(col("v").as("a"), col("degree").as("deg_a"))), "a")
       .join(broadcast(deg.select(col("v").as("b"), col("degree").as("deg_b"))), "b")

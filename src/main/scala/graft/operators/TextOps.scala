@@ -140,6 +140,41 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Classifier evaluation of the [[textLangId]] heuristic: per true
+    * language, support, true positives, predicted count, and the
+    * precision / recall / F1 triple — the report that decides whether a
+    * cheap n-gram language ID is good enough to gate a corpus or needs a
+    * model. F1 uses the harmonic identity 2·tp / (n_pred + n_true)
+    * directly (one division — no chained rounding through P and R).
+    *
+    * 100 TB shape: the per-doc prediction pass is [[textLangId]]'s
+    * marker scan (map-side, no shuffle), checkpointed; both aggregates
+    * ride the language-grain census and join broadcast. */
+  val langIdConfusion: Q = (s, d) => {
+    val preds = textLangId(s, d)
+      .select(col("pred_lang"), col("true_lang"))
+      .localCheckpoint()
+    val byTrue = preds.groupBy(col("true_lang").as("lang"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("pred_lang") === col("true_lang"), 1L).otherwise(0L))
+          .as("tp"))
+    val byPred = preds.groupBy(col("pred_lang").as("lang"))
+      .agg(count(lit(1)).as("n_pred"))
+    byTrue.join(broadcast(byPred), Seq("lang"), "left")
+      .select(col("lang"), col("n_true"), col("tp"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        when(coalesce(col("n_pred"), lit(0L)) > 0L,
+          round(col("tp").cast(DoubleType) /
+            coalesce(col("n_pred"), lit(0L)).cast(DoubleType), 6))
+          .as("precision"),
+        round(col("tp").cast(DoubleType) / col("n_true").cast(DoubleType), 6)
+          .as("recall"),
+        round(lit(2.0d) * col("tp").cast(DoubleType) /
+          (coalesce(col("n_pred"), lit(0L)) + col("n_true"))
+            .cast(DoubleType), 6).as("f1"))
+      .orderBy(col("lang"))
+  }
+
   /** Document fingerprint: order-sensitive rolling polynomial hash over the
     * word sequence (Karp–Rabin style; [[graft.functions.PolyHash]] per word,
     * ×31 rolling, modulo the same Mersenne prime so ANSI-mode arithmetic
@@ -556,6 +591,7 @@ object TextOps {
     "text_zipf_slope" -> textZipfSlope,
     "text_topk_coverage" -> textTopkCoverage,
     "text_burstiness" -> textBurstiness,
+    "lang_id_confusion" -> langIdConfusion,
   )
 
   val oracle: Map[String, String] = Map(
@@ -857,5 +893,41 @@ object TextOps {
                 WHEN c_fr >= c_zh THEN 'fr'
                 ELSE 'zh' END = true_lang) AS is_match
          FROM c ORDER BY doc_id""",
+    "lang_id_confusion" ->
+      """WITH c AS (
+           SELECT doc_id, lang AS true_lang,
+             len(list_filter(string_split(text,' '), w -> w IN ('the','a','of'))) AS c_en,
+             len(list_filter(string_split(text,' '), w -> w IN ('der','die','und'))) AS c_de,
+             len(list_filter(string_split(text,' '), w -> w IN ('el','los','que'))) AS c_es,
+             len(list_filter(string_split(text,' '), w -> w IN ('le','les','et'))) AS c_fr,
+             len(list_filter(string_split(text,' '), w -> w IN ('de','shi','bu'))) AS c_zh
+           FROM documents),
+         p AS (
+           SELECT true_lang,
+             CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                  WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                  WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                  WHEN c_fr >= c_zh THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+           FROM c),
+         bt AS (
+           SELECT true_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_true,
+             CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp
+           FROM p GROUP BY 1),
+         bp AS (
+           SELECT pred_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_pred
+           FROM p GROUP BY 1)
+         SELECT bt.lang, bt.n_true, bt.tp,
+           CAST(COALESCE(bp.n_pred, 0) AS BIGINT) AS n_pred,
+           CASE WHEN COALESCE(bp.n_pred, 0) > 0 THEN
+             round(CAST(bt.tp AS DOUBLE)
+               / CAST(COALESCE(bp.n_pred, 0) AS DOUBLE), 6) END AS precision,
+           round(CAST(bt.tp AS DOUBLE) / CAST(bt.n_true AS DOUBLE), 6)
+             AS recall,
+           round(2.0 * CAST(bt.tp AS DOUBLE)
+             / CAST(COALESCE(bp.n_pred, 0) + bt.n_true AS DOUBLE), 6) AS f1
+         FROM bt LEFT JOIN bp USING (lang)
+         ORDER BY bt.lang""",
   )
 }

@@ -964,6 +964,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("events_lifecycle: weekly census checkpointed; churn join broadcast") {
+    val plan = formatted("events_lifecycle")
+    // the classification (user-keyed LAG + first-week join) ran at
+    // checkpoint time; the visible plan is the WEEKS-sized census frame
+    // joining its own 7-day shift as a broadcast
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 0,
+      s"event stream must not re-scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("lang_id_confusion: marker scan checkpointed; language census broadcast") {
+    val plan = formatted("lang_id_confusion")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 0,
+      s"corpus must not re-scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
