@@ -1038,6 +1038,31 @@ object AnalyticsOps {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  /** Time-travel read over the [[scd2Build]] dimension: reconstruct every
+    * user's state AS OF the fixture's temporal midpoint (the exact
+    * integer mean of min/max event micros — data-derived, so the query
+    * is deterministic on any fixture) and report the state census — the
+    * "what did the world look like at T" read that is THE reason an SCD2
+    * table exists. A user's row qualifies when valid_from ≤ T < valid_to
+    * (open intervals qualify on NULL valid_to).
+    *
+    * 100 TB shape: the SCD2 frame is the pathing windows' output (change
+    * rows only — a sliver of the stream); the one-row bound broadcast
+    * nested-loops in and the census is a states-bounded aggregate. */
+  val scd2Snapshot: Q = (s, d) => {
+    val bounds = events(s, d)
+      .agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2")
+        .as("snapshot_us"))
+    scd2Build(s, d)
+      .crossJoin(broadcast(bounds))
+      .filter(unix_micros(col("valid_from")) <= col("snapshot_us") &&
+        (col("valid_to").isNull ||
+          unix_micros(col("valid_to")) > col("snapshot_us")))
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_users"), max(col("snapshot_us")).as("snapshot_us"))
+      .orderBy(col("state"))
+  }
+
   /** Daily-count anomaly score per event type: z-score of each day's count
     * against its trailing 7 days. The trailing window carries EXACT integer
     * moments (sum, sum of squares) and the z-score is one shared formula
@@ -1745,6 +1770,7 @@ object AnalyticsOps {
     "events_decompose" -> eventsDecompose,
     "profile_key_skew" -> profileKeySkew,
     "events_lifecycle" -> eventsLifecycle,
+    "scd2_snapshot" -> scd2Snapshot,
     "events_anomaly_mad" -> eventsAnomalyMad,
     "lm_heldout_ppl" -> lmHeldoutPpl,
     "events_type_corr" -> eventsTypeCorr,
@@ -2713,6 +2739,34 @@ object AnalyticsOps {
          SELECT user_id, event_type AS state, ts AS valid_from,
            LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
          FROM chg ORDER BY user_id, valid_from""",
+    "scd2_snapshot" ->
+      """WITH b AS (
+           SELECT (MIN(CAST(floor(epoch_us(date_trunc('microseconds', ts)))
+               AS BIGINT))
+             + MAX(CAST(floor(epoch_us(date_trunc('microseconds', ts)))
+               AS BIGINT))) // 2 AS snapshot_us
+           FROM events),
+         e AS (
+           SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
+             event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+               ORDER BY date_trunc('microseconds', ts), event_id) AS prev_type
+           FROM events),
+         chg AS (
+           SELECT user_id, ts, event_id, event_type FROM e
+           WHERE prev_type IS NULL OR prev_type <> event_type),
+         scd AS (
+           SELECT user_id, event_type AS state, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+           FROM chg)
+         SELECT scd.state, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MAX(b.snapshot_us) AS BIGINT) AS snapshot_us
+         FROM scd CROSS JOIN b
+         WHERE epoch_us(scd.valid_from) <= b.snapshot_us
+           AND (scd.valid_to IS NULL
+                OR epoch_us(scd.valid_to) > b.snapshot_us)
+         GROUP BY scd.state ORDER BY scd.state""",
     "rfm_segment" ->
       """WITH base AS (
            SELECT o_custkey AS c_custkey,

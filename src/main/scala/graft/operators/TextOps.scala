@@ -491,7 +491,11 @@ object TextOps {
     * probability is ONE sigmoid computed from the exact margin with
     * identical formula text both sides (the events_anomaly float rule).
     * One codegen'd map-side pass, zero shuffle at any corpus size. */
-  val qualityScoreLinear: Q = (s, d) => {
+  /** The linear-classifier margin over `col("text")` — shared by
+    * [[qualityScoreLinear]] and [[qualityDupCorrelation]] so both score
+    * documents with the identical feature arithmetic. Returns
+    * (f_len, f_stop, f_sym, f_rep, margin) columns. */
+  private[operators] def qualityFeatures: (Column, Column, Column, Column, Column) = {
     val ws = words(col("text"))
     val nWords = size(ws).cast(LongType)
     val fLen = least(nWords, lit(200L))
@@ -500,6 +504,11 @@ object TextOps {
     val fSym = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast(LongType)
     val fRep = nWords - size(array_distinct(ws)).cast(LongType)
     val margin = fLen * 4 + fStop * 8 - fSym * 2 - fRep * 3 - 256
+    (fLen, fStop, fSym, fRep, margin)
+  }
+
+  val qualityScoreLinear: Q = (s, d) => {
+    val (fLen, fStop, fSym, fRep, margin) = qualityFeatures
     docs(s, d)
       .select(col("doc_id"),
         fLen.as("f_len"), fStop.as("f_stop"), fSym.as("f_sym"), fRep.as("f_rep"),
@@ -508,6 +517,43 @@ object TextOps {
           .as("p_keep"),
         (margin >= 0).as("keep"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Does duplication correlate with quality? Documents bucket by their
+    * exact-dedup cluster size (unique / pair / 3+) and each bucket
+    * reports its doc count, cluster count, mean classifier margin and
+    * keep rate — the audit that decides whether dedup and quality
+    * filtering are redundant or complementary (boilerplate is usually
+    * BOTH duplicated and low-quality; if the buckets' keep rates match,
+    * one of the two passes is free). The margin is [[qualityFeatures]]'
+    * exact integer score, so the bucket mean is one division; the keep
+    * rate divides two exact longs.
+    *
+    * 100 TB shape: one digest-keyed count aggregate (the dedup_exact
+    * shuffle) joins back to the doc-grain score scan on the digest —
+    * the same one corpus shuffle the dedup pipeline itself pays; the
+    * 3-row bucket output falls out map-side. */
+  val qualityDupCorrelation: Q = (s, d) => {
+    val (_, _, _, _, margin) = qualityFeatures
+    val scored = docs(s, d)
+      .select(md5(col("text")).as("content_hash"), margin.as("margin"))
+    val sizes = scored.groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_copies"))
+    scored.join(sizes, "content_hash")
+      .select(
+        when(col("n_copies") === 1L, "1_unique")
+          .when(col("n_copies") === 2L, "2_pair")
+          .otherwise("3_plus").as("dup_bucket"),
+        col("content_hash"), col("margin"))
+      .groupBy(col("dup_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("content_hash")).as("n_clusters"),
+        round(sum(col("margin")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 6).as("mean_margin"),
+        round(sum(when(col("margin") >= 0L, 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType), 6)
+          .as("keep_rate"))
+      .orderBy(col("dup_bucket"))
   }
 
   /** Per-document character-level Shannon entropy — the cheap gibberish /
@@ -592,6 +638,7 @@ object TextOps {
     "text_topk_coverage" -> textTopkCoverage,
     "text_burstiness" -> textBurstiness,
     "lang_id_confusion" -> langIdConfusion,
+    "quality_dup_correlation" -> qualityDupCorrelation,
   )
 
   val oracle: Map[String, String] = Map(
@@ -722,6 +769,30 @@ object TextOps {
            round(1.0 / (1.0 + exp(CAST(margin AS DOUBLE) / -256.0)), 6) AS p_keep,
            margin >= 0 AS keep
          FROM m ORDER BY doc_id""",
+    "quality_dup_correlation" ->
+      """WITH f AS (
+           SELECT md5(text) AS content_hash,
+             LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 200) * 4
+             + CAST(len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the', 'a'))) AS BIGINT) * 8
+             - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                 AS BIGINT) * 2
+             - CAST(len(string_split(text, ' '))
+                 - len(list_distinct(string_split(text, ' '))) AS BIGINT) * 3
+             - 256 AS margin
+           FROM documents),
+         s AS (SELECT content_hash, CAST(COUNT(*) AS BIGINT) AS n_copies
+               FROM f GROUP BY content_hash)
+         SELECT CASE WHEN s.n_copies = 1 THEN '1_unique'
+                     WHEN s.n_copies = 2 THEN '2_pair'
+                     ELSE '3_plus' END AS dup_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT f.content_hash) AS BIGINT) AS n_clusters,
+           round(CAST(SUM(f.margin) AS DOUBLE) / COUNT(*), 6) AS mean_margin,
+           round(CAST(SUM(CASE WHEN f.margin >= 0 THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) AS keep_rate
+         FROM f JOIN s USING (content_hash)
+         GROUP BY 1 ORDER BY dup_bucket""",
     "text_keywords" ->
       """WITH occ AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -985,6 +985,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("quality_dup_correlation: one digest-keyed shuffle, no text exchange") {
+    val plan = formatted("quality_dup_correlation")
+    // the join key is the md5 digest; the raw text column never crosses
+    // an exchange
+    val exchanges = plan.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.forall(!_.contains("text#")),
+      s"text must not cross an exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("scd2_snapshot: one-row bound broadcast over the change-row frame") {
+    val plan = formatted("scd2_snapshot")
+    assert(plan.linesIterator.count(_.contains("- BroadcastNestedLoopJoin")) == 1,
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("user_id#")),
+      s"SCD2 windows key on user:\n$plan")
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
