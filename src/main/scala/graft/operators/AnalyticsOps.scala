@@ -1038,6 +1038,42 @@ object AnalyticsOps {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  /** k-anonymity audit before an events extract leaves the fence: rows
+    * group by the quasi-identifier (event_type, ISO weekday, value
+    * decade) and each event type reports its group count, the smallest
+    * and (lower-)median group size, and the row count/share sitting in
+    * groups below k = 5 — the rows an attacker with the QI columns could
+    * single out. Pure integer statistics; one share division.
+    *
+    * 100 TB shape: one QI-keyed count aggregate collapses the stream;
+    * the rank window for the median and the census ride the GROUP-grain
+    * frame (|types|·7·|decades| rows). */
+  val privacyKAnon: Q = (s, d) => {
+    val g = events(s, d)
+      .groupBy(col("event_type"),
+        (weekday(col("ts")) + lit(1)).cast(LongType).as("isodow"),
+        expr("CAST(floor(value / 10.0D) AS BIGINT)").as("value_decade"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("k"), col("isodow"), col("value_decade"))
+    val med = g.withColumn("rn", row_number().over(byType))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+      .select(col("event_type"), col("k").as("median_k"))
+    g.groupBy(col("event_type"))
+      .agg(sum(col("k")).as("n_rows"), count(lit(1)).as("n_groups"),
+        min(col("k")).as("min_k"),
+        sum(when(col("k") < 5L, col("k")).otherwise(0L)).as("risk_rows"))
+      .join(broadcast(med), "event_type")
+      .select(col("event_type"), col("n_rows"), col("n_groups"),
+        col("min_k"), col("median_k"), col("risk_rows"),
+        round(col("risk_rows").cast(DoubleType) /
+          col("n_rows").cast(DoubleType), 6).as("risk_share"))
+      .orderBy(col("event_type"))
+  }
+
   /** Time-travel read over the [[scd2Build]] dimension: reconstruct every
     * user's state AS OF the fixture's temporal midpoint (the exact
     * integer mean of min/max event micros — data-derived, so the query
@@ -1771,6 +1807,7 @@ object AnalyticsOps {
     "profile_key_skew" -> profileKeySkew,
     "events_lifecycle" -> eventsLifecycle,
     "scd2_snapshot" -> scd2Snapshot,
+    "privacy_k_anon" -> privacyKAnon,
     "events_anomaly_mad" -> eventsAnomalyMad,
     "lm_heldout_ppl" -> lmHeldoutPpl,
     "events_type_corr" -> eventsTypeCorr,
@@ -2739,6 +2776,31 @@ object AnalyticsOps {
          SELECT user_id, event_type AS state, ts AS valid_from,
            LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
          FROM chg ORDER BY user_id, valid_from""",
+    "privacy_k_anon" ->
+      """WITH g AS (
+           SELECT event_type,
+             CAST(date_part('isodow', ts) AS BIGINT) AS isodow,
+             CAST(floor(value / 10.0) AS BIGINT) AS value_decade,
+             CAST(COUNT(*) AS BIGINT) AS k
+           FROM events GROUP BY 1, 2, 3),
+         med AS (
+           SELECT event_type, k AS median_k FROM (
+             SELECT event_type, k,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY k, isodow, value_decade) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+             FROM g)
+           WHERE rn = (cnt + 1) // 2)
+         SELECT g.event_type, CAST(SUM(g.k) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(g.k) AS BIGINT) AS min_k,
+           CAST(MAX(m.median_k) AS BIGINT) AS median_k,
+           CAST(SUM(CASE WHEN g.k < 5 THEN g.k ELSE 0 END) AS BIGINT)
+             AS risk_rows,
+           round(CAST(SUM(CASE WHEN g.k < 5 THEN g.k ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(g.k) AS BIGINT), 6) AS risk_share
+         FROM g JOIN med m USING (event_type)
+         GROUP BY g.event_type ORDER BY g.event_type""",
     "scd2_snapshot" ->
       """WITH b AS (
            SELECT (MIN(CAST(floor(epoch_us(date_trunc('microseconds', ts)))

@@ -495,7 +495,7 @@ object TextOps {
     * [[qualityScoreLinear]] and [[qualityDupCorrelation]] so both score
     * documents with the identical feature arithmetic. Returns
     * (f_len, f_stop, f_sym, f_rep, margin) columns. */
-  private[operators] def qualityFeatures: (Column, Column, Column, Column, Column) = {
+  private[graft] def qualityFeatures: (Column, Column, Column, Column, Column) = {
     val ws = words(col("text"))
     val nWords = size(ws).cast(LongType)
     val fLen = least(nWords, lit(200L))

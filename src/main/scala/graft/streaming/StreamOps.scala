@@ -605,7 +605,35 @@ object StreamOps {
       .orderBy(col("event_type"))
   }
 
+  /** Quality gate on ingest: every arriving document scores through the
+    * [[graft.operators.TextOps.qualityFeatures]] linear margin and the
+    * stream reports the per-source keep rate — filter-at-the-door, the
+    * shape a training pipeline uses so rejected documents never reach
+    * storage. The margin is a stateless map over the arriving batch; the
+    * only state is the per-source counter pair (bounded by source
+    * cardinality, never ingest volume). On a finite replay the report
+    * equals the batch aggregate, which is what the oracle checks. */
+  val streamQualityGate: Q = (s, d) => {
+    val (_, _, _, _, margin) = graft.operators.TextOps.qualityFeatures
+    val agg = streamSource(s, d, "documents", docsSchema)
+      .select(col("source"), margin.as("margin"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("margin") >= 0L, 1L).otherwise(0L)).as("n_kept"))
+    val bytes = {
+      val f = new java.io.File(d, "documents.parquet")
+      if (f.isFile) f.length else -1L
+    }
+    runToCompletion(s, agg, s"graft_stream_quality_${System.nanoTime()}",
+        inputBytes = bytes)
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast(DoubleType) / col("n_docs").cast(DoubleType),
+          6).as("keep_rate"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_quality_gate" -> streamQualityGate,
     "watermark_audit" -> watermarkAudit,
     "stream_funnel" -> streamFunnel,
     "stream_bloom" -> streamBloom,
@@ -625,6 +653,24 @@ object StreamOps {
     * two half-hour-offset tumbling grids. ts is truncated to microseconds on
     * the DuckDB side to match the stream's nanos→micros conversion. */
   val oracle: Map[String, String] = Map(
+    "stream_quality_gate" ->
+      """WITH f AS (
+           SELECT source,
+             LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 200) * 4
+             + CAST(len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the', 'a'))) AS BIGINT) * 8
+             - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                 AS BIGINT) * 2
+             - CAST(len(string_split(text, ' '))
+                 - len(list_distinct(string_split(text, ' '))) AS BIGINT) * 3
+             - 256 AS margin
+           FROM documents)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN margin >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(CAST(SUM(CASE WHEN margin >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS keep_rate
+         FROM f GROUP BY source ORDER BY source""",
     "watermark_audit" ->
       s"""WITH b AS (
            SELECT event_type, event_id,

@@ -1005,6 +1005,15 @@ class PlanSpec extends AnyFunSuite {
       s"SCD2 windows key on user:\n$plan")
   }
 
+  test("privacy_k_anon: QI-grain checkpoint; median join broadcast") {
+    val plan = formatted("privacy_k_anon")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 0,
+      s"event stream must not re-scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
