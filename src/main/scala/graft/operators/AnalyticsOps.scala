@@ -1074,6 +1074,49 @@ object AnalyticsOps {
       .orderBy(col("event_type"))
   }
 
+  /** The masked extract [[privacyKAnon]] audits: user ids pseudonymize
+    * through the PolyHash affine rehash (deterministic, engine-neutral,
+    * not reversible without the modulus secret-share), timestamps
+    * truncate to the day, and values coarsen to their decade — the
+    * column-level generalization that turns a raw event log into a
+    * shareable dataset. Row-grain output (the extract itself), ordered
+    * by the masked columns.
+    *
+    * 100 TB shape: a pure map-side projection — no shuffle at all until
+    * the output sort, which a real export would drop. */
+  val privacySafeView: Q = (s, d) => {
+    import graft.functions.PolyHash.{Mult, P}
+    events(s, d)
+      .select((col("user_id") % P * Mult % P).as("pseudo_user"),
+        to_date(col("ts")).as("day"),
+        col("event_type"),
+        expr("CAST(floor(value / 10.0D) AS BIGINT) * 10").as("value_decade"))
+      .orderBy(col("pseudo_user"), col("day"), col("event_type"),
+        col("value_decade"))
+  }
+
+  /** Hour-of-day activity profile per event type: count and within-type
+    * share per (type, hour), with the peak hour flagged — the
+    * "when are users awake" readout that sizes serving capacity and
+    * schedules batch windows. Exact counts; one share division; the
+    * peak flag compares exact longs (ties all flag, deterministically).
+    *
+    * 100 TB shape: one (type, hour) count aggregate — ≤ 24·|types| rows
+    * out of the map side; the share/peak window rides that frame. */
+  val eventsHourProfile: Q = (s, d) => {
+    val byType = Window.partitionBy(col("event_type"))
+    events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).cast(LongType).as("hh"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("type_n", sum(col("n")).over(byType))
+      .withColumn("max_n", max(col("n")).over(byType))
+      .select(col("event_type"), col("hh"), col("n"),
+        round(col("n").cast(DoubleType) / col("type_n").cast(DoubleType), 6)
+          .as("share"),
+        (col("n") === col("max_n")).as("is_peak"))
+      .orderBy(col("event_type"), col("hh"))
+  }
+
   /** Time-travel read over the [[scd2Build]] dimension: reconstruct every
     * user's state AS OF the fixture's temporal midpoint (the exact
     * integer mean of min/max event micros — data-derived, so the query
@@ -1808,6 +1851,8 @@ object AnalyticsOps {
     "events_lifecycle" -> eventsLifecycle,
     "scd2_snapshot" -> scd2Snapshot,
     "privacy_k_anon" -> privacyKAnon,
+    "privacy_safe_view" -> privacySafeView,
+    "events_hour_profile" -> eventsHourProfile,
     "events_anomaly_mad" -> eventsAnomalyMad,
     "lm_heldout_ppl" -> lmHeldoutPpl,
     "events_type_corr" -> eventsTypeCorr,
@@ -2776,6 +2821,32 @@ object AnalyticsOps {
          SELECT user_id, event_type AS state, ts AS valid_from,
            LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
          FROM chg ORDER BY user_id, valid_from""",
+    "privacy_safe_view" ->
+      s"""SELECT
+           ((user_id % ${graft.functions.PolyHash.P})
+             * ${graft.functions.PolyHash.Mult})
+             % ${graft.functions.PolyHash.P} AS pseudo_user,
+           CAST(date_trunc('microseconds', ts) AS DATE) AS day,
+           event_type,
+           CAST(floor(value / 10.0) AS BIGINT) * 10 AS value_decade
+         FROM events
+         ORDER BY pseudo_user, day, event_type, value_decade""",
+    "events_hour_profile" ->
+      """WITH c AS (
+           SELECT event_type,
+             CAST(date_part('hour', date_trunc('microseconds', ts))
+               AS BIGINT) AS hh,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT *, CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+               AS type_n,
+             CAST(MAX(n) OVER (PARTITION BY event_type) AS BIGINT) AS max_n
+           FROM c)
+         SELECT event_type, hh, n,
+           round(CAST(n AS DOUBLE) / CAST(type_n AS DOUBLE), 6) AS share,
+           n = max_n AS is_peak
+         FROM w ORDER BY event_type, hh""",
     "privacy_k_anon" ->
       """WITH g AS (
            SELECT event_type,

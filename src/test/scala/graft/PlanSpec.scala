@@ -1014,6 +1014,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("privacy_safe_view: pure projection — no aggregate, no join") {
+    val plan = formatted("privacy_safe_view")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    // masking happens map-side; only the output sort exchanges
+    assert(plan.linesIterator.count(_.contains("- Exchange")) <= 1, plan)
+  }
+
+  test("events_hour_profile: one aggregate, type-keyed share window") {
+    val plan = formatted("events_hour_profile")
+    assert(!plan.contains("Join"), plan)
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("event_type#")),
+      s"share window must key on event_type:\n$plan")
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
