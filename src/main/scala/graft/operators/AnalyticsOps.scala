@@ -1038,6 +1038,88 @@ object AnalyticsOps {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  /** Session-length distribution over [[RelOps.sessionizeBatch]]'s closed
+    * sessions: session count, single-event share, mean events/session,
+    * and EXACT median / p90 / max duration seconds. The order statistics
+    * avoid both a global sort and a collect: durations aggregate to the
+    * VALUE grain first (distinct whole-second durations are bounded by
+    * the session gap, ~10³ values regardless of session count), and the
+    * cumulative rank window rides that tiny frame — the same
+    * counts-of-values trick [[graphDegreeDist]] uses. Median is the
+    * lower median ((N+1) DIV 2); p90 is ceil(0.9·N) by integer
+    * arithmetic.
+    *
+    * 100 TB shape: the sessionize windows are the only event-volume
+    * work; everything after is value-grain + one-row broadcasts. */
+  val sessionStats: Q = (s, d) => {
+    val sess = RelOps.sessionizeBatch(s, d)
+    val dur = sess.select(col("n_events"),
+      expr("(unix_micros(session_end) - unix_micros(session_start)) DIV 1000000")
+        .as("dur_s"))
+      .localCheckpoint()
+    val census = dur.agg(count(lit(1)).as("n_sessions"),
+      sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_single"),
+      sum(col("n_events")).as("tot_events"), max(col("dur_s")).as("max_duration_s"))
+    val cum = Window.orderBy(col("dur_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = dur.groupBy(col("dur_s")).agg(count(lit(1)).as("c"))
+      .withColumn("cumc", sum(col("c")).over(cum))
+      .crossJoin(broadcast(census.select(col("n_sessions").as("nn"))))
+    def pick(kExpr: String, name: String) =
+      hist.filter(col("cumc") >= expr(kExpr))
+        .agg(min(col("dur_s")).as(name))
+    census
+      .crossJoin(broadcast(pick("(nn + 1) DIV 2", "median_duration_s")))
+      .crossJoin(broadcast(pick("(9 * nn + 9) DIV 10", "p90_duration_s")))
+      .select(col("n_sessions"),
+        round(col("n_single").cast(DoubleType) /
+          col("n_sessions").cast(DoubleType), 6).as("single_share"),
+        round(col("tot_events").cast(DoubleType) /
+          col("n_sessions").cast(DoubleType), 6).as("mean_events"),
+        col("median_duration_s"), col("p90_duration_s"),
+        col("max_duration_s"))
+  }
+
+  /** Benford first-digit audit on the value column — the fraud/synthetic-
+    * data smell test: organic multiplicative quantities put ~30.1% of
+    * leading digits at 1, and a uniform generator (like this fixture's)
+    * fails loudly. Per digit 1–9: observed count and share, the Benford
+    * expectation log₁₀(1 + 1/d) (evaluated with identical formula text
+    * both engines), and the χ² contribution (n·(obs − exp)²/exp summed
+    * over digits is the test statistic). The digit extracts from
+    * floor(value·100) rendered as a string — CAST alone would round in
+    * one engine and truncate in the other.
+    *
+    * 100 TB shape: one 9-bucket count aggregate out of the map side; the
+    * 9-row digit table broadcasts so zero-count digits still report. */
+  val eventsValueBenford: Q = (s, d) => {
+    val digits = {
+      import s.implicits._
+      (1 to 9).map(_.toLong).toDF("digit")
+    }
+    val counts = events(s, d)
+      .select(expr(
+        "CAST(substring(CAST(CAST(floor(value * 100.0D) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"))
+    digits
+      .join(broadcast(counts), Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("total"),
+        round(coalesce(col("n"), lit(0L)).cast(DoubleType) /
+          col("total").cast(DoubleType), 6).as("obs_share"),
+        round(log(lit(1.0d) + lit(1.0d) / col("digit").cast(DoubleType)) /
+          log(lit(10.0d)), 6).as("exp_share"))
+      .select(col("digit"), col("n"), col("total"), col("obs_share"),
+        col("exp_share"),
+        round((col("obs_share") - col("exp_share")) *
+          (col("obs_share") - col("exp_share")) /
+          col("exp_share") * col("total"), 6).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
   /** k-anonymity audit before an events extract leaves the fence: rows
     * group by the quasi-identifier (event_type, ISO weekday, value
     * decade) and each event type reports its group count, the smallest
@@ -1853,6 +1935,8 @@ object AnalyticsOps {
     "privacy_k_anon" -> privacyKAnon,
     "privacy_safe_view" -> privacySafeView,
     "events_hour_profile" -> eventsHourProfile,
+    "session_stats" -> sessionStats,
+    "events_value_benford" -> eventsValueBenford,
     "events_anomaly_mad" -> eventsAnomalyMad,
     "lm_heldout_ppl" -> lmHeldoutPpl,
     "events_type_corr" -> eventsTypeCorr,
@@ -2821,6 +2905,70 @@ object AnalyticsOps {
          SELECT user_id, event_type AS state, ts AS valid_from,
            LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
          FROM chg ORDER BY user_id, valid_from""",
+    "session_stats" ->
+      """WITH e AS (
+           SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+           FROM events),
+         g AS (
+           SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk,
+             event_id
+           FROM e),
+         se AS (
+           SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+           FROM g),
+         sess AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+             (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dur_s
+           FROM se GROUP BY user_id, session_id),
+         census AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_single,
+             CAST(SUM(n_events) AS BIGINT) AS tot_events,
+             CAST(MAX(dur_s) AS BIGINT) AS max_duration_s
+           FROM sess),
+         hist AS (
+           SELECT dur_s, COUNT(*) AS c,
+             SUM(COUNT(*)) OVER (ORDER BY dur_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+           FROM sess GROUP BY dur_s),
+         med AS (SELECT CAST(MIN(dur_s) AS BIGINT) AS median_duration_s
+                 FROM hist, census WHERE cumc >= (n_sessions + 1) // 2),
+         p90 AS (SELECT CAST(MIN(dur_s) AS BIGINT) AS p90_duration_s
+                 FROM hist, census WHERE cumc >= (9 * n_sessions + 9) // 10)
+         SELECT census.n_sessions,
+           round(CAST(census.n_single AS DOUBLE)
+             / CAST(census.n_sessions AS DOUBLE), 6) AS single_share,
+           round(CAST(census.tot_events AS DOUBLE)
+             / CAST(census.n_sessions AS DOUBLE), 6) AS mean_events,
+           med.median_duration_s, p90.p90_duration_s, census.max_duration_s
+         FROM census CROSS JOIN med CROSS JOIN p90""",
+    "events_value_benford" ->
+      """WITH c AS (
+           SELECT CAST(substr(CAST(CAST(floor(value * 100.0) AS BIGINT)
+               AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+         dg AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT)
+                  AS digit),
+         sh AS (
+           SELECT dg.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n, t.total,
+             round(CAST(COALESCE(c.n, 0) AS DOUBLE)
+               / CAST(t.total AS DOUBLE), 6) AS obs_share,
+             round(ln(1.0 + 1.0 / CAST(dg.digit AS DOUBLE)) / ln(10.0), 6)
+               AS exp_share
+           FROM dg LEFT JOIN c USING (digit) CROSS JOIN t)
+         SELECT digit, n, total, obs_share, exp_share,
+           round((obs_share - exp_share) * (obs_share - exp_share)
+             / exp_share * total, 6) AS chi2_term
+         FROM sh ORDER BY digit""",
     "privacy_safe_view" ->
       s"""SELECT
            ((user_id % ${graft.functions.PolyHash.P})

@@ -1030,6 +1030,24 @@ class PlanSpec extends AnyFunSuite {
       s"share window must key on event_type:\n$plan")
   }
 
+  test("session_stats: order statistics ride the value-grain frame") {
+    val plan = formatted("session_stats")
+    // every window in the visible plan folds the duration HISTOGRAM
+    // (value-grain), never the session or event stream
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.linesIterator.count(_.contains("- BroadcastNestedLoopJoin")) >= 2,
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("events_value_benford: 9-bucket aggregate, digit table broadcast") {
+    val plan = formatted("events_value_benford")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
