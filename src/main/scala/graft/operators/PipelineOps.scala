@@ -87,6 +87,35 @@ object PipelineOps {
         lit(bootstrapReplicas.toLong).as("b_replicas"))
   }
 
+  /** Lognormal length model per language: μ and σ of ln(n_chars) — the
+    * two parameters a synthetic-data generator or a capacity model fits
+    * to document lengths (lengths are multiplicative, so ln-space is
+    * where they look Gaussian). Each ln quantizes to DECIMAL(18,6) BEFORE
+    * the moment sums (the repo's log convention — sums reassociate
+    * freely), the square widens to DECIMAL before multiplying, and μ/σ
+    * evaluate once per language in doubles under identical formula text
+    * (sample variance, n−1 denominator).
+    *
+    * 100 TB shape: one language-keyed aggregate out of the map side —
+    * |langs| rows; nothing else moves. */
+  val corpusLengthModel: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    val x = round(log(col("n_chars").cast(DoubleType)), 6).cast(dec6)
+    docs(s, d)
+      .select(col("lang"), x.as("x"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("n_docs"),
+        round(col("sx").cast(DoubleType) / col("n_docs").cast(DoubleType), 6)
+          .as("mu_ln"),
+        round(sqrt((col("n_docs").cast(DoubleType) * col("sxx").cast(DoubleType)
+            - col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) /
+          (col("n_docs").cast(DoubleType) *
+            (col("n_docs") - 1L).cast(DoubleType))), 6).as("sigma_ln"))
+      .orderBy(col("lang"))
+  }
+
   // ------------------------------------------------------------- sampling
   /** Deterministic 10% Bernoulli sample: keep where hash(doc_id) mod 100 <
     * 10. Pure map-side filter — no shuffle, no RNG state, no seed
@@ -745,6 +774,7 @@ object PipelineOps {
     "sample_hash" -> sampleHash,
     "sample_weighted" -> sampleWeighted,
     "corpus_bootstrap_ci" -> corpusBootstrapCi,
+    "corpus_length_model" -> corpusLengthModel,
     "sample_stratified" -> sampleStratified,
     "agg_histogram" -> aggHistogram,
     "pack_sequences" -> packSequences,
@@ -889,6 +919,22 @@ object PipelineOps {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          WHERE ($prioSql) % 100 < 10
          ORDER BY doc_id""",
+    "corpus_length_model" ->
+      """WITH q AS (
+           SELECT lang,
+             CAST(round(ln(n_chars), 6) AS DECIMAL(18,6)) AS x
+           FROM documents),
+         m AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(x) AS sx, SUM(x * x) AS sxx
+           FROM q GROUP BY lang)
+         SELECT lang, n_docs,
+           round(CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mu_ln,
+           round(sqrt((CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE))), 6)
+             AS sigma_ln
+         FROM m ORDER BY lang""",
     "corpus_bootstrap_ci" -> {
       val hash = graft.functions.PolyHash.duckSql(
         "CAST(b AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")

@@ -231,6 +231,57 @@ object SimilarityOps {
       .orderBy(col("radius"))
   }
 
+  /** Query-panel size cap for [[embeddingKnnEval]]. */
+  val knnEvalQueries = 128
+
+  /** Neighbor count for [[embeddingKnnEval]]. */
+  val knnEvalK = 5
+
+  /** Leave-one-out kNN label accuracy — the standard "are these
+    * embeddings any good" eval: a deterministic panel of up to
+    * [[knnEvalQueries]] vectors (vec_id ≡ 0 mod 37, TakeOrdered so the
+    * panel is FIXED-SIZE at any corpus scale — never a corpus-growing
+    * broadcast) each predicts its label by majority vote of its
+    * [[knnEvalK]] nearest neighbors (self excluded), and each label
+    * reports its panel accuracy. Neighbor ranking uses the 6-dp-rounded
+    * cosine (ties to lowest vec_id) so the cut is engine-exact; the
+    * majority vote ties to the lexicographically first label.
+    *
+    * 100 TB shape: the panel broadcasts into ONE corpus scan (output =
+    * N × panel rows, linear); the rank window keys on the query id; the
+    * vote and accuracy aggregates ride panel-sized frames. */
+  val embeddingKnnEval: Q = (s, d) => {
+    import graft.functions.CosineSimilarity.cosine_similarity
+    val panel = emb(s, d).filter(col("vec_id") % 37L === 0L)
+      .orderBy(col("vec_id"))
+      .limit(knnEvalQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        asD(col("embedding")).as("qv"))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    val neighbors = emb(s, d)
+      .join(broadcast(panel), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        round(cosine_similarity(asD(col("embedding")), col("qv")), 6)
+          .as("score"))
+      .withColumn("rk", row_number().over(byQuery))
+      .filter(col("rk") <= knnEvalK)
+    val byVote = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))
+    val pred = neighbors.groupBy(col("qid"), col("qlabel"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(byVote))
+      .filter(col("vr") === 1)
+    pred.select(col("qlabel"), (col("label") === col("qlabel")).as("ok"))
+      .groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("label"), col("n_queries"), col("n_correct"),
+        round(col("n_correct").cast(DoubleType) /
+          col("n_queries").cast(DoubleType), 6).as("accuracy"))
+      .orderBy(col("label"))
+  }
+
   /** Persistent-index variant of [[simSearchIvf]]: build the partitioned IVF
     * index once, then search with partition pruning (see
     * [[graft.plans.IvfIndex]]). Same centroids/nprobe → same results as the
@@ -1056,6 +1107,7 @@ object SimilarityOps {
     "sim_search_ivf_indexed" -> simSearchIvfIndexed,
     "sim_search_lsh" -> simSearchLsh,
     "sim_lsh_recall" -> simLshRecall,
+    "embedding_knn_eval" -> embeddingKnnEval,
   )
 
   /** Generated [[kmeansMaxIters]]-iteration replay of [[embeddingKmeans]]:
@@ -1268,6 +1320,49 @@ object SimilarityOps {
        FROM hd h JOIN radii r ON h.hd <= r.radius
        GROUP BY r.radius ORDER BY r.radius"""
   }
+
+  /** kNN-eval oracle: full panel × corpus rerank in SQL; ranking on the
+    * 6-dp-rounded cosine makes the k-cut engine-exact. */
+  private def knnEvalOracle: String =
+    s"""WITH panel AS (
+         SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+         FROM embeddings WHERE vec_id % 37 = 0
+         ORDER BY vec_id LIMIT $knnEvalQueries),
+       qf AS (
+         SELECT qid, qlabel, CAST(unnest(qe) AS DOUBLE) AS qv,
+                generate_subscripts(qe, 1) AS i
+         FROM panel),
+       flat AS (
+         SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,
+                generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       scored AS (
+         SELECT q.qid, q.qlabel, f.vec_id, f.label,
+           round(SUM(f.val * q.qv) /
+             (SQRT(SUM(f.val * f.val)) * SQRT(SUM(q.qv * q.qv))), 6)
+             AS score
+         FROM flat f JOIN qf q ON f.i = q.i
+         WHERE f.vec_id <> q.qid
+         GROUP BY 1, 2, 3, 4),
+       nn AS (
+         SELECT * FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY score DESC, vec_id) AS rk FROM scored)
+         WHERE rk <= $knnEvalK),
+       votes AS (
+         SELECT qid, qlabel, label, COUNT(*) AS votes
+         FROM nn GROUP BY 1, 2, 3),
+       pred AS (
+         SELECT qid, qlabel, label AS plabel FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY votes DESC, label) AS vr FROM votes)
+         WHERE vr = 1)
+       SELECT qlabel AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+         CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+         round(CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) AS accuracy
+       FROM pred GROUP BY qlabel ORDER BY label"""
 
   /** IVF oracle: replays the whole deterministic pipeline in SQL — centroid
     * assignment (argmax dot, ties to lowest cent_id), nprobe probe selection,
@@ -1516,6 +1611,7 @@ object SimilarityOps {
     "sim_search_topk_native" -> topkOracle,
     "sim_search_lsh" -> lshOracle,
     "sim_lsh_recall" -> lshRecallOracle,
+    "embedding_knn_eval" -> knnEvalOracle,
     "sim_search_ivf" -> ivfOracle,
     "sim_search_pq" ->
       """WITH flat AS (

@@ -1048,6 +1048,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("embedding_knn_eval: fixed-size panel broadcasts into one corpus scan") {
+    val plan = formatted("embedding_knn_eval")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("qid#")),
+      s"rank/vote windows must key on the query id:\n$plan")
+  }
+
+  test("corpus_length_model: one language-keyed aggregate, no join, no window") {
+    val plan = formatted("corpus_length_model")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
