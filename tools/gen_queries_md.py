@@ -17,13 +17,14 @@ fams = [
     ('agg_', 'Aggregation'),
     ('join_|tpch_|subquery_|merge_', 'Joins, subqueries & merge'),
     ('window_|sessionize_|resample_', 'Windows & time series'),
-    ('events_|retention_|scd2_|lm_|rfm_', 'Product analytics & LM statistics'),
+    ('events_|retention_|scd2_|lm_|rfm_|session_stats|profile_key_skew|privacy_',
+     'Product analytics & LM statistics'),
     ('graph_|basket_', 'Graph analytics'),
     ('set_|distinct_|pivot_|unpivot_|explode_|array_|json_|scalar_|result_|source_|compact_|layout_|table_checksum',
      'Relational scalars, reshaping & sources'),
     ('dedup_', 'Deduplication'),
     ('sim_|embedding_|cluster_profile', 'Similarity & embeddings'),
-    ('text_|corpus_|sample_|pack_|decontaminate|quality_|split_|data_profile|curation_|tokenizer_',
+    ('text_|corpus_|sample_|pack_|decontaminate|quality_|split_|data_profile|curation_|tokenizer_|lang_id_',
      'Text analysis & corpus curation'),
     ('shard_', 'Sharding & export'),
     ('mm_', 'Multimodal'),
