@@ -1120,6 +1120,45 @@ object AnalyticsOps {
       .orderBy(col("digit"))
   }
 
+  /** Bot-suspect report: the 20 most active users with their z-score
+    * against the population's per-user event-count distribution, plus
+    * the census of users above the 3σ line — the first-pass abuse
+    * screen every events pipeline runs before metrics trust the data.
+    * Moments are exact (n_users, Σn, Σn² — the squares widen to
+    * DECIMAL(38,0) before multiplying); μ, σ and each z evaluate once
+    * in doubles with identical formula text both engines.
+    *
+    * 100 TB shape: one user-keyed count aggregate collapses the stream;
+    * the one-row moment census broadcasts back over the USER-grain
+    * frame and TakeOrdered keeps 20 — no global sort, no collect. */
+  val eventsBotSuspects: Q = (s, d) => {
+    val dec38 = DecimalType(38, 0)
+    val perUser = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(expr("CAST(ts AS DATE)")).as("n_days"))
+      .localCheckpoint()
+    val census = perUser.agg(count(lit(1)).as("n_users"),
+      sum(col("n")).as("sn"), sum(col("n").cast(dec38) * col("n")).as("snn"))
+    val z = (col("n").cast(DoubleType) -
+      col("sn").cast(DoubleType) / col("n_users").cast(DoubleType)) /
+      sqrt((col("n_users").cast(DoubleType) * col("snn").cast(DoubleType) -
+        col("sn").cast(DoubleType) * col("sn").cast(DoubleType)) /
+        (col("n_users").cast(DoubleType) *
+          (col("n_users") - 1L).cast(DoubleType)))
+    // the suspect census is a second one-row aggregate over the
+    // checkpointed user-grain frame — NOT an unkeyed window (which would
+    // single-partition a frame that grows with the user base)
+    val suspects = perUser.crossJoin(broadcast(census))
+      .agg(sum(when(round(z, 6) > 3.0d, 1L).otherwise(0L)).as("n_suspects"))
+    perUser.crossJoin(broadcast(census))
+      .select(col("user_id"), col("n").as("n_events"), col("n_days"),
+        round(z, 6).as("zscore"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(20)
+      .crossJoin(broadcast(suspects))
+  }
+
   /** k-anonymity audit before an events extract leaves the fence: rows
     * group by the quasi-identifier (event_type, ISO weekday, value
     * decade) and each event type reports its group count, the smallest
@@ -1937,6 +1976,7 @@ object AnalyticsOps {
     "events_hour_profile" -> eventsHourProfile,
     "session_stats" -> sessionStats,
     "events_value_benford" -> eventsValueBenford,
+    "events_bot_suspects" -> eventsBotSuspects,
     "events_anomaly_mad" -> eventsAnomalyMad,
     "lm_heldout_ppl" -> lmHeldoutPpl,
     "events_type_corr" -> eventsTypeCorr,
@@ -2905,6 +2945,32 @@ object AnalyticsOps {
          SELECT user_id, event_type AS state, ts AS valid_from,
            LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
          FROM chg ORDER BY user_id, valid_from""",
+    "events_bot_suspects" ->
+      """WITH pu AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+               AS BIGINT) AS n_days
+           FROM events GROUP BY user_id),
+         census AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n) AS BIGINT) AS sn,
+             SUM(CAST(n AS HUGEINT) * n) AS snn
+           FROM pu),
+         zt AS (
+           SELECT pu.user_id, pu.n AS n_events, pu.n_days,
+             round((CAST(pu.n AS DOUBLE)
+                 - CAST(census.sn AS DOUBLE) / CAST(census.n_users AS DOUBLE))
+               / sqrt((CAST(census.n_users AS DOUBLE) * CAST(census.snn AS DOUBLE)
+                   - CAST(census.sn AS DOUBLE) * CAST(census.sn AS DOUBLE))
+                 / (CAST(census.n_users AS DOUBLE)
+                    * CAST(census.n_users - 1 AS DOUBLE))), 6) AS zscore
+           FROM pu CROSS JOIN census),
+         sus AS (SELECT CAST(SUM(CASE WHEN zscore > 3.0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_suspects FROM zt)
+         SELECT zt.user_id, zt.n_events, zt.n_days, zt.zscore, sus.n_suspects
+         FROM (SELECT * FROM zt ORDER BY n_events DESC, user_id LIMIT 20) zt
+         CROSS JOIN sus
+         ORDER BY zt.n_events DESC, zt.user_id""",
     "session_stats" ->
       """WITH e AS (
            SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts

@@ -508,6 +508,62 @@ object RelOps {
     o.unionAll(c).unionAll(n).orderBy($"tbl")
   }
 
+  /** Whole-catalog migration checksum: every fixture table reduced to a
+    * fingerprint row (row count, distinct-image count, polyhash content
+    * sum, min/max row digest) — the cross-engine validation a team runs
+    * after ANY copy/migration/engine swap; [[tableChecksum]]'s contract
+    * extended to all ten tables. Row images render only engine-stable
+    * types: BIGINTs, strings, money as floor(x·100) (a bare double→string
+    * render differs between engines), timestamps as epoch micros, text as
+    * its md5, embeddings as (dim, floor(first·10⁶)). The content SUM is
+    * order-insensitive, so partitioning/AQE cannot move it; at true 100 TB
+    * row counts the sum widens to DECIMAL(38,0)/HUGEINT — the
+    * [[graft.CanonicalTypes]] pairing.
+    *
+    * 100 TB shape: one map-side-combined aggregate per table — ten scans,
+    * ten one-row results, no shuffle beyond the partial merge. */
+  val catalogChecksum: Q = (s, d) => {
+    def money(c: Column): Column =
+      floor(c.cast(DoubleType) * 100.0d).cast(LongType)
+    def fp(name: String, df: DataFrame, image: Column): DataFrame =
+      df.select(image.as("img"))
+        .agg(count(lit(1)).as("n_rows"), countDistinct($"img").as("n_distinct"),
+          sum(graft.functions.PolyHash.poly_hash($"img")).as("content_sum"),
+          min(md5($"img")).as("md5_min"), max(md5($"img")).as("md5_max"))
+        .select(lit(name).as("tbl"), $"n_rows", $"n_distinct",
+          $"content_sum", $"md5_min", $"md5_max")
+    Seq(
+      fp("region", t(s, d, "region"), concat_ws("|", $"r_regionkey", $"r_name")),
+      fp("nation", t(s, d, "nation"),
+        concat_ws("|", $"n_nationkey", $"n_name", $"n_regionkey")),
+      fp("supplier", t(s, d, "supplier"),
+        concat_ws("|", $"s_suppkey", $"s_name", $"s_nationkey", money($"s_acctbal"))),
+      fp("part", t(s, d, "part"),
+        concat_ws("|", $"p_partkey", $"p_name", $"p_brand", $"p_type",
+          $"p_size", money($"p_retailprice"))),
+      fp("customer", t(s, d, "customer"),
+        concat_ws("|", $"c_custkey", $"c_name", $"c_mktsegment", $"c_nationkey")),
+      fp("orders", t(s, d, "orders"),
+        concat_ws("|", $"o_orderkey", $"o_custkey", $"o_orderstatus",
+          money($"o_totalprice"), $"o_orderdate".cast(StringType),
+          $"o_orderpriority")),
+      fp("lineitem", t(s, d, "lineitem"),
+        concat_ws("|", $"l_orderkey", $"l_partkey", $"l_suppkey", $"l_linenumber",
+          money($"l_quantity"), money($"l_extendedprice"), money($"l_discount"),
+          money($"l_tax"), $"l_returnflag", $"l_linestatus",
+          $"l_shipdate".cast(StringType))),
+      fp("events", t(s, d, "events"),
+        concat_ws("|", $"event_id", unix_micros($"ts"), $"user_id",
+          $"event_type", money($"value"), $"props")),
+      fp("documents", t(s, d, "documents"),
+        concat_ws("|", $"doc_id", md5($"text"), $"lang", $"source", $"n_chars")),
+      fp("embeddings", t(s, d, "embeddings"),
+        concat_ws("|", $"vec_id", $"label", size($"embedding"),
+          floor(element_at($"embedding", 1).cast(DoubleType) * 1000000.0d)
+            .cast(LongType)))
+    ).reduce(_ unionAll _).orderBy($"tbl")
+  }
+
   // ------------------------------------------------------- sort / window
   /** ORDER BY + LIMIT → TakeOrderedAndProject (top-k per partition, then
     * k-merge on the driver — no global sort). */
@@ -1531,6 +1587,7 @@ object RelOps {
     "join_bloom_pruned" -> joinBloomPruned,
     "join_interval_overlap" -> joinIntervalOverlap,
     "table_checksum" -> tableChecksum,
+    "catalog_checksum" -> catalogChecksum,
     "sort_limit" -> sortLimit,
     "window_rank" -> windowRank,
     "window_running" -> windowRunning,
@@ -1776,6 +1833,47 @@ object RelOps {
          FROM iv x JOIN iv y
            ON x.c = y.c AND x.k < y.k AND x.st < y.en AND y.st < x.en
          GROUP BY x.c ORDER BY x.c""",
+    "catalog_checksum" -> {
+      def fpSql(name: String, tbl: String, image: String): String =
+        s"""SELECT '$name' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT img) AS BIGINT) AS n_distinct,
+             CAST(SUM(${graft.functions.PolyHash.duckSql("img")}) AS BIGINT)
+               AS content_sum,
+             MIN(md5(img)) AS md5_min, MAX(md5(img)) AS md5_max
+           FROM (SELECT $image AS img FROM $tbl)"""
+      def money(c: String): String = s"CAST(floor($c * 100.0) AS BIGINT)"
+      Seq(
+        fpSql("region", "region", "concat_ws('|', r_regionkey, r_name)"),
+        fpSql("nation", "nation",
+          "concat_ws('|', n_nationkey, n_name, n_regionkey)"),
+        fpSql("supplier", "supplier",
+          s"concat_ws('|', s_suppkey, s_name, s_nationkey, ${money("s_acctbal")})"),
+        fpSql("part", "part",
+          s"""concat_ws('|', p_partkey, p_name, p_brand, p_type, p_size,
+             ${money("p_retailprice")})"""),
+        fpSql("customer", "customer",
+          "concat_ws('|', c_custkey, c_name, c_mktsegment, c_nationkey)"),
+        fpSql("orders", "orders",
+          s"""concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+             ${money("o_totalprice")},
+             CAST(o_orderdate AS VARCHAR), o_orderpriority)"""),
+        fpSql("lineitem", "lineitem",
+          s"""concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber,
+             ${money("l_quantity")}, ${money("l_extendedprice")},
+             ${money("l_discount")}, ${money("l_tax")},
+             l_returnflag, l_linestatus,
+             CAST(l_shipdate AS VARCHAR))"""),
+        fpSql("events", "events",
+          s"""concat_ws('|', event_id,
+             CAST(floor(epoch_us(date_trunc('microseconds', ts))) AS BIGINT),
+             user_id, event_type, ${money("value")}, props)"""),
+        fpSql("documents", "documents",
+          "concat_ws('|', doc_id, md5(text), lang, source, n_chars)"),
+        fpSql("embeddings", "embeddings",
+          """concat_ws('|', vec_id, label, len(embedding),
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT))""")
+      ).mkString("\n UNION ALL \n") + "\n ORDER BY tbl"
+    },
     "table_checksum" -> {
       def fpSql(name: String, tbl: String, image: String): String =
         s"""SELECT '$name' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -1065,6 +1065,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("catalog_checksum: ten single-pass aggregates, no join, no window") {
+    val plan = formatted("catalog_checksum")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      plan)
+  }
+
+  test("events_bot_suspects: user-grain checkpoint; censuses broadcast") {
+    val plan = formatted("events_bot_suspects")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 0,
+      s"event stream must not re-scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.linesIterator.count(_.contains("- BroadcastNestedLoopJoin")) >= 2,
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
