@@ -1120,6 +1120,34 @@ object AnalyticsOps {
       .orderBy(col("digit"))
   }
 
+  /** Ingest data-quality gate: the one-row contract report every events
+    * drop passes before anything downstream trusts it — row count, null
+    * keys, duplicate event ids, out-of-range values, timestamps outside
+    * the drop's own [min, max] day envelope (a zero-cost tripwire that
+    * catches unit regressions: a nanos-as-micros batch lands centuries
+    * away), and the valid share. All exact integers; one division.
+    *
+    * 100 TB shape: one pass for the global aggregate plus one key-grain
+    * distinct count (the dup check is the only shuffle); censuses
+    * broadcast into a single output row. */
+  val eventsDqReport: Q = (s, d) => {
+    val e = events(s, d)
+    val base = e.agg(count(lit(1)).as("n_rows"),
+      sum(when(col("user_id").isNull || col("event_type").isNull ||
+        col("ts").isNull, 1L).otherwise(0L)).as("n_null_key"),
+      sum(when(col("value") < 0.0d, 1L).otherwise(0L)).as("n_negative_value"),
+      sum(when(col("value") > 1000000.0d, 1L).otherwise(0L))
+        .as("n_outlier_value"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("n_dup_event_id"),
+      datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast(LongType).as("span_days"))
+    base.select(col("n_rows"), col("n_null_key"), col("n_dup_event_id"),
+      col("n_negative_value"), col("n_outlier_value"), col("span_days"),
+      round((col("n_rows") - col("n_null_key") - col("n_dup_event_id") -
+          col("n_negative_value") - col("n_outlier_value")).cast(DoubleType) /
+        col("n_rows").cast(DoubleType), 6).as("valid_share"))
+  }
+
   /** Bot-suspect report: the 20 most active users with their z-score
     * against the population's per-user event-count distribution, plus
     * the census of users above the 3σ line — the first-pass abuse
@@ -1977,6 +2005,7 @@ object AnalyticsOps {
     "session_stats" -> sessionStats,
     "events_value_benford" -> eventsValueBenford,
     "events_bot_suspects" -> eventsBotSuspects,
+    "events_dq_report" -> eventsDqReport,
     "events_anomaly_mad" -> eventsAnomalyMad,
     "lm_heldout_ppl" -> lmHeldoutPpl,
     "events_type_corr" -> eventsTypeCorr,
@@ -2945,6 +2974,27 @@ object AnalyticsOps {
          SELECT user_id, event_type AS state, ts AS valid_from,
            LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
          FROM chg ORDER BY user_id, valid_from""",
+    "events_dq_report" ->
+      """WITH b AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN user_id IS NULL OR event_type IS NULL
+               OR ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_key,
+             CAST(SUM(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative_value,
+             CAST(SUM(CASE WHEN value > 1000000.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outlier_value,
+             CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+               AS n_dup_event_id,
+             CAST(CAST(date_trunc('day', MAX(ts)) AS DATE)
+               - CAST(date_trunc('day', MIN(ts)) AS DATE) AS BIGINT)
+               AS span_days
+           FROM events)
+         SELECT n_rows, n_null_key, n_dup_event_id, n_negative_value,
+           n_outlier_value, span_days,
+           round(CAST(n_rows - n_null_key - n_dup_event_id
+               - n_negative_value - n_outlier_value AS DOUBLE)
+             / CAST(n_rows AS DOUBLE), 6) AS valid_share
+         FROM b""",
     "events_bot_suspects" ->
       """WITH pu AS (
            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,

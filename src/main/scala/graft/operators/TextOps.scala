@@ -175,6 +175,30 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Encoding audit per source: max codepoint, documents containing any
+    * non-ASCII character, and the non-ASCII document share — the check
+    * that catches mojibake and double-encoded feeds before a tokenizer
+    * trained on clean text meets them. Codepoint maxima are exact
+    * integers from one array fold per document; the share divides two
+    * exact longs.
+    *
+    * 100 TB shape: map-side per-doc fold, one source-keyed aggregate —
+    * |sources| rows out. */
+  val textAsciiAudit: Q = (s, d) => {
+    val maxCp = array_max(transform(split(col("text"), ""),
+      ch => ascii(ch).cast(LongType)))
+    docs(s, d)
+      .select(col("source"), maxCp.as("max_cp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), max(col("max_cp")).as("max_codepoint"),
+        sum(when(col("max_cp") > 127L, 1L).otherwise(0L)).as("n_non_ascii"))
+      .select(col("source"), col("n_docs"), col("max_codepoint"),
+        col("n_non_ascii"),
+        round(col("n_non_ascii").cast(DoubleType) /
+          col("n_docs").cast(DoubleType), 6).as("non_ascii_share"))
+      .orderBy(col("source"))
+  }
+
   /** Document fingerprint: order-sensitive rolling polynomial hash over the
     * word sequence (Karp–Rabin style; [[graft.functions.PolyHash]] per word,
     * ×31 rolling, modulo the same Mersenne prime so ANSI-mode arithmetic
@@ -639,6 +663,7 @@ object TextOps {
     "text_burstiness" -> textBurstiness,
     "lang_id_confusion" -> langIdConfusion,
     "quality_dup_correlation" -> qualityDupCorrelation,
+    "text_ascii_audit" -> textAsciiAudit,
   )
 
   val oracle: Map[String, String] = Map(
@@ -769,6 +794,19 @@ object TextOps {
            round(1.0 / (1.0 + exp(CAST(margin AS DOUBLE) / -256.0)), 6) AS p_keep,
            margin >= 0 AS keep
          FROM m ORDER BY doc_id""",
+    "text_ascii_audit" ->
+      """WITH m AS (
+           SELECT source,
+             list_max([ascii(text[i]) FOR i IN range(1, len(text) + 1)])
+               AS max_cp
+           FROM documents)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(max_cp) AS BIGINT) AS max_codepoint,
+           CAST(SUM(CASE WHEN max_cp > 127 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_non_ascii,
+           round(CAST(SUM(CASE WHEN max_cp > 127 THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*), 6) AS non_ascii_share
+         FROM m GROUP BY source ORDER BY source""",
     "quality_dup_correlation" ->
       """WITH f AS (
            SELECT md5(text) AS content_hash,

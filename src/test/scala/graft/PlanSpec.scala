@@ -1084,6 +1084,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("events_dq_report: single aggregate pass, no window") {
+    val plan = formatted("events_dq_report")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      plan)
+  }
+
+  test("text_ascii_audit: map-side fold, one source-keyed aggregate") {
+    val plan = formatted("text_ascii_audit")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    // the per-char explode must NOT appear — the fold is an array
+    // transform inside the projection
+    assert(!plan.contains("Generate"), s"no explode belongs here:\n$plan")
+  }
+
   test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
     import spark.implicits._
     val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
