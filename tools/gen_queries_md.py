@@ -20,7 +20,7 @@ fams = [
     ('events_|retention_|scd2_|lm_|rfm_|session_stats|profile_key_skew|privacy_',
      'Product analytics & LM statistics'),
     ('graph_|basket_', 'Graph analytics'),
-    ('set_|distinct_|pivot_|unpivot_|explode_|array_|json_|scalar_|result_|source_|compact_|layout_|table_checksum',
+    ('set_|distinct_|pivot_|unpivot_|explode_|array_|json_|scalar_|result_|source_|compact_|layout_|table_checksum|catalog_checksum',
      'Relational scalars, reshaping & sources'),
     ('dedup_', 'Deduplication'),
     ('sim_|embedding_|cluster_profile', 'Similarity & embeddings'),
