@@ -22,4 +22,16 @@ object Limits {
     * count (candidate-pair-bounded input) — the gate makes the documented
     * fallback real code instead of a comment. */
   val maxBroadcastEdges = 16L * 1000 * 1000
+
+  /** Max vertices whose iterative rank state (pagerank / eigencentrality
+    * power sweeps) broadcasts onto the pinned adjacency: 16 M (v, rank)
+    * pairs ≈ 256 MB raw, inside broadcast reach. Past this — the 10⁹-vertex
+    * regime — an unconditional broadcast of the vertex-sized state is the
+    * suite's one real scale-killer (driver OOM), so the sweep flips to a
+    * keyed SHUFFLE_HASH join with the state as the build side: the
+    * adjacency shuffles once per sweep on the join key but the plan stays
+    * hash-probe-shaped (never a sort-merge of the edge stream). The gate
+    * reads ONE bounded driver scalar (the vertex count the sweeps already
+    * materialize) — same posture as [[maxBroadcastEdges]]. */
+  val maxBroadcastVertices = 16L * 1000 * 1000
 }

@@ -48,14 +48,46 @@ object RedisControlPlane {
     * per client (the scheduler's per-queue pools hold separate clients or
     * share one — both safe). */
   final class RespClient(host: String, port: Int) extends AutoCloseable {
-    private val socket = new Socket(host, port)
-    socket.setTcpNoDelay(true)
-    private val in = new BufferedInputStream(socket.getInputStream)
-    private val out = new BufferedOutputStream(socket.getOutputStream)
+    private var socket = connect()
+    private var in = new BufferedInputStream(socket.getInputStream)
+    private var out = new BufferedOutputStream(socket.getOutputStream)
+
+    private def connect(): Socket = {
+      val s = new Socket(host, port)
+      s.setTcpNoDelay(true)
+      s
+    }
+
+    /** Drop the (possibly half-dead) connection and dial a fresh one —
+      * the queue worker's transient-error recovery after a broker restart.
+      * Throws if the broker is still down; the caller retries next tick. */
+    def reconnect(): Unit = synchronized {
+      try socket.close() catch { case _: Exception => () }
+      socket = connect()
+      in = new BufferedInputStream(socket.getInputStream)
+      out = new BufferedOutputStream(socket.getOutputStream)
+    }
 
     /** Send one command, return its reply: String (+simple/$bulk), Long
-      * (:int), null ($-1), Seq[Any] (*array). -error throws. */
+      * (:int), null ($-1), Seq[Any] (*array). -error throws.
+      *
+      * On a socket-level failure (broker restarted, connection dropped) the
+      * client reconnects and retries the command ONCE — the standard
+      * real-Redis client behavior. At-least-once delivery is already the
+      * control plane's contract (epochs + attempt counters absorb a
+      * replayed LPUSH/INCR), so a rare duplicate on the
+      * processed-then-died-before-reply race is safe; a broker that is
+      * still down rethrows to the caller. */
     def cmd(args: String*): Any = synchronized {
+      try sendAndRead(args)
+      catch {
+        case _: java.io.IOException =>
+          reconnect()
+          sendAndRead(args)
+      }
+    }
+
+    private def sendAndRead(args: Seq[String]): Any = {
       val sb = new java.lang.StringBuilder()
       sb.append('*').append(args.length).append("\r\n")
       args.foreach { a =>
@@ -111,6 +143,11 @@ object RedisControlPlane {
       case '*' =>
         val n = readLine().toInt
         if (n < 0) null else Seq.fill(n)(readReply())
+      case -1 =>
+        // EOF is a socket-level condition (broker closed the connection),
+        // not a protocol error — surface it as IOException so cmd()'s
+        // reconnect-and-retry-once path handles it.
+        throw new java.io.EOFException("connection closed")
       case c => throw new IllegalStateException(s"bad RESP type byte: $c")
     }
 
@@ -170,7 +207,16 @@ final class RedisJobStateStore(host: String, port: Int, prefix: String = "graft:
         throw new IllegalStateException(s"lock timeout on $key")
       else Thread.sleep(2)
     }
-    try f finally { c.cmd("DEL", key): Unit }
+    // Compare-and-delete: if the critical section outlived the TTL (GC
+    // pause, slow broker) another holder now owns the key — an
+    // unconditional DEL would release THEIR lock and cascade mutual-
+    // exclusion loss. GET+compare is atomic enough against the embedded
+    // single-command-at-a-time server; real Redis would use the standard
+    // Lua compare-and-delete script.
+    try f finally {
+      val cur = c.cmd("GET", key)
+      if (cur != null && cur.toString == token) c.cmd("DEL", key): Unit
+    }
   }
 
   private def readStatus(id: String): Option[JobStatus] = {
@@ -376,7 +422,17 @@ final class RedisQueueWorker(
 
   private val loop = new Thread(() => {
     while (!stopped) {
-      try pollOnce() catch { case _: InterruptedException => () }
+      // Socket/protocol errors (broker restart, dropped connection) are
+      // transient, same contract as the JDBC worker's SQLException catch —
+      // a dead broker must not kill the daemon thread and silently stop
+      // the worker claiming forever. Reconnect lazily and retry next tick.
+      try pollOnce() catch {
+        case _: InterruptedException => ()
+        case _: java.io.IOException | _: IllegalStateException =>
+          // reconnect() itself throws while the broker is still down —
+          // swallow and retry next tick.
+          try c.reconnect() catch { case _: Exception => () }
+      }
       try Thread.sleep(pollMs) catch { case _: InterruptedException => () }
     }
   }, "graft-redis-queue-worker")

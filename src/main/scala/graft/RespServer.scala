@@ -31,6 +31,10 @@ import scala.collection.mutable
 final class RespServer(port: Int = 0) {
   private val server = new ServerSocket(port, 64, java.net.InetAddress.getLoopbackAddress)
   @volatile private var stopped = false
+  // Live client sockets, closed on stop(): real Redis drops client
+  // connections at shutdown; leaving them half-alive lets a client read
+  // stale state from a "dead" server (the failover-stale-read race).
+  private val conns = mutable.Set.empty[Socket]
 
   private val lock = new Object
   private val strings = mutable.Map.empty[String, String]
@@ -57,11 +61,17 @@ final class RespServer(port: Int = 0) {
   def stop(): Unit = {
     stopped = true
     try server.close() catch { case _: Exception => () }
+    conns.synchronized {
+      conns.foreach(s => try s.close() catch { case _: Exception => () })
+      conns.clear()
+    }
   }
 
   // ------------------------------------------------------------ protocol
   private def serve(sock: Socket): Unit = {
     sock.setTcpNoDelay(true)
+    conns.synchronized { conns += sock }
+    if (stopped) { try sock.close() catch { case _: Exception => () }; return }
     val in = new BufferedInputStream(sock.getInputStream)
     val out = new BufferedOutputStream(sock.getOutputStream)
     try {
@@ -79,7 +89,10 @@ final class RespServer(port: Int = 0) {
         }
       }
     } catch { case _: Exception => () }
-    finally { try sock.close() catch { case _: Exception => () } }
+    finally {
+      try sock.close() catch { case _: Exception => () }
+      conns.synchronized { conns -= sock }
+    }
   }
 
   private def write(out: BufferedOutputStream, s: String): Unit = {
@@ -90,7 +103,12 @@ final class RespServer(port: Int = 0) {
     val sb = new java.lang.StringBuilder()
     var c = in.read()
     if (c < 0) return null
-    while (c != '\r') { sb.append(c.toChar); c = in.read() }
+    while (c != '\r') {
+      // EOF mid-line: a client that disconnected mid-command must not pin
+      // this thread in a read()== -1 busy loop with an unbounded buffer.
+      if (c < 0) throw new java.io.EOFException("client closed mid-line")
+      sb.append(c.toChar); c = in.read()
+    }
     in.read() // \n
     sb.toString
   }

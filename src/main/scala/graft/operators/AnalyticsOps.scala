@@ -760,7 +760,12 @@ object AnalyticsOps {
     * cohort user — the payback-period readout every growth team plots.
     * Revenue sums quantize to DECIMAL(18,6) before aggregation (the
     * repo's float-sum convention) so cumulative values are
-    * order-insensitive and hash-exact; age weeks are exact integer day
+    * order-insensitive and hash-exact; the cumulative column is then
+    * emitted as DOUBLE (the exact decimal has ≤6 fractional digits, so
+    * the cast is lossless at audit scale) because the suite's output
+    * convention is float-once/int64 — decimal output columns hash
+    * differently between the Spark and DuckDB sides of the driver gate.
+    * Age weeks are exact integer day
     * differences floor-divided by 7 (both engines truncate toward zero).
     * Scale shape: one user-keyed min-aggregate, one user-keyed join to
     * annotate purchases, one (cohort, age) aggregate — the running sum
@@ -786,7 +791,7 @@ object AnalyticsOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cells.join(broadcast(sizes), "cohort_week")
       .select(col("cohort_week"), col("age_w"), col("n_purchases"),
-        sum(col("rev")).over(byAge).cast(dec6).as("cum_value"),
+        sum(col("rev")).over(byAge).cast(DoubleType).as("cum_value"),
         col("cohort_users"),
         round(sum(col("rev")).over(byAge).cast(DoubleType) /
           col("cohort_users"), 6).as("ltv"))
@@ -2638,7 +2643,7 @@ object AnalyticsOps {
          SELECT g.cohort_week, g.age_w, g.n_purchases,
            CAST(SUM(rev) OVER (PARTITION BY g.cohort_week ORDER BY g.age_w
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS DECIMAL(18,6)) AS cum_value,
+             AS DOUBLE) AS cum_value,
            s.cohort_users,
            round(CAST(SUM(rev) OVER (PARTITION BY g.cohort_week
              ORDER BY g.age_w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

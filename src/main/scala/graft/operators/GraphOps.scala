@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.Tables
+import graft.{Limits, Tables}
 
 /** Graph analytics over a co-occurrence graph derived from the fixtures:
   * two parts are connected when some order contains both (the market-basket
@@ -557,14 +557,30 @@ object GraphOps {
     * Broadcast is HINTED because the pinned state is an RDD scan with no
     * size statistics — unhinted, Catalyst would SortMergeJoin it. */
   private[graft] def pagerankSweep(symd: DataFrame, init: Long,
-      pr: DataFrame): DataFrame =
-    symd.join(broadcast(pr.withColumnRenamed("v", "src")), "src")
+      pr: DataFrame, broadcastState: Boolean = true): DataFrame = {
+    // Past Limits.maxBroadcastVertices (broadcastState = false) the
+    // vertex-sized state becomes the BUILD side of a keyed SHUFFLE_HASH
+    // join instead — the scale-safe fallback for 10⁹-vertex graphs where a
+    // vertex-sized broadcast is a driver OOM; the plan stays
+    // hash-probe-shaped either way (never a sort of the edge stream).
+    val state = pr.withColumnRenamed("v", "src")
+    val probe =
+      if (broadcastState) symd.join(broadcast(state), "src")
+      else symd.join(state.hint("shuffle_hash"), "src")
+    probe
       .groupBy(col("dst").as("v"))
       .agg(sum(expr("pr DIV degree")).as("in_sum"))
       .select(col("v"),
         (lit((15L * init) / 100L) + expr("(85 * in_sum) DIV 100")).as("pr"))
+  }
 
-  val graphPagerank: Q = (s, d) => {
+  val graphPagerank: Q = (s, d) =>
+    graphPagerankImpl(s, d, Limits.maxBroadcastVertices)
+
+  /** [[graphPagerank]] with the broadcast-state gate injectable so the spec
+    * can drive the shuffle-hash fallback end-to-end on a small fixture. */
+  private[graft] def graphPagerankImpl(s: SparkSession, d: String,
+      maxBcVerts: Long): DataFrame = {
     val e = edges(s, d).localCheckpoint()
     val deg = degrees(e).localCheckpoint() // (v, degree): out-degree = degree
     // ONE bounded driver scalar — the vertex count — gates the integer
@@ -573,12 +589,17 @@ object GraphOps {
     // unchanged: init = scale DIV nv exactly as the oracle's pr0 CTE.
     val nv = deg.count()
     val init = pagerankScale / nv
+    // the broadcast-vs-shuffle-hash gate: one bounded scalar we already have
+    val bcState = nv <= maxBcVerts
     // adjacency with the SOURCE degree attached once (vertex-sized build
     // join, pinned): sweeps stop re-joining/re-broadcasting the degree
     // table — each sweep's only broadcast is the rank state itself
+    val degSrc = deg.withColumnRenamed("v", "src")
     val symd = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .join(broadcast(deg.withColumnRenamed("v", "src")), "src")
+      // the degree annotation is vertex-sized too — same gate as the state
+      .join(if (bcState) broadcast(degSrc) else degSrc.hint("shuffle_hash"),
+        "src")
       .localCheckpoint() // pinned once; every sweep probes this frame
     var pr = deg.select(col("v"), lit(init).as("pr")).localCheckpoint()
     // Sweep in pinned BLOCKS of prBlock sweeps: the rank state is referenced
@@ -604,12 +625,15 @@ object GraphOps {
     while (it < pagerankIters && !converged) {
       val blockStart = pr
       val steps = math.min(prBlock, pagerankIters - it)
-      for (_ <- 1 to steps) pr = pagerankSweep(symd, init, pr)
+      for (_ <- 1 to steps) pr = pagerankSweep(symd, init, pr, bcState)
       it += steps
       pr = pr.localCheckpoint()
-      if (it < pagerankIters && steps == prBlock)
-        converged = pr.join(broadcast(blockStart.withColumnRenamed("pr", "prev")), "v")
+      if (it < pagerankIters && steps == prBlock) {
+        val prev = blockStart.withColumnRenamed("pr", "prev")
+        converged = pr.join(
+            if (bcState) broadcast(prev) else prev.hint("shuffle_hash"), "v")
           .filter(col("pr") =!= col("prev")).isEmpty
+      }
     }
     pr.select(col("v"), col("pr").as("pr_scaled"),
         // round to 6 (the repo-wide float-output convention): at 15 places
@@ -639,15 +663,26 @@ object GraphOps {
     * BOUNDED driver scalar (one max over the vertex frame — the same
     * bounded-scalar posture as pagerank's nv gate). State pinned per
     * sweep; plan depth constant in the iteration count. */
-  val graphEigencentrality: Q = (s, d) => {
+  val graphEigencentrality: Q = (s, d) =>
+    graphEigencentralityImpl(s, d, Limits.maxBroadcastVertices)
+
+  /** [[graphEigencentrality]] with the broadcast-state gate injectable —
+    * same scale-safe SHUFFLE_HASH fallback as [[graphPagerankImpl]]. */
+  private[graft] def graphEigencentralityImpl(s: SparkSession, d: String,
+      maxBcVerts: Long): DataFrame = {
     val e = edges(s, d).localCheckpoint()
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
     var r = degrees(e).select(col("v"), lit(eigenScale).as("r"))
       .localCheckpoint()
+    // one bounded driver scalar gates broadcast vs shuffle-hash, as in
+    // pagerank (the count rides the already-pinned vertex frame)
+    val bcState = r.count() <= maxBcVerts
     for (_ <- 1 to eigenIters) {
-      val sums = sym.join(broadcast(r.withColumnRenamed("v", "src")), "src")
+      val state = r.withColumnRenamed("v", "src")
+      val sums = sym.join(
+          if (bcState) broadcast(state) else state.hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("v"))
         .agg(sum(col("r")).as("s"))
         .localCheckpoint()

@@ -175,4 +175,64 @@ class RedisControlPlaneSpec extends AnyFunSuite {
       } finally { workerA.stop(); broker.shutdown(); apiStore.close(); probe.close() }
     }
   }
+
+  test("worker survives a broker outage and resumes claiming after restart") {
+    val srv1 = new RespServer().start()
+    val h = "127.0.0.1"; val p = srv1.boundPort
+    val (tasks, src, bk, _) = fixture()
+    val worker = new RedisQueueWorker(spark, tasks,
+      new RedisJobStateStore(h, p), h, p)
+    try {
+      srv1.stop()
+      Thread.sleep(300) // several poll ticks hit the dead socket
+      // the poll thread must still be alive — transient socket errors are
+      // caught like the JDBC worker's SQLException, not thread-fatal
+      val pollThread = Thread.getAllStackTraces.keySet().stream()
+        .filter(_.getName == "graft-redis-queue-worker").findFirst()
+      assert(pollThread.isPresent && pollThread.get().isAlive,
+        "broker outage killed the worker poll thread")
+      // broker comes back on the same port; worker must resume claiming
+      val srv2 = new RespServer(p).start()
+      try {
+        val apiStore = new RedisJobStateStore(h, p)
+        val api = new GraftCore(spark, tasks, src, bk,
+          mkStore = () => apiStore,
+          mkBroker = (_, st) => new RedisQueueBroker(h, p, st))
+        try {
+          val job = api.postJob(JobReq("count_events", jobId = "redis-revive"))
+          val ok = await(60000)(apiStore.get(job.id).exists(_.state == JobState.Success))
+          if (!ok) {
+            val probe = new RedisControlPlane.RespClient("127.0.0.1", p)
+            println(s"DEBUG queues=${probe.cmdSeq("KEYS", "graft:queue:*")}")
+            println(s"DEBUG q-content=${probe.cmdSeq("LRANGE", s"graft:queue:${job.queue}", "0", "-1")}")
+            probe.close()
+            import scala.jdk.CollectionConverters._
+            Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
+              if (t.getName == "graft-redis-queue-worker")
+                println(s"DEBUG worker thread ${t.getState}:\n  " + st.take(12).mkString("\n  "))
+            }
+          }
+          assert(ok,
+            s"worker never resumed after restart; state=${apiStore.get(job.id)}")
+        } finally { api.scheduler.shutdown(); apiStore.close() }
+      } finally srv2.stop()
+    } finally worker.stop()
+  }
+
+  test("client disconnect mid-command frees the server thread; server stays up") {
+    withServer { (h, p) =>
+      def connThreads = Thread.getAllStackTraces.keySet().stream()
+        .filter(t => t.getName == "graft-resp-conn" && t.isAlive).count()
+      val before = connThreads
+      val raw = new java.net.Socket(h, p)
+      raw.getOutputStream.write("*1\r\n$4".getBytes) // EOF mid length-line
+      raw.getOutputStream.flush()
+      raw.close()
+      // the handler must see EOF and exit, not busy-loop on read()== -1
+      assert(await(5000)(connThreads <= before),
+        s"handler thread pinned after mid-command disconnect ($connThreads live)")
+      val c = new RedisControlPlane.RespClient(h, p)
+      try assert(c.cmd("PING") == "PONG") finally c.close()
+    }
+  }
 }

@@ -61,6 +61,38 @@ if verify_out:
             bad.append(f"SURVEY.md header quotes {pair[0]}/{pair[1]} green; "
                        f"oracle_sql.json has {nq}")
 
+# ---- per-query sf0.1 timing claims (round-8 verdict: three consecutive
+# rounds a graph number in the narrative drifted from the driver's). Any
+# CURRENT per-query time must be written "driver-median N s at sf0.1" with
+# the query's backticked name earlier in the same passage — that exact
+# phrase is diffed against bench/BENCH_last.json medians (25% tolerance,
+# 0.2 s floor). Any other "N s at sf0.1" is an unchecked claim and fails:
+# historical numbers drop the "at sf0.1" suffix (e.g. "11.7 s in the r6
+# driver run").
+import os
+bench_path = "bench/BENCH_last.json"
+if os.path.exists(bench_path):
+    qm = json.load(open(bench_path)).get("queries_median", {})
+    flat = re.sub(r"\s+", " ", survey)
+    for m in re.finditer(r"[Dd]river-median ([\d.]+) s at sf0\.1", flat):
+        claimed = float(m.group(1))
+        names = re.findall(r"`([a-z0-9_]+)`", flat[:m.start()])
+        name = next((n for n in reversed(names) if n in qm), None)
+        if name is None:
+            bad.append(f"timing claim 'driver-median {claimed} s at sf0.1' "
+                       f"has no preceding backticked query name to check")
+        elif abs(claimed - qm[name]) > 0.25 * max(qm[name], 0.2):
+            bad.append(f"SURVEY.md claims {name} driver-median {claimed} s "
+                       f"at sf0.1; bench/BENCH_last.json median is "
+                       f"{qm[name]:.2f} s")
+    for m in re.finditer(r"([\d.]+) s at sf0\.1", flat):
+        prefix = flat[max(0, m.start() - 14):m.start()].lower()
+        if "driver-median" not in prefix:
+            bad.append(f"unchecked timing claim '{m.group(0)}' — write it as "
+                       f"'driver-median N s at sf0.1' (gated against "
+                       f"bench/BENCH_last.json) or drop the 'at sf0.1' "
+                       f"suffix for historical numbers")
+
 if bad:
     print("DOC DRIFT:")
     for b in bad:
