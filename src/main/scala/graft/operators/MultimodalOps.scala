@@ -84,6 +84,30 @@ object MultimodalOps {
       javax.imageio.ImageIO.write(img, "bmp", baos)
       baos.toByteArray
     }
+    /** Encode an 8×8-block-painted grayscale BMP: pixel (x, y) belongs to
+      * block j = (y·8 DIV height)·8 + (x·8 DIV width) and carries gray
+      * `vals(j)` on all three channels. The phash synthesis path: block
+      * VALUES are the permitted fake (hash-derived), the raster is real. */
+    def encodeBlocks(width: Int, height: Int, vals: Array[Int]): Array[Byte] = {
+      require(width >= 8 && height >= 8 && vals.length == 64)
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < height) {
+        val by = y * 8 / height
+        var x = 0
+        while (x < width) {
+          val v = vals(by * 8 + x * 8 / width) & 0xFF
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.setUseCache(false)
+      javax.imageio.ImageIO.write(img, "bmp", baos)
+      baos.toByteArray
+    }
+
     /** Decode + full raster scan: per-channel sums and min/max over every
       * pixel. Returns (width, height, meanR, meanG, meanB, uniform). */
     def decodeStats(bytes: Array[Byte]): (Int, Int, Int, Int, Int, Boolean) = {
@@ -162,6 +186,56 @@ object MultimodalOps {
     }
   }
 
+  /** REAL pure-JVM audio codec behind the batch plumbing: canonical PCM
+    * WAV encode + `javax.sound.sampled` decode (actual RIFF header parse +
+    * frame extraction through the JDK's AudioSystem, not arithmetic on the
+    * payload bytes) — the audio mirror of [[BmpCodec]]'s encode→decode
+    * round trip. The fixture carries no media, so the SAMPLES are the
+    * payload bytes (8-bit unsigned mono — the one permitted fake is the
+    * sample content); everything after that is a genuine bytes→samples
+    * decode a production pipeline points at its real audio column. */
+  object WavCodec {
+    val sampleRate = 16000f
+
+    /** Wrap raw 8-bit unsigned mono samples in a canonical 44-byte
+      * PCM RIFF/WAVE container. */
+    def encode(samples: Array[Byte]): Array[Byte] = {
+      val n = samples.length
+      val bb = java.nio.ByteBuffer.allocate(44 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)                       // PCM
+        .putShort(1)                       // mono
+        .putInt(sampleRate.toInt)          // sample rate
+        .putInt(sampleRate.toInt)          // byte rate (1 byte/frame)
+        .putShort(1)                       // block align
+        .putShort(8)                       // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(n)
+        .put(samples)
+      bb.array()
+    }
+
+    /** Decode through AudioSystem: header parse, format check, frame read.
+      * Returns the 8-bit unsigned samples. */
+    def decode(wav: Array[Byte]): Array[Byte] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1 &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+          s"unexpected decoded format: $fmt")
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var r = ais.read(buf)
+        while (r > 0) { out.write(buf, 0, r); r = ais.read(buf) }
+        out.toByteArray
+      } finally ais.close()
+    }
+  }
+
   /** Hash-derived synthesis parameters shared by every decode-path query:
     * dims 8–31 px, fill color from three hash bytes — the ONE permitted
     * fake (pixel content), identical to the [[mmDecodeFeatures]] scaladoc's
@@ -171,6 +245,19 @@ object MultimodalOps {
     BmpCodec.encode(
       8 + (h % 24).toInt, 8 + ((h >> 5) % 24).toInt,
       (h % 256).toInt, ((h >> 8) % 256).toInt, ((h >> 16) % 256).toInt)
+  }
+
+  /** Block-painted synthesis for the phash path: same hash-derived dims as
+    * [[synthBmp]], but each of the 8×8 grid blocks carries its OWN gray
+    * level `v_j = ((h · (48271 + 2j)) mod P) mod 256` — a distinct odd
+    * multiplier per block (an additive-j spelling makes adjacent values
+    * deterministic complements). The block values are the permitted fake;
+    * the raster, and the blockhash computed from it, are real. */
+  private[operators] def synthBlockBmp(payload: Array[Byte]): Array[Byte] = {
+    val h = contentHash(payload)
+    val P = graft.functions.PolyHash.P
+    val vals = Array.tabulate(64)(j => (((h * (48271L + 2 * j)) % P) % 256).toInt)
+    BmpCodec.encodeBlocks(8 + (h % 24).toInt, 8 + ((h >> 5) % 24).toInt, vals)
   }
 
   /** Partition-wise batch decode + feature extraction over a binary image
@@ -320,10 +407,12 @@ object MultimodalOps {
   val audioFrameLen = 400
   val audioHop = 160
 
-  /** Audio framing + energy (stub PCM decode, REAL framing arithmetic):
-    * the payload's bytes stand in for 8-bit unsigned mono PCM — with a
-    * real audio codec only the byte→sample step changes —
-    * and everything downstream is the genuine speech-pipeline front half:
+  /** Audio framing + energy through the REAL codec: the payload bytes are
+    * wrapped in a canonical PCM WAV container and decoded back through
+    * `javax.sound.sampled` ([[WavCodec]] — actual RIFF header parse +
+    * AudioSystem frame read, the audio mirror of the BMP encode→decode
+    * round trip; the sample CONTENT is the one permitted fake), then
+    * everything downstream is the genuine speech-pipeline front half:
     * overlapping [[audioFrameLen]]/[[audioHop]] windows, per-frame energy
     * Σ (s−128)² in exact int64 (so partial order can't perturb it), and
     * per document the sample/frame counts, total and peak frame energy,
@@ -343,7 +432,9 @@ object MultimodalOps {
     val enc = RowEncoder.encoderFor(outSchema)
     in.mapPartitions { rows =>
       rows.map { r =>
-        val b = r.getAs[Array[Byte]](1)
+        // real codec round trip: samples come back from the WAV decoder,
+        // not straight off the payload — a header/format bug breaks the hash
+        val b = WavCodec.decode(WavCodec.encode(r.getAs[Array[Byte]](1)))
         val n = b.length
         val nf = if (n >= audioFrameLen) (n - audioFrameLen) / audioHop + 1 else 0
         var total = 0L; var mx = -1L; var mi = -1
@@ -367,22 +458,38 @@ object MultimodalOps {
     }(enc).orderBy(col("doc_id"))
   }
 
-  /** 64-bit "perceptual hash" of a decoded raster, derived from the stub
-    * codec's content hash: block j's stub brightness is the multiplied-mod
-    * avalanche `(h · (48271 + 2j)) mod P` — a DISTINCT odd multiplier per
-    * block; an additive-j spelling makes adjacent bits deterministic
-    * complements — and the bit is a middle bit (>> 15) of that product,
-    * never the parity (the parity of consecutive affine steps alternates).
-    * With a real decoder the same slot computes a genuine blockhash
-    * (per-block mean vs image median) over the pixel raster. Pure
-    * positive-range mod-prime arithmetic, so the DuckDB oracle replays
-    * every bit. */
-  def phash64(h: Long): Long = {
-    val P = graft.functions.PolyHash.P
+  /** 64-bit blockhash of a DECODED raster — the standard average-hash
+    * family: partition the image into the 8×8 block grid (block j =
+    * by·8 + bx, bx = x·8 DIV w), per-block integer mean gray over the
+    * actual pixels, bit j set iff 64·mean_j exceeds the sum of all 64
+    * block means (i.e. mean_j > the average block mean, compared exactly
+    * in integers — no float threshold). Every pixel is visited; a decode,
+    * block-indexing or mean bug flips bits and breaks the driver hash.
+    * On the [[synthBlockBmp]] fixture each block is uniform so mean_j
+    * replays in the oracle as the synthesis value v_j — but only an
+    * engine that really decodes and averages the raster reproduces it. */
+  def blockhash64(w: Int, h: Int, px: Array[Int]): Long = {
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val p = px(y * w + x)
+        // gray raster: exact integer luma (r+g+b)/3 == the painted value
+        sums(by * 8 + x * 8 / w) += (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+        counts(by * 8 + x * 8 / w) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(64)(j => sums(j) / counts(j))
+    val total = means.sum
     var sig = 0L
     var j = 0
     while (j < 64) {
-      sig |= (((h * (48271L + 2 * j)) % P >> 15) & 1L) << j
+      if (means(j) * 64 > total) sig |= 1L << j
       j += 1
     }
     sig
@@ -390,15 +497,17 @@ object MultimodalOps {
 
   /** Perceptual-hash image dedup — the near-duplicate-image removal stage
     * of a multimodal curation pipeline (screenshot re-crops, re-encodes,
-    * thumbnails). Pipeline: binary payload → partition-wise batch decode →
-    * 64-bit [[phash64]] → the SAME banded-LSH machinery as text simhash
+    * thumbnails). Pipeline: binary payload → block-painted BMP synthesis →
+    * partition-wise REAL ImageIO decode → 64-bit [[blockhash64]] over the
+    * pixel raster → the SAME banded-LSH machinery as text simhash
     * (16-bit chunk pigeonhole buckets → bounded candidate expansion →
     * exact hamming ≤ 3 verify). Per doc the stream carries one 8-byte
-    * signature; no shuffle before the chunk-bucket exchange. The stub
-    * phash varies only with payload CONTENT, so at fixture level the
-    * detected class is exact payload copies — the LSH plumbing (banding,
-    * overflow anchor-stars, pair expansion, verify joins) is the real,
-    * decoder-independent part a production pipeline keeps. */
+    * signature; no shuffle before the chunk-bucket exchange. The painted
+    * raster varies only with payload CONTENT, so at fixture level the
+    * detected class is exact payload copies — and the LSH plumbing
+    * (banding, overflow anchor-stars, pair expansion, verify joins) plus
+    * the decode→block-mean→bit path are exactly what a production
+    * pipeline keeps. */
   val mmDedupPhash: Q = (s, d) => {
     val in = Tables.load(s, d, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -408,7 +517,8 @@ object MultimodalOps {
     val enc = RowEncoder.encoderFor(sigSchema)
     val sigs = in.mapPartitions { rows =>
       rows.map { r =>
-        Row(r.getLong(0), phash64(contentHash(r.getAs[Array[Byte]](1))))
+        val (w, h, px) = BmpCodec.decodeRaster(synthBlockBmp(r.getAs[Array[Byte]](1)))
+        Row(r.getLong(0), blockhash64(w, h, px))
       }
     }(enc).localCheckpoint() // feeds banding + both verify joins
     val chunked = sigs.select(col("doc_id"),
@@ -571,8 +681,15 @@ object MultimodalOps {
       val P = graft.functions.PolyHash.P
       val mb = DedupOps.maxBucket
       s"""$hashCte,
-         bits AS (SELECT doc_id, j, ((h * (48271 + 2 * j)) % $P >> 15) & 1 AS bit
+         -- block j's painted gray v_j; the engine's decoded per-block mean
+         -- equals it (uniform block), and the blockhash bit is the exact
+         -- integer compare 64*v_j > sum of all block means
+         vals AS (SELECT doc_id, j, ((h * (48271 + 2 * j)) % $P) % 256 AS v
                   FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS j) bitsrc),
+         bits AS (SELECT doc_id, j,
+                    CASE WHEN 64 * v > SUM(v) OVER (PARTITION BY doc_id)
+                         THEN 1 ELSE 0 END AS bit
+                  FROM vals),
          chunks AS (SELECT doc_id, j // 16 AS chunk,
                       (SUM(bit << (j % 16)))::BIGINT AS ch
                     FROM bits GROUP BY doc_id, j // 16),

@@ -56,4 +56,44 @@ class RoundNineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(sh.toSeq == bc.toSeq)
   }
+
+  // ---- real-codec paths that replaced the last stub arithmetic (round 9)
+
+  test("WavCodec: samples survive a real RIFF encode + AudioSystem decode") {
+    import graft.operators.MultimodalOps.WavCodec
+    val samples = Array.tabulate(1000)(i => ((i * 37 + 11) % 256).toByte)
+    assert(WavCodec.decode(WavCodec.encode(samples)).toSeq == samples.toSeq)
+    assert(WavCodec.decode(WavCodec.encode(Array[Byte]())).isEmpty)
+    // and it IS a parsed container, not a byte-offset slice: a corrupted
+    // header must fail, not yield garbage samples
+    val wav = WavCodec.encode(samples)
+    wav(0) = 'X'.toByte
+    intercept[Exception](WavCodec.decode(wav))
+  }
+
+  test("blockhash64 is computed from the pixels: block means and exact bit rule") {
+    import graft.operators.MultimodalOps.{BmpCodec, blockhash64}
+    // paint known block values, decode, and check the bits against the
+    // independent integer rule 64*v_j > sum(v)
+    val vals = Array.tabulate(64)(j => (j * 53 + 7) % 256)
+    val bytes = BmpCodec.encodeBlocks(19, 23, vals)
+    val (w, h, px) = BmpCodec.decodeRaster(bytes)
+    assert((w, h) == (19, 23))
+    val sig = blockhash64(w, h, px)
+    val total = vals.map(_.toLong).sum
+    (0 until 64).foreach { j =>
+      val expected = if (vals(j) * 64L > total) 1L else 0L
+      assert(((sig >> j) & 1L) == expected, s"bit $j")
+    }
+    // sensitivity: perturbing one block's gray re-derives the signature
+    // under the same rule — the hash really reads the raster
+    val vals2 = vals.clone(); vals2(5) = 255
+    val (w2, h2, px2) = BmpCodec.decodeRaster(BmpCodec.encodeBlocks(19, 23, vals2))
+    val sig2 = blockhash64(w2, h2, px2)
+    val total2 = vals2.map(_.toLong).sum
+    (0 until 64).foreach { j =>
+      val expected = if (vals2(j) * 64L > total2) 1L else 0L
+      assert(((sig2 >> j) & 1L) == expected, s"perturbed bit $j")
+    }
+  }
 }
