@@ -115,6 +115,22 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Anomaly attribution instruments (bench/BENCH_last.json only): GC
+    // wall-ms and shuffle-dir occupancy around each query's FIRST run — the
+    // numbers that separate "the query is slow" from "the query paid the
+    // suite's memory debt" (the basket_rules first-run-in-suite class).
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def shuffleDirMb(): Long = {
+      val d = new java.io.File(spark.sparkContext.getConf
+        .get("spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp")))
+      (d.getTotalSpace - d.getUsableSpace) >> 20
+    }
+    val firstGcMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val preShmMb = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = picked.map { case (name, fn) =>
       // Reclaim the PREVIOUS query's unreferenced state before timing this
       // one: localCheckpoint blocks and shuffle dependencies are only
@@ -123,6 +139,7 @@ object Bench {
       // pays 2.4× its own cost when the preceding query's 70 M-row shuffle
       // debt lands on it. Untimed cross-query hygiene, not warming: the
       // first timed run still carries this query's own codegen/JIT.
+      var run = 0
       def once(): Double = {
         // Reclaim unreferenced state before EVERY run, not just the first:
         // within a query's repeat triple, run 1's localCheckpoint blocks
@@ -134,9 +151,13 @@ object Bench {
         // median — both inverted). Untimed hygiene, same rationale as the
         // cross-query GC this generalizes.
         System.gc()
+        run += 1
+        val g0 = if (run == 1) { preShmMb(name) = shuffleDirMb(); gcMs() } else 0L
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (run == 1) firstGcMs(name) = gcMs() - g0
+        sec
       }
       val b0 = graft.plans.ArtifactCache.builds.get()
       val times = (1 to runs).map(_ => once())
@@ -168,6 +189,10 @@ object Bench {
       s""""artifact_build_s":${fmt(artifactTotal)},"artifact_builds":$artifactBuilds,""" +
       s""""artifacts":$arts,"runs":$runs,"agg":"min",""" +
       s""""stray_builds":[${strayBuilds.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""queries_first_gc_ms":${firstGcMs.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")},""" +
+      s""""queries_pre_shm_mb":${preShmMb.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")},""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}"""
     println(detail)
     try {
