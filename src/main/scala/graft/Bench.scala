@@ -42,6 +42,7 @@ object Bench {
     "corpus_index" -> ((s, d) => operators.DedupOps.corpusIndexPath(s, d)),
     "graph_edges" -> ((s, d) => operators.GraphOps.edgesPath(s, d)),
     "graph_pair_counts" -> ((s, d) => operators.GraphOps.pairCountsPath(s, d)),
+    "graph_adj_packed" -> ((s, d) => operators.GraphOps.packedAdjPath(s, d)),
   )
 
   /** Build (or cache-hit) every artifact, returning

@@ -556,20 +556,71 @@ object GraphOps {
     * [[graphPagerank]] hides the sweep subplan from any outer explain).
     * Broadcast is HINTED because the pinned state is an RDD scan with no
     * size statistics — unhinted, Catalyst would SortMergeJoin it. */
-  private[graft] def pagerankSweep(symd: DataFrame, init: Long,
+  /** Target neighbors per packed-adjacency chunk: vertices are split into
+    * ceil(degree / this) rows so a 10⁸-degree hub never materializes one
+    * giant array row (straggler/OOM); ordinary vertices stay one row. */
+  val adjChunkTarget = 8192L
+
+  /** Chunked adjacency-list packing — the Pregel/GraphX representation:
+    * one row per (src, chunk) with the neighbor ids as an array and the
+    * src's FULL degree alongside. The iterative sweeps probe THIS frame
+    * (~nv + m/chunkTarget rows) instead of the m-row edge stream: the
+    * per-sweep join does nv hash probes rather than m, and the per-edge
+    * arithmetic that depends only on src (pr DIV degree) is computed once
+    * per row and fanned out by `explode`. Build is one groupBy shuffle of
+    * the symmetric edge stream — paid ONCE per data version as the
+    * `graph_adj_packed` artifact shared by pagerank + eigencentrality
+    * ([[packedAdjPath]]), not once per query. The degree-sized join is
+    * gated by `bcState` like the rank state itself. */
+  private[graft] def packedAdjacency(e: DataFrame, deg: DataFrame,
+      bcState: Boolean): DataFrame = {
+    val degSrc = deg.withColumnRenamed("v", "src")
+    e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .join(if (bcState) broadcast(degSrc) else degSrc.hint("shuffle_hash"),
+        "src")
+      .withColumn("chunk", pmod(col("dst"),
+        greatest(lit(1L), ceil(col("degree") / lit(adjChunkTarget)).cast(LongType))))
+      .groupBy(col("src"), col("degree"), col("chunk"))
+      .agg(collect_list(col("dst")).as("dsts"))
+      .select(col("src"), col("degree"), col("dsts"))
+  }
+
+  /** Packed adjacency + degree table as a pay-once artifact (the
+    * [[edgesPath]] convention): both iterative-sweep queries start from
+    * exactly this frame pair, and the collect_list groupBy that builds it
+    * costs more than a whole query's sweeps at sf1. Auto-invalidated when
+    * lineitem changes; bench-attributed separately. */
+  private[graft] def packedAdjPath(s: SparkSession, d: String): String =
+    graft.plans.ArtifactCache.getOrBuild("graph_adj_packed", d, Seq("lineitem"),
+      Seq(GraphOps.getClass, graft.functions.LongPairs.getClass,
+        Tables.getClass)) { dir =>
+      val e = edges(s, d)
+      degrees(e).write.parquet(s"$dir/deg")
+      val deg = s.read.parquet(s"$dir/deg")
+      val bc = deg.count() <= Limits.maxBroadcastVertices
+      packedAdjacency(e, deg, bc).write.parquet(s"$dir/adj")
+    }
+
+  private[graft] def pagerankSweep(adj: DataFrame, init: Long,
       pr: DataFrame, broadcastState: Boolean = true): DataFrame = {
     // Past Limits.maxBroadcastVertices (broadcastState = false) the
     // vertex-sized state becomes the BUILD side of a keyed SHUFFLE_HASH
     // join instead — the scale-safe fallback for 10⁹-vertex graphs where a
     // vertex-sized broadcast is a driver OOM; the plan stays
     // hash-probe-shaped either way (never a sort of the edge stream).
+    // `adj` is the packed adjacency ([[packedAdjacency]]): the probe is
+    // vertex-chunk-sized, the contribution pr DIV degree is computed once
+    // per chunk row (identical per-edge arithmetic — every neighbor in the
+    // chunk shares src and degree), and explode fans it to the aggregate.
     val state = pr.withColumnRenamed("v", "src")
     val probe =
-      if (broadcastState) symd.join(broadcast(state), "src")
-      else symd.join(state.hint("shuffle_hash"), "src")
+      if (broadcastState) adj.join(broadcast(state), "src")
+      else adj.join(state.hint("shuffle_hash"), "src")
     probe
-      .groupBy(col("dst").as("v"))
-      .agg(sum(expr("pr DIV degree")).as("in_sum"))
+      .select(explode(col("dsts")).as("v"), expr("pr DIV degree").as("contrib"))
+      .groupBy(col("v"))
+      .agg(sum(col("contrib")).as("in_sum"))
       .select(col("v"),
         (lit((15L * init) / 100L) + expr("(85 * in_sum) DIV 100")).as("pr"))
   }
@@ -581,8 +632,8 @@ object GraphOps {
     * can drive the shuffle-hash fallback end-to-end on a small fixture. */
   private[graft] def graphPagerankImpl(s: SparkSession, d: String,
       maxBcVerts: Long): DataFrame = {
-    val e = edges(s, d).localCheckpoint()
-    val deg = degrees(e).localCheckpoint() // (v, degree): out-degree = degree
+    val adjBase = packedAdjPath(s, d)
+    val deg = s.read.parquet(s"$adjBase/deg") // (v, degree): out-degree = degree
     // ONE bounded driver scalar — the vertex count — gates the integer
     // init/damping literals (the same bounded-scalar posture as
     // graphTriangles' edge-count broadcast gate); the arithmetic is
@@ -593,14 +644,14 @@ object GraphOps {
     val bcState = nv <= maxBcVerts
     // adjacency with the SOURCE degree attached once (vertex-sized build
     // join, pinned): sweeps stop re-joining/re-broadcasting the degree
-    // table — each sweep's only broadcast is the rank state itself
-    val degSrc = deg.withColumnRenamed("v", "src")
-    val symd = e.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      // the degree annotation is vertex-sized too — same gate as the state
-      .join(if (bcState) broadcast(degSrc) else degSrc.hint("shuffle_hash"),
-        "src")
-      .localCheckpoint() // pinned once; every sweep probes this frame
+    // table — each sweep's only broadcast is the rank state itself.
+    // NOT pre-partitioned on the aggregation key: localCheckpoint
+    // materializes to a LogicalRDD with UnknownPartitioning (verified on
+    // 4.1.2 — the sweep still plans an Exchange after a repartition+pin,
+    // so that build shuffle is pure added cost; measured 16.1 → 23.5 s at
+    // sf1). On a real cluster a bucketed adjacency table (bucketBy dst) is
+    // the way to make sweeps exchange-free, not a checkpoint.
+    val symd = s.read.parquet(s"$adjBase/adj").localCheckpoint()
     var pr = deg.select(col("v"), lit(init).as("pr")).localCheckpoint()
     // Sweep in pinned BLOCKS of prBlock sweeps: the rank state is referenced
     // exactly ONCE per sweep (sym/deg/nv are pinned), so unpinned lineage is
@@ -670,20 +721,21 @@ object GraphOps {
     * same scale-safe SHUFFLE_HASH fallback as [[graphPagerankImpl]]. */
   private[graft] def graphEigencentralityImpl(s: SparkSession, d: String,
       maxBcVerts: Long): DataFrame = {
-    val e = edges(s, d).localCheckpoint()
-    val sym = e.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
-    var r = degrees(e).select(col("v"), lit(eigenScale).as("r"))
+    val adjBase = packedAdjPath(s, d)
+    val deg = s.read.parquet(s"$adjBase/deg")
+    var r = deg.select(col("v"), lit(eigenScale).as("r"))
       .localCheckpoint()
     // one bounded driver scalar gates broadcast vs shuffle-hash, as in
     // pagerank (the count rides the already-pinned vertex frame)
     val bcState = r.count() <= maxBcVerts
+    // packed adjacency, as in pagerank: vertex-chunk-sized probe per sweep
+    val sym = s.read.parquet(s"$adjBase/adj").localCheckpoint()
     for (_ <- 1 to eigenIters) {
       val state = r.withColumnRenamed("v", "src")
       val sums = sym.join(
           if (bcState) broadcast(state) else state.hint("shuffle_hash"), "src")
-        .groupBy(col("dst").as("v"))
+        .select(explode(col("dsts")).as("v"), col("r"))
+        .groupBy(col("v"))
         .agg(sum(col("r")).as("s"))
         .localCheckpoint()
       val mx = sums.agg(max(col("s"))).head().getLong(0)

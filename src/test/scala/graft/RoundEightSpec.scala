@@ -52,9 +52,9 @@ class RoundEightSpec extends AnyFunSuite {
 
   test("pagerank sweep: rank state broadcasts, adjacency never shuffles") {
     import spark.implicits._
-    // degree-annotated symmetric adjacency (src, dst, degree-of-src)
-    val symd = Seq((1L, 2L, 1L), (2L, 1L, 2L), (2L, 3L, 2L), (3L, 2L, 1L))
-      .toDF("src", "dst", "degree")
+    // packed symmetric adjacency (src, degree, neighbor array)
+    val symd = Seq((1L, 1L, Seq(2L)), (2L, 2L, Seq(1L, 3L)), (3L, 1L, Seq(2L)))
+      .toDF("src", "degree", "dsts")
     val pr = Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("v", "pr")
     val plan = GraphOps.pagerankSweep(symd, 100L, pr)
       .queryExecution.explainString(
@@ -141,8 +141,8 @@ class RoundEightSpec extends AnyFunSuite {
     // the identity there — the premise the block-boundary early exit rests
     // on (f^B(x) = x with x a true fixpoint is the B = 1 case; the cycle
     // case is covered by the cap being a multiple of the block).
-    val symd = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
-      .map { case (s0, d0) => (s0, d0, 2L) }.toDF("src", "dst", "degree")
+    val symd = Seq((1L, 2L, Seq(2L, 3L)), (2L, 2L, Seq(3L, 1L)), (3L, 2L, Seq(1L, 2L)))
+      .toDF("src", "degree", "dsts")
     val init = GraphOps.pagerankScale / 3
     var p = init
     var steps = 0

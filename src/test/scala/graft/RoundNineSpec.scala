@@ -17,8 +17,8 @@ class RoundNineSpec extends AnyFunSuite {
 
   private def sweepPlan(broadcastState: Boolean): String = {
     import spark.implicits._
-    val symd = Seq((1L, 2L, 1L), (2L, 1L, 2L), (2L, 3L, 2L), (3L, 2L, 1L))
-      .toDF("src", "dst", "degree")
+    val symd = Seq((1L, 1L, Seq(2L)), (2L, 2L, Seq(1L, 3L)), (3L, 1L, Seq(2L)))
+      .toDF("src", "degree", "dsts")
     val pr = Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("v", "pr")
     GraphOps.pagerankSweep(symd, 100L, pr, broadcastState)
       .queryExecution.explainString(
