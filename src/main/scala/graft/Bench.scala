@@ -43,6 +43,7 @@ object Bench {
     "graph_edges" -> ((s, d) => operators.GraphOps.edgesPath(s, d)),
     "graph_pair_counts" -> ((s, d) => operators.GraphOps.pairCountsPath(s, d)),
     "graph_adj_packed" -> ((s, d) => operators.GraphOps.packedAdjPath(s, d)),
+    "graph_closed_wedges" -> ((s, d) => operators.GraphOps.closedWedgesPath(s, d)),
   )
 
   /** Build (or cache-hit) every artifact, returning

@@ -85,52 +85,60 @@ object GraphOps {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
       .orderBy(col("degree"))
 
-  /** Global triangle census: vertices, edges, wedges (open two-paths,
-    * Σ d(d−1)/2 — exact integer), and triangles via the degree-oriented
-    * closure join. One row out; the wedge/triangle ratio is the global
-    * clustering coefficient, left to the reader as exact integers rather
-    * than an engine-dependent float. */
-  val graphTriangles: Q = (s, d) => {
+  /** The CLOSED-WEDGE stream — one (apex u, packed closing pair p) row per
+    * triangle, each triangle counted exactly once at its unique
+    * (degree, id)-lowest apex — as a pay-once artifact shared by the
+    * global census ([[graphTriangles]]: one count) and the per-vertex
+    * coefficient ([[graphClusteringCoeff]]: explode-3 + group), the same
+    * sharing argument as the pair-count artifact. The build is the
+    * degree-oriented closure: orient each edge low→high by (degree, id)
+    * (out-degree bounded O(√m)), expand each apex's ID-sorted
+    * out-neighborhood through the native packed-pair expression, and
+    * left-semi-probe the UNDIRECTED packed edge set — broadcast within
+    * [[graft.Limits.maxBroadcastEdges]] reach so the probe fuses into the
+    * expansion stage (one hash lookup per wedge, ZERO wedge shuffle);
+    * past it, SHUFFLE_HASH (never the SMJ default — sorting the O(m^1.5)
+    * wedge stream was the 20×-fixture cliff, 149 s → stream rate). */
+  private[graft] def closedWedgesPre(s: SparkSession, d: String): DataFrame = {
     val e = edges(s, d).localCheckpoint() // feeds degrees + orientation + probe
     val nEdges = e.count() // checkpoint materialized — metadata-cheap gate
     val deg = degrees(e)
     val da = deg.select(col("v").as("a"), col("degree").as("da"))
     val db = deg.select(col("v").as("b"), col("degree").as("db"))
-    // orient each edge low→high by (degree, id); both joins are vertex-sized
-    // (the parts dim) — broadcast locally, AQE-planned at scale
     val lowFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     val o = e.join(da, "a").join(db, "b")
       .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
         when(lowFirst, col("b")).otherwise(col("a")).as("v"))
-    // Each apex's ID-sorted out-neighborhood expands through the native
-    // packed-pair expression — the same 8-byte wedge keys the link
-    // prediction query rides, with out-degree bounded O(√m) by the
-    // orientation. A triangle {a,b,c} (ordered by degree,id) is counted
-    // exactly once, at its unique lowest apex a, as wedge pair (b,c).
     val wedges = o
       .groupBy(col("u")).agg(sort_array(collect_set(col("v"))).as("ns"))
-      .select(explode(
+      .select(col("u"), explode(
         graft.functions.LongPairsPacked.long_pairs_packed(col("ns"))).as("p"))
-    // The closure probe tests the UNDIRECTED packed edge set (a<b by id):
-    // the oriented edge b→c exists iff the undirected edge {b,c} does, and
-    // the packed wedge key is id-normalized, so one id-packed set answers
-    // both orientations. Within broadcast reach the probe fuses into the
-    // wedge-expansion stage (one hash lookup per wedge, ZERO wedge
-    // shuffle — this replaced two shuffled self-joins of the wedge stream,
-    // 9.7 → ~1.3 s at sf0.1); past it, the probe becomes a shuffled
-    // equi-join on the same packed key and AQE plans the exchange.
     val ep = e.select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("p"))
-    val tri =
-      (if (nEdges <= graft.Limits.maxBroadcastEdges)
-        wedges.join(broadcast(ep), Seq("p"), "left_semi")
-      else
-        // SHUFFLE_HASH, not the SMJ default: the fallback must hash-build
-        // on the edge side and STREAM the wedge side — sort-merge would
-        // sort the O(m^1.5) wedge stream, which is the 20×-fixture cliff
-        // this hint removed (sf2 leg: 149 s SMJ → hash join at stream rate)
-        wedges.join(ep.hint("SHUFFLE_HASH"), Seq("p"), "left_semi"))
-        .agg(count(lit(1)).as("n_triangles"))
+    if (nEdges <= graft.Limits.maxBroadcastEdges)
+      wedges.join(broadcast(ep), Seq("p"), "left_semi")
+    else wedges.join(ep.hint("SHUFFLE_HASH"), Seq("p"), "left_semi")
+  }
+
+  private[graft] def closedWedgesPath(s: SparkSession, d: String): String =
+    graft.plans.ArtifactCache.getOrBuild("graph_closed_wedges", d, Seq("lineitem"),
+      Seq(GraphOps.getClass, graft.functions.LongPairsPacked.getClass,
+        Tables.getClass)) { dir =>
+      closedWedgesPre(s, d).select(col("u"), col("p"))
+        .write.parquet(s"$dir/wedges")
+    }
+
+  /** Global triangle census: vertices, edges, wedges (open two-paths,
+    * Σ d(d−1)/2 — exact integer), and triangles as ONE count over the
+    * pay-once closed-wedge artifact ([[closedWedgesPre]] holds the
+    * closure plan). One row out; the wedge/triangle ratio is the global
+    * clustering coefficient, left to the reader as exact integers rather
+    * than an engine-dependent float. */
+  val graphTriangles: Q = (s, d) => {
+    val e = edges(s, d)
+    val deg = degrees(e)
+    val tri = s.read.parquet(s"${closedWedgesPath(s, d)}/wedges")
+      .agg(count(lit(1)).as("n_triangles"))
     val nv = deg.agg(count(lit(1)).as("n_vertices"))
     val ne = e.agg(count(lit(1)).as("n_edges"))
     val nw = deg.agg(expr("sum(degree * (degree - 1)) DIV 2")
@@ -166,11 +174,13 @@ object GraphOps {
     * degree ≤ [[wedgeDegreeCap]] — is itself a pay-once
     * [[graft.plans.ArtifactCache]] artifact: it is the irreducible cost of
     * the whole link-analysis family (Σ C(min(deg,cap), 2) wedge instances,
-    * 74 M at sf0.1), and two queries consume it through opposite filters —
-    * link prediction wants the counts for NON-edges, tie strength
-    * ([[graphJaccard]]) wants them for edges. Materializing the counts once
-    * per data version turns both queries into a parquet scan + one
-    * dimension-bounded join, the same shape as the shared edge artifact.
+    * 74 M at sf0.1), and three queries consume it through opposite edge
+    * filters — link prediction wants the counts for NON-edges, tie
+    * strength ([[graphJaccard]]) and weak ties want them for edges. The
+    * build therefore writes the stream PRE-CLASSIFIED (`pairs_edge` /
+    * `pairs_nonedge`, one exact membership join paid once per data
+    * version) so each query is a pre-filtered parquet scan with no
+    * edge-membership probe at all.
     *
     * Build plan (the one-time cost): each qualifying center's sorted
     * neighbor set expands through the native
@@ -192,6 +202,31 @@ object GraphOps {
           pairCountsPre(s, d).queryExecution.toRdd.mapPartitions(hashCountAll))
         .toDF("p", "c")
         .write.parquet(s"$dir/pairs")
+      // Classify ONCE at build: the three consumers filter the pair stream
+      // by edge membership in OPPOSITE directions (link prediction wants
+      // non-edges; tie strength and weak ties want edges), and the exact
+      // membership probe of the full stream is the dominant query-time
+      // cost — measured 12 s of common_neighbors' 15 s at sf1 (60 M random
+      // probes into a 12 M-key hashed relation, DRAM-latency-bound;
+      // SHUFFLE_HASH measured no better). Splitting at build turns each
+      // query into a pre-classified parquet scan. The edge set is
+      // broadcast below Limits.maxBroadcastEdges, hash-shuffled above.
+      val counts = s.read.parquet(s"$dir/pairs")
+      val e = edges(s, d)
+      val ep = e.select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("p"))
+      val small = e.count() <= Limits.maxBroadcastEdges
+      def edgeSide = if (small) broadcast(ep) else ep.hint("shuffle_hash")
+      counts.join(edgeSide, Seq("p"), "left_semi")
+        .write.parquet(s"$dir/pairs_edge")
+      counts.join(edgeSide, Seq("p"), "left_anti")
+        .write.parquet(s"$dir/pairs_nonedge")
+      // the complement from the EDGE direction: edges with NO qualifying
+      // shared neighbor (weak ties' local bridges) — edge-bounded anti-join
+      // of the edge set against the just-written edge-side counts
+      val pe = s.read.parquet(s"$dir/pairs_edge").select(col("p"))
+      ep.join(if (small) broadcast(pe) else pe.hint("shuffle_hash"),
+          Seq("p"), "left_anti")
+        .write.parquet(s"$dir/edges_unsupported")
     }
 
   /** The artifact build's input frame — the hash-repartitioned packed wedge
@@ -209,29 +244,25 @@ object GraphOps {
       .repartition(2 * s.sparkContext.defaultParallelism, col("p"))
   }
 
-  private def pairCounts(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"${pairCountsPath(s, d)}/pairs")
+  /** Pair counts restricted to EXISTING edges — pre-classified at artifact
+    * build (tie strength / weak ties side of the split). */
+  private def pairCountsEdge(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${pairCountsPath(s, d)}/pairs_edge")
+
+  /** Pair counts restricted to NON-edges — pre-classified at artifact
+    * build (link prediction side of the split). */
+  private def pairCountsNonEdge(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${pairCountsPath(s, d)}/pairs_nonedge")
 
   /** Common-neighbor link prediction: the 20 strongest NOT-yet-connected
-    * part pairs by shared-neighbor count. Reads the pair-count artifact,
-    * removes existing edges (broadcast hash anti-join within reach — the
-    * packed edge set is dimension-pair-bounded, ~10 MB/M edges; a shuffled
-    * anti-join on the same key past [[graft.Limits.maxBroadcastEdges]]),
-    * and takes the global top-20 by (count desc, a, b) — a
-    * TakeOrderedAndProject, 20 rows per partition to the driver. */
+    * part pairs by shared-neighbor count. Reads the NON-EDGE side of the
+    * pair-count artifact (edge membership pre-classified at build — the
+    * exact anti-join that used to run here cost 12 s of the 15 s query at
+    * sf1) and takes the global top-20 by (count desc, a, b) — a
+    * TakeOrderedAndProject, 20 rows per partition to the driver. No join
+    * at query time. */
   val graphCommonNeighbors: Q = (s, d) => {
-    val e = edges(s, d)
-    val nEdges = e.count() // parquet-footer-cheap; gates the broadcast flip
-    val ep = e.select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("p"))
-    val pc = pairCounts(s, d).withColumnRenamed("c", "common_neighbors")
-    val counted =
-      if (nEdges <= graft.Limits.maxBroadcastEdges)
-        pc.join(broadcast(ep), Seq("p"), "left_anti")
-      // hash-build on the edge side, stream the pair-count artifact —
-      // never sort it (the SMJ default's sort of the billion-row pair
-      // stream was the 20×-fixture cliff)
-      else pc.join(ep.hint("SHUFFLE_HASH"), Seq("p"), "left_anti")
-    counted
+    pairCountsNonEdge(s, d).withColumnRenamed("c", "common_neighbors")
       .orderBy(col("common_neighbors").desc, col("p"))
       .limit(20)
       .select(shiftright(col("p"), 32).as("a"),
@@ -245,15 +276,14 @@ object GraphOps {
     * |Ns(a) ∩ Ns(b)| / |Ns(a) ∪ Ns(b)| where Ns(v) is v's neighbors of
     * degree ≤ [[wedgeDegreeCap]] (the same hub cut the count stream
     * applies — a hub neighbor carries no tie signal and would otherwise
-    * dominate every denominator). The numerator is the pair-count artifact
-    * filtered TO edges (semi join — the complement of link prediction's
-    * anti join); the denominator joins the vertex-sized capped-degree
-    * table twice (broadcast). One artifact scan, zero wedge work at query
-    * time. */
+    * dominate every denominator). The numerator is the EDGE side of the
+    * pair-count artifact (membership pre-classified at build — the
+    * complement of link prediction's non-edge side); the denominator
+    * joins the vertex-sized capped-degree table twice (broadcast). One
+    * pre-classified artifact scan, zero wedge work and zero membership
+    * join at query time. */
   val graphJaccard: Q = (s, d) => {
     val e = edges(s, d)
-    val nEdges = e.count()
-    val ep = e.select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("p"))
     val deg = degrees(e)
     val adj = e.select(col("a").as("w"), col("b").as("n"))
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
@@ -262,14 +292,7 @@ object GraphOps {
       .join(broadcast(deg.filter(col("degree") <= wedgeDegreeCap)
         .select(col("v").as("n"))), "n")
       .groupBy(col("w").as("v")).agg(count(lit(1)).as("ds"))
-    val pc = pairCounts(s, d)
-    val onEdges =
-      if (nEdges <= graft.Limits.maxBroadcastEdges)
-        pc.join(broadcast(ep), Seq("p"), "left_semi")
-      // same fallback shape as graphCommonNeighbors: hash-build the edges,
-      // stream the artifact
-      else pc.join(ep.hint("SHUFFLE_HASH"), Seq("p"), "left_semi")
-    val j = onEdges
+    val j = pairCountsEdge(s, d)
       .select(shiftright(col("p"), 32).as("a"),
         (col("p").bitwiseAND(lit(0xFFFFFFFFL))).as("b"), col("c"))
       .join(broadcast(ds.select(col("v").as("a"), col("ds").as("dsa"))), "a")
@@ -292,40 +315,22 @@ object GraphOps {
     * most surprising ties), then (a, b); `n_bridges` (total zero-support
     * edges) rides every row as the one-row broadcast census.
     *
-    * 100 TB shape: the pay-once pair-count artifact streams through ONE
-    * semi-join against the packed edge set (broadcast within
-    * [[graft.Limits.maxBroadcastEdges]] reach, shuffled hash join past
-    * it) giving the edge-bounded supported-tie table; zero-support edges
-    * are the anti-join of the edge set against THAT table (both sides
-    * edge-bounded — the artifact never joins twice); then two broadcast
-    * degree annotations and TakeOrdered top-20 — no wedge work at query
-    * time, no global sort. */
+    * 100 TB shape: the supported-tie table is the EDGE side of the
+    * pay-once pair-count artifact and the zero-support edges are the
+    * artifact's precomputed complement (`edges_unsupported`) — BOTH
+    * membership joins moved into the build; then two broadcast degree
+    * annotations and TakeOrdered top-20 — no wedge work and no
+    * membership probe at query time, no global sort. */
   val graphWeakTies: Q = (s, d) => {
     val e = edges(s, d)
-    val nEdges = e.count()
-    val ep = e.select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("p"))
     val deg = degrees(e)
-    val pc = pairCounts(s, d)
-    // pair counts restricted TO edges (graphJaccard's semi-join shape) —
-    // edge-bounded, so it both backs the supported-tie rows and serves as
-    // the build side of the zero-support anti-join
-    val onE =
-      (if (nEdges <= graft.Limits.maxBroadcastEdges)
-        pc.join(broadcast(ep), Seq("p"), "left_semi")
-      else pc.join(ep.hint("SHUFFLE_HASH"), Seq("p"), "left_semi"))
-        .localCheckpoint()
-    val zero =
-      (if (nEdges <= graft.Limits.maxBroadcastEdges)
-        ep.join(broadcast(onE.select(col("p"))), Seq("p"), "left_anti")
-      else ep.join(onE.select(col("p")).hint("SHUFFLE_HASH"),
-        Seq("p"), "left_anti"))
-        .select(col("p"), lit(0L).as("c"))
-    // every edge is supported or a bridge, so the census is nEdges minus
-    // the (distinct-by-construction) supported-tie count — a one-row
-    // aggregate over the CHECKPOINTED semi-join result, not a second
-    // materialization of the union (the sf1 ladder measured the previous
-    // ties-checkpoint + filter-census spelling at 5× the sibling queries)
-    val census = onE.agg((lit(nEdges) - count(lit(1))).as("n_bridges"))
+    // both sides pre-classified at artifact build
+    val onE = pairCountsEdge(s, d)
+    val zero = s.read.parquet(s"${pairCountsPath(s, d)}/edges_unsupported")
+      .select(col("p"), lit(0L).as("c"))
+    // every edge is supported or a bridge — the census is the count of the
+    // precomputed bridge set (one-row aggregate over an edge-bounded scan)
+    val census = zero.agg(count(lit(1)).as("n_bridges"))
     val ties = onE.unionByName(zero)
       .select(shiftright(col("p"), 32).as("a"),
         col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
@@ -1001,40 +1006,23 @@ object GraphOps {
   }
 
   /** Per-vertex triangle membership + local clustering coefficient for the
-    * 20 most triangle-embedded vertices. Rides [[graphTriangles]]'s exact
-    * machinery — degree orientation, packed-pair wedge expansion, edge-set
-    * probe — but keeps the CLOSED wedges (inner join instead of the census
-    * semi-join + count): each surviving row IS a triangle (apex u, packed
-    * id-ordered pair (b, c)), so per-vertex counts fall out of one
-    * explode-3 + vertex-sized aggregate. The coefficient
+    * 20 most triangle-embedded vertices. Consumes the SAME pay-once
+    * closed-wedge artifact as the census ([[closedWedgesPre]] holds the
+    * degree-orientation + packed-pair expansion + edge-probe plan): each
+    * artifact row IS a triangle (apex u, packed id-ordered pair (b, c)),
+    * so per-vertex counts fall out of one explode-3 + vertex-sized
+    * aggregate over a pre-computed scan. The coefficient
     * 2·tri(v) / (deg(v)·(deg(v)−1)) computes its one float at the end from
     * exact integers.
     *
-    * 100 TB shape: the O(m^1.5) wedge stream is probed map-side within
-    * broadcast reach (past it, the same SHUFFLE_HASH fallback as the
-    * census — never sort the wedge stream); only closed wedges (triangle
-    * count, far smaller) reach the union, and the aggregate + top-20 are
-    * vertex-sized then TakeOrdered. */
+    * 100 TB shape: the O(m^1.5) wedge work is paid ONCE per data version
+    * at artifact build (probed map-side within broadcast reach; past it
+    * the SHUFFLE_HASH fallback — never sort the wedge stream); the query
+    * scans only closed wedges (triangle count, far smaller), and the
+    * aggregate + top-20 are vertex-sized then TakeOrdered. */
   val graphClusteringCoeff: Q = (s, d) => {
-    val e = edges(s, d).localCheckpoint() // feeds degrees + orientation + probe
-    val nEdges = e.count()
-    val deg = degrees(e)
-    val da = deg.select(col("v").as("a"), col("degree").as("da"))
-    val db = deg.select(col("v").as("b"), col("degree").as("db"))
-    val lowFirst = col("da") < col("db") ||
-      (col("da") === col("db") && col("a") < col("b"))
-    val o = e.join(da, "a").join(db, "b")
-      .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
-        when(lowFirst, col("b")).otherwise(col("a")).as("v"))
-    val wedges = o
-      .groupBy(col("u")).agg(sort_array(collect_set(col("v"))).as("ns"))
-      .select(col("u"), explode(
-        graft.functions.LongPairsPacked.long_pairs_packed(col("ns"))).as("p"))
-    val ep = e.select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("p"))
-    val closed =
-      if (nEdges <= graft.Limits.maxBroadcastEdges)
-        wedges.join(broadcast(ep), Seq("p"), "left_semi")
-      else wedges.join(ep.hint("SHUFFLE_HASH"), Seq("p"), "left_semi")
+    val deg = degrees(edges(s, d))
+    val closed = s.read.parquet(s"${closedWedgesPath(s, d)}/wedges")
     // explode-3 in ONE pass over the closed wedges — the union-of-three
     // spelling re-derived the whole wedge expansion + probe per branch
     // (3× the census cost; measured 14.0 vs 9.7 s for the census at sf1)

@@ -164,11 +164,20 @@ class PlanSpec extends AnyFunSuite {
       "top-100 must plan as TakeOrderedAndProject, not a global sort")
   }
 
-  test("graph_triangles: closure probes broadcast edge set map-side; wedges never shuffle") {
+  test("graph_triangles: one count over the closed-wedge artifact, no edge-scale join") {
     val plan = formatted("graph_triangles")
-    // degree ×2 + the closure probe — every edge-scale join must be hash-keyed
-    val keyed = "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length
-    assert(keyed >= 3, s"expected ≥3 keyed joins, found $keyed:\n$plan")
+    // the O(m^1.5) closure moved into the pay-once artifact; the query is
+    // scans + one-row aggregates stitched by broadcast (the census shape)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"census must not run an edge-scale shuffle join:\n$plan")
+    assert(!plan.contains("LeftSemi"),
+      s"the closure probe belongs to the artifact build, not the query:\n$plan")
+  }
+
+  test("closed-wedge artifact build: broadcast semi closure, wedges never shuffle") {
+    val plan = operators.GraphOps.closedWedgesPre(TestSpark.spark, TestSpark.sf001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
     // the packed-wedge stream is tested against the edge set as a broadcast
     // LEFT SEMI fused into the expansion stage — never as a shuffled
     // self-join of the wedge stream (the pre-round-7 spelling)
@@ -176,6 +185,8 @@ class PlanSpec extends AnyFunSuite {
       s"closure must be a broadcast semi probe:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"an edge-scale join degenerated to a cartesian product:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the wedge stream must never sort:\n$plan")
   }
 
   test("graph_pair_counts build: pairs shuffle exactly once, no map-side partial") {
@@ -194,22 +205,25 @@ class PlanSpec extends AnyFunSuite {
       s"no pair-level aggregate belongs in the build plan:\n$plan")
   }
 
-  test("graph_common_neighbors: artifact scan + broadcast anti-join + top-k") {
+  test("graph_common_neighbors: pre-classified artifact scan + top-k, no join") {
     val plan = formatted("graph_common_neighbors")
-    // existing edges are removed by a broadcast hash anti-join on the packed
-    // key; the top-20 is a TakeOrderedAndProject, never a global sort
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    // edge membership is pre-classified at artifact build; the query is a
+    // scan of the non-edge side + TakeOrderedAndProject, never a global
+    // sort and never a query-time membership join
+    assert(!plan.contains("Join"),
+      s"membership classification belongs to the artifact build:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("graph_jaccard: artifact scan + broadcast semi-join; degree joins broadcast") {
+  test("graph_jaccard: pre-classified edge-side scan; degree joins broadcast") {
     val plan = formatted("graph_jaccard")
-    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("LeftSemi"),
+      s"the edge filter belongs to the artifact build:\n$plan")
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
-    assert(nBroadcast >= 3, // edge semi + ds(a) + ds(b)
-      s"edge filter and both degree joins must broadcast (found $nBroadcast):\n$plan")
+    assert(nBroadcast >= 2, // ds(a) + ds(b)
+      s"both degree joins must broadcast (found $nBroadcast):\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
   test("join_interval_overlap: sweep plans with NO join operator and one key exchange") {
@@ -466,11 +480,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"zipf fit must not join:\n$plan")
   }
 
-  test("graph_clustering_coeff: closed wedges via broadcast semi probe + TakeOrdered") {
+  test("graph_clustering_coeff: artifact scan + explode-3 + TakeOrdered, no closure join") {
     val plan = formatted("graph_clustering_coeff")
-    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("LeftSemi"),
+      s"the closure probe belongs to the artifact build, not the query:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.linesIterator.exists(_.contains("- Generate")),
+      s"per-vertex counts must come from the explode-3 pass:\n$plan")
   }
 
   test("lm_bigram_entropy: one explode, hash-keyed exchanges, no join") {
@@ -783,13 +800,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("graph_weak_ties: artifact streams once; all probes broadcast at this scale") {
+  test("graph_weak_ties: pre-classified scans; only degree/census joins remain") {
     val plan = formatted("graph_weak_ties")
-    // the checkpointed tie table enters as an ExistingRDD scan (the semi
-    // and anti probes against the pair-count artifact ran at checkpoint
-    // time, broadcast within maxBroadcastEdges reach); what remains is
+    // BOTH sides (supported ties, zero-support bridges) are pre-classified
+    // parquet outputs of the pair-count artifact build; what remains is
     // two broadcast degree annotations plus the one-row census
-    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("LeftSemi") && !plan.contains("LeftAnti"),
+      s"membership classification belongs to the artifact build:\n$plan")
     assert(plan.linesIterator.count(_.contains("- BroadcastExchange")) >= 3, plan)
     assert(plan.linesIterator.count(_.contains("- BroadcastNestedLoopJoin")) == 1,
       plan)
