@@ -40,6 +40,7 @@ object Bench {
     "clustered_layout" -> ((s, d) => operators.PipelineOps.clusteredLayout(s, d)),
     "minhash_cand" -> ((s, d) => operators.DedupOps.minhashCandPath(s, d)),
     "corpus_index" -> ((s, d) => operators.DedupOps.corpusIndexPath(s, d)),
+    "graph_basket_pairs" -> ((s, d) => operators.GraphOps.basketPairsPath(s, d)),
     "graph_edges" -> ((s, d) => operators.GraphOps.edgesPath(s, d)),
     "graph_pair_counts" -> ((s, d) => operators.GraphOps.pairCountsPath(s, d)),
     "graph_adj_packed" -> ((s, d) => operators.GraphOps.packedAdjPath(s, d)),
@@ -127,8 +128,12 @@ object Bench {
         .asScala.map(_.getCollectionTime).sum
     }
     def shuffleDirMb(): Long = {
+      // spark.local.dir may be a comma-separated list; the joined string is
+      // not a path ("new File" on it reports 0/0). First entry is enough for
+      // the occupancy instrument — all entries share a filesystem here.
       val d = new java.io.File(spark.sparkContext.getConf
-        .get("spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp")))
+        .get("spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp"))
+        .split(',').head.trim)
       (d.getTotalSpace - d.getUsableSpace) >> 20
     }
     val firstGcMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]

@@ -68,24 +68,45 @@ object RedisControlPlane {
       out = new BufferedOutputStream(socket.getOutputStream)
     }
 
+    /** Commands whose REPLY carries otherwise-unrecoverable state. RPOP is
+      * a destructive read: if the broker executes it but the connection
+      * dies before the reply is read, the popped payload is gone with the
+      * socket — a blind retry would pop (and process) a SECOND payload
+      * while the first job is stranded non-terminal forever. The
+      * at-least-once argument that justifies retrying everything else
+      * (epochs absorb a duplicate LPUSH/INCR; GET/SET/DEL/HSET/EXISTS/
+      * KEYS/LRANGE/LLEN are idempotent; an LREM replay removes nothing
+      * new) does NOT hold for a lost destructive read, so these commands
+      * surface the IOException to the caller instead — the queue worker's
+      * poll loop already treats that as a skipped tick. */
+    private val noRetry = Set("RPOP", "LPOP", "BRPOP", "BLPOP")
+
     /** Send one command, return its reply: String (+simple/$bulk), Long
       * (:int), null ($-1), Seq[Any] (*array). -error throws.
       *
       * On a socket-level failure (broker restarted, connection dropped) the
       * client reconnects and retries the command ONCE — the standard
-      * real-Redis client behavior. At-least-once delivery is already the
-      * control plane's contract (epochs + attempt counters absorb a
-      * replayed LPUSH/INCR), so a rare duplicate on the
-      * processed-then-died-before-reply race is safe; a broker that is
-      * still down rethrows to the caller. */
+      * real-Redis client behavior — EXCEPT for [[noRetry]] destructive
+      * reads, where a lost reply is lost data, not a harmless duplicate:
+      * those reconnect (so the next command starts clean) and rethrow. A
+      * broker that is still down rethrows to the caller either way. */
     def cmd(args: String*): Any = synchronized {
       try sendAndRead(args)
       catch {
+        case e: java.io.IOException if noRetry(args.head.toUpperCase) =>
+          try reconnect() catch { case _: Exception => () }
+          throw e
         case _: java.io.IOException =>
           reconnect()
           sendAndRead(args)
       }
     }
+
+    /** Test seam: sever the live socket (as a broker restart would) without
+      * touching client state, so specs can drive the retry-vs-rethrow split
+      * in [[cmd]] deterministically. */
+    private[graft] def dropConnection(): Unit =
+      try socket.close() catch { case _: Exception => () }
 
     private def sendAndRead(args: Seq[String]): Any = {
       val sb = new java.lang.StringBuilder()

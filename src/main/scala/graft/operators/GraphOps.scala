@@ -50,17 +50,102 @@ object GraphOps {
   private[graft] def edgesPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("graph_edges", d, Seq("lineitem"),
       Seq(GraphOps.getClass, graft.functions.LongPairs.getClass,
-        Tables.getClass)) { dir =>
-      deriveEdges(s, d).write.parquet(s"$dir/edges")
+        graft.functions.LongPairsPacked.getClass, Tables.getClass)) { dir =>
+      // The distinct co-occurrence pair set IS the key set of the basket
+      // pair-count artifact ([[basketPairsPath]]): ride it instead of
+      // re-running the basket groupBy + pair explode + distinct shuffle —
+      // the two artifacts' only difference is whether the per-pair count
+      // survives, so deriving edges as "the counted pairs' keys" removes
+      // one full pair-stream shuffle from the combined build.
+      s.read.parquet(s"${basketPairsPath(s, d)}/pairs")
+        .select(shiftright(col("p"), 32).as("a"),
+          col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("b"))
+        .write.parquet(s"$dir/edges")
     }
 
-  private def deriveEdges(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "lineitem")
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(graft.functions.LongPairs.long_pairs(col("ps"))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-      .distinct()
+  /** Per-order co-occurrence pair COUNTS — (packed pair p, n_ab = number
+    * of orders containing both parts) for EVERY co-ordered pair, plus the
+    * per-part order counts (`items`) and the order census (`meta`) — as a
+    * pay-once artifact. This is the market-basket substrate: basket_rules
+    * consumes all three sides directly, and the edge artifact is this
+    * artifact's key set ([[edgesPath]]). Counting takes the proven
+    * pair-count shape ([[pairCountsPath]]): packed 8-byte keys, ONE
+    * repartition (a map-side partial over near-unique pair keys hashes the
+    * full stream only to shuffle the same cardinality — the 56.6 vs 5 s
+    * measurement), then an exact per-partition primitive-map count
+    * ([[hashCountAll]]) over reused UnsafeRows. `pairs` is written
+    * UNFILTERED so [[minRuleSupport]] stays a query-time knob. */
+  private[graft] def basketPairsPath(s: SparkSession, d: String): String =
+    graft.plans.ArtifactCache.getOrBuild("graph_basket_pairs", d, Seq("lineitem"),
+      Seq(GraphOps.getClass, graft.functions.LongPairsPacked.getClass,
+        Tables.getClass)) { dir =>
+      import s.implicits._
+      val op = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint() // feeds pair counts + item counts + order census
+      val packed = op
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(
+          graft.functions.LongPairsPacked.long_pairs_packed(col("ps"))).as("p"))
+        .repartition(2 * s.sparkContext.defaultParallelism, col("p"))
+      s.createDataset(packed.queryExecution.toRdd.mapPartitions(hashCountAll))
+        .toDF("p", "n_ab")
+        .write.parquet(s"$dir/pairs")
+      op.groupBy(col("l_partkey").as("v")).agg(count(lit(1)).as("n_v"))
+        .write.parquet(s"$dir/items")
+      op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        .write.parquet(s"$dir/meta")
+    }
+
+  // ------------------------------------------------ broadcast size gates
+  /** Memoized bounded gate scalars, keyed by a content-versioned artifact
+    * path: the one columnless-count job per (data version, JVM) amortizes
+    * across the whole graph registry instead of taxing every gated query
+    * with its own driver job. Artifact paths embed the input fingerprint
+    * ([[graft.plans.ArtifactCache]]), so a stale memo is impossible —
+    * changed data means a changed path means a fresh count. */
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def memoCount(key: String)(count: => Long): Long =
+    countMemo.computeIfAbsent(key, _ => Long.box(count)).longValue()
+
+  /** Edge count of the co-occurrence graph — a columnless scan of the
+    * pay-once edge artifact, memoized on its versioned path. */
+  private[graft] def edgeCount(s: SparkSession, d: String): Long = {
+    val p = s"${edgesPath(s, d)}/edges"
+    memoCount(p)(s.read.parquet(p).count())
+  }
+
+  /** Upper bound on the vertex universe: every vertex is an edge endpoint,
+    * so nv ≤ 2m. The gate scalar wherever the exact nv isn't already
+    * materialized — deriving it exactly would cost the degree shuffle the
+    * gate exists to avoid. Conservative in the SAFE direction only: it can
+    * flip a still-broadcastable frame to shuffle-hash a little early,
+    * never broadcast an over-sized one. */
+  private[graft] def vertexBound(s: SparkSession, d: String): Long =
+    2L * edgeCount(s, d)
+
+  /** Item-dimension gate scalar for the part-keyed frames (brand table,
+    * per-item counts): the part table's row count, memoized per fixture
+    * file (fixtures are immutable per directory — the same assumption
+    * every artifact fingerprint samples against). */
+  private[graft] def partDimCount(s: SparkSession, d: String): Long =
+    memoCount(Tables.resolve(d, "part").getPath + "#rows")(
+      Tables.load(s, d, "part").count())
+
+  /** The generalized vertex-broadcast size gate — the [[pagerankSweep]]
+    * convention extracted to ONE helper and applied at every join whose
+    * small side scales with the vertex (or item-dimension) count. Below
+    * the cap the frame broadcasts (the sf-scale fast path); past it — the
+    * 10⁹-vertex regime where a vertex-sized broadcast is a driver OOM —
+    * the join flips to a keyed SHUFFLE_HASH build side: the big stream
+    * shuffles once on the join key but the plan stays hash-probe-shaped
+    * (never a sort of the edge stream). Results are bit-identical either
+    * way — RoundTenSpec drives every gated query down both paths and
+    * compares collected rows; only the physical join strategy moves. */
+  private[graft] def gatedBc(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df.hint("shuffle_hash")
 
   /** Per-vertex degree of the undirected edge set: explode both endpoints,
     * one count aggregate. Output is vertex-table-sized (the parts dim), not
@@ -148,17 +233,75 @@ object GraphOps {
   }
 
   /** Connected components of the co-occurrence graph: every vertex labeled
-    * with its component's smallest vertex id. Reuses the dedup cluster
-    * resolver ([[DedupOps.resolveClusters]]) — min-label propagation with
-    * pointer jumping, O(log diameter) join+agg rounds — because a dedup
-    * cluster pass IS connected components; the graph family shares the
-    * engine rather than reimplementing it. Vertex set = edge endpoints
-    * (parts never co-ordered are isolated and not graph members), matching
-    * the degree query's universe. */
+    * with its component's smallest vertex id. Same algorithm as the dedup
+    * cluster resolver ([[DedupOps.resolveClusters]]) — min-label
+    * propagation with pointer jumping, O(log diameter) rounds — but riding
+    * the PACKED adjacency artifact the iterative sweeps share
+    * ([[packedAdjPath]]): the per-round neighbor-min probe joins the
+    * vertex-sized label state against ~nv chunk rows instead of the 2m-row
+    * symmetric edge stream, and the adjacency fold is paid once per data
+    * version, not once per query (the r9 verdict's "cheapest remaining
+    * graph win" — pointer jumping re-derived adjacency from raw edges
+    * every round). Vertex set = edge endpoints (parts never co-ordered are
+    * isolated and not graph members), matching the degree query's
+    * universe. Label state joins are size-gated ([[gatedBc]]). */
   val graphComponents: Q = (s, d) =>
-    DedupOps.resolveClusters(edges(s, d))
-      .select(col("doc_id").as("v"), col("lbl").as("component"))
-      .orderBy(col("v"))
+    graphComponentsImpl(s, d, Limits.maxBroadcastVertices)
+
+  /** [[graphComponents]] with the broadcast gate injectable — the
+    * RoundTenSpec convention (drive both paths, compare bit-identical). */
+  private[graft] def graphComponentsImpl(s: SparkSession, d: String,
+      maxBcVerts: Long): DataFrame = {
+    val adjBase = packedAdjPath(s, d)
+    val adj = s.read.parquet(s"$adjBase/adj") // parquet scan per round: no pin needed
+    val small = vertexBound(s, d) <= maxBcVerts
+    var labels = s.read.parquet(s"$adjBase/deg")
+      .select(col("v"), col("v").as("lbl")).localCheckpoint()
+    // min-propagation alone needs DIAMETER rounds; the pointer jump
+    // (follow your label's label) doubles the reach per round, so
+    // convergence is O(log diameter) and 64 rounds covers any component a
+    // real corpus can produce. Fail loudly beyond (the resolveClusters
+    // posture: wrong clusters are worse than no clusters).
+    val maxIters = 64
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      iter += 1
+      // propagate: label ← min over self + neighbors' labels, the probe
+      // extracted as [[componentsPropagate]] so PlanSpec can pin its shape
+      val prop = componentsPropagate(adj, labels, small).localCheckpoint()
+      // jump: label ← label's own label (labels are vertex ids, every one
+      // has a row, so the self-join resolves one extra hop — the doubling
+      // step); lazily checkpointed, materialized by the convergence count
+      val next = prop
+        .join(gatedBc(prop.select(col("v").as("j_id"), col("lbl").as("j_lbl")),
+          small), col("lbl") === col("j_id"), "left")
+        .select(col("v"), col("old"),
+          least(col("lbl"), coalesce(col("j_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(false)
+      converged = next.filter(col("lbl") =!= col("old")).count() == 0
+      labels = next.select(col("v"), col("lbl"))
+    }
+    require(converged, s"graph_components did not converge within $maxIters rounds")
+    labels.select(col("v"), col("lbl").as("component")).orderBy(col("v"))
+  }
+
+  /** One min-label propagation step over the packed adjacency: the label
+    * state joins the chunked adjacency on src (gated broadcast vs
+    * shuffle-hash — the [[pagerankSweep]] probe shape), neighbor labels fan
+    * out through explode, and each vertex takes min(own, neighbors').
+    * Extracted so PlanSpec can pin the artifact scan + probe shape — the
+    * per-round `localCheckpoint` hides the subplan from any outer explain. */
+  private[graft] def componentsPropagate(adj: DataFrame, labels: DataFrame,
+      small: Boolean): DataFrame = {
+    val nmin = adj
+      .join(gatedBc(labels.withColumnRenamed("v", "src"), small), "src")
+      .select(explode(col("dsts")).as("v"), col("lbl"))
+      .groupBy(col("v")).agg(min(col("lbl")).as("nmin"))
+    labels.join(gatedBc(nmin, small), Seq("v"), "left")
+      .select(col("v"), col("lbl").as("old"),
+        least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+  }
 
   /** Wedge centers with degree above this cut are excluded from
     * common-neighbor evidence: a hub co-occurring with everything carries
@@ -282,21 +425,27 @@ object GraphOps {
     * joins the vertex-sized capped-degree table twice (broadcast). One
     * pre-classified artifact scan, zero wedge work and zero membership
     * join at query time. */
-  val graphJaccard: Q = (s, d) => {
+  val graphJaccard: Q = (s, d) =>
+    graphJaccardImpl(s, d, Limits.maxBroadcastVertices)
+
+  private[graft] def graphJaccardImpl(s: SparkSession, d: String,
+      maxBcVerts: Long): DataFrame = {
     val e = edges(s, d)
     val deg = degrees(e)
+    // every small side here is vertex-sized — size-gated ([[gatedBc]])
+    val small = vertexBound(s, d) <= maxBcVerts
     val adj = e.select(col("a").as("w"), col("b").as("n"))
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
     // ds(v) = |Ns(v)|: count v's neighbors whose degree ≤ cap
     val ds = adj
-      .join(broadcast(deg.filter(col("degree") <= wedgeDegreeCap)
-        .select(col("v").as("n"))), "n")
+      .join(gatedBc(deg.filter(col("degree") <= wedgeDegreeCap)
+        .select(col("v").as("n")), small), "n")
       .groupBy(col("w").as("v")).agg(count(lit(1)).as("ds"))
     val j = pairCountsEdge(s, d)
       .select(shiftright(col("p"), 32).as("a"),
         (col("p").bitwiseAND(lit(0xFFFFFFFFL))).as("b"), col("c"))
-      .join(broadcast(ds.select(col("v").as("a"), col("ds").as("dsa"))), "a")
-      .join(broadcast(ds.select(col("v").as("b"), col("ds").as("dsb"))), "b")
+      .join(gatedBc(ds.select(col("v").as("a"), col("ds").as("dsa")), small), "a")
+      .join(gatedBc(ds.select(col("v").as("b"), col("ds").as("dsb")), small), "b")
       .select(col("a"), col("b"), col("c").as("common_neighbors"),
         round(col("c").cast("double") / (col("dsa") + col("dsb") - col("c")), 6)
           .as("jaccard"))
@@ -321,9 +470,16 @@ object GraphOps {
     * membership joins moved into the build; then two broadcast degree
     * annotations and TakeOrdered top-20 — no wedge work and no
     * membership probe at query time, no global sort. */
-  val graphWeakTies: Q = (s, d) => {
+  val graphWeakTies: Q = (s, d) =>
+    graphWeakTiesImpl(s, d, Limits.maxBroadcastVertices)
+
+  private[graft] def graphWeakTiesImpl(s: SparkSession, d: String,
+      maxBcVerts: Long): DataFrame = {
     val e = edges(s, d)
     val deg = degrees(e)
+    // degree annotations are vertex-sized — size-gated ([[gatedBc]]); the
+    // census stays an unconditional broadcast (one row, never scales)
+    val small = vertexBound(s, d) <= maxBcVerts
     // both sides pre-classified at artifact build
     val onE = pairCountsEdge(s, d)
     val zero = s.read.parquet(s"${pairCountsPath(s, d)}/edges_unsupported")
@@ -336,8 +492,8 @@ object GraphOps {
         col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
         col("c").as("common_neighbors"))
     ties
-      .join(broadcast(deg.select(col("v").as("a"), col("degree").as("deg_a"))), "a")
-      .join(broadcast(deg.select(col("v").as("b"), col("degree").as("deg_b"))), "b")
+      .join(gatedBc(deg.select(col("v").as("a"), col("degree").as("deg_a")), small), "a")
+      .join(gatedBc(deg.select(col("v").as("b"), col("degree").as("deg_b")), small), "b")
       .crossJoin(broadcast(census))
       .select(col("a"), col("b"), col("common_neighbors"),
         col("deg_a"), col("deg_b"), col("n_bridges"))
@@ -419,12 +575,21 @@ object GraphOps {
     * shape (both vertex-set restrictions broadcast; the edge set never
     * shuffles) — the per-round `localCheckpoint` in [[graphKcore]] hides
     * the round subplan from any outer explain. */
-  private[graft] def kcoreRound(e: DataFrame, keep: DataFrame): DataFrame =
-    e.join(broadcast(keep.withColumnRenamed("v", "a")), Seq("a"), "left_semi")
-      .join(broadcast(keep.withColumnRenamed("v", "b")), Seq("b"), "left_semi")
+  private[graft] def kcoreRound(e: DataFrame, keep: DataFrame,
+      small: Boolean = true): DataFrame =
+    e.join(gatedBc(keep.withColumnRenamed("v", "a"), small), Seq("a"), "left_semi")
+      .join(gatedBc(keep.withColumnRenamed("v", "b"), small), Seq("b"), "left_semi")
 
-  val graphKcore: Q = (s, d) => {
+  val graphKcore: Q = (s, d) =>
+    graphKcoreImpl(s, d, Limits.maxBroadcastVertices)
+
+  private[graft] def graphKcoreImpl(s: SparkSession, d: String,
+      maxBcVerts: Long): DataFrame = {
     var e = edges(s, d)
+    // the per-round keep-set is vertex-sized — size-gated ([[gatedBc]]);
+    // the bound can only tighten as the edge set shrinks, so one gate read
+    // before round 1 covers every round
+    val small = vertexBound(s, d) <= maxBcVerts
     for (_ <- 1 to kcoreRounds) {
       // pin the vertex-sized keep-set per round: `keep` feeds BOTH semi-
       // joins AND next round's degree aggregate, so left unpinned the edge
@@ -441,7 +606,7 @@ object GraphOps {
       // measured 4.75 s at sf0.1; the per-round chain is cheap, its
       // R-fold re-derivation was not). The edge set only ever shrinks, so
       // each pin is smaller than the last.
-      e = kcoreRound(e, keep).localCheckpoint()
+      e = kcoreRound(e, keep, small).localCheckpoint()
     }
     degrees(e)
       .select(col("v"), col("degree").as("core_degree"))
@@ -453,51 +618,43 @@ object GraphOps {
     * co-ordered at least [[minRuleSupport]] times, support / confidence /
     * lift from exact integer counts, floats computed ONCE at the end.
     *
-    * 100 TB shape: pair counts come from the same width-bounded per-order
-    * [[graft.functions.LongPairs]] expansion as the edge derivation (never
-    * a fact self-join); the per-item order counts are a part-dimension-sized
-    * table, so both enrichment joins broadcast; the final ranking is a
-    * TakeOrdered top-20. */
+    * 100 TB shape: pair counts come from the pay-once basket-pair artifact
+    * (width-bounded per-order expansion, never a fact self-join —
+    * [[basketPairsPath]]); the per-item order counts are a
+    * part-dimension-sized artifact table, so both enrichment joins
+    * broadcast below the size gate; the final ranking is a TakeOrdered
+    * top-20. */
   val minRuleSupport = 3
 
-  val basketRules: Q = (s, d) => {
-    val op = Tables.load(s, d, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint() // feeds baskets + item counts + the order count
-    // the total-order count rides as a broadcast 1-row frame (scalar-
-    // subquery spelling) instead of a blocking driver-side .count() at
-    // query-construction time
-    val nOrders = op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-    // pair counting takes the pair-count artifact's proven shape (see
-    // [[pairCountsPath]]): packed 8-byte pair keys, ONE repartition (a
-    // map-side partial over near-unique pair keys hashes the full stream
-    // only to shuffle the same cardinality — the 56.6 vs 5 s measurement
-    // on the wedge stream; the same spill cliff showed up here at the 10×
-    // fixture), then an exact per-partition primitive-map count
-    // ([[hashCountAll]]) over reused UnsafeRows.
-    import s.implicits._
-    val packed = op
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(
-        graft.functions.LongPairsPacked.long_pairs_packed(col("ps"))).as("p"))
-      .repartition(2 * s.sparkContext.defaultParallelism, col("p"))
-    val pairN = s.createDataset(
-        packed.queryExecution.toRdd.mapPartitions(hashCountAll))
-      .toDF("p", "n_ab")
+  val basketRules: Q = (s, d) =>
+    basketRulesImpl(s, d, Limits.maxBroadcastVertices)
+
+  private[graft] def basketRulesImpl(s: SparkSession, d: String,
+      maxBcVerts: Long): DataFrame = {
+    // Every count this query needs is pre-materialized in the pay-once
+    // basket-pair artifact ([[basketPairsPath]]): the pair-count stream
+    // (the cost that made this the suite's one bench-anomaly-prone query —
+    // its first-run GC sensitivity came from the 70 M-row in-query pair
+    // expansion), the item dimension, and the one-row order census. The
+    // query itself is a pre-filtered artifact scan, two item-dimension
+    // joins (size-gated — the item dim scales with the part dimension,
+    // [[gatedBc]]), a one-row broadcast, and a TakeOrdered top-20.
+    val base = basketPairsPath(s, d)
+    val nOrders = s.read.parquet(s"$base/meta")
+    val itemN = s.read.parquet(s"$base/items")
+    val small = partDimCount(s, d) <= maxBcVerts
+    val pairN = s.read.parquet(s"$base/pairs")
       .filter(col("n_ab") >= minRuleSupport)
       .select(shiftright(col("p"), 32).as("a"),
         (col("p").bitwiseAND(lit(0xFFFFFFFFL))).as("b"), col("n_ab"))
-    val itemN = op.groupBy(col("l_partkey").as("v"))
-      .agg(count(lit(1)).as("n_v"))
     // both rule directions from each undirected pair, then exact-int ratios
     val rules = pairN
       .select(col("a").as("antecedent"), col("b").as("consequent"), col("n_ab"))
       .unionAll(pairN.select(col("b"), col("a"), col("n_ab")))
-      .join(broadcast(itemN.withColumnRenamed("v", "antecedent")
-        .withColumnRenamed("n_v", "n_ante")), "antecedent")
-      .join(broadcast(itemN.withColumnRenamed("v", "consequent")
-        .withColumnRenamed("n_v", "n_cons")), "consequent")
+      .join(gatedBc(itemN.withColumnRenamed("v", "antecedent")
+        .withColumnRenamed("n_v", "n_ante"), small), "antecedent")
+      .join(gatedBc(itemN.withColumnRenamed("v", "consequent")
+        .withColumnRenamed("n_v", "n_cons"), small), "consequent")
       .crossJoin(broadcast(nOrders))
     rules.select(col("antecedent"), col("consequent"), col("n_ab"),
         round(col("n_ab").cast("double") / col("n_orders").cast("double"), 6)
@@ -772,16 +929,23 @@ object GraphOps {
     * vertex (map-side partials, never a sort of the edge stream); the
     * modularity-after pass is one label join + two bounded aggregates.
     * Everything is vertex- or edge-linear; no pair expansion. */
-  val graphLouvainMove: Q = (s, d) => {
+  val graphLouvainMove: Q = (s, d) =>
+    graphLouvainMoveImpl(s, d, Limits.maxBroadcastVertices)
+
+  private[graft] def graphLouvainMoveImpl(s: SparkSession, d: String,
+      maxBcVerts: Long): DataFrame = {
     val dec = DecimalType(38, 0)
     val e = edges(s, d).localCheckpoint()
     val m = e.count() // bounded driver scalar, the census convention
+    // degree and label tables are vertex-sized — size-gated ([[gatedBc]]);
+    // the edge count the census already pays doubles as the gate scalar
+    val small = 2L * m <= maxBcVerts
     val deg = degrees(e)
     val sym = e.select(col("a").as("v"), col("b").as("u"))
       .unionAll(e.select(col("b").as("v"), col("a").as("u")))
     val annotated = sym
-      .join(broadcast(deg.select(col("v"), col("degree").as("kv"))), "v")
-      .join(broadcast(deg.select(col("v").as("u"), col("degree").as("ku"))), "u")
+      .join(gatedBc(deg.select(col("v"), col("degree").as("kv")), small), "v")
+      .join(gatedBc(deg.select(col("v").as("u"), col("degree").as("ku")), small), "u")
     // per-vertex best target: min-degree neighbor, smallest id on ties
     val best = annotated
       .groupBy(col("v"))
@@ -796,9 +960,9 @@ object GraphOps {
       .localCheckpoint() // feeds the move count, intra pass and Σd_c²
     val lblA = labels.select(col("v").as("a"), col("lbl").as("la"))
     val lblB = labels.select(col("v").as("b"), col("lbl").as("lb"))
-    val intra = e.join(broadcast(lblA), "a").join(broadcast(lblB), "b")
+    val intra = e.join(gatedBc(lblA, small), "a").join(gatedBc(lblB, small), "b")
       .agg(sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("intra_edges"))
-    val comm = labels.join(broadcast(deg), "v")
+    val comm = labels.join(gatedBc(deg, small), "v")
       .groupBy(col("lbl")).agg(sum(col("degree")).cast(dec).as("dc"))
       .agg(count(lit(1)).as("n_communities"),
         sum(col("dc") * col("dc")).as("sd2"))
@@ -838,8 +1002,15 @@ object GraphOps {
     * quantizes each 1/d to DECIMAL(18,6) BEFORE summing (the repo's
     * quantized-float-sum convention) and closeness computes its one float
     * on the final k-row result. */
-  val graphCloseness: Q = (s, d) => {
+  val graphCloseness: Q = (s, d) =>
+    graphClosenessImpl(s, d, Limits.maxBroadcastVertices)
+
+  private[graft] def graphClosenessImpl(s: SparkSession, d: String,
+      maxBcVerts: Long): DataFrame = {
     val e = edges(s, d).localCheckpoint()
+    // frontier/visited are (seeds × vertex)-bounded — size-gated with the
+    // seed multiplier folded into the bound ([[gatedBc]])
+    val small = closenessSeedCount * vertexBound(s, d) <= maxBcVerts
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
     val seeds = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
@@ -848,7 +1019,7 @@ object GraphOps {
     var visited = seeds.localCheckpoint()
     var frontier = visited
     for (k <- 1 to bfsDepth) {
-      frontier = closenessRound(sym, frontier, visited, k).localCheckpoint()
+      frontier = closenessRound(sym, frontier, visited, k, small).localCheckpoint()
       visited = visited.unionAll(frontier).localCheckpoint()
     }
     visited.filter(col("dist") > 0)
@@ -868,11 +1039,11 @@ object GraphOps {
     * probe, minus the per-source visited set. The [[bfsRound]] shape with
     * the source key carried through — extracted so PlanSpec can pin it. */
   private[graft] def closenessRound(sym: DataFrame, frontier: DataFrame,
-      visited: DataFrame, k: Int): DataFrame =
-    sym.join(broadcast(frontier.select(col("s0"), col("v").as("src"))),
+      visited: DataFrame, k: Int, small: Boolean = true): DataFrame =
+    sym.join(gatedBc(frontier.select(col("s0"), col("v").as("src")), small),
         Seq("src"))
       .select(col("s0"), col("dst").as("v")).distinct()
-      .join(broadcast(visited.select(col("s0"), col("v"))),
+      .join(gatedBc(visited.select(col("s0"), col("v")), small),
         Seq("s0", "v"), "left_anti")
       .select(col("s0"), col("v"), lit(k.toLong).as("dist"))
 
@@ -893,9 +1064,16 @@ object GraphOps {
     * is ONE equi-join of the |V|-row walker frontier against it —
     * broadcast here (the adjacency fits), an ordinary keyed join at
     * scale — and the visit census is a two-phase count + TakeOrdered. */
-  val graphRandomWalk: Q = (s, d) => {
+  val graphRandomWalk: Q = (s, d) =>
+    graphRandomWalkImpl(s, d, Limits.maxBroadcastVertices)
+
+  private[graft] def graphRandomWalkImpl(s: SparkSession, d: String,
+      maxBcVerts: Long): DataFrame = {
     import graft.functions.PolyHash.{affine, P}
     val e = edges(s, d)
+    // the walker frontier is |V| rows — size-gated ([[gatedBc]]; this site
+    // wasn't on the verdict's nine but is the same scale-killer class)
+    val small = vertexBound(s, d) <= maxBcVerts
     val adj = e.select(col("a").as("w"), col("b").as("n"))
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
       .groupBy(col("w"))
@@ -909,7 +1087,7 @@ object GraphOps {
       // the adjacency carries degree-sized arrays (broadcasting it cost
       // 4 × an |E|-entry broadcast per query — measured 10.3 s at sf1)
       frontier = adj.withColumnRenamed("w", "cur")
-        .join(broadcast(frontier), "cur")
+        .join(gatedBc(frontier, small), "cur")
         .select(col("start"),
           element_at(col("ns"), (idx + 1).cast(IntegerType)).as("cur"))
         .localCheckpoint() // constant-depth plan per hop
@@ -951,8 +1129,14 @@ object GraphOps {
     * DuckDB oracle: recursive CTE over the same symmetric edges with the
     * same depth cap, `MIN(dist)` per vertex — BFS as a fixpoint, which is
     * exactly what the recursion computes. */
-  val graphBfs: Q = (s, d) => {
+  val graphBfs: Q = (s, d) =>
+    graphBfsImpl(s, d, Limits.maxBroadcastVertices)
+
+  private[graft] def graphBfsImpl(s: SparkSession, d: String,
+      maxBcVerts: Long): DataFrame = {
     val e = edges(s, d).localCheckpoint()
+    // frontier/visited are vertex-bounded — size-gated ([[gatedBc]])
+    val small = vertexBound(s, d) <= maxBcVerts
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
     val seeds = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
@@ -961,7 +1145,7 @@ object GraphOps {
     var visited = seeds.localCheckpoint()
     var frontier = visited
     for (k <- 1 to bfsDepth) {
-      frontier = bfsRound(sym, frontier, visited, k).localCheckpoint()
+      frontier = bfsRound(sym, frontier, visited, k, small).localCheckpoint()
       visited = visited.unionAll(frontier).localCheckpoint()
     }
     visited.groupBy(col("dist"))
@@ -984,15 +1168,21 @@ object GraphOps {
     * degree table broadcasts to both endpoint probes; the edge set streams
     * through one map-side-combined aggregate — no edge-keyed shuffle at
     * all. */
-  val graphAssortativity: Q = (s, d) => {
+  val graphAssortativity: Q = (s, d) =>
+    graphAssortativityImpl(s, d, Limits.maxBroadcastVertices)
+
+  private[graft] def graphAssortativityImpl(s: SparkSession, d: String,
+      maxBcVerts: Long): DataFrame = {
     val dec = DecimalType(38, 0)
     val e = edges(s, d)
+    // the degree table is vertex-sized — size-gated ([[gatedBc]])
+    val small = vertexBound(s, d) <= maxBcVerts
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
     val deg = degrees(e)
     val jd = sym
-      .join(broadcast(deg.select(col("v").as("src"), col("degree").as("j"))), "src")
-      .join(broadcast(deg.select(col("v").as("dst"), col("degree").as("k"))), "dst")
+      .join(gatedBc(deg.select(col("v").as("src"), col("degree").as("j")), small), "src")
+      .join(gatedBc(deg.select(col("v").as("dst"), col("degree").as("k")), small), "dst")
     jd.agg(
         count(lit(1)).as("m"),
         sum((col("j") * col("k")).cast(dec)).as("sjk"),
@@ -1048,19 +1238,26 @@ object GraphOps {
     * (the same two-sided vertex annotation as assortativity); the edge set
     * streams through one map-side-combined aggregate; the per-community
     * degree table is |brands|-sized. No edge-keyed shuffle at all. */
-  val graphModularity: Q = (s, d) => {
+  val graphModularity: Q = (s, d) =>
+    graphModularityImpl(s, d, Limits.maxBroadcastVertices)
+
+  private[graft] def graphModularityImpl(s: SparkSession, d: String,
+      maxBcVerts: Long): DataFrame = {
     val dec = DecimalType(38, 0)
     val e = edges(s, d)
     val brand = Tables.load(s, d, "part")
       .select(col("p_partkey").as("v"), col("p_brand").as("brand"))
+    // the brand table scales with the part DIMENSION (the vertex
+    // universe's superset) — size-gated on the part count ([[gatedBc]])
+    val small = partDimCount(s, d) <= maxBcVerts
     val deg = degrees(e)
     val eb = e
-      .join(broadcast(brand.select(col("v").as("a"), col("brand").as("ba"))), "a")
-      .join(broadcast(brand.select(col("v").as("b"), col("brand").as("bb"))), "b")
+      .join(gatedBc(brand.select(col("v").as("a"), col("brand").as("ba")), small), "a")
+      .join(gatedBc(brand.select(col("v").as("b"), col("brand").as("bb")), small), "b")
     val mIntra = eb.agg(
       count(lit(1)).as("m"),
       sum(when(col("ba") === col("bb"), 1L).otherwise(0L)).as("intra_edges"))
-    val comm = deg.join(broadcast(brand), "v")
+    val comm = deg.join(gatedBc(brand, small), "v")
       .groupBy(col("brand")).agg(sum(col("degree")).cast(dec).as("dc"))
     val sumd2 = comm.agg(
       count(lit(1)).as("n_communities"),
@@ -1129,10 +1326,10 @@ object GraphOps {
     * set never re-shuffles) — the per-round `localCheckpoint` in
     * [[graphBfs]] hides the round subplan from any outer explain. */
   private[graft] def bfsRound(sym: DataFrame, frontier: DataFrame,
-      visited: DataFrame, k: Int): DataFrame =
-    sym.join(broadcast(frontier.select(col("v").as("src"))), Seq("src"))
+      visited: DataFrame, k: Int, small: Boolean = true): DataFrame =
+    sym.join(gatedBc(frontier.select(col("v").as("src")), small), Seq("src"))
       .select(col("dst").as("v")).distinct()
-      .join(broadcast(visited.select(col("v"))), Seq("v"), "left_anti")
+      .join(gatedBc(visited.select(col("v")), small), Seq("v"), "left_anti")
       .select(col("v"), lit(k.toLong).as("dist"))
 
   val queries: Map[String, Q] = Map(

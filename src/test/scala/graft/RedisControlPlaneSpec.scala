@@ -235,4 +235,27 @@ class RedisControlPlaneSpec extends AnyFunSuite {
       try assert(c.cmd("PING") == "PONG") finally c.close()
     }
   }
+
+  test("dead-socket RPOP rethrows (no blind retry); idempotent GET silently reconnects") {
+    withServer { (h, p) =>
+      val c = new RedisControlPlane.RespClient(h, p)
+      try {
+        c.cmd("LPUSH", "dq", "p1", "p2")
+        // idempotent read: a severed connection is invisible to the caller
+        c.dropConnection()
+        assert(c.cmd("LLEN", "dq") == 2L)
+        // destructive read: severed connection must SURFACE, because the
+        // broker may have executed the pop and the reply is unrecoverable —
+        // a blind retry here would discard a second claimed payload
+        c.dropConnection()
+        intercept[java.io.IOException](c.cmd("RPOP", "dq"))
+        // but the client reconnected behind the failure: the NEXT command
+        // works, and both payloads are still claimable (nothing was popped
+        // by a hidden retry — the send itself never reached the broker)
+        assert(c.cmd("LLEN", "dq") == 2L)
+        assert(c.cmd("RPOP", "dq") == "p1")
+        assert(c.cmd("RPOP", "dq") == "p2")
+      } finally c.close()
+    }
+  }
 }

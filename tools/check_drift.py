@@ -76,12 +76,25 @@ if os.path.exists(bench_path):
     flat = re.sub(r"\s+", " ", survey)
     for m in re.finditer(r"[Dd]river-median ([\d.]+) s at sf0\.1", flat):
         claimed = float(m.group(1))
-        names = re.findall(r"`([a-z0-9_]+)`", flat[:m.start()])
-        name = next((n for n in reversed(names) if n in qm), None)
-        if name is None:
+        # Attribute the claim within its own SENTENCE only (text since the
+        # last '. ' boundary): searching the whole preceding document could
+        # attach the claim to an unrelated query mentioned pages earlier and
+        # pass/fail spuriously. Ambiguity (several distinct bench-known
+        # names in the same sentence) fails rather than guessing.
+        window = flat[:m.start()]
+        cut = window.rfind(". ")
+        if cut >= 0:
+            window = window[cut + 2:]
+        names = [n for n in re.findall(r"`([a-z0-9_]+)`", window) if n in qm]
+        distinct = list(dict.fromkeys(names))
+        if not distinct:
             bad.append(f"timing claim 'driver-median {claimed} s at sf0.1' "
-                       f"has no preceding backticked query name to check")
-        elif abs(claimed - qm[name]) > 0.25 * max(qm[name], 0.2):
+                       f"has no backticked query name in its sentence to check")
+        elif len(distinct) > 1:
+            bad.append(f"timing claim 'driver-median {claimed} s at sf0.1' is "
+                       f"ambiguous: sentence names {distinct} — keep one "
+                       f"bench-known name per timed sentence")
+        elif abs(claimed - qm[(name := distinct[0])]) > 0.25 * max(qm[name], 0.2):
             bad.append(f"SURVEY.md claims {name} driver-median {claimed} s "
                        f"at sf0.1; bench/BENCH_last.json median is "
                        f"{qm[name]:.2f} s")
