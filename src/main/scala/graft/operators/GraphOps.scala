@@ -762,7 +762,50 @@ object GraphOps {
       val deg = s.read.parquet(s"$dir/deg")
       val bc = deg.count() <= Limits.maxBroadcastVertices
       packedAdjacency(e, deg, bc).write.parquet(s"$dir/adj")
+      // BUCKETED copy — the cluster path for exchange-free sweep joins:
+      // localCheckpoint materializes UnknownPartitioning on 4.1.2 (verified;
+      // repartition-then-pin does NOT make later joins exchange-free), so
+      // the only way to hand the sweeps a pre-hashed adjacency is a bucketed
+      // table layout. Written via a throwaway catalog entry (bucket metadata
+      // only exists through saveAsTable); the DROP keeps the files — the
+      // table is external — and [[bucketedAdjTable]] re-registers the spec
+      // over the artifact path in any consuming session. One file per
+      // bucket: the pre-repartition matches the bucket hash, so each task
+      // owns exactly one bucket.
+      val tmpName = s"graft_tmp_adj_b_${System.nanoTime()}"
+      s.read.parquet(s"$dir/adj")
+        .repartition(adjBuckets, col("src"))
+        .write.bucketBy(adjBuckets, "src").sortBy("src")
+        .option("path", s"$dir/adj_b").saveAsTable(tmpName)
+      s.sql(s"DROP TABLE $tmpName")
     }
+
+  /** Bucket count of the cluster-path adjacency layout. Matches the repo's
+    * session shuffle-partition setting so a sweep aggregate's output
+    * partitioning (HashPartitioning(v, shuffle.partitions)) aligns with the
+    * bucketed scan's (HashPartitioning(src, buckets)) and sweeps 2..B of a
+    * block plan with ZERO exchange on the state join — the aggregate's own
+    * shuffle is the sweep's only exchange. On a real cluster this is sized
+    * to the executor fleet, not 32. */
+  val adjBuckets = 32
+
+  /** Register (idempotently, per session) the external bucketed table over
+    * the packed-adjacency artifact's bucketed copy and return its name.
+    * Bucket metadata lives in the catalog, not in parquet, so each session
+    * re-declares the spec over the immutable artifact files; the name embeds
+    * the artifact fingerprint, so a data/logic change yields a NEW table
+    * over the new artifact rather than a stale binding. */
+  private[graft] def bucketedAdjTable(s: SparkSession, d: String): String = {
+    val base = packedAdjPath(s, d)
+    val hash = base.substring(base.lastIndexOf('_') + 1)
+    val name = s"graft_adj_b_$hash"
+    s.sql(
+      s"""CREATE TABLE IF NOT EXISTS $name (src BIGINT, degree BIGINT, dsts ARRAY<BIGINT>)
+         |USING PARQUET
+         |CLUSTERED BY (src) SORTED BY (src) INTO $adjBuckets BUCKETS
+         |LOCATION '$base/adj_b'""".stripMargin)
+    name
+  }
 
   private[graft] def pagerankSweep(adj: DataFrame, init: Long,
       pr: DataFrame, broadcastState: Boolean = true): DataFrame = {
@@ -787,13 +830,36 @@ object GraphOps {
         (lit((15L * init) / 100L) + expr("(85 * in_sum) DIV 100")).as("pr"))
   }
 
+  /** One Jacobi sweep over the BUCKETED adjacency table — the cluster
+    * path. The scan arrives pre-hashed on src (HashPartitioning(src,
+    * [[adjBuckets]])), so the state join plans with ZERO exchange on the
+    * adjacency; and because a sweep's aggregate output is hash-partitioned
+    * by vertex with the same partition count, the NEXT sweep's state side
+    * needs no exchange either — chained sweeps' only exchange is each
+    * aggregate's own shuffle (PlanSpec pins this). Same integer arithmetic
+    * as [[pagerankSweep]], bit-identical output (RoundTenSpec); only the
+    * physical layout moves. The shuffle-hash hint keeps the join a hash
+    * probe with the vertex-sized state as build side — never a broadcast
+    * (no driver involvement at any vertex count: this path needs no size
+    * gate) and never a sort. */
+  private[graft] def pagerankSweepBucketed(adjB: DataFrame, init: Long,
+      pr: DataFrame): DataFrame =
+    adjB.join(pr.withColumnRenamed("v", "src").hint("shuffle_hash"), "src")
+      .select(explode(col("dsts")).as("v"), expr("pr DIV degree").as("contrib"))
+      .groupBy(col("v"))
+      .agg(sum(col("contrib")).as("in_sum"))
+      .select(col("v"),
+        (lit((15L * init) / 100L) + expr("(85 * in_sum) DIV 100")).as("pr"))
+
   val graphPagerank: Q = (s, d) =>
     graphPagerankImpl(s, d, Limits.maxBroadcastVertices)
 
   /** [[graphPagerank]] with the broadcast-state gate injectable so the spec
-    * can drive the shuffle-hash fallback end-to-end on a small fixture. */
+    * can drive the shuffle-hash fallback end-to-end on a small fixture, and
+    * the sweep layout selectable (broadcast-probe vs bucketed cluster
+    * path). */
   private[graft] def graphPagerankImpl(s: SparkSession, d: String,
-      maxBcVerts: Long): DataFrame = {
+      maxBcVerts: Long, bucketed: Boolean = false): DataFrame = {
     val adjBase = packedAdjPath(s, d)
     val deg = s.read.parquet(s"$adjBase/deg") // (v, degree): out-degree = degree
     // ONE bounded driver scalar — the vertex count — gates the integer
@@ -813,7 +879,12 @@ object GraphOps {
     // so that build shuffle is pure added cost; measured 16.1 → 23.5 s at
     // sf1). On a real cluster a bucketed adjacency table (bucketBy dst) is
     // the way to make sweeps exchange-free, not a checkpoint.
-    val symd = s.read.parquet(s"$adjBase/adj").localCheckpoint()
+    // bucketed mode reads the catalog table instead: a stable pre-hashed
+    // scan with statistics — no checkpoint needed (nothing re-derives), and
+    // the bucket partitioning is exactly what a checkpoint would destroy
+    val symd =
+      if (bucketed) s.table(bucketedAdjTable(s, d))
+      else s.read.parquet(s"$adjBase/adj").localCheckpoint()
     var pr = deg.select(col("v"), lit(init).as("pr")).localCheckpoint()
     // Sweep in pinned BLOCKS of prBlock sweeps: the rank state is referenced
     // exactly ONCE per sweep (sym/deg/nv are pinned), so unpinned lineage is
@@ -838,7 +909,9 @@ object GraphOps {
     while (it < pagerankIters && !converged) {
       val blockStart = pr
       val steps = math.min(prBlock, pagerankIters - it)
-      for (_ <- 1 to steps) pr = pagerankSweep(symd, init, pr, bcState)
+      for (_ <- 1 to steps) pr =
+        if (bucketed) pagerankSweepBucketed(symd, init, pr)
+        else pagerankSweep(symd, init, pr, bcState)
       it += steps
       pr = pr.localCheckpoint()
       if (it < pagerankIters && steps == prBlock) {

@@ -217,15 +217,24 @@ object StreamOps {
       .agg(min(when(col("event_type") === "view", col("t"))).as("tv"),
         min(when(col("event_type") === "click", col("t"))).as("tc"),
         min(when(col("event_type") === "purchase", col("t"))).as("tp"))
-    val stages = Seq(
-      "1_view" -> pv.filter(col("tv").isNotNull),
-      "2_click" -> pv.filter(col("tv").isNotNull && col("tc").isNotNull &&
-        col("tv") < col("tc")),
-      "3_purchase" -> pv.filter(col("tv").isNotNull && col("tc").isNotNull &&
-        col("tp").isNotNull && col("tv") < col("tc") && col("tc") < col("tp")))
-    stages.map { case (name, df) =>
-      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
-    }.reduce(_ unionAll _).orderBy(col("stage"))
+    // all three stage counts in ONE pass over the users-sized pivot
+    // (count(when(cond, 1)) ≡ filter(cond).count): the union-of-three
+    // spelling recomputed pv per stage — 3× the users aggregate, measured
+    // ~0.5 s of the query's 2.0 s at sf0.1 (ProfileStreams) — then the
+    // 1-row frame unpivots to the (stage, n_users) board shape
+    val inFunnel = col("tv").isNotNull && col("tc").isNotNull &&
+      col("tv") < col("tc")
+    pv.agg(
+        count(when(col("tv").isNotNull, 1)).as("n1"),
+        count(when(inFunnel, 1)).as("n2"),
+        count(when(inFunnel && col("tp").isNotNull && col("tc") < col("tp"), 1))
+          .as("n3"))
+      .select(explode(array(
+        struct(lit("1_view").as("stage"), col("n1").as("n_users")),
+        struct(lit("2_click").as("stage"), col("n2").as("n_users")),
+        struct(lit("3_purchase").as("stage"), col("n3").as("n_users")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.n_users").as("n_users"))
+      .orderBy(col("stage"))
   }
 
   /** Tumbling-window streaming aggregation: hourly event counts + exact

@@ -143,6 +143,70 @@ class RoundTenSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  // ------------------------------- 4. bucketed cluster path (dir. #6)
+
+  test("bucketed sweep chain: adjacency scans pre-hashed, zero exchange on the state join") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // align the session's shuffle width to the bucket count, as a cluster
+    // deployment would — that is what lets sweep N+1 consume sweep N's
+    // aggregate output with NO exchange on either join side
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", GraphOps.adjBuckets.toString)
+    try {
+      val adjB = spark.table(GraphOps.bucketedAdjTable(spark, dir))
+      val pr0 = spark.read.parquet(s"${GraphOps.packedAdjPath(spark, dir)}/deg")
+        .select(col("v"), lit(100L).as("pr"))
+      val s2 = GraphOps.pagerankSweepBucketed(adjB, 100L,
+        GraphOps.pagerankSweepBucketed(adjB, 100L, pr0))
+      val plan = fmt(s2)
+      assert(plan.contains("Bucketed: true"),
+        s"adjacency must scan as a bucketed table:\n$plan")
+      assert(plan.contains("ShuffledHashJoin"), plan)
+      assert(!plan.contains("SortMergeJoin"), plan)
+      assert(!plan.linesIterator.exists(_.contains("- BroadcastExchange")),
+        s"the cluster path must not broadcast at any vertex count:\n$plan")
+      // three exchanges TOTAL for two chained sweeps: the initial state
+      // alignment + each sweep's aggregate shuffle. Neither bucketed
+      // adjacency scan exchanges, and sweep 2's state join consumes sweep
+      // 1's aggregate output in place — the zero-exchange state join.
+      val nEx = "(?<!Broadcast)Exchange \\(".r.findAllIn(plan).length
+      assert(nEx == 3, s"expected 3 exchanges (pr0 align + 2 agg), found $nEx:\n$plan")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("pagerank: bucketed cluster path is bit-identical to the broadcast path") {
+    val bc = GraphOps.graphPagerankImpl(spark, dir, Limits.maxBroadcastVertices)
+      .collect().map(_.toSeq).toSeq
+    val bk = GraphOps.graphPagerankImpl(spark, dir, Limits.maxBroadcastVertices,
+        bucketed = true)
+      .collect().map(_.toSeq).toSeq
+    assert(bc.nonEmpty && bk == bc)
+  }
+
+  // ------------------------------ 5. streaming no-data-batch eligibility
+
+  test("stream_sessionize is NOT skip-eligible: the final watermark advance emits real sessions") {
+    // The trailing no-data micro-batch advances the watermark past
+    // end-of-stream, firing the event-time timeouts that close every user's
+    // final gap-expired session. Disabling it must therefore LOSE rows —
+    // the output-equality precondition for skipNoDataBatch (the
+    // stream_join opt-in) provably fails here, which is why the query does
+    // not set it. Measured at sf0.1: 95405 vs 93965 rows, and the skip
+    // would save only ~0.2 s of 1.9 (ProfileStreams).
+    val nDefault = graft.streaming.Sessionize.sessions(spark, dir).count()
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val nNoFinal = graft.streaming.Sessionize.sessions(spark, dir).count()
+      assert(nNoFinal < nDefault,
+        s"expected the no-data batch to carry emissions: $nNoFinal vs $nDefault")
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("edge artifact is the basket artifact's key set (one build shuffle, not two)") {
     // deriving edges as the counted pairs' keys must yield exactly the
     // distinct (a < b) co-occurrence set the oracle derives by self-join
