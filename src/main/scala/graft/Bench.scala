@@ -107,6 +107,20 @@ object Bench {
     val artifacts = warmArtifacts(spark, sfDir)
     val artifactTotal = artifacts.map(_._2).sum
     val artifactBuilds = artifacts.map(_._3).sum
+    // Cold builds write tens of GB through the page cache and the OS
+    // flushes those dirty pages ASYNCHRONOUSLY — the writeback competes
+    // with whichever queries run first (measured at sf2: the first ~30
+    // queries of the loop ran 3.8× slow until the flush drained, decaying
+    // to 1.1× — the same writeback-stall class the round-7 tmpfs shuffle
+    // move fixed). Charge the flush to the BUILD phase it belongs to:
+    // block on sync(2) before timing anything. Attributed as its own
+    // field; a no-build (all-cache-hit) invocation syncs ~nothing.
+    val postBuildSyncS = {
+      val t0 = System.nanoTime()
+      try new ProcessBuilder("sync").start().waitFor()
+      catch { case _: Exception => () } // non-Linux / no binary: skip
+      (System.nanoTime() - t0) / 1e9
+    }
 
     // per-query timing: runs× each; best = steady state, first = cold.
     // The builds counter is snapshotted around the loop — any query that
@@ -194,6 +208,7 @@ object Bench {
       s""""queries_median":$qMedian,"queries_max":$qMax,""" +
       s""""median_total_s":${fmt(totalMedian)},""" +
       s""""artifact_build_s":${fmt(artifactTotal)},"artifact_builds":$artifactBuilds,""" +
+      s""""post_build_sync_s":${fmt(postBuildSyncS)},""" +
       s""""artifacts":$arts,"runs":$runs,"agg":"min",""" +
       s""""stray_builds":[${strayBuilds.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""queries_first_gc_ms":${firstGcMs.map { case (k, v) => s""""$k":$v""" }
