@@ -1008,16 +1008,21 @@ object GraphOps {
   private[graft] def graphLouvainMoveImpl(s: SparkSession, d: String,
       maxBcVerts: Long): DataFrame = {
     val dec = DecimalType(38, 0)
-    val e = edges(s, d).localCheckpoint()
-    val m = e.count() // bounded driver scalar, the census convention
-    // degree and label tables are vertex-sized — size-gated ([[gatedBc]]);
-    // the edge count the census already pays doubles as the gate scalar
+    // edges feed only the intra pass now — a stable artifact scan, no pin;
+    // the census scalar is the memoized edge count, and degrees come from
+    // the packed-adjacency artifact instead of a per-query aggregate
+    val e = edges(s, d)
+    val m = edgeCount(s, d) // bounded driver scalar, the census convention
+    // degree and label tables are vertex-sized — size-gated ([[gatedBc]])
     val small = 2L * m <= maxBcVerts
-    val deg = degrees(e)
-    val sym = e.select(col("a").as("v"), col("b").as("u"))
-      .unionAll(e.select(col("b").as("v"), col("a").as("u")))
-    val annotated = sym
-      .join(gatedBc(deg.select(col("v"), col("degree").as("kv")), small), "v")
+    val adjBase = packedAdjPath(s, d)
+    val deg = s.read.parquet(s"$adjBase/deg")
+    // (v, kv, u, ku) from the packed adjacency: kv rides the chunk row
+    // (degree is stored alongside src), so only the NEIGHBOR degree needs
+    // a join — one gated vertex-sized probe instead of two edge joins
+    val annotated = s.read.parquet(s"$adjBase/adj")
+      .select(col("src").as("v"), col("degree").as("kv"),
+        explode(col("dsts")).as("u"))
       .join(gatedBc(deg.select(col("v").as("u"), col("degree").as("ku")), small), "u")
     // per-vertex best target: min-degree neighbor, smallest id on ties
     val best = annotated
@@ -1067,32 +1072,33 @@ object GraphOps {
     *
     * The per-source distances come from ONE multi-source level-synchronous
     * loop keyed by (source, vertex) — k sources ride the same three
-    * frontier rounds, not k separate traversals. Frontier/visited are
-    * (seeds × vertex)-bounded so both sides of every per-round join
-    * broadcast and the edge set never re-shuffles (the [[graphBfs]]
-    * posture); past broadcast reach the identical spelling plans as keyed
-    * equi-joins on `src`. Exactness: distances are integers; harmonic
-    * quantizes each 1/d to DECIMAL(18,6) BEFORE summing (the repo's
-    * quantized-float-sum convention) and closeness computes its one float
-    * on the final k-row result. */
+    * frontier rounds, not k separate traversals. Each round probes the
+    * PACKED adjacency artifact ([[packedAdjPath]] — ~nv chunk rows per
+    * probe instead of the 2m-row symmetric edge stream, the
+    * [[graphComponentsImpl]] shape); frontier/visited are
+    * (seeds × vertex)-bounded and size-gated ([[gatedBc]]): broadcast
+    * below the cap, keyed SHUFFLE_HASH past it. Exactness: distances are
+    * integers; harmonic quantizes each 1/d to DECIMAL(18,6) BEFORE
+    * summing (the repo's quantized-float-sum convention) and closeness
+    * computes its one float on the final k-row result. */
   val graphCloseness: Q = (s, d) =>
     graphClosenessImpl(s, d, Limits.maxBroadcastVertices)
 
   private[graft] def graphClosenessImpl(s: SparkSession, d: String,
       maxBcVerts: Long): DataFrame = {
-    val e = edges(s, d).localCheckpoint()
+    val adjBase = packedAdjPath(s, d)
+    val adj = s.read.parquet(s"$adjBase/adj") // stable parquet scan per round
     // frontier/visited are (seeds × vertex)-bounded — size-gated with the
     // seed multiplier folded into the bound ([[gatedBc]])
     val small = closenessSeedCount * vertexBound(s, d) <= maxBcVerts
-    val sym = e.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-    val seeds = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-      .distinct().orderBy(col("v")).limit(closenessSeedCount)
+    // the artifact's degree table IS the vertex universe (edge endpoints)
+    val seeds = s.read.parquet(s"$adjBase/deg")
+      .select(col("v")).orderBy(col("v")).limit(closenessSeedCount)
       .select(col("v").as("s0"), col("v"), lit(0L).as("dist"))
     var visited = seeds.localCheckpoint()
     var frontier = visited
     for (k <- 1 to bfsDepth) {
-      frontier = closenessRound(sym, frontier, visited, k, small).localCheckpoint()
+      frontier = closenessRound(adj, frontier, visited, k, small).localCheckpoint()
       visited = visited.unionAll(frontier).localCheckpoint()
     }
     visited.filter(col("dist") > 0)
@@ -1108,14 +1114,16 @@ object GraphOps {
       .orderBy(col("source"))
   }
 
-  /** One multi-source BFS level: (source, vertex) frontier × adjacency
-    * probe, minus the per-source visited set. The [[bfsRound]] shape with
-    * the source key carried through — extracted so PlanSpec can pin it. */
-  private[graft] def closenessRound(sym: DataFrame, frontier: DataFrame,
+  /** One multi-source BFS level over the PACKED adjacency: the
+    * (source, vertex) frontier probes the chunked adjacency on src
+    * (gated), neighbor ids fan out through explode, minus the per-source
+    * visited set. The [[bfsRound]] shape with the source key carried
+    * through — extracted so PlanSpec can pin it. */
+  private[graft] def closenessRound(adj: DataFrame, frontier: DataFrame,
       visited: DataFrame, k: Int, small: Boolean = true): DataFrame =
-    sym.join(gatedBc(frontier.select(col("s0"), col("v").as("src")), small),
+    adj.join(gatedBc(frontier.select(col("s0"), col("v").as("src")), small),
         Seq("src"))
-      .select(col("s0"), col("dst").as("v")).distinct()
+      .select(col("s0"), explode(col("dsts")).as("v")).distinct()
       .join(gatedBc(visited.select(col("s0"), col("v")), small),
         Seq("s0", "v"), "left_anti")
       .select(col("s0"), col("v"), lit(k.toLong).as("dist"))
@@ -1207,18 +1215,21 @@ object GraphOps {
 
   private[graft] def graphBfsImpl(s: SparkSession, d: String,
       maxBcVerts: Long): DataFrame = {
-    val e = edges(s, d).localCheckpoint()
+    // rounds probe the packed adjacency artifact (~nv chunk rows per
+    // probe, adjacency fold paid once per data version) — the
+    // [[graphComponentsImpl]] shape; the artifact's degree table is the
+    // vertex universe the seeds draw from
+    val adjBase = packedAdjPath(s, d)
+    val adj = s.read.parquet(s"$adjBase/adj")
     // frontier/visited are vertex-bounded — size-gated ([[gatedBc]])
     val small = vertexBound(s, d) <= maxBcVerts
-    val sym = e.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-    val seeds = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-      .distinct().orderBy(col("v")).limit(bfsSeedCount)
+    val seeds = s.read.parquet(s"$adjBase/deg")
+      .select(col("v")).orderBy(col("v")).limit(bfsSeedCount)
       .select(col("v"), lit(0L).as("dist"))
     var visited = seeds.localCheckpoint()
     var frontier = visited
     for (k <- 1 to bfsDepth) {
-      frontier = bfsRound(sym, frontier, visited, k, small).localCheckpoint()
+      frontier = bfsRound(adj, frontier, visited, k, small).localCheckpoint()
       visited = visited.unionAll(frontier).localCheckpoint()
     }
     visited.groupBy(col("dist"))
@@ -1352,13 +1363,20 @@ object GraphOps {
     * among its neighbours, ties broken by the SMALLEST label — the
     * deterministic variant of Raghavan et al. 2007's LPA (the async,
     * random-order original is irreproducible across engines by design).
-    * The majority vote is `min_by` over (−cnt, lbl) — a second PARTIAL
-    * aggregate, not a rank window: no per-vertex sort, and both phases
-    * map-side combine (the ladder showed the window spelling paying a
-    * per-round sort over the degree-bounded vote frame). Extracted so
-    * PlanSpec can pin the round's physical shape. */
-  private[graft] def labelPropRound(sym: DataFrame, labels: DataFrame): DataFrame =
-    sym.join(labels.select(col("v").as("u"), col("lbl")), Seq("u"))
+    * The neighbour labels arrive by probing the PACKED adjacency with the
+    * vertex-sized label state (gated broadcast vs shuffle-hash — the
+    * [[componentsPropagate]] shape; ~nv chunk probes instead of a 2m-row
+    * edge join per round) and explode-fanning to the vote. The majority
+    * vote is `min_by` over (−cnt, lbl) — a second PARTIAL aggregate, not a
+    * rank window: no per-vertex sort, and both phases map-side combine
+    * (the ladder showed the window spelling paying a per-round sort over
+    * the degree-bounded vote frame). Extracted so PlanSpec can pin the
+    * round's physical shape. */
+  private[graft] def labelPropRound(adj: DataFrame, labels: DataFrame,
+      small: Boolean = true): DataFrame =
+    adj.join(gatedBc(labels.select(col("v").as("src"), col("lbl")), small),
+        Seq("src"))
+      .select(explode(col("dsts")).as("v"), col("lbl"))
       .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("v"))
       .agg(min_by(col("lbl"), struct((-col("cnt")).as("nc"), col("lbl")))
@@ -1372,36 +1390,41 @@ object GraphOps {
     * majority vote — communities emerge where low-id vertices anchor
     * dense neighbourhoods.
     *
-    * 100 TB shape, per round: one edge-sized shuffle keyed by the
-    * neighbour endpoint (the label table joins in vertex-keyed — Spark
-    * picks broadcast vs shuffle-hash by stats), one (v, lbl) partial
-    * count whose width is bounded by degree, and a row_number window
-    * partitioned BY VERTEX (never global). `localCheckpoint` per round
+    * 100 TB shape, per round: one gated probe of the packed-adjacency
+    * artifact by the vertex-sized label state, one (v, lbl) partial
+    * count whose width is bounded by degree, and the min_by argmin —
+    * never a window over the edge stream. `localCheckpoint` per round
     * keeps the plan constant-depth (the [[graphKcore]] convention), so
     * rounds never compound into a lineage explosion. */
-  val graphLabelProp: Q = (s, d) => {
-    val e = edges(s, d).localCheckpoint()
-    val sym = e.select(col("a").as("v"), col("b").as("u"))
-      .unionAll(e.select(col("b").as("v"), col("a").as("u")))
-    var labels = sym.select(col("v")).distinct()
+  val graphLabelProp: Q = (s, d) =>
+    graphLabelPropImpl(s, d, Limits.maxBroadcastVertices)
+
+  private[graft] def graphLabelPropImpl(s: SparkSession, d: String,
+      maxBcVerts: Long): DataFrame = {
+    val adjBase = packedAdjPath(s, d)
+    val adj = s.read.parquet(s"$adjBase/adj")
+    val small = vertexBound(s, d) <= maxBcVerts
+    // the artifact's degree table is the vertex universe; every vertex
+    // seeds with its own id (a stable parquet projection — no pin needed)
+    var labels = s.read.parquet(s"$adjBase/deg")
       .select(col("v"), col("v").as("lbl"))
     for (_ <- 1 to labelPropRounds)
-      labels = labelPropRound(sym, labels).localCheckpoint()
+      labels = labelPropRound(adj, labels, small).localCheckpoint()
     labels
       .withColumn("community_size",
         count(lit(1)).over(Window.partitionBy(col("lbl"))))
       .orderBy(col("v"))
   }
 
-  /** One BFS level: frontier × adjacency probe, minus everything visited.
-    * Extracted so PlanSpec can pin the round's physical shape (both the
-    * probe and the anti-join broadcast the vertex-bounded side; the edge
-    * set never re-shuffles) — the per-round `localCheckpoint` in
+  /** One BFS level over the PACKED adjacency: frontier probes the chunked
+    * adjacency on src (gated broadcast vs shuffle-hash), neighbors fan out
+    * through explode, minus everything visited. Extracted so PlanSpec can
+    * pin the round's physical shape — the per-round `localCheckpoint` in
     * [[graphBfs]] hides the round subplan from any outer explain. */
-  private[graft] def bfsRound(sym: DataFrame, frontier: DataFrame,
+  private[graft] def bfsRound(adj: DataFrame, frontier: DataFrame,
       visited: DataFrame, k: Int, small: Boolean = true): DataFrame =
-    sym.join(gatedBc(frontier.select(col("v").as("src")), small), Seq("src"))
-      .select(col("dst").as("v")).distinct()
+    adj.join(gatedBc(frontier.select(col("v").as("src")), small), Seq("src"))
+      .select(explode(col("dsts")).as("v")).distinct()
       .join(gatedBc(visited.select(col("v")), small), Seq("v"), "left_anti")
       .select(col("v"), lit(k.toLong).as("dist"))
 

@@ -511,11 +511,12 @@ class PlanSpec extends AnyFunSuite {
       assert(!b.contains("text#"), s"document text crosses an exchange:\n$b"))
   }
 
-  test("graph_closeness round: (source, vertex) frontier broadcasts; edges never re-shuffle") {
+  test("graph_closeness round: (source, vertex) frontier broadcasts onto the packed adjacency") {
     import spark.implicits._
-    val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
+    val adj = Seq((1L, Seq(2L)), (2L, Seq(1L, 3L)), (3L, Seq(2L)))
+      .toDF("src", "dsts")
     val seeds = Seq((1L, 1L)).toDF("s0", "v")
-    val plan = graft.operators.GraphOps.closenessRound(sym, seeds, seeds, 1)
+    val plan = graft.operators.GraphOps.closenessRound(adj, seeds, seeds, 1)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("BroadcastHashJoin"), plan)
@@ -593,9 +594,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("graph_label_prop round: two partial aggregates, no rank window, no sort") {
     import spark.implicits._
-    val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("v", "u")
+    val adj = Seq((1L, Seq(2L)), (2L, Seq(1L, 3L)), (3L, Seq(2L)))
+      .toDF("src", "dsts")
     val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("v", "lbl")
-    val plan = graft.operators.GraphOps.labelPropRound(sym, labels)
+    val plan = graft.operators.GraphOps.labelPropRound(adj, labels)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
     // majority vote is min_by aggregation — both the (v,lbl) count and the
@@ -1118,9 +1120,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), s"no explode belongs here:\n$plan")
   }
 
-  test("graph_bfs round: frontier and visited broadcast; edges never re-shuffle") {
+  test("graph_bfs round: frontier and visited broadcast onto the packed adjacency") {
     import spark.implicits._
-    val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
+    val sym = Seq((1L, Seq(2L)), (2L, Seq(1L, 3L)), (3L, Seq(2L)))
+      .toDF("src", "dsts")
     val seeds = Seq(1L).toDF("v")
     val plan = graft.operators.GraphOps.bfsRound(sym, seeds, seeds, 1)
       .queryExecution.explainString(

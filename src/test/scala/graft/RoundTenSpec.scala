@@ -49,6 +49,7 @@ class RoundTenSpec extends AnyFunSuite {
     "graph_assortativity" -> (GraphOps.graphAssortativityImpl _),
     "graph_modularity" -> (GraphOps.graphModularityImpl _),
     "graph_random_walk" -> (GraphOps.graphRandomWalkImpl _),
+    "graph_label_prop" -> (GraphOps.graphLabelPropImpl _),
   )
 
   gated.foreach { case (name, impl) =>
@@ -69,9 +70,12 @@ class RoundTenSpec extends AnyFunSuite {
 
   private def roundFrames() = {
     import spark.implicits._
-    val sym = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
+    // packed-adjacency toy (the bfs/closeness/label-prop rounds all probe
+    // the chunked artifact frame now, not the flat edge stream)
+    val adj = Seq((1L, Seq(2L)), (2L, Seq(1L, 3L)), (3L, Seq(2L)))
+      .toDF("src", "dsts")
     val vs = Seq(1L, 2L).toDF("v")
-    (sym, vs)
+    (adj, vs)
   }
 
   private def assertShuffleHash(plan: String): Unit = {
@@ -84,22 +88,30 @@ class RoundTenSpec extends AnyFunSuite {
   }
 
   test("kcore round above the gate: keyed shuffle-hash restrictions, no broadcast") {
-    val (sym, vs) = roundFrames()
-    val e = sym.withColumnRenamed("src", "a").withColumnRenamed("dst", "b")
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val (_, vs) = roundFrames()
     assertShuffleHash(fmt(GraphOps.kcoreRound(e, vs, small = false)))
   }
 
   test("bfs round above the gate: keyed shuffle-hash probe + anti-join, no broadcast") {
-    val (sym, vs) = roundFrames()
+    val (adj, vs) = roundFrames()
     val seeds = vs.select(org.apache.spark.sql.functions.col("v"))
-    assertShuffleHash(fmt(GraphOps.bfsRound(sym, seeds, seeds, 1, small = false)))
+    assertShuffleHash(fmt(GraphOps.bfsRound(adj, seeds, seeds, 1, small = false)))
   }
 
   test("closeness round above the gate: keyed shuffle-hash, no broadcast") {
     import spark.implicits._
-    val (sym, _) = roundFrames()
+    val (adj, _) = roundFrames()
     val seeds = Seq((1L, 1L)).toDF("s0", "v")
-    assertShuffleHash(fmt(GraphOps.closenessRound(sym, seeds, seeds, 1, small = false)))
+    assertShuffleHash(fmt(GraphOps.closenessRound(adj, seeds, seeds, 1, small = false)))
+  }
+
+  test("label-prop round above the gate: keyed shuffle-hash, no broadcast") {
+    import spark.implicits._
+    val (adj, _) = roundFrames()
+    val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("v", "lbl")
+    assertShuffleHash(fmt(GraphOps.labelPropRound(adj, labels, small = false)))
   }
 
   test("components propagate above the gate: keyed shuffle-hash, no broadcast") {
