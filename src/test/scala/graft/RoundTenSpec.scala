@@ -195,6 +195,18 @@ class RoundTenSpec extends AnyFunSuite {
     assert(bc.nonEmpty && bk == bc)
   }
 
+  test("gate scalars: edgeCount is exact and vertexBound over-approximates the vertex universe") {
+    // the nv ≤ 2m bound must err only in the SAFE direction (flipping a
+    // still-broadcastable frame to shuffle-hash early), never the unsafe
+    // one (declaring a frame broadcastable that isn't)
+    val m = GraphOps.edgeCount(spark, dir)
+    val e = spark.read.parquet(s"${GraphOps.edgesPath(spark, dir)}/edges")
+    assert(m == e.count())
+    val nv = spark.read.parquet(s"${GraphOps.packedAdjPath(spark, dir)}/deg").count()
+    assert(nv <= GraphOps.vertexBound(spark, dir))
+    assert(GraphOps.vertexBound(spark, dir) == 2 * m)
+  }
+
   // ------------------------------ 5. streaming no-data-batch eligibility
 
   test("stream_sessionize is NOT skip-eligible: the final watermark advance emits real sessions") {
