@@ -44,6 +44,7 @@ object Bench {
     "graph_edges" -> ((s, d) => operators.GraphOps.edgesPath(s, d)),
     "graph_pair_counts" -> ((s, d) => operators.GraphOps.pairCountsPath(s, d)),
     "graph_adj_packed" -> ((s, d) => operators.GraphOps.packedAdjPath(s, d)),
+    "graph_adj_sorted" -> ((s, d) => operators.GraphOps.sortedAdjPath(s, d)),
     "graph_closed_wedges" -> ((s, d) => operators.GraphOps.closedWedgesPath(s, d)),
   )
 
@@ -217,8 +218,21 @@ object Bench {
         .mkString("{", ",", "}")},""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}"""
     println(detail)
+    // bench/BENCH_last.json is the COMMITTED sf0.1 full-suite rung the
+    // drift gate reads — only a run of that exact shape may write it.
+    // Subset runs (SPARK_GRAFT_BENCH_ONLY) write BENCH_subset.json and
+    // foreign-fixture runs (ladder rungs at /tmp/sfK) write
+    // BENCH_<fixture>.json, so neither clobbers the committed rung (it
+    // happened twice to local subset iterations and once to the driver's
+    // own ladder — each cost a restore before check_drift could run).
+    val outName =
+      if (only.isDefined) "bench/BENCH_subset.json"
+      else {
+        val base = new java.io.File(sfDir).getName
+        if (base != "sf0.1") s"bench/BENCH_$base.json" else "bench/BENCH_last.json"
+      }
     try {
-      val out = new java.io.File("bench/BENCH_last.json")
+      val out = new java.io.File(outName)
       out.getParentFile.mkdirs()
       java.nio.file.Files.write(out.toPath,
         (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -234,7 +248,7 @@ object Bench {
       s""""n_queries":${results.size},"first_total_s":${fmt(totalFirst)},""" +
       s""""median_total_s":${fmt(totalMedian)},""" +
       s""""artifact_build_s":${fmt(artifactTotal)},"artifact_builds":$artifactBuilds,""" +
-      s""""runs":$runs,"agg":"min","queries_full":"bench/BENCH_last.json","sf":"$sfDir"}""")
+      s""""runs":$runs,"agg":"min","queries_full":"$outName","sf":"$sfDir"}""")
     spark.stop()
   }
 }

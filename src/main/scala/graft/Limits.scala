@@ -32,6 +32,20 @@ object Limits {
     * adjacency shuffles once per sweep on the join key but the plan stays
     * hash-probe-shaped (never a sort-merge of the edge stream). The gate
     * reads ONE bounded driver scalar (the vertex count the sweeps already
-    * materialize) — same posture as [[maxBroadcastEdges]]. */
+    * materialize) — same posture as [[maxBroadcastEdges]].
+    *
+    * Memory envelope of the fallback at 10⁹ vertices: SHUFFLE_HASH builds
+    * the vertex state per partition, so build memory is
+    * |V| / shuffle.partitions × ~48 B/row (two longs + UnsafeRow + map
+    * overhead). At |V| = 10⁹ and the local 32 partitions that is ~1.5 GB
+    * per task — too big; the partition count must scale with |V|:
+    * partitions ≳ |V| × 48 B / (executor memory per task ÷ 2), e.g. 10⁹
+    * vertices on 4 GB-per-task executors wants ≥ 24k partitions (≈ 2 MB
+    * build per task at 48k). Past the point where partition counts get
+    * silly (~10¹⁰ vertices), the bucketed-adjacency cluster path is the
+    * spelling: the state join consumes the pre-hashed layout with zero
+    * adjacency movement and the build side is bucket-sized by
+    * construction. Arithmetic + deployment recipe in docs/SCALE.md
+    * ("shuffle-hash fallback envelope"). */
   val maxBroadcastVertices = 16L * 1000 * 1000
 }

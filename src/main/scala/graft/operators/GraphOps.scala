@@ -43,7 +43,17 @@ object GraphOps {
     * the basket groupBy + pair explode + distinct shuffle six times. The
     * artifact is the graph analog of the dedup candidate-pair artifacts —
     * built on first use per data version, auto-invalidated when lineitem
-    * changes, and attributed separately by the bench. */
+    * changes, and attributed separately by the bench.
+    *
+    * Dimension-key ceiling, inherited from the packed derivation: edges
+    * are unpacked from [[graft.functions.LongPairsPacked]] 8-byte keys,
+    * which require 0 ≤ id < 2³¹ (the expression `require`s it — a fail
+    * fast, never corruption). That is within 2× of the documented
+    * 10⁹-vertex regime: past 2³¹ distinct part ids the pair key widens to
+    * a two-column (a, b) struct and the basket/edge artifacts re-derive
+    * from [[graft.functions.LongPairs]] instead — the pre-round-10
+    * spelling, one extra shuffle at build, nothing else changes. Also
+    * stated in docs/SCALE.md's graph section. */
   private def edges(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${edgesPath(s, d)}/edges")
 
@@ -127,11 +137,16 @@ object GraphOps {
     2L * edgeCount(s, d)
 
   /** Item-dimension gate scalar for the part-keyed frames (brand table,
-    * per-item counts): the part table's row count, memoized per fixture
-    * file (fixtures are immutable per directory — the same assumption
-    * every artifact fingerprint samples against). */
+    * per-item counts): the part table's row count, memoized on the SAME
+    * content fingerprint every artifact keys on
+    * ([[graft.plans.ArtifactCache.fingerprint]]: path + length + mtime +
+    * head/tail sample per file) — an in-place fixture rewrite within a
+    * live JVM therefore invalidates the memo instead of serving a stale
+    * (possibly smaller) count, which could otherwise keep small=true and
+    * broadcast an over-sized frame — the one unsafe direction the gate
+    * invariant forbids. */
   private[graft] def partDimCount(s: SparkSession, d: String): Long =
-    memoCount(Tables.resolve(d, "part").getPath + "#rows")(
+    memoCount("part#" + graft.plans.ArtifactCache.fingerprint(d, Seq("part"), Nil))(
       Tables.load(s, d, "part").count())
 
   /** The generalized vertex-broadcast size gate — the [[pagerankSweep]]
@@ -249,12 +264,23 @@ object GraphOps {
     graphComponentsImpl(s, d, Limits.maxBroadcastVertices)
 
   /** [[graphComponents]] with the broadcast gate injectable — the
-    * RoundTenSpec convention (drive both paths, compare bit-identical). */
+    * RoundTenSpec convention (drive both paths, compare bit-identical) —
+    * and the adjacency layout selectable: `bucketed = true` reads the
+    * catalog-bucketed copy ([[bucketedAdjTable]]) and forces the keyed
+    * SHUFFLE_HASH path, so each round's propagate probes a PRE-HASHED
+    * adjacency scan with zero exchange on the adjacency side — the
+    * [[graphPagerankImpl]] cluster-path convention (local default stays
+    * broadcast; the jump join and convergence count are label-keyed and
+    * unaffected by the adjacency layout). */
   private[graft] def graphComponentsImpl(s: SparkSession, d: String,
-      maxBcVerts: Long): DataFrame = {
+      maxBcVerts: Long, bucketed: Boolean = false): DataFrame = {
     val adjBase = packedAdjPath(s, d)
-    val adj = s.read.parquet(s"$adjBase/adj") // parquet scan per round: no pin needed
-    val small = vertexBound(s, d) <= maxBcVerts
+    // parquet scan per round: no pin needed; bucketed mode swaps in the
+    // pre-hashed catalog table, everything downstream is unchanged
+    val adj =
+      if (bucketed) s.table(bucketedAdjTable(s, d))
+      else s.read.parquet(s"$adjBase/adj")
+    val small = !bucketed && vertexBound(s, d) <= maxBcVerts
     var labels = s.read.parquet(s"$adjBase/deg")
       .select(col("v"), col("v").as("lbl")).localCheckpoint()
     // min-propagation alone needs DIAMETER rounds; the pointer jump
@@ -952,10 +978,32 @@ object GraphOps {
   val graphEigencentrality: Q = (s, d) =>
     graphEigencentralityImpl(s, d, Limits.maxBroadcastVertices)
 
+  /** One power-iteration sweep over the BUCKETED adjacency table — the
+    * cluster path, the [[pagerankSweepBucketed]] shape minus the degree
+    * arithmetic (eigen sums raw neighbor state): the adjacency scan
+    * arrives pre-hashed on src so the state join plans with ZERO exchange
+    * on the adjacency side, the vertex state builds a keyed SHUFFLE_HASH
+    * side (no broadcast at any vertex count, no driver involvement), and
+    * the aggregate's own shuffle is the sweep's only data movement.
+    * Unlike pagerank's block chaining, eigen's L∞ rescale needs a driver
+    * max per sweep, so each sweep materializes — the state side re-aligns
+    * (one 32-partition exchange) per sweep; the win the bucketing keeps
+    * is the adjacency side never moving. */
+  private[graft] def eigenSweepBucketed(adjB: DataFrame,
+      r: DataFrame): DataFrame =
+    adjB.join(r.withColumnRenamed("v", "src").hint("shuffle_hash"), "src")
+      .select(explode(col("dsts")).as("v"), col("r"))
+      .groupBy(col("v"))
+      .agg(sum(col("r")).as("s"))
+
   /** [[graphEigencentrality]] with the broadcast-state gate injectable —
-    * same scale-safe SHUFFLE_HASH fallback as [[graphPagerankImpl]]. */
+    * same scale-safe SHUFFLE_HASH fallback as [[graphPagerankImpl]] — and
+    * the sweep layout selectable (broadcast-probe vs bucketed cluster
+    * path, the [[graphPagerankImpl]] `bucketed` convention; local default
+    * stays broadcast — the parquet re-scan per sweep loses to one pinned
+    * frame locally, documented at [[pagerankSweepBucketed]]). */
   private[graft] def graphEigencentralityImpl(s: SparkSession, d: String,
-      maxBcVerts: Long): DataFrame = {
+      maxBcVerts: Long, bucketed: Boolean = false): DataFrame = {
     val adjBase = packedAdjPath(s, d)
     val deg = s.read.parquet(s"$adjBase/deg")
     var r = deg.select(col("v"), lit(eigenScale).as("r"))
@@ -963,15 +1011,19 @@ object GraphOps {
     // one bounded driver scalar gates broadcast vs shuffle-hash, as in
     // pagerank (the count rides the already-pinned vertex frame)
     val bcState = r.count() <= maxBcVerts
-    // packed adjacency, as in pagerank: vertex-chunk-sized probe per sweep
-    val sym = s.read.parquet(s"$adjBase/adj").localCheckpoint()
+    // packed adjacency, as in pagerank: vertex-chunk-sized probe per sweep;
+    // bucketed mode reads the catalog table (stable pre-hashed scan, no pin)
+    val sym =
+      if (bucketed) s.table(bucketedAdjTable(s, d))
+      else s.read.parquet(s"$adjBase/adj").localCheckpoint()
     for (_ <- 1 to eigenIters) {
       val state = r.withColumnRenamed("v", "src")
-      val sums = sym.join(
-          if (bcState) broadcast(state) else state.hint("shuffle_hash"), "src")
-        .select(explode(col("dsts")).as("v"), col("r"))
-        .groupBy(col("v"))
-        .agg(sum(col("r")).as("s"))
+      val sums = (if (bucketed) eigenSweepBucketed(sym, r)
+        else sym.join(
+            if (bcState) broadcast(state) else state.hint("shuffle_hash"), "src")
+          .select(explode(col("dsts")).as("v"), col("r"))
+          .groupBy(col("v"))
+          .agg(sum(col("r")).as("s")))
         .localCheckpoint()
       val mx = sums.agg(max(col("s"))).head().getLong(0)
       // no second pin: the rescale is a stateless projection over the
@@ -1130,6 +1182,40 @@ object GraphOps {
 
   val walkSteps = 4
 
+  /** Whole-array, id-sorted adjacency — (vertex w, ns = ALL of w's
+    * neighbors id-sorted, deg) — the walk-INDEXING sibling of the chunked
+    * packed artifact ([[packedAdjPath]]). The chunked layout exists to
+    * bound row size, but a walker needs `element_at(ns, i)` over the FULL
+    * sorted list (index semantics span chunks), so samplers get their own
+    * pay-once fold: one groupBy shuffle of the symmetric edge stream per
+    * data version, instead of once per query (re-folding it in-query was
+    * the suite's last pay-per-query adjacency derivation — the round-10
+    * verdict's one remaining `weak` plan). Shared by any future sampler
+    * (node2vec q/p walks, negative samplers) exactly like the packed
+    * artifact is shared by the sweeps.
+    *
+    * Row-size bound, stated honestly: one row per vertex means the max
+    * row is 8 B × max-degree — fine through ~10⁷-degree hubs, past the
+    * 2 GiB single-row ceiling at ~2.5×10⁸. Past that a sampler needs the
+    * POSITIONAL-chunk spelling (chunk c holds positions [c·K, (c+1)·K);
+    * walker joins on (w, idx DIV K) after a degree annotate) — two gated
+    * joins per hop instead of one; not materialized here because no
+    * fixture (and no co-occurrence graph of bounded basket width) gets
+    * near the ceiling, and the declared [[adjChunkTarget]] artifact
+    * already demonstrates the chunking machinery. */
+  private[graft] def sortedAdjPath(s: SparkSession, d: String): String =
+    graft.plans.ArtifactCache.getOrBuild("graph_adj_sorted", d, Seq("lineitem"),
+      Seq(GraphOps.getClass, graft.functions.LongPairs.getClass,
+        Tables.getClass)) { dir =>
+      val e = edges(s, d)
+      e.select(col("a").as("w"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+        .groupBy(col("w"))
+        .agg(sort_array(collect_list(col("n"))).as("ns"),
+          count(lit(1)).as("deg"))
+        .write.parquet(s"$dir/adj")
+    }
+
   /** Deterministic random walks — the node2vec/DeepWalk sampling primitive
     * a graph-embedding pipeline runs, with the engine-neutral determinism
     * every sampler in this repo uses: "randomness" is the PolyHash affine
@@ -1140,37 +1226,46 @@ object GraphOps {
     * the id-sorted neighbor list. Output: the 20 most-visited vertices
     * over all walk positions (starts included) — the landmark set.
     *
-    * 100 TB shape: the adjacency folds once into id-sorted neighbor
-    * arrays (one shuffle, vertex-sized rows bounded by degree); each hop
-    * is ONE equi-join of the |V|-row walker frontier against it —
-    * broadcast here (the adjacency fits), an ordinary keyed join at
-    * scale — and the visit census is a two-phase count + TakeOrdered. */
+    * 100 TB shape: the adjacency is the pay-once id-sorted artifact
+    * ([[sortedAdjPath]] — one fold per data version, a stable parquet
+    * scan per hop); each hop is ONE equi-join of the |V|-row walker
+    * frontier against it — broadcast below the gate, keyed shuffle-hash
+    * past it — and the visit census is a two-phase count + TakeOrdered. */
   val graphRandomWalk: Q = (s, d) =>
     graphRandomWalkImpl(s, d, Limits.maxBroadcastVertices)
 
+  /** One walk hop over the id-sorted adjacency artifact: the |V|-row
+    * (start, cur) walker frontier joins the artifact on the current
+    * vertex (gated — broadcast the THIN side: the frontier is two longs
+    * per row, the adjacency carries degree-sized arrays; broadcasting the
+    * adjacency instead cost 4 × an |E|-entry broadcast per query,
+    * measured 10.3 s at sf1), and each walker indexes its neighbor array
+    * with the deterministic PolyHash affine pick. Extracted so the spec
+    * can pin the hop's physical shape (artifact scan, no in-query
+    * collect_list fold) — the per-hop `localCheckpoint` in
+    * [[graphRandomWalkImpl]] hides the subplan from any outer explain. */
+  private[graft] def walkHop(adj: DataFrame, frontier: DataFrame, t: Int,
+      small: Boolean): DataFrame = {
+    import graft.functions.PolyHash.{affine, P}
+    val idx = affine(t, (col("start") * 1009L + col("cur")) % lit(P)) % col("deg")
+    adj.withColumnRenamed("w", "cur")
+      .join(gatedBc(frontier, small), "cur")
+      .select(col("start"),
+        element_at(col("ns"), (idx + 1).cast(IntegerType)).as("cur"))
+  }
+
   private[graft] def graphRandomWalkImpl(s: SparkSession, d: String,
       maxBcVerts: Long): DataFrame = {
-    import graft.functions.PolyHash.{affine, P}
-    val e = edges(s, d)
     // the walker frontier is |V| rows — size-gated ([[gatedBc]]; this site
     // wasn't on the verdict's nine but is the same scale-killer class)
     val small = vertexBound(s, d) <= maxBcVerts
-    val adj = e.select(col("a").as("w"), col("b").as("n"))
-      .unionAll(e.select(col("b").as("w"), col("a").as("n")))
-      .groupBy(col("w"))
-      .agg(sort_array(collect_list(col("n"))).as("ns"), count(lit(1)).as("deg"))
-      .localCheckpoint() // every hop probes this frame
+    // stable artifact scan per hop (the components convention): no pin —
+    // nothing re-derives, and the scan carries parquet statistics
+    val adj = s.read.parquet(s"${sortedAdjPath(s, d)}/adj")
     var frontier = adj.select(col("w").as("start"), col("w").as("cur"))
     val visited = collection.mutable.ArrayBuffer(frontier)
     for (t <- 0 until walkSteps) {
-      val idx = affine(t, (col("start") * 1009L + col("cur")) % lit(P)) % col("deg")
-      // broadcast the THIN side: the frontier is |V| rows of two longs;
-      // the adjacency carries degree-sized arrays (broadcasting it cost
-      // 4 × an |E|-entry broadcast per query — measured 10.3 s at sf1)
-      frontier = adj.withColumnRenamed("w", "cur")
-        .join(gatedBc(frontier, small), "cur")
-        .select(col("start"),
-          element_at(col("ns"), (idx + 1).cast(IntegerType)).as("cur"))
+      frontier = walkHop(adj, frontier, t, small)
         .localCheckpoint() // constant-depth plan per hop
       visited += frontier
     }

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphOps
+
+/** Round-11 specs, closing the round-10 verdict's ranked directives:
+  *
+  *   1. `graph_random_walk` rides the new id-sorted adjacency artifact
+  *      ([[GraphOps.sortedAdjPath]]) instead of re-folding its own
+  *      `collect_list(sort_array)` adjacency per query — the suite's last
+  *      pay-per-query adjacency derivation (verdict directive #1). Pinned:
+  *      the extracted hop probes the artifact scan with NO in-query fold;
+  *      the artifact's contents equal the fold it replaced.
+  *   2. The bucketed cluster path extends to the other iterative sweeps
+  *      (directive #4): eigencentrality and components get a `bucketed`
+  *      spelling over [[GraphOps.bucketedAdjTable]], bit-identical to the
+  *      broadcast path, with the pre-hashed adjacency scan and zero
+  *      exchange on the adjacency side pinned.
+  *   3. The gate-scalar memo is content-keyed (the ADVICE item): an
+  *      in-place rewrite of the part fixture within one JVM must refresh
+  *      [[GraphOps.partDimCount]], never serve the stale (possibly
+  *      smaller) count that could broadcast an over-sized frame.
+  */
+class RoundElevenSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private def fmt(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  private def nonBroadcastExchanges(plan: String): Int =
+    "(?<!Broadcast)Exchange \\(".r.findAllIn(plan).length
+
+  // ------------------------- 1. random_walk rides the sorted-adjacency
+
+  test("walk hop: probes the id-sorted adjacency artifact, no in-query fold") {
+    val adj = spark.read.parquet(s"${GraphOps.sortedAdjPath(spark, dir)}/adj")
+    val frontier = adj.select(col("w").as("start"), col("w").as("cur"))
+    val plan = fmt(GraphOps.walkHop(adj, frontier, 0, small = true))
+    assert(plan.contains("graph_adj_sorted"),
+      s"the walk must ride the sorted-adjacency artifact:\n$plan")
+    assert(!plan.contains("collect_list"),
+      s"the adjacency fold belongs to the artifact build:\n$plan")
+    assert(!plan.contains("sort_array"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("walk hop above the gate: keyed shuffle-hash, no broadcast") {
+    import spark.implicits._
+    val adj = Seq((1L, Seq(2L, 3L), 2L), (2L, Seq(1L), 1L), (3L, Seq(1L), 1L))
+      .toDF("w", "ns", "deg")
+    val frontier = Seq((1L, 1L), (2L, 2L)).toDF("start", "cur")
+    val plan = fmt(GraphOps.walkHop(adj, frontier, 0, small = false))
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.linesIterator.exists(_.contains("- BroadcastExchange")), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("sorted-adjacency artifact: id-sorted whole arrays with true degrees") {
+    import org.apache.spark.sql.functions.{size => asize, explode}
+    val adj = spark.read.parquet(s"${GraphOps.sortedAdjPath(spark, dir)}/adj")
+    // deg is the array length (the fold's count(1) over grouped neighbors)
+    assert(adj.filter(asize(col("ns")) =!= col("deg")).isEmpty)
+    // arrays are id-sorted: sort_array over them is the identity
+    assert(adj.filter(
+      org.apache.spark.sql.functions.sort_array(col("ns")) =!= col("ns")).isEmpty)
+    // the exploded (w, n) set is exactly the symmetric edge set
+    val sym = adj.select(col("w"), explode(col("ns")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = spark.read.parquet(s"${GraphOps.edgesPath(spark, dir)}/edges")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sym == (e.map(p => (p._1, p._2)) ++ e.map(p => (p._2, p._1))).toSet)
+  }
+
+  // --------------------- 2. bucketed cluster path: eigen + components
+
+  test("eigen: bucketed cluster path is bit-identical to the broadcast path") {
+    val bc = GraphOps.graphEigencentralityImpl(spark, dir, Limits.maxBroadcastVertices)
+      .collect().map(_.toSeq).toSeq
+    val bk = GraphOps.graphEigencentralityImpl(spark, dir,
+        Limits.maxBroadcastVertices, bucketed = true)
+      .collect().map(_.toSeq).toSeq
+    assert(bc.nonEmpty && bk == bc)
+  }
+
+  test("components: bucketed cluster path is bit-identical to the broadcast path") {
+    val bc = GraphOps.graphComponentsImpl(spark, dir, Limits.maxBroadcastVertices)
+      .collect().map(_.toSeq).toSeq
+    val bk = GraphOps.graphComponentsImpl(spark, dir,
+        Limits.maxBroadcastVertices, bucketed = true)
+      .collect().map(_.toSeq).toSeq
+    assert(bc.nonEmpty && bk == bc)
+  }
+
+  test("bucketed eigen sweep: pre-hashed adjacency scan, zero exchange on the adjacency side") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", GraphOps.adjBuckets.toString)
+    try {
+      val adjB = spark.table(GraphOps.bucketedAdjTable(spark, dir))
+      val r0 = spark.read.parquet(s"${GraphOps.packedAdjPath(spark, dir)}/deg")
+        .select(col("v"), lit(GraphOps.eigenScale).as("r"))
+      val plan = fmt(GraphOps.eigenSweepBucketed(adjB, r0))
+      assert(plan.contains("Bucketed: true"),
+        s"adjacency must scan as a bucketed table:\n$plan")
+      assert(plan.contains("ShuffledHashJoin"), plan)
+      assert(!plan.contains("SortMergeJoin"), plan)
+      assert(!plan.linesIterator.exists(_.contains("- BroadcastExchange")),
+        s"the cluster path must not broadcast at any vertex count:\n$plan")
+      // two exchanges TOTAL: the state side's alignment + the aggregate's
+      // own shuffle — the bucketed adjacency scan never moves
+      val nEx = nonBroadcastExchanges(plan)
+      assert(nEx == 2, s"expected 2 exchanges (state align + agg), found $nEx:\n$plan")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("bucketed components propagate: pre-hashed adjacency scan, shuffle-hash only") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", GraphOps.adjBuckets.toString)
+    try {
+      val adjB = spark.table(GraphOps.bucketedAdjTable(spark, dir))
+      val labels = spark.read.parquet(s"${GraphOps.packedAdjPath(spark, dir)}/deg")
+        .select(col("v"), col("v").as("lbl"))
+      val plan = fmt(GraphOps.componentsPropagate(adjB, labels, small = false))
+      assert(plan.contains("Bucketed: true"),
+        s"adjacency must scan as a bucketed table:\n$plan")
+      assert(plan.contains("ShuffledHashJoin"), plan)
+      assert(!plan.contains("SortMergeJoin"), plan)
+      assert(!plan.linesIterator.exists(_.contains("- BroadcastExchange")), plan)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  // ------------------------ 3. gate-scalar memo is content-invalidated
+
+  test("partDimCount refreshes when the part fixture is rewritten in place") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gate_memo").toFile
+    try {
+      val p = s"${tmp.getPath}/part.parquet"
+      spark.range(3).select(col("id").as("p_partkey"))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      assert(GraphOps.partDimCount(spark, tmp.getPath) == 3L)
+      // in-place rewrite, same path, MORE rows: a path-keyed memo would
+      // keep serving 3 — the unsafe direction (broadcasting an over-sized
+      // frame); the content-keyed memo must see 7
+      spark.range(7).select(col("id").as("p_partkey"))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      assert(GraphOps.partDimCount(spark, tmp.getPath) == 7L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+}

@@ -38,7 +38,8 @@ class RoundTenSpec extends AnyFunSuite {
   // ---------------------------------------- 1. both paths, bit-identical
 
   private val gated: Seq[(String, (org.apache.spark.sql.SparkSession, String, Long) => DataFrame)] = Seq(
-    "graph_components" -> (GraphOps.graphComponentsImpl _),
+    "graph_components" -> ((s: org.apache.spark.sql.SparkSession, d: String, m: Long) =>
+      GraphOps.graphComponentsImpl(s, d, m)),
     "graph_jaccard" -> (GraphOps.graphJaccardImpl _),
     "graph_weak_ties" -> (GraphOps.graphWeakTiesImpl _),
     "graph_kcore" -> (GraphOps.graphKcoreImpl _),
