@@ -23,23 +23,33 @@ import java.nio.charset.StandardCharsets
   *   - `lock:<id>`   admission lock: `SET … NX PX <ttl>` — the standard
   *                   single-instance Redis lock; the TTL bounds the damage
   *                   of a lock-holder crash
-  *   - `queue:<q>`   job payload list — LPUSH at head, RPOP from tail
+  *   - `queue:<q>`   job payload list — LPUSH at head, claim from tail
   *                   (FIFO); a retry re-publish LPUSHes the next attempt so
   *                   ANY worker claims it (the cross-worker retry hop)
+  *   - `processing:<worker>` the reliable-queue parking list: a claim is
+  *                   `LMOVE queue:<q> processing:<w> RIGHT LEFT` (atomic
+  *                   pop-and-park), acked with LREM once handed to the
+  *                   local scheduler; [[RedisQueueWorker]]'s reaper
+  *                   recovers orphans (see there)
   *   - `group:<gid>` member-ID list
   *
   * Atomicity: every single Redis command is atomic (the server is
   * single-threaded over its keyspace — [[RespServer]] reproduces this with
   * one command mutex), and the only read-modify-write — admission — runs
   * under the `lock:<id>` NX lock exactly like [[FileJobStateStore]]'s file
-  * lock. RPOP is the claim: exactly one worker pops a payload, no rename
-  * dance needed. Snapshot uses KEYS under the prefix (SCAN in a production
-  * deployment — same contract, cursor-paged).
+  * lock. The claim is an atomic LMOVE into the worker's processing list:
+  * exactly one worker moves each payload, and a reply lost with the socket
+  * leaves the payload parked there (recoverable) instead of gone — the
+  * Redis reliable-queue pattern (RPOPLPUSH in pre-6.2 spellings). Snapshot
+  * uses KEYS under the prefix (SCAN in a production deployment — same
+  * contract, cursor-paged).
   *
   * Honest limitation (same as the file plane, documented there): a worker
-  * crashing between RPOP and terminal state strands the job's store entry
-  * until a re-admission; cancel-while-RUNNING in another process converges
-  * state but cannot reclaim the compute.
+  * crashing AFTER the hand-off ack (payload LREMed, job running in its
+  * local scheduler) still strands the job's store entry until a
+  * re-admission — the processing list covers the claim window, not
+  * mid-execution crashes; cancel-while-RUNNING in another process
+  * converges state but cannot reclaim the compute.
   */
 object RedisControlPlane {
 
@@ -78,8 +88,15 @@ object RedisControlPlane {
       * KEYS/LRANGE/LLEN are idempotent; an LREM replay removes nothing
       * new) does NOT hold for a lost destructive read, so these commands
       * surface the IOException to the caller instead — the queue worker's
-      * poll loop already treats that as a skipped tick. */
-    private val noRetry = Set("RPOP", "LPOP", "BRPOP", "BLPOP")
+      * poll loop already treats that as a skipped tick.
+      *
+      * LMOVE/RPOPLPUSH are in the set for the same no-blind-retry reason
+      * (a replay would claim a SECOND payload), but their lost reply is
+      * no longer lost DATA: the atomic move parks the payload in the
+      * worker's processing list, where [[RedisQueueWorker]]'s reaper
+      * recovers it — the standard Redis reliable-queue pattern. */
+    private val noRetry =
+      Set("RPOP", "LPOP", "BRPOP", "BLPOP", "LMOVE", "RPOPLPUSH", "BLMOVE")
 
     /** Send one command, return its reply: String (+simple/$bulk), Long
       * (:int), null ($-1), Seq[Any] (*array). -error throws.
@@ -412,13 +429,25 @@ final class RedisQueueBroker(host: String, port: Int, store: JobStateStore,
   override def shutdown(): Unit = { closed = true; c.close() }
 }
 
-/** Worker-process side: RPOPs payloads (the atomic claim — exactly one
-  * worker wins each) and executes them through a local [[Scheduler]] with
-  * the full retry/TTL/cancel machinery against the SHARED Redis state.
-  * Retryable failures re-publish through the SHARED queue (LPUSH of the
-  * next attempt), so any worker in the fleet claims the retry — the same
+/** Worker-process side: claims payloads with an atomic
+  * `LMOVE queue:<q> processing:<workerId> RIGHT LEFT` (exactly one worker
+  * wins each, and a reply lost with the socket parks the payload in the
+  * processing list instead of losing it — the Redis reliable-queue
+  * pattern) and executes them through a local [[Scheduler]] with the full
+  * retry/TTL/cancel machinery against the SHARED Redis state. A claim is
+  * acked (LREM from the processing list) as soon as it is handed to the
+  * scheduler; [[reapProcessing]] recovers everything else. Retryable
+  * failures re-publish through the SHARED queue (LPUSH of the next
+  * attempt), so any worker in the fleet claims the retry — the same
   * cross-worker hop the file plane proves. `queues = None` consumes every
-  * `queue:*` key (the reference's worker consumes its configured queues). */
+  * `queue:*` key (the reference's worker consumes its configured queues).
+  *
+  * `workerId` must be UNIQUE per live worker and STABLE across restarts
+  * of the same worker slot (the standard reliable-queue deployment
+  * contract): unique because a reaper may only judge ITS OWN processing
+  * list (another live worker's entries are in-flight, not orphans);
+  * stable so a restarted worker inherits — and recovers — its
+  * predecessor's parked claims. */
 final class RedisQueueWorker(
     spark: org.apache.spark.sql.SparkSession,
     tasks: Map[String, Task],
@@ -426,7 +455,8 @@ final class RedisQueueWorker(
     host: String, port: Int,
     queues: Option[Seq[String]] = None,
     prefix: String = "graft:",
-    pollMs: Long = 50) {
+    pollMs: Long = 50,
+    workerId: String = "w0") {
   import RedisControlPlane._
   private val c = new RespClient(host, port)
   private val scheduler = new Scheduler(spark, store)
@@ -465,20 +495,77 @@ final class RedisQueueWorker(
     case None => c.cmdSeq("KEYS", s"${prefix}queue:*").map(_.toString)
   }
 
-  private def pollOnce(): Unit = queueKeys().foreach { qk =>
-    var payload = c.cmd("RPOP", qk)
-    while (payload != null && !stopped) {
-      decodeJob(payload.toString) match {
-        case Some((job, epoch, attempt)) =>
-          tasks.get(job.taskName) match {
-            case Some(task) => scheduler.executeClaimed(job, task, epoch, attempt)
-            case None =>
-              store.setIfPresent(job.id, JobState.Failure, -1,
-                s"worker has no task '${job.taskName}'")
-          }
-        case None => () // torn/foreign payload: drop (logged by store state)
+  private val processingKey = s"${prefix}processing:$workerId"
+
+  /** Payloads handed to the local scheduler whose ack (LREM) has not been
+    * confirmed yet — the reaper's disambiguator between "hand-off done,
+    * only the ack reply was lost" (just retry the ack) and "claim reply
+    * was lost before hand-off" (re-queue). In-memory on purpose: after a
+    * crash/restart the set is empty and every parked payload falls
+    * through to the store-gated decision, which is the correct recovery
+    * for a dead predecessor (its hand-offs died with its scheduler). */
+  private val handedOff = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  /** The reliable-queue reaper: anything in this worker's processing list
+    * at tick start is an orphan (the claim/ack cycle within a tick is
+    * synchronous, so nothing of THIS tick's is mid-flight). Three cases:
+    *
+    *   - acked-but-ack-lost (in [[handedOff]]): retry the LREM;
+    *   - claim-reply-lost with the SAME admission still live in the store
+    *     (non-terminal state, matching epoch): atomically LMOVE the
+    *     payload back to its queue's claim end — the payload the old RPOP
+    *     spelling lost for good;
+    *   - everything else (terminal, canceled, re-admitted under a newer
+    *     epoch, torn): drop — a re-queue would double-run.
+    *
+    * Every step removes the head, so the LLEN-bounded loop terminates. */
+  private def reapProcessing(): Unit = {
+    var remaining = c.cmdLong("LLEN", processingKey)
+    while (remaining > 0 && !stopped) {
+      remaining -= 1
+      val head = c.cmd("LINDEX", processingKey, "0")
+      if (head == null) return
+      val p = head.toString
+      if (handedOff.remove(p)) c.cmd("LREM", processingKey, "1", p)
+      else decodeJob(p) match {
+        case Some((job, epoch, _)) if
+            store.get(job.id).exists(s => s.state == JobState.Pending ||
+              s.state == JobState.Started || s.state == JobState.Retry) &&
+            store.epoch(job.id) == epoch =>
+          c.cmd("LMOVE", processingKey, s"${prefix}queue:${job.queue}",
+            "LEFT", "RIGHT")
+        case _ => c.cmd("LPOP", processingKey)
       }
-      payload = if (stopped) null else c.cmd("RPOP", qk)
+    }
+  }
+
+  private def pollOnce(): Unit = {
+    reapProcessing()
+    queueKeys().foreach { qk =>
+      var payload = c.cmd("LMOVE", qk, processingKey, "RIGHT", "LEFT")
+      while (payload != null && !stopped) {
+        val p = payload.toString
+        decodeJob(p) match {
+          case Some((job, epoch, attempt)) =>
+            tasks.get(job.taskName) match {
+              case Some(task) =>
+                // mark BEFORE the hand-off: if the ack below dies with the
+                // socket, the reaper must know this payload already runs
+                handedOff.add(p)
+                scheduler.executeClaimed(job, task, epoch, attempt)
+              case None =>
+                store.setIfPresent(job.id, JobState.Failure, -1,
+                  s"worker has no task '${job.taskName}'")
+            }
+          case None => () // torn/foreign payload: drop (logged by store state)
+        }
+        c.cmd("LREM", processingKey, "1", p) // ack the claim
+        handedOff.remove(p)
+        payload =
+          if (stopped) null
+          else c.cmd("LMOVE", qk, processingKey, "RIGHT", "LEFT")
+      }
     }
   }
 

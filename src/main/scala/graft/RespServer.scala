@@ -239,6 +239,42 @@ final class RespServer(port: Int = 0) {
           bulk(v)
         case _ => "$-1\r\n"
       }
+    case "LPOP" =>
+      dropExpired(args(1))
+      lists.get(args(1)) match {
+        case Some(l) if l.nonEmpty =>
+          val v = l.removeHead()
+          if (l.isEmpty) lists.remove(args(1))
+          bulk(v)
+        case _ => "$-1\r\n"
+      }
+    case "LINDEX" =>
+      dropExpired(args(1))
+      val l = lists.getOrElse(args(1), mutable.ArrayDeque.empty)
+      val n = l.size
+      val i = { val r = args(2).toInt; if (r < 0) n + r else r }
+      bulk(if (i >= 0 && i < n) l(i) else null)
+    case "LMOVE" | "RPOPLPUSH" =>
+      // LMOVE src dst LEFT|RIGHT LEFT|RIGHT (Redis ≥ 6.2); RPOPLPUSH is
+      // the legacy spelling of LMOVE src dst RIGHT LEFT. Atomic under the
+      // command mutex like every other command — which is exactly what
+      // makes it the reliable-queue claim: pop and park are one step, so
+      // a reply lost with the socket leaves the payload IN the
+      // destination list instead of nowhere.
+      val (src, dst) = (args(1), args(2))
+      val (from, to) =
+        if (args.head.toUpperCase == "RPOPLPUSH") ("RIGHT", "LEFT")
+        else (args(3).toUpperCase, args(4).toUpperCase)
+      dropExpired(src); dropExpired(dst)
+      lists.get(src) match {
+        case Some(l) if l.nonEmpty =>
+          val v = if (from == "LEFT") l.removeHead() else l.removeLast()
+          if (l.isEmpty) lists.remove(src)
+          val d = lists.getOrElseUpdate(dst, mutable.ArrayDeque.empty)
+          if (to == "LEFT") d.prepend(v) else d.append(v)
+          bulk(v)
+        case _ => "$-1\r\n"
+      }
     case "LLEN" =>
       dropExpired(args(1)); int(lists.get(args(1)).map(_.size.toLong).getOrElse(0L))
     case "LRANGE" =>

@@ -609,6 +609,24 @@ object GraphOps {
   val graphKcore: Q = (s, d) =>
     graphKcoreImpl(s, d, Limits.maxBroadcastVertices)
 
+  /** The round-11 fusion EXPERIMENT for the verdict's kcore residual: one
+    * pin per round instead of two — the keep-set stays unpinned and its
+    * (identical) aggregate subplan appears under BOTH semi-joins, where
+    * ReuseExchange dedupes the broadcast build. Kept as a measured
+    * alternative, not the default — see the A/B note in docs/SCALE.md. */
+  private[graft] def graphKcoreFusedImpl(s: SparkSession, d: String,
+      maxBcVerts: Long): DataFrame = {
+    var e = edges(s, d)
+    val small = vertexBound(s, d) <= maxBcVerts
+    for (_ <- 1 to kcoreRounds) {
+      val keep = degrees(e).filter(col("degree") >= kcoreK).select(col("v"))
+      e = kcoreRound(e, keep, small).localCheckpoint()
+    }
+    degrees(e)
+      .select(col("v"), col("degree").as("core_degree"))
+      .orderBy(col("v"))
+  }
+
   private[graft] def graphKcoreImpl(s: SparkSession, d: String,
       maxBcVerts: Long): DataFrame = {
     var e = edges(s, d)

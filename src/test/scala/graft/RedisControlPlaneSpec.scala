@@ -236,6 +236,109 @@ class RedisControlPlaneSpec extends AnyFunSuite {
     }
   }
 
+  test("LMOVE/RPOPLPUSH/LPOP/LINDEX wire semantics (the reliable-queue primitives)") {
+    withServer { (h, p) =>
+      val c = new RedisControlPlane.RespClient(h, p)
+      try {
+        c.cmd("LPUSH", "src", "a") // src = [c, b, a] after three LPUSHes
+        c.cmd("LPUSH", "src", "b")
+        c.cmd("LPUSH", "src", "c")
+        assert(c.cmd("LINDEX", "src", "0") == "c")
+        assert(c.cmd("LINDEX", "src", "-1") == "a")
+        assert(c.cmd("LINDEX", "src", "7") == null)
+        // the claim: atomic pop-from-tail, park-at-head
+        assert(c.cmd("LMOVE", "src", "park", "RIGHT", "LEFT") == "a")
+        assert(c.cmdSeq("LRANGE", "park", "0", "-1").map(_.toString) == Seq("a"))
+        // legacy spelling ≡ LMOVE RIGHT LEFT
+        assert(c.cmd("RPOPLPUSH", "src", "park") == "b")
+        assert(c.cmdSeq("LRANGE", "park", "0", "-1").map(_.toString) == Seq("b", "a"))
+        // the reaper's re-queue: head of park to tail of src
+        assert(c.cmd("LMOVE", "park", "src", "LEFT", "RIGHT") == "b")
+        assert(c.cmdSeq("LRANGE", "src", "0", "-1").map(_.toString) == Seq("c", "b"))
+        assert(c.cmd("LPOP", "park") == "a")
+        assert(c.cmd("LPOP", "park") == null)
+        // single-element self-rotate must not lose the element
+        c.cmd("LPUSH", "one", "x")
+        assert(c.cmd("LMOVE", "one", "one", "LEFT", "RIGHT") == "x")
+        assert(c.cmdSeq("LRANGE", "one", "0", "-1").map(_.toString) == Seq("x"))
+        assert(c.cmd("LMOVE", "empty", "park", "RIGHT", "LEFT") == null)
+      } finally c.close()
+    }
+  }
+
+  test("reliable queue: a parked claim whose reply was lost is reaped back and executed") {
+    withServer { (h, p) =>
+      val (tasks, _, _, _) = fixture()
+      val apiStore = new RedisJobStateStore(h, p)
+      val broker = new RedisQueueBroker(h, p, apiStore)
+      val probe = new RedisControlPlane.RespClient(h, p)
+      try {
+        val job = JobFactory.make(JobReq("count_events", jobId = "redis-reap-1"),
+          tasks("count_events"))
+        assert(broker.submit(job, tasks("count_events")))
+        // simulate the lost-reply claim: the payload moved into a worker's
+        // processing list but no worker ever saw the reply (the window the
+        // old RPOP spelling lost the payload in — permanently)
+        assert(probe.cmd("LMOVE", s"graft:queue:${job.queue}",
+          "graft:processing:w0", "RIGHT", "LEFT") != null)
+        assert(probe.cmdLong("LLEN", s"graft:queue:${job.queue}") == 0)
+        assert(apiStore.get(job.id).exists(_.state == JobState.Pending))
+        // a worker with the SAME workerId starts (the restart-recovery
+        // contract): its reaper must re-queue the orphan and execute it
+        val worker = new RedisQueueWorker(spark, tasks,
+          new RedisJobStateStore(h, p), h, p, workerId = "w0")
+        try {
+          assert(await(60000)(apiStore.get(job.id).exists(_.state == JobState.Success)),
+            s"orphaned claim never recovered; state=${apiStore.get(job.id)}")
+          assert(probe.cmdLong("LLEN", "graft:processing:w0") == 0,
+            "processing list must drain after the ack")
+        } finally worker.stop()
+      } finally { broker.shutdown(); apiStore.close(); probe.close() }
+    }
+  }
+
+  test("reliable queue: a terminal orphan is dropped, never re-run") {
+    withServer { (h, p) =>
+      // empty source: ANY (re-)run of the task fails, so a wrongly
+      // re-queued orphan would flip the store to Retry/Failure — the state
+      // staying Success is the proof the reaper dropped instead of re-ran
+      val tasksDir = Files.createTempDirectory("graft-redis-reap2-tasks")
+      Files.writeString(tasksDir.resolve("t.sql"),
+        """-- name: count_events
+          |SELECT COUNT(*) AS n FROM events;
+          |""".stripMargin)
+      val srcDir = Files.createTempDirectory("graft-redis-reap2-src")
+      val results = Files.createTempDirectory("graft-redis-reap2-results").toString
+      val src = SourcePool(Map("db" -> srcDir.toString))
+      val bk = SourcePool(Map("res" -> results))
+      val tasks = TaskRegistry.load(spark, Seq(tasksDir.toString), src, bk)
+      val apiStore = new RedisJobStateStore(h, p)
+      val probe = new RedisControlPlane.RespClient(h, p)
+      try {
+        val job = JobFactory.make(JobReq("count_events", jobId = "redis-reap-2"),
+          tasks("count_events"))
+        val epoch = apiStore.tryAdmit(job.id)
+        assert(epoch > 0)
+        // the job completed long ago; a stale parked payload survived (ack
+        // reply lost, then the worker crashed before its reaper retried)
+        apiStore.set(job.id, JobState.Success, 42, "")
+        probe.cmd("LPUSH", "graft:processing:w0",
+          RedisControlPlane.encodeJob(job, epoch, 1))
+        val worker = new RedisQueueWorker(spark, tasks,
+          new RedisJobStateStore(h, p), h, p, workerId = "w0")
+        try {
+          assert(await(10000)(probe.cmdLong("LLEN", "graft:processing:w0") == 0),
+            "terminal orphan must be dropped from the processing list")
+          Thread.sleep(200) // a wrong re-queue would be claiming about now
+          assert(apiStore.get(job.id).contains(JobStatus(job.id, JobState.Success, 42, "")),
+            s"terminal state must be untouched; got ${apiStore.get(job.id)}")
+          assert(probe.cmdLong("LLEN", s"graft:queue:${job.queue}") == 0,
+            "terminal orphan must not be re-queued")
+        } finally worker.stop()
+      } finally { apiStore.close(); probe.close() }
+    }
+  }
+
   test("dead-socket RPOP rethrows (no blind retry); idempotent GET silently reconnects") {
     withServer { (h, p) =>
       val c = new RedisControlPlane.RespClient(h, p)
