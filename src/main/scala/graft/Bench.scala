@@ -35,6 +35,7 @@ object Bench {
     "bucketed_layout" -> ((s, d) => operators.RelOps.bucketedLayout(s, d)),
     "events_part_layout" -> ((s, d) => operators.RelOps.eventsPartLayout(s, d)),
     "ivf_index" -> ((s, d) => operators.SimilarityOps.ivfIndexPath(s, d)),
+    "ngram_idx" -> ((s, d) => operators.DedupOps.ngramIndexStatsPath(s, d)),
     "ngram_pairs" -> ((s, d) => operators.DedupOps.ngramPairsPath(s, d)),
     "source_conversions" -> ((s, d) => operators.SourceFormatOps.warmConversions(s, d)),
     "clustered_layout" -> ((s, d) => operators.PipelineOps.clusteredLayout(s, d)),

@@ -510,11 +510,16 @@ object DedupOps {
     * joins are left to AQE: locally the sizes side auto-broadcasts; at scale
     * (a row per document) they become shuffle joins on the already-small
     * candidate-pair set, not on the posting list. */
-  val dedupNgramJaccard: Q = (s, d) =>
+  val dedupNgramJaccard: Q = (s, d) => ngramJaccard(s, d)
+
+  /** [[dedupNgramJaccard]] with the spec-only `direct` knob (score over the
+    * in-plan fold instead of the materialized index artifact). */
+  private[graft] def ngramJaccard(s: SparkSession, d: String,
+      direct: Boolean = false): DataFrame =
     ngramIndexDedup(s, d, "jaccard",
       crossScore = (i, na, nb) => i.cast(DoubleType) / (na + nb - i),
       sameScore = (i, n) => i.cast(DoubleType) / (lit(2) * n - i),
-      keep = _ >= 0.5)
+      keep = _ >= 0.5, direct = direct)
 
   /** Containment near-dup: |A∩B| / min(|A|, |B|) ≥ 0.8 over the same exact
     * shingle index. Containment is the ASYMMETRIC cousin of Jaccard — a
@@ -527,23 +532,34 @@ object DedupOps {
     * 100 TB shape as [[dedupNgramJaccard]] — only the score differs (for
     * exact copies min(|A|,|B|) = |A| = |B| = n, so the same-content score
     * is kept/n). */
-  val dedupContainment: Q = (s, d) =>
+  val dedupContainment: Q = (s, d) => ngramContainment(s, d)
+
+  /** [[dedupContainment]] with the spec-only `direct` knob. */
+  private[graft] def ngramContainment(s: SparkSession, d: String,
+      direct: Boolean = false): DataFrame =
     ngramIndexDedup(s, d, "containment",
       crossScore = (i, na, nb) => i.cast(DoubleType) / least(na, nb),
       sameScore = (i, n) => i.cast(DoubleType) / n,
-      keep = _ >= 0.8)
+      keep = _ >= 0.8, direct = direct)
 
-  /** The shared inverted-index near-dup pipeline behind
-    * [[dedupNgramJaccard]] and [[dedupContainment]]: content fold →
-    * df-cut posting lists → bounded pair expansion → per-pair set score.
-    * `crossScore(inter, na, nb)` scores a pair of DISTINCT contents from
-    * intersection + full set sizes; `sameScore(inter, n)` scores an
-    * exact-copy pair (both sizes n, intersection = the content's kept
-    * shingles); `keep` is the threshold predicate, applied to either. */
-  private def ngramIndexDedup(s: SparkSession, d: String, outCol: String,
-      crossScore: (Column, Column, Column) => Column,
-      sameScore: (Column, Column) => Column,
-      keep: Column => Column): DataFrame = {
+  /** Score-free inverted-index statistics shared by the exact n-gram
+    * scoring family ([[dedupNgramJaccard]], [[dedupContainment]]): content
+    * fold → df-cut posting lists → bounded pair expansion → per-pair
+    * intersection counts with both set sizes, plus the per-content summary
+    * the same-content and join-back stages need. Everything score-POLICY
+    * specific (Jaccard vs containment vs any future overlap coefficient)
+    * happens strictly after these two tables, so they form one pipeline
+    * stage computed once per corpus — [[ngramIndexStatsPath]] materializes
+    * it pay-once, the same artifact contract as the graph family's packed
+    * adjacency — while each scoring policy is a filter+expand over them.
+    * Returns (cross, groups):
+    *   cross  — (ra, rb, inter, na, nb): candidate content pair (ra < rb),
+    *            shared kept-shingle count, both full shingle-set sizes;
+    *   groups — (rid, ids, m, n, kept): representative doc id, capped
+    *            member-id list, exact copy count, shingle count, and the
+    *            content's kept-shingle count (null when m = 1 or no
+    *            shingle survived the df window). */
+  private[graft] def ngramIndexStats(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     // ---- content fold: m exact copies of a text are ONE unit of work ----
     // Group by content hash up front (the dedup_exact pass every curation
     // pipeline runs anyway): each distinct content shingles once, builds
@@ -594,10 +610,64 @@ object DedupOps {
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("rid").as("ra"), col("n").as("na")), "ra")
       .join(sizes.select(col("rid").as("rb"), col("n").as("nb")), "rb")
+      .select(col("ra"), col("rb"), col("inter"), col("na"), col("nb"))
+    // per-content kept-shingle count for the same-content pairs: copies
+    // share ALL shingles, so the intersection is the content's kept-shingle
+    // count (every shingle of an m ≥ 2 group has df ≥ m ≥ 2 — only the
+    // upper cut can drop it) and the union is 2n − kept
+    val keptCnt = posting
+      .select(explode(col("reps")).as("r"))
+      .filter(col("r.m") >= 2)
+      .groupBy(col("r.rid").as("rid")).agg(count(lit(1)).as("kept"))
+    val groups = grp
+      .join(keptCnt, Seq("rid"), "left")
+      .join(sizes, "rid")
+      .select(col("rid"), col("ids"), col("m"), col("n"), col("kept"))
+    (cross, groups)
+  }
+
+  /** Pay-once materialization of [[ngramIndexStats]] (pipeline-stage
+    * output, like the graph family's packed adjacency): both scoring
+    * policies — and, transitively, the [[ngramPairsPath]] cluster-pair
+    * artifact — read these two parquet tables instead of re-folding the
+    * corpus per query. Keyed on the corpus fingerprint plus the code
+    * stamps of every class that defines the fold. */
+  private[graft] def ngramIndexStatsPath(s: SparkSession, d: String): String =
+    graft.plans.ArtifactCache.getOrBuild("ngram_idx", d, Seq("documents"),
+      Seq(DedupOps.getClass, graft.functions.WordShingles.getClass,
+        graft.functions.LongPairs.getClass,
+        graft.functions.BucketMembersAgg.getClass, Tables.getClass)) { dir =>
+      val (cross, groups) = ngramIndexStats(s, d)
+      cross.write.parquet(s"$dir/cross")
+      groups.write.parquet(s"$dir/groups")
+    }
+
+  /** The shared scoring stage behind [[dedupNgramJaccard]] and
+    * [[dedupContainment]]: apply one overlap-score policy over the
+    * pre-computed index statistics and expand content pairs back to
+    * document pairs. `crossScore(inter, na, nb)` scores a pair of DISTINCT
+    * contents from intersection + full set sizes; `sameScore(inter, n)`
+    * scores an exact-copy pair (both sizes n, intersection = the content's
+    * kept shingles); `keep` is the threshold predicate, applied to either.
+    * `direct = true` (spec instrumentation) scores over the in-plan fold
+    * instead of the artifact — results are bit-identical by construction
+    * (the artifact is a parquet round-trip of the same frames). */
+  private[graft] def ngramIndexDedup(s: SparkSession, d: String, outCol: String,
+      crossScore: (Column, Column, Column) => Column,
+      sameScore: (Column, Column) => Column,
+      keep: Column => Column,
+      direct: Boolean = false): DataFrame = {
+    val (crossStats, groups) =
+      if (direct) ngramIndexStats(s, d)
+      else {
+        val base = ngramIndexStatsPath(s, d)
+        (s.read.parquet(s"$base/cross"), s.read.parquet(s"$base/groups"))
+      }
+    val cross = crossStats
       .select(col("ra"), col("rb"),
         crossScore(col("inter"), col("na"), col("nb")).as(outCol))
       .filter(keep(col(outCol)))
-    val gids = grp.select(col("rid"), col("ids"))
+    val gids = groups.select(col("rid"), col("ids"))
     val crossIds = cross
       .join(gids.select(col("rid").as("ra"), col("ids").as("ids_a")), "ra")
       .join(gids.select(col("rid").as("rb"), col("ids").as("ids_b")), "rb")
@@ -605,17 +675,8 @@ object DedupOps {
       .select(col("ia"), explode(col("ids_b")).as("ib"), col(outCol))
       .select(least(col("ia"), col("ib")).as("a"),
         greatest(col("ia"), col("ib")).as("b"), col(outCol))
-    // same-content pairs: copies share ALL shingles, so the intersection is
-    // the content's kept-shingle count (every shingle of an m ≥ 2 group has
-    // df ≥ m ≥ 2 — only the upper cut can drop it) and the union is 2n − kept
-    val keptCnt = posting
-      .select(explode(col("reps")).as("r"))
-      .filter(col("r.m") >= 2)
-      .groupBy(col("r.rid").as("rid")).agg(count(lit(1)).as("inter"))
-    val same = grp.filter(col("m").between(2, dfCut))
-      .join(keptCnt, "rid")
-      .join(sizes, "rid")
-      .select(col("ids"), sameScore(col("inter"), col("n")).as(outCol))
+    val same = groups.filter(col("m").between(2, dfCut) && col("kept").isNotNull)
+      .select(col("ids"), sameScore(col("kept"), col("n")).as(outCol))
       .filter(keep(col(outCol)))
       .select(explode(graft.functions.LongPairs.long_pairs(col("ids"))).as("p"),
         col(outCol))

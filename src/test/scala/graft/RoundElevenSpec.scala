@@ -23,6 +23,15 @@ import graft.operators.GraphOps
   *      in-place rewrite of the part fixture within one JVM must refresh
   *      [[GraphOps.partDimCount]], never serve the stale (possibly
   *      smaller) count that could broadcast an over-sized frame.
+  *   4. The exact n-gram scoring family rides a shared pay-once index
+  *      artifact ([[graft.operators.DedupOps.ngramIndexStatsPath]]):
+  *      `dedup_ngram_jaccard` and `dedup_containment` differ only in the
+  *      overlap score, so the content fold → posting lists → pair
+  *      intersection counts are one pipeline stage computed once per
+  *      corpus, not once per scoring policy. Pinned: both queries scan the
+  *      artifact with no in-plan fold, results are bit-identical to the
+  *      direct fold spelling, and neither query triggers a build once the
+  *      artifact exists.
   */
 class RoundElevenSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -132,6 +141,38 @@ class RoundElevenSpec extends AnyFunSuite {
       assert(!plan.contains("SortMergeJoin"), plan)
       assert(!plan.linesIterator.exists(_.contains("- BroadcastExchange")), plan)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  // ------------- 4. ngram scoring family rides the shared index artifact
+
+  test("ngram scoring queries: artifact scan, no in-plan fold") {
+    import graft.operators.DedupOps
+    DedupOps.ngramIndexStatsPath(spark, dir) // ensure built
+    for (q <- Seq(DedupOps.dedupNgramJaccard, DedupOps.dedupContainment)) {
+      val plan = fmt(q(spark, dir))
+      assert(plan.contains("ngram_idx"),
+        s"scoring must ride the shared index artifact:\n$plan")
+      assert(!plan.contains("word_shingles"),
+        s"the shingle fold belongs to the artifact build:\n$plan")
+      assert(!plan.contains("xxhash64"), plan)
+      assert(!plan.contains("collect_list"), plan)
+    }
+  }
+
+  test("ngram scoring: artifact path bit-identical to the direct fold, pay-once") {
+    import graft.operators.DedupOps
+    DedupOps.ngramIndexStatsPath(spark, dir) // ensure built
+    val before = graft.plans.ArtifactCache.builds.get()
+    val jA = DedupOps.dedupNgramJaccard(spark, dir).collect().map(_.toSeq).toSeq
+    val cA = DedupOps.dedupContainment(spark, dir).collect().map(_.toSeq).toSeq
+    assert(graft.plans.ArtifactCache.builds.get() == before,
+      "re-scoring over an existing index must not rebuild anything")
+    val jD = DedupOps.ngramJaccard(spark, dir, direct = true)
+      .collect().map(_.toSeq).toSeq
+    val cD = DedupOps.ngramContainment(spark, dir, direct = true)
+      .collect().map(_.toSeq).toSeq
+    assert(jA.nonEmpty && jA == jD)
+    assert(cA.nonEmpty && cA == cD)
   }
 
   // ------------------------ 3. gate-scalar memo is content-invalidated
