@@ -48,4 +48,18 @@ object Limits {
     * construction. Arithmetic + deployment recipe in docs/SCALE.md
     * ("shuffle-hash fallback envelope"). */
   val maxBroadcastVertices = 16L * 1000 * 1000
+
+  /** Max base-table rows for which a DIMENSION-derived frame (a filtered
+    * slice of `customer`/`part`/`supplier`, a per-partkey aggregate, an
+    * orders-derived order list) may broadcast in the relational queries:
+    * same 16 M posture as [[maxBroadcastVertices]] — dimension rows here
+    * are a key plus a few narrow columns (≤ ~64 B), so 16 M rows ≈ 1 GB
+    * raw, inside broadcast reach. The TPC-H dimensions scale linearly
+    * with SF (customer 150k, part 200k, supplier 10k, orders 1.5M rows
+    * per SF), so at the SF ≈ 100k that 100 TB implies every one of them
+    * is past any broadcast ceiling; the gate ([[graft.operators
+    * .DimGates]]) flips those joins to a keyed SHUFFLE_HASH build, never
+    * a sort of the fact stream. `nation`/`region` (25/5 rows at every
+    * SF) stay unconditional. */
+  val maxBroadcastDimRows = 16L * 1000 * 1000
 }

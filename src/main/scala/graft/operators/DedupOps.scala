@@ -57,7 +57,8 @@ object DedupOps {
     * M²/2 pairs in one task, but its members still reach exact verification
     * and stay connected through the anchor for cluster resolution — unlike a
     * dropped bucket, which silently loses the whole duplicate class. */
-  private[graft] def candidatePairs(buckets0: DataFrame): DataFrame = {
+  private[graft] def candidatePairs(buckets0: DataFrame,
+      smallAnchors: Boolean = true): DataFrame = {
     import graft.functions.{BucketMembersAgg, LongPairs}
     // The bucket frame feeds two consumers (the membership aggregation and
     // the big-bucket join-back); without materializing it once, Spark
@@ -80,12 +81,18 @@ object DedupOps {
     // Oversized buckets degrade to a linear anchor star (anchor = smallest
     // member id = ids[0]): every member pairs with the anchor, keeping the
     // duplicate class connected without M²/2 pair expansion. The oversized
-    // bucket list is tiny by construction (degenerate buckets are rare), so
-    // it broadcasts; the star itself streams out of the join — no member
-    // list ever materializes in one row.
+    // bucket list is usually tiny (degenerate buckets are rare), but its
+    // WORST case is ⌈corpus/(maxBucket+1)⌉ rows — corpus-scaling — so the
+    // join-back rides the caller's size gate (`smallAnchors`, derived from
+    // the corpus table count via [[DimGates.smallUnder]]): broadcast under
+    // (maxBucket+1)×cap docs (~10⁹ at the defaults), keyed shuffle-hash
+    // build past it. Either way the star streams out of the join — no
+    // member list ever materializes in one row.
+    val anchors = grouped.filter(col("n") > maxBucket)
+      .select(col("bucket"), element_at(col("ids"), 1).as("anchor"))
     val big = buckets
-      .join(broadcast(grouped.filter(col("n") > maxBucket)
-        .select(col("bucket"), element_at(col("ids"), 1).as("anchor"))), "bucket")
+      .join(if (smallAnchors) broadcast(anchors)
+            else anchors.hint("shuffle_hash"), "bucket")
       .filter(col("doc_id") =!= col("anchor"))
       .select(col("anchor").as("a"), col("doc_id").as("b"))
     small.unionAll(big).distinct()
@@ -255,7 +262,8 @@ object DedupOps {
     * materializes, and the band-bucket exchange is the pipeline's first
     * and only wide shuffle. */
   private def minhashCandidates(s: SparkSession, d: String): DataFrame =
-    candidatePairs(bandKeys(docs(s, d)))
+    candidatePairs(bandKeys(docs(s, d)),
+      DimGates.smallUnder(s, d, "documents", maxBucket + 1))
 
   /** One (bucket, doc_id) row per LSH band key: text → 8 band-bucket keys in
     * one native map-side expression (32 affine mins folded per band). Shared
@@ -480,7 +488,8 @@ object DedupOps {
         posexplode(array((0 until 4).map(c =>
           shiftright(col("sim"), c * 16).bitwiseAND(lit(65535L))): _*)).as(Seq("chunk", "h")))
       .select(struct(col("chunk"), col("h")).as("bucket"), col("doc_id"))
-    val pairs = candidatePairs(chunked)
+    val pairs = candidatePairs(chunked,
+      DimGates.smallUnder(s, d, "documents", maxBucket + 1))
     val sa = sigs.select(col("doc_id").as("a"), col("sim").as("sim_a"))
     val sb = sigs.select(col("doc_id").as("b"), col("sim").as("sim_b"))
     pairs.join(sa, "a").join(sb, "b")
@@ -714,7 +723,8 @@ object DedupOps {
       when(dot(col("embedding").cast(ArrayType(DoubleType)), hp(p)) >= 0, 1L << p).otherwise(0L))
       .reduce((a, b) => a.bitwiseOR(b))
     val bucketed = emb.select(col("vec_id").as("doc_id"), bucketBits.as("bucket"))
-    val pairs = candidatePairs(bucketed)
+    val pairs = candidatePairs(bucketed,
+      DimGates.smallUnder(s, d, "embeddings", maxBucket + 1))
     val vecs = emb.select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
     def cosine(a: Column, b: Column): Column = {
       val dotp = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s1, x) => s1 + x)

@@ -146,8 +146,7 @@ object GraphOps {
     * broadcast an over-sized frame — the one unsafe direction the gate
     * invariant forbids. */
   private[graft] def partDimCount(s: SparkSession, d: String): Long =
-    memoCount("part#" + graft.plans.ArtifactCache.fingerprint(d, Seq("part"), Nil))(
-      Tables.load(s, d, "part").count())
+    DimGates.dimCount(s, d, "part")
 
   /** The generalized vertex-broadcast size gate — the [[pagerankSweep]]
     * convention extracted to ONE helper and applied at every join whose

@@ -543,7 +543,8 @@ object MultimodalOps {
           shiftright(col("phash"), c * 16).bitwiseAND(lit(65535L))): _*))
           .as(Seq("chunk", "h")))
       .select(struct(col("chunk"), col("h")).as("bucket"), col("doc_id"))
-    val pairs = DedupOps.candidatePairs(chunked)
+    val pairs = DedupOps.candidatePairs(chunked,
+      DimGates.smallUnder(s, d, "documents", DedupOps.maxBucket + 1))
     val sa = sigs.select(col("doc_id").as("a"), col("phash").as("pa"))
     val sb = sigs.select(col("doc_id").as("b"), col("phash").as("pb"))
     pairs.join(sa, "a").join(sb, "b")

@@ -276,11 +276,16 @@ object RelOps {
         $"c_custkey" === $"o_custkey", "left_anti")
       .select($"c_custkey", $"c_name").orderBy($"c_custkey")
 
-  /** Explicit broadcast of a small dimension: no shuffle of the fact side at
-    * all — the 100 TB plan (part is O(100k) rows even at scale). */
+  /** Explicit broadcast of a small dimension: no shuffle of the fact side
+    * at all. The part dimension scales linearly with SF (200k rows PER SF,
+    * so ~20 G rows at the SF ≈ 100k that 100 TB implies), so the leg rides
+    * the [[DimGates]] size gate — broadcast under
+    * `Limits.maxBroadcastDimRows` (always, at fixture scale), keyed
+    * SHUFFLE_HASH build past it. */
   val joinBroadcast: Q = (s, d) =>
     t(s, d, "lineitem")
-      .join(broadcast(t(s, d, "part").filter($"p_type" === "PROMO")),
+      .join(DimGates.gated(s, d, "part")(
+          t(s, d, "part").filter($"p_type" === "PROMO")),
         $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand")
       .agg(sumd($"l_quantity").as("promo_qty"), count(lit(1)).as("n"))
@@ -398,7 +403,7 @@ object RelOps {
     val truth = keys.select($"p_partkey".as("l_partkey"), lit(true).as("is_match"))
     fact.crossJoin(broadcast(dense))
       .select($"l_partkey", $"price", hit.as("maybe"))
-      .join(broadcast(truth), Seq("l_partkey"), "left")
+      .join(DimGates.gated(s, d, "part")(truth), Seq("l_partkey"), "left")
       .withColumn("is_match", coalesce($"is_match", lit(false)))
       .agg(
         count(lit(1)).as("n_fact"),
@@ -919,7 +924,8 @@ object RelOps {
     val batch = base.filter($"event_id" % 7 === 0)
       .select($"event_id", $"ts", $"user_id",
         lit("corrected").as("event_type"), ($"value" + 1000.0d).as("value"))
-    base.join(broadcast(batch.select($"event_id")), Seq("event_id"), "left_anti")
+    base.join(DimGates.gated(s, d, "events")(batch.select($"event_id")),
+        Seq("event_id"), "left_anti")
       .unionByName(batch)
       .orderBy($"event_id")
   }
@@ -1360,7 +1366,8 @@ object RelOps {
       .filter($"l_shipdate" > lit("1995-03-15").cast(TimestampType))
       .select($"l_orderkey",
         (dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("rev"))
-    ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+    ord.join(DimGates.gated(s, d, "customer")(cust),
+        $"o_custkey" === $"c_custkey")
       .join(li, $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(sum($"rev").as("revenue_dec"))
@@ -1394,9 +1401,10 @@ object RelOps {
       .select($"o_orderkey", $"o_custkey")
     val li = t(s, d, "lineitem").select($"l_orderkey", $"l_suppkey",
       (dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("rev"))
-    ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+    ord.join(DimGates.gated(s, d, "customer")(cust),
+        $"o_custkey" === $"c_custkey")
       .join(li, $"o_orderkey" === $"l_orderkey")
-      .join(broadcast(supp),
+      .join(DimGates.gated(s, d, "supplier")(supp),
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .groupBy($"n_name")
       .agg(sum($"rev").as("revenue_dec"))
@@ -1421,10 +1429,10 @@ object RelOps {
       .filter($"qty_dec" > 300)
       .select($"l_orderkey", $"qty_dec".cast(LongType).as("sum_qty"))
     val ord = t(s, d, "orders")
-      .join(broadcast(big), $"o_orderkey" === $"l_orderkey")
+      .join(DimGates.gated(s, d, "orders")(big), $"o_orderkey" === $"l_orderkey")
       .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice", $"sum_qty")
     t(s, d, "customer")
-      .join(broadcast(ord), $"c_custkey" === $"o_custkey")
+      .join(DimGates.gated(s, d, "orders")(ord), $"c_custkey" === $"o_custkey")
       .select($"c_name", $"c_custkey", $"o_orderkey",
         $"o_orderdate".cast(DateType).as("o_orderdate"), $"o_totalprice", $"sum_qty")
       .orderBy($"o_totalprice".desc, $"o_orderkey")
@@ -1495,7 +1503,7 @@ object RelOps {
       .filter($"l_returnflag" === "R")
       .select($"l_orderkey",
         (dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("rev"))
-      .join(broadcast(ord), $"l_orderkey" === $"o_orderkey")
+      .join(DimGates.gated(s, d, "orders")(ord), $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_custkey").agg(sum($"rev").as("rev_dec"))
     t(s, d, "customer")
       .join(rev, $"c_custkey" === $"o_custkey")
@@ -1543,7 +1551,8 @@ object RelOps {
               $"l_shipdate" <  lit("1996-04-01").cast(TimestampType))
       .select($"l_partkey",
         (dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("rev"))
-      .join(broadcast(t(s, d, "part").select($"p_partkey", $"p_type")),
+      .join(DimGates.gated(s, d, "part")(
+          t(s, d, "part").select($"p_partkey", $"p_type")),
         $"l_partkey" === $"p_partkey")
       .agg(
         sum(when($"p_type" === "PROMO", $"rev")

@@ -32,8 +32,14 @@ import graft.Tables
   * Scale notes: every query touches `lineitem` (the 100 TB table) at most
   * twice, never shuffled except on its natural join/aggregate key;
   * dimension legs (`part`, `supplier`, `nation`, filtered `customer`
-  * slices, per-part aggregate frames) broadcast explicitly. AQE re-plans
-  * the orders⋈lineitem exchanges at runtime.
+  * slices, per-part aggregate frames) broadcast explicitly. The TPC-H
+  * dimensions scale LINEARLY with SF (the official ratios put `customer`
+  * at ~15 G rows at the SF ≈ 100k that 100 TB implies), so every
+  * SF-scaling dimension leg rides the [[DimGates]] size gate — broadcast
+  * under `Limits.maxBroadcastDimRows` (always, at fixture scale), keyed
+  * SHUFFLE_HASH build past it; `nation`/`region` (25/5 rows at every SF)
+  * and one-row scalar frames stay unconditional. AQE re-plans the
+  * orders⋈lineitem exchanges at runtime.
   */
 object TpchOps {
   type Q = (SparkSession, String) => DataFrame
@@ -63,7 +69,7 @@ object TpchOps {
         $"c_nationkey" === $"n_nationkey")
       .select($"c_custkey", $"n_name".as("cust_nation"))
     val ord = t(s, d, "orders").select($"o_orderkey", $"o_custkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(DimGates.gated(s, d, "customer")(cust), $"o_custkey" === $"c_custkey")
       .select($"o_orderkey", $"cust_nation")
     t(s, d, "lineitem")
       .filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType) &&
@@ -71,7 +77,7 @@ object TpchOps {
       .select($"l_orderkey", $"l_suppkey",
         year($"l_shipdate").cast(LongType).as("l_year"),
         rev($"l_extendedprice", $"l_discount").as("vol"))
-      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(DimGates.gated(s, d, "supplier")(supp), $"l_suppkey" === $"s_suppkey")
       .join(ord, $"l_orderkey" === $"o_orderkey")
       .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
               ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
@@ -102,15 +108,16 @@ object TpchOps {
     val ord = t(s, d, "orders")
       .filter($"o_orderdate" >= lit("1995-01-01").cast(TimestampType) &&
               $"o_orderdate" <  lit("1997-01-01").cast(TimestampType))
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(DimGates.gated(s, d, "customer")(cust), $"o_custkey" === $"c_custkey")
       .select($"o_orderkey", year($"o_orderdate").cast(LongType).as("o_year"))
     t(s, d, "lineitem")
-      .join(broadcast(t(s, d, "part").filter($"p_type" === "STANDARD")
+      .join(DimGates.gated(s, d, "part")(t(s, d, "part")
+        .filter($"p_type" === "STANDARD")
         .select($"p_partkey")), $"l_partkey" === $"p_partkey")
       .select($"l_orderkey", $"l_suppkey",
         rev($"l_extendedprice", $"l_discount").as("vol"))
       .join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(DimGates.gated(s, d, "supplier")(supp), $"l_suppkey" === $"s_suppkey")
       .groupBy($"o_year")
       .agg(
         sum(when($"supp_nation" === "NATION_2", $"vol")
@@ -133,16 +140,17 @@ object TpchOps {
     val parts = t(s, d, "part").filter($"p_name".like("%gear%"))
       .select($"p_partkey")
     val ps = TpchFixture.partsupp(s, d)
-      .join(broadcast(parts), $"ps_partkey" === $"p_partkey", "left_semi")
+      .join(DimGates.gated(s, d, "part")(parts),
+        $"ps_partkey" === $"p_partkey", "left_semi")
       .select($"ps_partkey", $"ps_suppkey", $"ps_supplycost")
     val supp = t(s, d, "supplier")
       .join(broadcast(t(s, d, "nation").select($"n_nationkey", $"n_name")),
         $"s_nationkey" === $"n_nationkey")
       .select($"s_suppkey", $"n_name".as("nation"))
     t(s, d, "lineitem")
-      .join(broadcast(ps),
+      .join(DimGates.gated(s, d, "part")(ps),
         $"l_partkey" === $"ps_partkey" && $"l_suppkey" === $"ps_suppkey")
-      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(DimGates.gated(s, d, "supplier")(supp), $"l_suppkey" === $"s_suppkey")
       .join(t(s, d, "orders")
         .select($"o_orderkey", year($"o_orderdate").cast(LongType).as("o_year")),
         $"l_orderkey" === $"o_orderkey")
@@ -173,7 +181,8 @@ object TpchOps {
         .select($"n_nationkey")), $"s_nationkey" === $"n_nationkey")
       .select($"s_suppkey")
     val scoped = TpchFixture.partsupp(s, d)
-      .join(broadcast(supp), $"ps_suppkey" === $"s_suppkey", "left_semi")
+      .join(DimGates.gated(s, d, "supplier")(supp),
+        $"ps_suppkey" === $"s_suppkey", "left_semi")
       .groupBy($"ps_partkey")
       .agg(sum($"ps_supplycost" * $"ps_availqty".cast(DecimalType(18, 6)))
         .as("val_dec"))
@@ -242,7 +251,8 @@ object TpchOps {
       .agg(sum(rev($"l_extendedprice", $"l_discount")).as("total_dec"))
     val mx = revenue.agg(max($"total_dec").as("mx_dec"))
     revenue.join(broadcast(mx), $"total_dec" === $"mx_dec")
-      .join(broadcast(t(s, d, "supplier").select($"s_suppkey", $"s_name")),
+      .join(DimGates.gated(s, d, "supplier")(
+          t(s, d, "supplier").select($"s_suppkey", $"s_name")),
         $"l_suppkey" === $"s_suppkey")
       .select($"s_suppkey", $"s_name",
         round($"total_dec".cast(DoubleType), 6).as("total_revenue"))
@@ -257,7 +267,7 @@ object TpchOps {
     * expanded key with map-side partials. */
   val tpchQ16: Q = (s, d) =>
     TpchFixture.partsupp(s, d).select($"ps_partkey", $"ps_suppkey")
-      .join(broadcast(t(s, d, "part")
+      .join(DimGates.gated(s, d, "part")(t(s, d, "part")
         .filter($"p_brand" =!= "Brand#1" && !$"p_type".like("MEDIUM%") &&
           $"p_size".isin(1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49))
         .select($"p_partkey", $"p_brand", $"p_type", $"p_size")),
@@ -279,11 +289,12 @@ object TpchOps {
       .filter($"p_brand" === "Brand#5" && $"p_container" === "MED BOX")
       .select($"p_partkey")
     val li = t(s, d, "lineitem")
-      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(DimGates.gated(s, d, "part")(parts), $"l_partkey" === $"p_partkey")
     val perPart = li.groupBy($"l_partkey")
       .agg(sum(dec($"l_quantity")).as("qty_dec"), count(lit(1)).as("n"))
       .select($"l_partkey".as("agg_partkey"), $"qty_dec", $"n")
-    li.join(broadcast(perPart), $"l_partkey" === $"agg_partkey")
+    li.join(DimGates.gated(s, d, "part")(perPart),
+        $"l_partkey" === $"agg_partkey")
       .filter(dec($"l_quantity") * lit(5) * $"n" < $"qty_dec")
       .agg(coalesce(sum(dec($"l_extendedprice")),
         lit(0).cast(DecimalType(18, 6))).as("sum_dec"))
@@ -303,7 +314,7 @@ object TpchOps {
         $"l_shipinstruct" === "DELIVER IN PERSON")
       .select($"l_partkey", $"l_quantity",
         rev($"l_extendedprice", $"l_discount").as("vol"))
-      .join(broadcast(TpchFixture.partX(s, d)
+      .join(DimGates.gated(s, d, "part")(TpchFixture.partX(s, d)
         .select($"p_partkey", $"p_brand", $"p_size", $"p_container")),
         $"l_partkey" === $"p_partkey")
       .filter(
@@ -338,11 +349,13 @@ object TpchOps {
     val shipped = t(s, d, "lineitem")
       .filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType) &&
               $"l_shipdate" <  lit("1997-01-01").cast(TimestampType))
-      .join(broadcast(qualParts), $"l_partkey" === $"p_partkey")
+      .join(DimGates.gated(s, d, "part")(qualParts),
+        $"l_partkey" === $"p_partkey")
       .groupBy($"l_suppkey", $"l_partkey")
       .agg(sum(dec($"l_quantity")).as("shipped_dec"))
     val excess = TpchFixture.partsupp(s, d)
-      .join(broadcast(qualParts), $"ps_partkey" === $"p_partkey", "left_semi")
+      .join(DimGates.gated(s, d, "part")(qualParts),
+        $"ps_partkey" === $"p_partkey", "left_semi")
       .join(shipped,
         $"ps_suppkey" === $"l_suppkey" && $"ps_partkey" === $"l_partkey")
       .filter(($"ps_availqty" * 2).cast(DecimalType(18, 6)) > $"shipped_dec")
@@ -353,7 +366,8 @@ object TpchOps {
       .select($"n_nationkey")
     t(s, d, "supplier")
       .join(broadcast(regionNations), $"s_nationkey" === $"n_nationkey", "left_semi")
-      .join(broadcast(excess), $"s_suppkey" === $"ps_suppkey", "left_semi")
+      .join(DimGates.gated(s, d, "part")(excess),
+        $"s_suppkey" === $"ps_suppkey", "left_semi")
       .select($"s_suppkey", $"s_name")
       .orderBy($"s_suppkey")
   }
@@ -385,7 +399,8 @@ object TpchOps {
       .join(perOrder, $"l_orderkey" === $"ok")
       .groupBy($"l_suppkey")
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(t(s, d, "supplier").select($"s_suppkey", $"s_name")),
+      .join(DimGates.gated(s, d, "supplier")(
+          t(s, d, "supplier").select($"s_suppkey", $"s_name")),
         $"l_suppkey" === $"s_suppkey")
       .select($"s_name", $"numwait")
       .orderBy($"numwait".desc, $"s_name")
@@ -439,17 +454,17 @@ object TpchOps {
         $"s_nationkey" === $"n_nationkey")
       .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
     val ps = TpchFixture.partsupp(s, d)
-      .join(broadcast(parts), $"ps_partkey" === $"p_partkey")
-      .join(broadcast(euSupp.select($"s_suppkey")),
+      .join(DimGates.gated(s, d, "part")(parts), $"ps_partkey" === $"p_partkey")
+      .join(DimGates.gated(s, d, "supplier")(euSupp.select($"s_suppkey")),
         $"ps_suppkey" === $"s_suppkey", "left_semi")
       .select($"ps_partkey", $"ps_suppkey", $"ps_supplycost",
         $"p_brand", $"p_size")
     val minCost = ps.groupBy($"ps_partkey")
       .agg(min($"ps_supplycost").as("min_dec"))
       .select($"ps_partkey".as("mp_partkey"), $"min_dec")
-    ps.join(broadcast(minCost),
+    ps.join(DimGates.gated(s, d, "part")(minCost),
         $"ps_partkey" === $"mp_partkey" && $"ps_supplycost" === $"min_dec")
-      .join(broadcast(euSupp), $"ps_suppkey" === $"s_suppkey")
+      .join(DimGates.gated(s, d, "supplier")(euSupp), $"ps_suppkey" === $"s_suppkey")
       .select($"s_acctbal", $"s_name", $"n_name",
         $"ps_partkey".as("p_partkey"), $"p_brand", $"p_size",
         round($"min_dec".cast(DoubleType), 6).as("min_cost"))

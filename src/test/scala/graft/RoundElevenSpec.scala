@@ -175,6 +175,47 @@ class RoundElevenSpec extends AnyFunSuite {
     assert(cA.nonEmpty && cA == cD)
   }
 
+  // ---------------- 5. relational dimension legs ride the DimGates gate
+
+  /** The TPC-H dimensions scale linearly with SF (customer ≈ 15 G rows at
+    * the SF ≈ 100k that 100 TB implies), so every SF-scaling dimension leg
+    * in the relational queries rides [[graft.operators.DimGates]] — the
+    * vertex-gate convention generalized. Proofs, the RoundTenSpec pattern:
+    * bit-identity down both paths (the conf cap forced to 0 sends every
+    * gated site down the keyed shuffle-hash build), and the single-join
+    * showcase query plans a ShuffledHashJoin with zero broadcast when the
+    * gate is open. */
+
+  private def withDimCap[A](cap: Long)(body: => A): A = {
+    spark.conf.set(graft.operators.DimGates.CapKey, cap.toString)
+    try body finally spark.conf.unset(graft.operators.DimGates.CapKey)
+  }
+
+  private val dimGated = Seq(
+    "tpch_q2", "tpch_q3", "tpch_q5", "tpch_q18", "tpch_q20",
+    "join_broadcast", "merge_upsert", "dedup_minhash")
+
+  dimGated.foreach { name =>
+    test(s"$name: dim-gate shuffle-hash fallback is bit-identical to the broadcast path") {
+      val q = SparkEntry.queries(name)
+      val bc = q(spark, dir).collect().map(_.toSeq).toSeq
+      val sh = withDimCap(0L)(q(spark, dir)).collect().map(_.toSeq).toSeq
+      assert(bc.nonEmpty, s"$name returned no rows")
+      assert(sh == bc, s"$name diverged between dim-gate paths")
+    }
+  }
+
+  test("join_broadcast above the dim gate: keyed shuffle-hash, no broadcast") {
+    val plan = withDimCap(0L)(
+      fmt(SparkEntry.queries("join_broadcast")(spark, dir)))
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the gated dimension leg must build a keyed hash side:\n$plan")
+    assert(!plan.linesIterator.exists(_.contains("- BroadcastExchange")),
+      s"the dimension leg still broadcasts above the gate:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the fact stream must never sort:\n$plan")
+  }
+
   // ------------------------ 3. gate-scalar memo is content-invalidated
 
   test("partDimCount refreshes when the part fixture is rewritten in place") {
