@@ -361,14 +361,18 @@ object StreamOps {
 
   /** Stream-static enrichment join: the arriving event stream joins a
     * static dimension (customer) — the classic enrich-on-ingest shape. The
-    * static side broadcasts; the join itself is stateless (no watermark
-    * bookkeeping, unlike stream-stream joins), so only the rollup holds
-    * state. */
+    * static side broadcasts while under the dimension gate (`customer`
+    * scales linearly with SF, so at the 100 TB regime it is billions of
+    * rows — the static side then builds a keyed shuffle-hash table per
+    * micro-batch instead; the join itself stays stateless either way: no
+    * watermark bookkeeping, unlike stream-stream joins, so only the
+    * rollup holds state). */
   val streamEnrich: Q = (s, d) => {
     val dim = graft.Tables.load(s, d, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
     val agg = eventStream(s, d)
-      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .join(graft.operators.DimGates.gated(s, d, "customer")(dim),
+        col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     runToCompletion(s, agg, s"graft_stream_enrich_${System.nanoTime()}",

@@ -205,6 +205,14 @@ class RoundElevenSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_enrich: dim-gate shuffle-hash fallback is bit-identical to the broadcast path") {
+    val q = SparkEntry.queries("stream_enrich")
+    val bc = q(spark, dir).collect().map(_.toSeq).toSeq
+    val sh = withDimCap(0L)(q(spark, dir)).collect().map(_.toSeq).toSeq
+    assert(bc.nonEmpty && sh == bc,
+      "stream_enrich diverged between dim-gate paths")
+  }
+
   test("join_broadcast above the dim gate: keyed shuffle-hash, no broadcast") {
     val plan = withDimCap(0L)(
       fmt(SparkEntry.queries("join_broadcast")(spark, dir)))
