@@ -229,8 +229,13 @@ object Bench {
     val outName =
       if (only.isDefined) "bench/BENCH_subset.json"
       else {
-        val base = new java.io.File(sfDir).getName
-        if (base != "sf0.1") s"bench/BENCH_$base.json" else "bench/BENCH_last.json"
+        // canonical-PATH comparison, not basename: a regenerated ladder
+        // fixture at /tmp/sf0.1 shares the basename but is a different
+        // (non-comparable) fixture and must not clobber the committed rung
+        val canonical = new java.io.File("/root/testdata/sf0.1").getCanonicalPath
+        if (new java.io.File(sfDir).getCanonicalPath == canonical)
+          "bench/BENCH_last.json"
+        else s"bench/BENCH_${new java.io.File(sfDir).getName}.json"
       }
     try {
       val out = new java.io.File(outName)

@@ -527,7 +527,14 @@ final class RedisQueueWorker(
       val head = c.cmd("LINDEX", processingKey, "0")
       if (head == null) return
       val p = head.toString
-      if (handedOff.remove(p)) c.cmd("LREM", processingKey, "1", p)
+      // retry the ack FIRST, un-mark only once it succeeded: removing the
+      // mark before a confirmed LREM converts a still-down broker into a
+      // later re-queue of a job that is already running (the mark is the
+      // only thing distinguishing "ran, ack lost" from "never ran")
+      if (handedOff.contains(p)) {
+        c.cmd("LREM", processingKey, "1", p)
+        handedOff.remove(p)
+      }
       else decodeJob(p) match {
         case Some((job, epoch, _)) if
             store.get(job.id).exists(s => s.state == JobState.Pending ||
@@ -550,10 +557,15 @@ final class RedisQueueWorker(
           case Some((job, epoch, attempt)) =>
             tasks.get(job.taskName) match {
               case Some(task) =>
-                // mark BEFORE the hand-off: if the ack below dies with the
-                // socket, the reaper must know this payload already runs
-                handedOff.add(p)
+                // mark AFTER a successful hand-off (nothing between the two
+                // statements does I/O, so the mark can't be missed): if the
+                // ack below dies with the socket, the reaper knows this
+                // payload already runs; a hand-off that THROWS (scheduler
+                // closing / pool rejection) leaves the payload parked and
+                // UN-marked, so the reaper re-queues it through the store
+                // gate instead of acking a job that never started
                 scheduler.executeClaimed(job, task, epoch, attempt)
+                handedOff.add(p)
               case None =>
                 store.setIfPresent(job.id, JobState.Failure, -1,
                   s"worker has no task '${job.taskName}'")

@@ -82,12 +82,13 @@ object DedupOps {
     // member id = ids[0]): every member pairs with the anchor, keeping the
     // duplicate class connected without M²/2 pair expansion. The oversized
     // bucket list is usually tiny (degenerate buckets are rare), but its
-    // WORST case is ⌈corpus/(maxBucket+1)⌉ rows — corpus-scaling — so the
-    // join-back rides the caller's size gate (`smallAnchors`, derived from
-    // the corpus table count via [[DimGates.smallUnder]]): broadcast under
-    // (maxBucket+1)×cap docs (~10⁹ at the defaults), keyed shuffle-hash
-    // build past it. Either way the star streams out of the join — no
-    // member list ever materializes in one row.
+    // WORST case is ⌈keysPerDoc·corpus/(maxBucket+1)⌉ rows (each document
+    // contributes one bucket row PER band/chunk key) — corpus-scaling — so
+    // the join-back rides the caller's size gate ([[DedupOps.anchorsSmall]],
+    // which divides the cap multiplier by the caller's keys-per-doc):
+    // broadcast under (maxBucket+1)/keysPerDoc × cap docs, keyed
+    // shuffle-hash build past it. Either way the star streams out of the
+    // join — no member list ever materializes in one row.
     val anchors = grouped.filter(col("n") > maxBucket)
       .select(col("bucket"), element_at(col("ids"), 1).as("anchor"))
     val big = buckets
@@ -261,9 +262,20 @@ object DedupOps {
     * [[graft.functions.MinHashBands]]); the signature array never
     * materializes, and the band-bucket exchange is the pipeline's first
     * and only wide shuffle. */
+  /** Anchor-star gate scalar: with `keysPerDoc` bucket rows PER DOCUMENT
+    * (8 minhash bands, 4 simhash/phash chunks, 1 embedding bucket), the
+    * oversized-bucket frame's worst case is keysPerDoc·rows/(maxBucket+1)
+    * anchors — so the broadcast is safe only while the corpus sits under
+    * (maxBucket+1)/keysPerDoc × cap (integer division floors, which errs
+    * in the SAFE direction: the gate flips to shuffle-hash early, never
+    * broadcasts an over-sized frame). */
+  private[graft] def anchorsSmall(s: SparkSession, d: String, table: String,
+      keysPerDoc: Int): Boolean =
+    DimGates.smallUnder(s, d, table,
+      (((maxBucket + 1) / keysPerDoc).max(1)).toLong)
+
   private def minhashCandidates(s: SparkSession, d: String): DataFrame =
-    candidatePairs(bandKeys(docs(s, d)),
-      DimGates.smallUnder(s, d, "documents", maxBucket + 1))
+    candidatePairs(bandKeys(docs(s, d)), anchorsSmall(s, d, "documents", 8))
 
   /** One (bucket, doc_id) row per LSH band key: text → 8 band-bucket keys in
     * one native map-side expression (32 affine mins folded per band). Shared
@@ -488,8 +500,7 @@ object DedupOps {
         posexplode(array((0 until 4).map(c =>
           shiftright(col("sim"), c * 16).bitwiseAND(lit(65535L))): _*)).as(Seq("chunk", "h")))
       .select(struct(col("chunk"), col("h")).as("bucket"), col("doc_id"))
-    val pairs = candidatePairs(chunked,
-      DimGates.smallUnder(s, d, "documents", maxBucket + 1))
+    val pairs = candidatePairs(chunked, anchorsSmall(s, d, "documents", 4))
     val sa = sigs.select(col("doc_id").as("a"), col("sim").as("sim_a"))
     val sb = sigs.select(col("doc_id").as("b"), col("sim").as("sim_b"))
     pairs.join(sa, "a").join(sb, "b")
@@ -723,8 +734,7 @@ object DedupOps {
       when(dot(col("embedding").cast(ArrayType(DoubleType)), hp(p)) >= 0, 1L << p).otherwise(0L))
       .reduce((a, b) => a.bitwiseOR(b))
     val bucketed = emb.select(col("vec_id").as("doc_id"), bucketBits.as("bucket"))
-    val pairs = candidatePairs(bucketed,
-      DimGates.smallUnder(s, d, "embeddings", maxBucket + 1))
+    val pairs = candidatePairs(bucketed, anchorsSmall(s, d, "embeddings", 1))
     val vecs = emb.select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
     def cosine(a: Column, b: Column): Column = {
       val dotp = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s1, x) => s1 + x)

@@ -66,9 +66,14 @@ private[graft] object DimGates {
     dimCount(s, d, table) <= capMultiplier * cap(s)
 
   /** Gate a frame derived from `table`: broadcast while the base table is
-    * under the cap, keyed shuffle-hash build past it. */
-  private[graft] def gated(s: SparkSession, d: String, table: String)(
-      df: DataFrame): DataFrame =
-    if (smallUnder(s, d, table)) broadcast(df)
+    * under the cap, keyed shuffle-hash build past it. `rowFactor` is the
+    * frame's worst-case rows PER base-table row (e.g. the derived partsupp
+    * carries exactly 4 rows per part, so a partsupp-bounded frame gates at
+    * rowFactor = 4) — without it the gate under-approximates and can
+    * broadcast a frame rowFactor× past the cap, the one direction the
+    * invariant forbids. */
+  private[graft] def gated(s: SparkSession, d: String, table: String,
+      rowFactor: Long = 1L)(df: DataFrame): DataFrame =
+    if (dimCount(s, d, table) * rowFactor <= cap(s)) broadcast(df)
     else df.hint("shuffle_hash")
 }

@@ -798,7 +798,12 @@ object GraphOps {
     * lineitem changes; bench-attributed separately. */
   private[graft] def packedAdjPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("graph_adj_packed", d, Seq("lineitem"),
+      // LongPairsPacked defines the EDGE artifact's content (edges() is
+      // derived from its packed keys), so it is part of this artifact's
+      // logic too — omitting it would serve a stale adjacency after a
+      // repack recompile
       Seq(GraphOps.getClass, graft.functions.LongPairs.getClass,
+        graft.functions.LongPairsPacked.getClass,
         Tables.getClass)) { dir =>
       val e = edges(s, d)
       degrees(e).write.parquet(s"$dir/deg")
@@ -1026,8 +1031,10 @@ object GraphOps {
     var r = deg.select(col("v"), lit(eigenScale).as("r"))
       .localCheckpoint()
     // one bounded driver scalar gates broadcast vs shuffle-hash, as in
-    // pagerank (the count rides the already-pinned vertex frame)
-    val bcState = r.count() <= maxBcVerts
+    // pagerank (the count rides the already-pinned vertex frame); the
+    // bucketed cluster path never consults it, so don't pay the count job
+    // there (graphComponentsImpl's convention)
+    val bcState = !bucketed && r.count() <= maxBcVerts
     // packed adjacency, as in pagerank: vertex-chunk-sized probe per sweep;
     // bucketed mode reads the catalog table (stable pre-hashed scan, no pin)
     val sym =
@@ -1222,7 +1229,10 @@ object GraphOps {
     * already demonstrates the chunking machinery. */
   private[graft] def sortedAdjPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("graph_adj_sorted", d, Seq("lineitem"),
+      // LongPairsPacked stamps for the same reason as graph_adj_packed:
+      // the edge set this sorts is derived from its packed keys
       Seq(GraphOps.getClass, graft.functions.LongPairs.getClass,
+        graft.functions.LongPairsPacked.getClass,
         Tables.getClass)) { dir =>
       val e = edges(s, d)
       e.select(col("a").as("w"), col("b").as("n"))

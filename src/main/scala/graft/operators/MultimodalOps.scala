@@ -544,7 +544,7 @@ object MultimodalOps {
           .as(Seq("chunk", "h")))
       .select(struct(col("chunk"), col("h")).as("bucket"), col("doc_id"))
     val pairs = DedupOps.candidatePairs(chunked,
-      DimGates.smallUnder(s, d, "documents", DedupOps.maxBucket + 1))
+      DedupOps.anchorsSmall(s, d, "documents", keysPerDoc = 4))
     val sa = sigs.select(col("doc_id").as("a"), col("phash").as("pa"))
     val sb = sigs.select(col("doc_id").as("b"), col("phash").as("pb"))
     pairs.join(sa, "a").join(sb, "b")

@@ -148,7 +148,7 @@ object TpchOps {
         $"s_nationkey" === $"n_nationkey")
       .select($"s_suppkey", $"n_name".as("nation"))
     t(s, d, "lineitem")
-      .join(DimGates.gated(s, d, "part")(ps),
+      .join(DimGates.gated(s, d, "part", rowFactor = 4)(ps),
         $"l_partkey" === $"ps_partkey" && $"l_suppkey" === $"ps_suppkey")
       .join(DimGates.gated(s, d, "supplier")(supp), $"l_suppkey" === $"s_suppkey")
       .join(t(s, d, "orders")
@@ -366,7 +366,7 @@ object TpchOps {
       .select($"n_nationkey")
     t(s, d, "supplier")
       .join(broadcast(regionNations), $"s_nationkey" === $"n_nationkey", "left_semi")
-      .join(DimGates.gated(s, d, "part")(excess),
+      .join(DimGates.gated(s, d, "part", rowFactor = 4)(excess),
         $"s_suppkey" === $"ps_suppkey", "left_semi")
       .select($"s_suppkey", $"s_name")
       .orderBy($"s_suppkey")

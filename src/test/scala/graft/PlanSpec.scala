@@ -87,7 +87,7 @@ class PlanSpec extends AnyFunSuite {
       "BroadcastNestedLoopJoin", "CartesianProduct").exists(plan.contains),
       s"range semantics must not materialize a pair join:\n$plan")
     // one exchange feeds the window; the only other is the final ORDER BY
-    val nExchange = "(?<!Broadcast)Exchange \\(".r.findAllIn(plan).length
+    val nExchange = "(?<!Broadcast)(?<!Reused)Exchange \\(".r.findAllIn(plan).length
     assert(nExchange == 2, s"expected 2 shuffle exchanges, found $nExchange:\n$plan")
   }
 
@@ -199,7 +199,7 @@ class PlanSpec extends AnyFunSuite {
     // no map-side partial exchange (74 M near-unique keys would hash for
     // nothing), no aggregate at all in the Spark plan (the unboxed
     // post-shuffle pass does the counting)
-    val nExchange = "(?<!Broadcast)Exchange \\(".r.findAllIn(plan).length
+    val nExchange = "(?<!Broadcast)(?<!Reused)Exchange \\(".r.findAllIn(plan).length
     assert(nExchange == 2, s"expected 2 shuffle exchanges, found $nExchange:\n$plan")
     assert(!plan.contains("HashAggregate (") || plan.contains("collect_set"),
       s"no pair-level aggregate belongs in the build plan:\n$plan")
@@ -230,7 +230,7 @@ class PlanSpec extends AnyFunSuite {
     val plan = formatted("join_interval_overlap")
     // the quadratic interval join is exactly what this spelling removes
     assert(!plan.contains("Join"), s"sweep must not plan any join:\n$plan")
-    val nExchange = "(?<!Broadcast)Exchange \\(".r.findAllIn(plan).length
+    val nExchange = "(?<!Broadcast)(?<!Reused)Exchange \\(".r.findAllIn(plan).length
     // one hash exchange on the customer key feeds BOTH the window and the
     // per-customer aggregate (same key → reused partitioning) + the final
     // presentation sort's range exchange
@@ -241,7 +241,7 @@ class PlanSpec extends AnyFunSuite {
   test("sample_weighted: map-side priority + TakeOrdered, zero shuffle") {
     val plan = formatted("sample_weighted")
     assert(plan.contains("TakeOrderedAndProject"), plan)
-    assert(!"(?<!Broadcast)Exchange \\(".r.findAllIn(plan).hasNext,
+    assert(!"(?<!Broadcast)(?<!Reused)Exchange \\(".r.findAllIn(plan).hasNext,
       s"weighted sampling must not shuffle:\n$plan")
   }
 
@@ -254,7 +254,7 @@ class PlanSpec extends AnyFunSuite {
   test("events_ab_test: one user-keyed exchange, no join") {
     val plan = formatted("events_ab_test")
     assert(!plan.contains("Join"), s"readout must not join:\n$plan")
-    val nExchange = "(?<!Broadcast)Exchange \\(".r.findAllIn(plan).length
+    val nExchange = "(?<!Broadcast)(?<!Reused)Exchange \\(".r.findAllIn(plan).length
     // user-keyed agg exchange + the single-row final agg exchange
     assert(nExchange <= 2, s"expected ≤2 shuffle exchanges, found $nExchange:\n$plan")
   }
@@ -386,7 +386,7 @@ class PlanSpec extends AnyFunSuite {
     val plan = formatted("embedding_project")
     // the k·d multiply-adds fold inside a Generate/Project pipeline; the
     // ONLY wide exchange is the final (vec_id, j) presentation sort
-    val nExchange = "(?<!Broadcast)Exchange \\(".r.findAllIn(plan).length
+    val nExchange = "(?<!Broadcast)(?<!Reused)Exchange \\(".r.findAllIn(plan).length
     assert(nExchange == 1, s"projection must not shuffle; found $nExchange exchanges:\n$plan")
     assert(plan.contains("Generate"), "posexplode of the projected dims expected")
   }

@@ -42,7 +42,9 @@ class RoundElevenSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.FormattedMode)
 
   private def nonBroadcastExchanges(plan: String): Int =
-    "(?<!Broadcast)Exchange \\(".r.findAllIn(plan).length
+    // exclude ReusedExchange too: a reuse node is not a new shuffle, and
+    // counting it would fail the exchange-count pin for the wrong reason
+    "(?<!Broadcast)(?<!Reused)Exchange \\(".r.findAllIn(plan).length
 
   // ------------------------- 1. random_walk rides the sorted-adjacency
 

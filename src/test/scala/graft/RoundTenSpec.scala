@@ -182,7 +182,7 @@ class RoundTenSpec extends AnyFunSuite {
       // alignment + each sweep's aggregate shuffle. Neither bucketed
       // adjacency scan exchanges, and sweep 2's state join consumes sweep
       // 1's aggregate output in place — the zero-exchange state join.
-      val nEx = "(?<!Broadcast)Exchange \\(".r.findAllIn(plan).length
+      val nEx = "(?<!Broadcast)(?<!Reused)Exchange \\(".r.findAllIn(plan).length
       assert(nEx == 3, s"expected 3 exchanges (pr0 align + 2 agg), found $nEx:\n$plan")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
