@@ -62,4 +62,18 @@ object Limits {
     * a sort of the fact stream. `nation`/`region` (25/5 rows at every
     * SF) stay unconditional. */
   val maxBroadcastDimRows = 16L * 1000 * 1000
+
+  /** Max vertex degree the id-sorted WHOLE-ARRAY adjacency artifact
+    * ([[graft.operators.GraphOps.sortedAdjPath]]) accepts: one row per
+    * vertex means the max row is 8 B × max-degree, and a single row must
+    * stay well under the 2 GiB array/row ceiling (Int.MaxValue bytes ⇒
+    * ~2.68×10⁸ longs). Capped at 2×10⁸ for headroom (struct + parquet page
+    * overhead). A hub past this must use the POSITIONAL-chunk spelling
+    * documented at the artifact (chunk c holds positions [c·K, (c+1)·K);
+    * walker joins on (w, idx DIV K) after a degree annotate). The artifact
+    * build `require`s this against the cheaply-computed max degree BEFORE
+    * the collect_list fold runs, so an over-ceiling graph fails at the
+    * artifact boundary with this message — not deep inside a parquet
+    * write. */
+  val maxSortedAdjDegree = 200L * 1000 * 1000
 }

@@ -790,7 +790,13 @@ object DedupOps {
   private[graft] def ngramPairsPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("ngram_pairs", d, Seq("documents"),
       Seq(DedupOps.getClass, graft.functions.WordShingles.getClass,
-        graft.functions.LongPairs.getClass, Tables.getClass)) { dir =>
+        graft.functions.LongPairs.getClass,
+        // BucketMembersAgg defines the ngram_idx stats this build reads
+        // transitively — without its stamp here, a recompile of that agg
+        // rebuilds ngram_idx but keeps serving pairs derived from the OLD
+        // stats (the staleness class the graph artifacts fixed by
+        // stamping LongPairsPacked).
+        graft.functions.BucketMembersAgg.getClass, Tables.getClass)) { dir =>
       dedupNgramJaccard(s, d).select(col("a"), col("b")).write.parquet(s"$dir/pairs")
     }
 

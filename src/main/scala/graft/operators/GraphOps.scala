@@ -1218,15 +1218,30 @@ object GraphOps {
     * (node2vec q/p walks, negative samplers) exactly like the packed
     * artifact is shared by the sweeps.
     *
-    * Row-size bound, stated honestly: one row per vertex means the max
-    * row is 8 B × max-degree — fine through ~10⁷-degree hubs, past the
-    * 2 GiB single-row ceiling at ~2.5×10⁸. Past that a sampler needs the
-    * POSITIONAL-chunk spelling (chunk c holds positions [c·K, (c+1)·K);
-    * walker joins on (w, idx DIV K) after a degree annotate) — two gated
-    * joins per hop instead of one; not materialized here because no
-    * fixture (and no co-occurrence graph of bounded basket width) gets
-    * near the ceiling, and the declared [[adjChunkTarget]] artifact
-    * already demonstrates the chunking machinery. */
+    * Row-size bound, stated honestly AND enforced: one row per vertex
+    * means the max row is 8 B × max-degree — fine through ~10⁷-degree
+    * hubs, past the 2 GiB single-row ceiling at ~2.5×10⁸
+    * ([[Limits.maxSortedAdjDegree]], capped at 2×10⁸ for struct/page
+    * headroom). The build `require`s max-degree under the ceiling from a
+    * cheap count-only fold BEFORE the collect_list runs, so an
+    * over-ceiling hub fails at the artifact boundary with a message
+    * naming the fallback — not deep inside a parquet write. Past the
+    * ceiling a sampler needs the POSITIONAL-chunk spelling (chunk c holds
+    * positions [c·K, (c+1)·K); walker joins on (w, idx DIV K) after a
+    * degree annotate) — two gated joins per hop instead of one; not
+    * materialized here because no fixture (and no co-occurrence graph of
+    * bounded basket width) gets near the ceiling, and the declared
+    * [[adjChunkTarget]] artifact already demonstrates the chunking
+    * machinery. */
+  /** The [[sortedAdjPath]] row-size gate, extracted so the spec can drive
+    * both sides of the ceiling without a 2×10⁸-degree fixture. */
+  private[graft] def requireSortedAdjDegree(maxDeg: Long): Unit =
+    require(maxDeg <= Limits.maxSortedAdjDegree,
+      s"graph_adj_sorted: max degree $maxDeg exceeds the whole-array " +
+        s"row ceiling ${Limits.maxSortedAdjDegree} (8 B x degree per " +
+        "row vs the 2 GiB single-row limit); this graph needs the " +
+        "positional-chunk adjacency spelling (see sortedAdjPath scaladoc)")
+
   private[graft] def sortedAdjPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("graph_adj_sorted", d, Seq("lineitem"),
       // LongPairsPacked stamps for the same reason as graph_adj_packed:
@@ -1235,9 +1250,14 @@ object GraphOps {
         graft.functions.LongPairsPacked.getClass,
         Tables.getClass)) { dir =>
       val e = edges(s, d)
-      e.select(col("a").as("w"), col("b").as("n"))
+      val sym = e.select(col("a").as("w"), col("b").as("n"))
         .unionAll(e.select(col("b").as("w"), col("a").as("n")))
-        .groupBy(col("w"))
+      // row-size fail-fast: a count-only max-degree fold (map-side
+      // combinable, a sliver of the collect_list below) gates the build
+      val maxDeg = sym.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+        .agg(max(col("deg"))).head().getLong(0)
+      requireSortedAdjDegree(maxDeg)
+      sym.groupBy(col("w"))
         .agg(sort_array(collect_list(col("n"))).as("ns"),
           count(lit(1)).as("deg"))
         .write.parquet(s"$dir/adj")
@@ -1504,6 +1524,22 @@ object GraphOps {
       .agg(min_by(col("lbl"), struct((-col("cnt")).as("nc"), col("lbl")))
         .as("lbl"))
 
+  /** Round 1 of identity-seeded LPA, algebraically collapsed: with every
+    * vertex carrying its own id, a vertex's neighbour labels are exactly
+    * its neighbour ids — all distinct, so every vote ties at count 1 and
+    * the (−cnt, lbl) argmin degenerates to "adopt the smallest neighbour
+    * id". On the SYMMETRIC packed adjacency that is `min(array_min(dsts))`
+    * per src — one map-side-combinable aggregate over the ~nv chunk rows,
+    * no state join, no explode, no two-phase vote. Bit-identical to
+    * `labelPropRound(adj, identitySeed)` (spec-pinned,
+    * RoundTwelveSpec) and measured 2× cheaper than it at sf0.1
+    * (0.32 vs 0.66 s — ProfileLp); at 10⁹ vertices the saving is a full
+    * 2m-row explode+vote exchange per run. Rounds ≥ 2 carry genuine
+    * majority votes and cannot collapse this way. */
+  private[graft] def labelPropFirstRound(adj: DataFrame): DataFrame =
+    adj.groupBy(col("src").as("v"))
+      .agg(min(array_min(col("dsts"))).as("lbl"))
+
   /** Community detection by [[labelPropRounds]] synchronous LPA rounds
     * over the co-occurrence graph, each vertex seeded with its own id.
     * Output: (v, lbl, community_size) per vertex. Round 1 degenerates to
@@ -1526,11 +1562,12 @@ object GraphOps {
     val adjBase = packedAdjPath(s, d)
     val adj = s.read.parquet(s"$adjBase/adj")
     val small = vertexBound(s, d) <= maxBcVerts
-    // the artifact's degree table is the vertex universe; every vertex
-    // seeds with its own id (a stable parquet projection — no pin needed)
-    var labels = s.read.parquet(s"$adjBase/deg")
-      .select(col("v"), col("v").as("lbl"))
-    for (_ <- 1 to labelPropRounds)
+    // round 1 collapses to the neighbour-min aggregate (identity seed ⇒
+    // all votes tie — [[labelPropFirstRound]]); the degree table's vertex
+    // universe is exactly adj's src set (symmetric adjacency, no isolated
+    // vertices), so no seed frame is needed
+    var labels = labelPropFirstRound(adj).localCheckpoint()
+    for (_ <- 2 to labelPropRounds)
       labels = labelPropRound(adj, labels, small).localCheckpoint()
     labels
       .withColumn("community_size",
