@@ -195,6 +195,26 @@ object Bench {
     val totalFirst = results.map(_._3).filter(_ >= 0).sum
     val totalMedian = results.map(_._4).filter(_ >= 0).sum
 
+    // Fixture-generation stamp (round-11 verdict #2): the driver silently
+    // regenerates /root/testdata between sessions, and a rung measured on
+    // generation A diffed against a run on generation B reads as a phantom
+    // regression (r11 burned a half-session bisecting one). Every bench
+    // JSON records the content-only fingerprint of the fixture it ran on;
+    // the drift and ladder gates REFUSE to compare across fingerprints.
+    // Derived ladder fixtures carry their source generation via the
+    // PROVENANCE.json ScaleFixture writes, so sf0.1-vs-/tmp/sfK rungs can
+    // be checked against the same generation.
+    val fixtureFp = graft.plans.ArtifactCache.dataFingerprint(sfDir)
+    val fixtureSrcFp = {
+      val prov = new java.io.File(sfDir, "PROVENANCE.json")
+      if (prov.isFile) {
+        val txt = new String(java.nio.file.Files.readAllBytes(prov.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"source_fp"\s*:\s*"([0-9a-f]+)"""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse(fixtureFp)
+      } else fixtureFp
+    }
+
     // ---- line 1: full detail (also persisted for repo bench/ artifacts) --
     def qmap(f: ((String, Double, Double, Double, Double)) => Double): String =
       results.map { r => s""""${r._1}":${fmt(f(r))}""" }.mkString("{", ",", "}")
@@ -217,7 +237,8 @@ object Bench {
         .mkString("{", ",", "}")},""" +
       s""""queries_pre_shm_mb":${preShmMb.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")},""" +
-      s""""n_queries":${results.size},"sf":"$sfDir"}"""
+      s""""n_queries":${results.size},"sf":"$sfDir",""" +
+      s""""fixture_fp":"$fixtureFp","fixture_src_fp":"$fixtureSrcFp"}"""
     println(detail)
     // bench/BENCH_last.json is the COMMITTED sf0.1 full-suite rung the
     // drift gate reads — only a run of that exact shape may write it.
@@ -254,7 +275,8 @@ object Bench {
       s""""n_queries":${results.size},"first_total_s":${fmt(totalFirst)},""" +
       s""""median_total_s":${fmt(totalMedian)},""" +
       s""""artifact_build_s":${fmt(artifactTotal)},"artifact_builds":$artifactBuilds,""" +
-      s""""runs":$runs,"agg":"min","queries_full":"$outName","sf":"$sfDir"}""")
+      s""""runs":$runs,"agg":"min","queries_full":"$outName","sf":"$sfDir",""" +
+      s""""fixture_fp":"$fixtureFp"}""")
     spark.stop()
   }
 }

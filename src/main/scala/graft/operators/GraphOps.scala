@@ -341,8 +341,10 @@ object GraphOps {
     * count) for every unordered part pair with ≥1 common neighbor of
     * degree ≤ [[wedgeDegreeCap]] — is itself a pay-once
     * [[graft.plans.ArtifactCache]] artifact: it is the irreducible cost of
-    * the whole link-analysis family (Σ C(min(deg,cap), 2) wedge instances,
-    * 74 M at sf0.1), and three queries consume it through opposite edge
+    * the whole link-analysis family (Σ C(min(deg,cap), 2) wedge instances —
+    * 130 M at sf0.1 on the current dense fixture generation, 74 M on the
+    * sparser pre-r11 one; generation-dependent by construction), and three
+    * queries consume it through opposite edge
     * filters — link prediction wants the counts for NON-edges, tie
     * strength ([[graphJaccard]]) and weak ties want them for edges. The
     * build therefore writes the stream PRE-CLASSIFIED (`pairs_edge` /

@@ -105,6 +105,53 @@ object ArtifactCache {
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
+  /** CONTENT-ONLY fingerprint of a fixture generation: every `*.parquet`
+    * entry directly under `sfDir` (file or directory — the driver writes
+    * single files, [[graft.tools.ScaleFixture]] writes Spark part-file
+    * directories), hashed by basename + length + head/tail 4 KiB sample.
+    * Deliberately excludes mtime and absolute path — unlike
+    * [[fingerprint]] (a cache key, where a touch-only change erring
+    * toward rebuild is cheap), this stamps bench rungs, where a
+    * mtime-only change erring toward "generation changed" would
+    * invalidate comparable rungs. The parquet footer lives in the tail
+    * sample, so any real rewrite changes the stamp. Mirrored EXACTLY by
+    * `tools/fixture_fp.py` — the drift/ladder gates compare this value
+    * across rungs and refuse cross-generation diffs; change both together
+    * or the gate fails closed on every rung. */
+  def dataFingerprint(sfDir: String): String = {
+    val md = MessageDigest.getInstance("MD5")
+    def feedEntry(f: File): Unit = {
+      md.update(f.getName.getBytes("UTF-8"))
+      if (f.isFile) {
+        md.update(java.nio.ByteBuffer.allocate(8).putLong(f.length).array())
+        feedSampleOf(md, f)
+      } else if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[File])
+          // skip Spark metadata (_SUCCESS, .crc) — presence varies by writer
+          .filterNot(c => c.getName.startsWith(".") || c.getName.startsWith("_"))
+          .sortBy(_.getName).foreach(feedEntry)
+    }
+    Option(new File(sfDir).listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName).foreach(feedEntry)
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def feedSampleOf(md: MessageDigest, f: File): Unit = {
+    val n = f.length
+    if (n > 0) {
+      val in = new java.io.RandomAccessFile(f, "r")
+      try {
+        val head = new Array[Byte](math.min(4096L, n).toInt)
+        in.readFully(head); md.update(head)
+        if (n > 4096) {
+          val tail = new Array[Byte](math.min(4096L, n - 4096).toInt)
+          in.seek(n - tail.length); in.readFully(tail); md.update(tail)
+        }
+      } finally in.close()
+    }
+  }
+
   /** Eviction horizon: a sibling artifact (same kind, different
     * fingerprint — an old fixture generation or superseded build logic)
     * is deleted once its last USE is older than this. Mtime is refreshed

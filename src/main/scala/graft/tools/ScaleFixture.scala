@@ -83,6 +83,16 @@ object ScaleFixture {
     scaled("documents", raw("documents"), Map("doc_id" -> off(raw("documents"), "doc_id")))
     scaled("embeddings", raw("embeddings"), Map("vec_id" -> off(raw("embeddings"), "vec_id")))
 
+    // provenance stamp: which SOURCE generation this derived fixture came
+    // from — Bench copies it into the rung JSON as fixture_src_fp, and the
+    // ladder gate refuses to mix rungs derived from different generations
+    val srcFp = graft.plans.ArtifactCache.dataFingerprint(src)
+    java.nio.file.Files.write(
+      new java.io.File(dest, "PROVENANCE.json").toPath,
+      (s"""{"source":"$src","source_fp":"$srcFp","k":$k}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[scale] provenance: source_fp=$srcFp")
+
     spark.stop()
   }
 }

@@ -75,7 +75,44 @@ class RoundTwelveSpec extends AnyFunSuite {
     assert(sizes.size < got.length, "round 2 must merge somebody")
   }
 
-  // --------------- 2. walk-adjacency row-size fail-fast
+  // --------------- 2. fixture-generation fingerprint (bench rung stamp)
+
+  test("dataFingerprint: Scala and tools/fixture_fp.py agree (lockstep " +
+      "pin for the drift/ladder gates)") {
+    val scalaFp = graft.plans.ArtifactCache.dataFingerprint(dir)
+    val pyFp = scala.sys.process.Process(
+      Seq("python3", "tools/fixture_fp.py", dir)).!!.trim
+    assert(scalaFp == pyFp,
+      s"fingerprint mirrors diverged: scala=$scalaFp python=$pyFp — " +
+        "ArtifactCache.dataFingerprint and tools/fixture_fp.py must " +
+        "implement the identical hash")
+  }
+
+  test("dataFingerprint: invariant under copy/touch, changes on content " +
+      "rewrite") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(dir)
+    val tmp = Files.createTempDirectory("fpspec")
+    Files.list(src).forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        Files.copy(p, tmp.resolve(p.getFileName),
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+    // copied files have fresh mtimes and a different absolute path — the
+    // GENERATION stamp must not care
+    val orig = graft.plans.ArtifactCache.dataFingerprint(dir)
+    assert(graft.plans.ArtifactCache.dataFingerprint(tmp.toString) == orig)
+    // flip one byte in a parquet footer → different generation
+    val victim = tmp.resolve("region.parquet")
+    val bytes = Files.readAllBytes(victim)
+    bytes(bytes.length - 10) = (bytes(bytes.length - 10) ^ 0x01).toByte
+    Files.write(victim, bytes)
+    assert(graft.plans.ArtifactCache.dataFingerprint(tmp.toString) != orig,
+      "a content rewrite must change the generation fingerprint")
+    graft.FsUtil.deleteRecursive(tmp.toFile)
+  }
+
+  // --------------- 3. walk-adjacency row-size fail-fast
 
   test("requireSortedAdjDegree: passes at the ceiling, fails past it " +
       "with the fallback named") {

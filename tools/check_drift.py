@@ -65,14 +65,39 @@ if verify_out:
 # rounds a graph number in the narrative drifted from the driver's). Any
 # CURRENT per-query time must be written "driver-median N s at sf0.1" with
 # the query's backticked name earlier in the same passage — that exact
-# phrase is diffed against bench/BENCH_last.json medians (25% tolerance,
+# phrase is diffed against the COMMITTED rung's medians (25% tolerance,
 # 0.2 s floor). Any other "N s at sf0.1" is an unchecked claim and fails:
 # historical numbers drop the "at sf0.1" suffix (e.g. "11.7 s in the r6
 # driver run").
+#
+# Round-12 hardening (r11 verdict #2/#3):
+#  - the gate reads bench/BENCH_committed.json (builder-written rung) when
+#    present, so the driver's canonical run overwriting BENCH_last.json no
+#    longer makes the committed claims read as drift;
+#  - the rung records the fixture-generation fingerprint it was measured
+#    on; if the live fixture has since been regenerated, the gate FAILS
+#    with "re-measure" instead of reporting phantom per-query drift
+#    (cross-generation timing diffs are invalid by construction).
 import os
-bench_path = "bench/BENCH_last.json"
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from fixture_fp import data_fingerprint
+bench_path = "bench/BENCH_committed.json"
+if not os.path.exists(bench_path):
+    bench_path = "bench/BENCH_last.json"
 if os.path.exists(bench_path):
-    qm = json.load(open(bench_path)).get("queries_median", {})
+    bench = json.load(open(bench_path))
+    qm = bench.get("queries_median", {})
+    rung_fp = bench.get("fixture_fp")
+    sf_dir = bench.get("sf", "/root/testdata/sf0.1")
+    if rung_fp:
+        cur_fp = data_fingerprint(sf_dir)
+        if cur_fp and cur_fp != rung_fp:
+            bad.append(
+                f"{bench_path} was measured on fixture generation {rung_fp} "
+                f"but {sf_dir} now fingerprints {cur_fp} — the driver "
+                f"regenerated the fixture; cross-generation timing diffs are "
+                f"invalid. Re-measure the committed rung on the new "
+                f"generation before trusting any per-query delta.")
     flat = re.sub(r"\s+", " ", survey)
     for m in re.finditer(r"[Dd]river-median ([\d.]+) s at sf0\.1", flat):
         claimed = float(m.group(1))
@@ -96,14 +121,14 @@ if os.path.exists(bench_path):
                        f"bench-known name per timed sentence")
         elif abs(claimed - qm[(name := distinct[0])]) > 0.25 * max(qm[name], 0.2):
             bad.append(f"SURVEY.md claims {name} driver-median {claimed} s "
-                       f"at sf0.1; bench/BENCH_last.json median is "
+                       f"at sf0.1; {bench_path} median is "
                        f"{qm[name]:.2f} s")
     for m in re.finditer(r"([\d.]+) s at sf0\.1", flat):
         prefix = flat[max(0, m.start() - 14):m.start()].lower()
         if "driver-median" not in prefix:
             bad.append(f"unchecked timing claim '{m.group(0)}' — write it as "
-                       f"'driver-median N s at sf0.1' (gated against "
-                       f"bench/BENCH_last.json) or drop the 'at sf0.1' "
+                       f"'driver-median N s at sf0.1' (gated against the "
+                       f"committed rung) or drop the 'at sf0.1' "
                        f"suffix for historical numbers")
 
 if bad:

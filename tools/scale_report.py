@@ -37,11 +37,35 @@ FAMS = [
 
 args = sys.argv[1:]
 inject = "--inject" in args
-paths = [a for a in args if a != "--inject"]
+force = "--force-cross-generation" in args
+paths = [a for a in args if not a.startswith("--")]
+runs = [json.load(open(p)) for p in paths]
+
+# Generation gate (round-11 verdict #2): every rung records the fixture
+# generation it was measured on — fixture_src_fp for ScaleFixture-derived
+# ladder fixtures (the SOURCE generation), fixture_fp for the sf0.1 rung
+# itself. Rungs from different generations are not comparable (the r11
+# regeneration made the graph ~2x denser and read as a phantom 2-5x
+# regression); refuse to fit exponents across them.
+gens = [r.get("fixture_src_fp") or r.get("fixture_fp") for r in runs]
+unstamped = [p for p, g in zip(paths, gens) if g is None]
+if unstamped:
+    print(f"WARNING: unstamped rung(s) (pre-fingerprint bench files) — "
+          f"generation cannot be verified: {unstamped}", file=sys.stderr)
+stamped = sorted(set(g for g in gens if g))
+if len(stamped) > 1 and not force:
+    print("GENERATION MISMATCH — refusing to fit a ladder across fixture "
+          "generations:", file=sys.stderr)
+    for p, g in zip(paths, gens):
+        print(f"  {p}: {g or 'unstamped'}", file=sys.stderr)
+    print("Re-measure every rung on the current generation (ScaleFixture + "
+          "Bench), or pass --force-cross-generation to override.",
+          file=sys.stderr)
+    sys.exit(2)
+
 if inject:
     _buf = io.StringIO()
     _stdout, sys.stdout = sys.stdout, _buf
-runs = [json.load(open(p)) for p in paths]
 qs = [r.get("queries_median", r["queries"]) for r in runs]
 has20 = len(qs) >= 4
 names = [n for n in qs[0] if all(n in q and q[n] >= 0 for q in qs)]
@@ -90,6 +114,9 @@ if has20 and above:
           ", ".join(f"{n} {qs[3][n]/qs[2][n]:.2f}x" for n in above))
 if errored:
     print(f"ERRORED somewhere in the ladder: {errored}")
+if stamped:
+    print(f"\nFixture generation: {stamped[0]}"
+          + (" (some rungs unstamped)" if unstamped else ""))
 
 if inject:
     sys.stdout = _stdout
