@@ -652,11 +652,18 @@ object DedupOps {
     * artifact — read these two parquet tables instead of re-folding the
     * corpus per query. Keyed on the corpus fingerprint plus the code
     * stamps of every class that defines the fold. */
+  /** The ngram_idx artifact's logic stamp list — and, by the
+    * transitive-staleness rule, the MINIMUM list of anything derived from
+    * it ([[ngramPairsPath]] reads these stats): shared as one constant so
+    * no consumer can hand-copy a subset (the r11 ADVICE hole). */
+  private[graft] val ngramIdxLogic: Seq[Class[_]] =
+    Seq(DedupOps.getClass, graft.functions.WordShingles.getClass,
+      graft.functions.LongPairs.getClass,
+      graft.functions.BucketMembersAgg.getClass, Tables.getClass)
+
   private[graft] def ngramIndexStatsPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("ngram_idx", d, Seq("documents"),
-      Seq(DedupOps.getClass, graft.functions.WordShingles.getClass,
-        graft.functions.LongPairs.getClass,
-        graft.functions.BucketMembersAgg.getClass, Tables.getClass)) { dir =>
+      ngramIdxLogic) { dir =>
       val (cross, groups) = ngramIndexStats(s, d)
       cross.write.parquet(s"$dir/cross")
       groups.write.parquet(s"$dir/groups")
@@ -789,14 +796,9 @@ object DedupOps {
     * the pair logic invalidates cached pairs). */
   private[graft] def ngramPairsPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("ngram_pairs", d, Seq("documents"),
-      Seq(DedupOps.getClass, graft.functions.WordShingles.getClass,
-        graft.functions.LongPairs.getClass,
-        // BucketMembersAgg defines the ngram_idx stats this build reads
-        // transitively — without its stamp here, a recompile of that agg
-        // rebuilds ngram_idx but keeps serving pairs derived from the OLD
-        // stats (the staleness class the graph artifacts fixed by
-        // stamping LongPairsPacked).
-        graft.functions.BucketMembersAgg.getClass, Tables.getClass)) { dir =>
+      // derived from the ngram_idx stats ⇒ stamps [[ngramIdxLogic]]
+      // (transitive-staleness rule)
+      ngramIdxLogic) { dir =>
       dedupNgramJaccard(s, d).select(col("a"), col("b")).write.parquet(s"$dir/pairs")
     }
 

@@ -57,10 +57,29 @@ object GraphOps {
   private def edges(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${edgesPath(s, d)}/edges")
 
+  /** The graph_edges artifact's logic stamp list — and, by the
+    * transitive-staleness rule, the MINIMUM stamp list of every artifact
+    * that consumes `edges()` (pair counts, closed wedges, both packed
+    * adjacencies): a recompile of anything that can change the edge set's
+    * content must invalidate every artifact derived from it, so consumers
+    * reference THIS list instead of hand-copying it (three rounds in a
+    * row shipped a hand-copied list missing one class — LongPairsPacked
+    * r10, BucketMembersAgg r11 ADVICE, LongPairs on the wedge artifacts
+    * r12). */
+  /** graph_basket_pairs' stamp list — the root of the graph artifact
+    * chain (basket pairs → edges → pair counts / wedges / adjacencies).
+    * Declared before [[edgesLogic]] so the derived list initializes after
+    * its input (object vals initialize in declaration order). */
+  private[graft] val basketPairsLogic: Seq[Class[_]] =
+    Seq(GraphOps.getClass, graft.functions.LongPairsPacked.getClass,
+      Tables.getClass)
+
+  private[graft] val edgesLogic: Seq[Class[_]] =
+    (basketPairsLogic :+ graft.functions.LongPairs.getClass).distinct
+
   private[graft] def edgesPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("graph_edges", d, Seq("lineitem"),
-      Seq(GraphOps.getClass, graft.functions.LongPairs.getClass,
-        graft.functions.LongPairsPacked.getClass, Tables.getClass)) { dir =>
+      edgesLogic) { dir =>
       // The distinct co-occurrence pair set IS the key set of the basket
       // pair-count artifact ([[basketPairsPath]]): ride it instead of
       // re-running the basket groupBy + pair explode + distinct shuffle —
@@ -87,8 +106,7 @@ object GraphOps {
     * UNFILTERED so [[minRuleSupport]] stays a query-time knob. */
   private[graft] def basketPairsPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("graph_basket_pairs", d, Seq("lineitem"),
-      Seq(GraphOps.getClass, graft.functions.LongPairsPacked.getClass,
-        Tables.getClass)) { dir =>
+      basketPairsLogic) { dir =>
       import s.implicits._
       val op = Tables.load(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -221,8 +239,8 @@ object GraphOps {
 
   private[graft] def closedWedgesPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("graph_closed_wedges", d, Seq("lineitem"),
-      Seq(GraphOps.getClass, graft.functions.LongPairsPacked.getClass,
-        Tables.getClass)) { dir =>
+      // consumes edges() ⇒ stamps [[edgesLogic]] (transitive-staleness rule)
+      edgesLogic) { dir =>
       closedWedgesPre(s, d).select(col("u"), col("p"))
         .write.parquet(s"$dir/wedges")
     }
@@ -365,8 +383,8 @@ object GraphOps {
     * with the cluster. */
   private[graft] def pairCountsPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("graph_pair_counts", d, Seq("lineitem"),
-      Seq(GraphOps.getClass, graft.functions.LongPairsPacked.getClass,
-        Tables.getClass)) { dir =>
+      // consumes edges() ⇒ stamps [[edgesLogic]] (transitive-staleness rule)
+      edgesLogic) { dir =>
       import s.implicits._
       s.createDataset(
           pairCountsPre(s, d).queryExecution.toRdd.mapPartitions(hashCountAll))
@@ -800,13 +818,8 @@ object GraphOps {
     * lineitem changes; bench-attributed separately. */
   private[graft] def packedAdjPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("graph_adj_packed", d, Seq("lineitem"),
-      // LongPairsPacked defines the EDGE artifact's content (edges() is
-      // derived from its packed keys), so it is part of this artifact's
-      // logic too — omitting it would serve a stale adjacency after a
-      // repack recompile
-      Seq(GraphOps.getClass, graft.functions.LongPairs.getClass,
-        graft.functions.LongPairsPacked.getClass,
-        Tables.getClass)) { dir =>
+      // consumes edges() ⇒ stamps [[edgesLogic]] (transitive-staleness rule)
+      edgesLogic) { dir =>
       val e = edges(s, d)
       degrees(e).write.parquet(s"$dir/deg")
       val deg = s.read.parquet(s"$dir/deg")
@@ -1246,11 +1259,8 @@ object GraphOps {
 
   private[graft] def sortedAdjPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("graph_adj_sorted", d, Seq("lineitem"),
-      // LongPairsPacked stamps for the same reason as graph_adj_packed:
-      // the edge set this sorts is derived from its packed keys
-      Seq(GraphOps.getClass, graft.functions.LongPairs.getClass,
-        graft.functions.LongPairsPacked.getClass,
-        Tables.getClass)) { dir =>
+      // consumes edges() ⇒ stamps [[edgesLogic]] (transitive-staleness rule)
+      edgesLogic) { dir =>
       val e = edges(s, d)
       val sym = e.select(col("a").as("w"), col("b").as("n"))
         .unionAll(e.select(col("b").as("w"), col("a").as("n")))

@@ -112,7 +112,23 @@ class RoundTwelveSpec extends AnyFunSuite {
     graft.FsUtil.deleteRecursive(tmp.toFile)
   }
 
-  // --------------- 3. walk-adjacency row-size fail-fast
+  // --------------- 3. artifact stamp transitivity
+
+  test("artifact stamp lists: consumers carry a superset of their input " +
+      "artifact's logic (transitive-staleness rule)") {
+    // basket pairs → edges → {pair counts, wedges, adjacencies} all share
+    // edgesLogic BY REFERENCE; this pins the derivation so a future edit
+    // can't silently hand-copy a subset again (LongPairsPacked r10,
+    // BucketMembersAgg r11, LongPairs-on-wedges r12 were all this hole)
+    assert(GraphOps.basketPairsLogic.toSet.subsetOf(GraphOps.edgesLogic.toSet))
+    assert(GraphOps.edgesLogic.contains(graft.functions.LongPairs.getClass))
+    assert(GraphOps.edgesLogic.contains(
+      graft.functions.LongPairsPacked.getClass))
+    assert(graft.operators.DedupOps.ngramIdxLogic.contains(
+      graft.functions.BucketMembersAgg.getClass))
+  }
+
+  // --------------- 4. walk-adjacency row-size fail-fast
 
   test("requireSortedAdjDegree: passes at the ceiling, fails past it " +
       "with the fallback named") {
