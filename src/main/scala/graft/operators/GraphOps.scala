@@ -181,15 +181,26 @@ object GraphOps {
 
   /** Per-vertex degree of the undirected edge set: explode both endpoints,
     * one count aggregate. Output is vertex-table-sized (the parts dim), not
-    * edge-sized. */
+    * edge-sized. Used at ARTIFACT BUILDS (pay-once) and on shrinking edge
+    * subsets (kcore peeling); whole-graph QUERY paths read the
+    * materialized [[degTable]] instead of re-folding the 2m-row stream. */
   private def degrees(e: DataFrame): DataFrame =
     e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("degree"))
 
+  /** The whole-graph degree table from the pay-once packed-adjacency
+    * artifact — (v, degree), exactly `degrees(edges)` parquet-round-tripped
+    * (the artifact build writes that very frame), so swapping a query from
+    * the fold to this scan is bit-identical by construction. The fold costs
+    * a 2m-row explode + exchange per query; the scan is ~nv rows with
+    * column stats. */
+  private[graft] def degTable(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${packedAdjPath(s, d)}/deg")
+
   /** Co-occurrence degree per part: how many distinct parts each part was
     * ever ordered together with. */
   val graphDegree: Q = (s, d) =>
-    degrees(edges(s, d)).orderBy(col("v"))
+    degTable(s, d).orderBy(col("v"))
 
   /** Degree distribution: the counts-of-counts histogram over
     * [[degrees]] — the first thing read off any graph before trusting a
@@ -198,7 +209,7 @@ object GraphOps {
     * the graph is near-regular and simpler plans suffice). Output is
     * |distinct degrees| rows; two aggregates, both map-side combined. */
   val graphDegreeDist: Q = (s, d) =>
-    degrees(edges(s, d))
+    degTable(s, d)
       .groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
       .orderBy(col("degree"))
 
@@ -253,7 +264,7 @@ object GraphOps {
     * than an engine-dependent float. */
   val graphTriangles: Q = (s, d) => {
     val e = edges(s, d)
-    val deg = degrees(e)
+    val deg = degTable(s, d)
     val tri = s.read.parquet(s"${closedWedgesPath(s, d)}/wedges")
       .agg(count(lit(1)).as("n_triangles"))
     val nv = deg.agg(count(lit(1)).as("n_vertices"))
@@ -476,7 +487,7 @@ object GraphOps {
   private[graft] def graphJaccardImpl(s: SparkSession, d: String,
       maxBcVerts: Long): DataFrame = {
     val e = edges(s, d)
-    val deg = degrees(e)
+    val deg = degTable(s, d)
     // every small side here is vertex-sized — size-gated ([[gatedBc]])
     val small = vertexBound(s, d) <= maxBcVerts
     val adj = e.select(col("a").as("w"), col("b").as("n"))
@@ -521,7 +532,7 @@ object GraphOps {
   private[graft] def graphWeakTiesImpl(s: SparkSession, d: String,
       maxBcVerts: Long): DataFrame = {
     val e = edges(s, d)
-    val deg = degrees(e)
+    val deg = degTable(s, d)
     // degree annotations are vertex-sized — size-gated ([[gatedBc]]); the
     // census stays an unconditional broadcast (one row, never scales)
     val small = vertexBound(s, d) <= maxBcVerts
@@ -1417,7 +1428,7 @@ object GraphOps {
     val small = vertexBound(s, d) <= maxBcVerts
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-    val deg = degrees(e)
+    val deg = degTable(s, d)
     val jd = sym
       .join(gatedBc(deg.select(col("v").as("src"), col("degree").as("j")), small), "src")
       .join(gatedBc(deg.select(col("v").as("dst"), col("degree").as("k")), small), "dst")
@@ -1449,7 +1460,7 @@ object GraphOps {
     * scans only closed wedges (triangle count, far smaller), and the
     * aggregate + top-20 are vertex-sized then TakeOrdered. */
   val graphClusteringCoeff: Q = (s, d) => {
-    val deg = degrees(edges(s, d))
+    val deg = degTable(s, d)
     val closed = s.read.parquet(s"${closedWedgesPath(s, d)}/wedges")
     // explode-3 in ONE pass over the closed wedges — the union-of-three
     // spelling re-derived the whole wedge expansion + probe per branch
@@ -1488,7 +1499,7 @@ object GraphOps {
     // the brand table scales with the part DIMENSION (the vertex
     // universe's superset) — size-gated on the part count ([[gatedBc]])
     val small = partDimCount(s, d) <= maxBcVerts
-    val deg = degrees(e)
+    val deg = degTable(s, d)
     val eb = e
       .join(gatedBc(brand.select(col("v").as("a"), col("brand").as("ba")), small), "a")
       .join(gatedBc(brand.select(col("v").as("b"), col("brand").as("bb")), small), "b")
