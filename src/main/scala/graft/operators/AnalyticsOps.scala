@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.plans.Checkpoints.SweepSyntax
 
 /** Product-analytics + language-model-statistics operators: the query
   * shapes a reference user runs against an events table (funnels, cohort
@@ -909,15 +910,15 @@ object AnalyticsOps {
       // aggregate re-executes O(steps²) times (measured 2.5 s at sf0.1;
       // one aggregate + 8 one-row probes after pinning). The table is
       // distinct-bigram-bounded (vocabulary-shaped), not corpus-sized.
-      .localCheckpoint()
+      .sweepCheckpoint()
     val s0 = uni.orderBy(col("c").desc, col("word")).limit(1)
       .select(lit(0L).as("step"), col("word"))
-      .localCheckpoint()
+      .sweepCheckpoint()
     val steps = (1 to greedyDecodeSteps).scanLeft(s0) { (prev, i) =>
       bi.join(broadcast(prev.select(col("word").as("wa"))), "wa")
         .orderBy(col("c").desc, col("wb")).limit(1)
         .select(lit(i.toLong).as("step"), col("wb").as("word"))
-        .localCheckpoint() // one row; keeps step k from replaying steps 0..k-1
+        .sweepCheckpoint() // one row; keeps step k from replaying steps 0..k-1
     }
     steps.reduce(_ unionAll _).orderBy(col("step"))
   }
@@ -1061,7 +1062,7 @@ object AnalyticsOps {
     val dur = sess.select(col("n_events"),
       expr("(unix_micros(session_end) - unix_micros(session_start)) DIV 1000000")
         .as("dur_s"))
-      .localCheckpoint()
+      .sweepCheckpoint()
     val census = dur.agg(count(lit(1)).as("n_sessions"),
       sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_single"),
       sum(col("n_events")).as("tot_events"), max(col("dur_s")).as("max_duration_s"))
@@ -1170,7 +1171,7 @@ object AnalyticsOps {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"),
         countDistinct(expr("CAST(ts AS DATE)")).as("n_days"))
-      .localCheckpoint()
+      .sweepCheckpoint()
     val census = perUser.agg(count(lit(1)).as("n_users"),
       sum(col("n")).as("sn"), sum(col("n").cast(dec38) * col("n")).as("snn"))
     val z = (col("n").cast(DoubleType) -
@@ -1208,7 +1209,7 @@ object AnalyticsOps {
         (weekday(col("ts")) + lit(1)).cast(LongType).as("isodow"),
         expr("CAST(floor(value / 10.0D) AS BIGINT)").as("value_decade"))
       .agg(count(lit(1)).as("k"))
-      .localCheckpoint()
+      .sweepCheckpoint()
     val byType = Window.partitionBy(col("event_type"))
       .orderBy(col("k"), col("isodow"), col("value_decade"))
     val med = g.withColumn("rn", row_number().over(byType))
@@ -1349,7 +1350,7 @@ object AnalyticsOps {
       .filter(col("t_cnt") === 7)
       .withColumn("det7", lit(7L) * col("y") - col("t_sum"))
       .withColumn("isodow", (weekday(col("day")) + lit(1)).cast(LongType))
-      .localCheckpoint()
+      .sweepCheckpoint()
     val seas = interior.groupBy(col("event_type"), col("isodow"))
       .agg(sum(col("det7")).as("s_num"), count(lit(1)).as("n_dow"))
     interior.join(broadcast(seas), Seq("event_type", "isodow"))
@@ -1396,7 +1397,7 @@ object AnalyticsOps {
           .as("n_retained"),
         sum(when(col("state") === "resurrected", 1L).otherwise(0L))
           .as("n_resurrected"))
-      .localCheckpoint()
+      .sweepCheckpoint()
     sizes
       .join(broadcast(sizes.select(date_add(col("week"), 7).as("week"),
         col("n_active").as("prev_active"))), Seq("week"), "left")
@@ -1488,7 +1489,7 @@ object AnalyticsOps {
     val daily = events(s, d)
       .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("day"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .sweepCheckpoint()
     def lowerMedian(df: DataFrame, value: String, out: String): DataFrame = {
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col(value), col("day"))
@@ -1539,7 +1540,7 @@ object AnalyticsOps {
       .groupBy(col("lang"), col("w"))
       .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("c_tr"),
         sum(when(col("is_train"), 0L).otherwise(1L)).as("c_h"))
-      .localCheckpoint()
+      .sweepCheckpoint()
     val trainTot = wc.filter(col("c_tr") > 0L).groupBy(col("lang"))
       .agg(sum(col("c_tr")).as("n_train"), count(lit(1)).as("v_train"))
     wc.filter(col("c_h") > 0L)
@@ -1576,7 +1577,7 @@ object AnalyticsOps {
     val daily = events(s, d)
       .groupBy(expr("CAST(ts AS DATE)").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .sweepCheckpoint()
     val a = daily.select(col("day"), col("event_type").as("type_a"),
       col("n").as("x"))
     val b = daily.select(col("day"), col("event_type").as("type_b"),
@@ -1621,7 +1622,7 @@ object AnalyticsOps {
       .withColumn("rn", row_number().over(byDay))
       .filter(col("rn") <= 20)
       .select(col("day"), col("user_id"))
-      .localCheckpoint()
+      .sweepCheckpoint()
     val sizes = top.groupBy(col("day")).agg(count(lit(1)).as("k"))
     val common = top.as("t")
       .join(top.select(date_add(col("day"), 1).as("day"),
@@ -1758,7 +1759,7 @@ object AnalyticsOps {
   val profileKeySkew: Q = (s, d) => {
     val counts = Tables.load(s, d, "lineitem")
       .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .sweepCheckpoint()
     val census = counts.agg(count(lit(1)).as("n_keys"),
       sum(col("n")).as("n_rows"), max(col("n")).as("max_n"))
     counts

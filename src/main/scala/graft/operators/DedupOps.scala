@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.plans.Checkpoints.SweepSyntax
 
 /** Deduplication operators for LLM-data pipelines (SURVEY.md §2C) over the
   * `documents` / `embeddings` fixtures.
@@ -63,7 +64,7 @@ object DedupOps {
     // The bucket frame feeds two consumers (the membership aggregation and
     // the big-bucket join-back); without materializing it once, Spark
     // recomputes the whole upstream signature pipeline per consumer.
-    val buckets = buckets0.localCheckpoint()
+    val buckets = buckets0.sweepCheckpoint()
     // ONE bounded aggregation pass: per bucket, the (maxBucket+1) smallest
     // member ids — complete whenever the bucket is small enough to expand —
     // plus the exact count. O(cap) state per bucket (a mega-bucket never
@@ -74,7 +75,7 @@ object DedupOps {
       .agg(BucketMembersAgg.bucket_members(maxBucket + 1, col("doc_id")).as("m"))
       .select(col("bucket"), col("m._1").as("ids"), col("m._2").as("n"))
       .filter(col("n") >= 2)
-      .localCheckpoint() // feeds the small expansion + the big broadcast
+      .sweepCheckpoint() // feeds the small expansion + the big broadcast
     val small = grouped.filter(col("n") <= maxBucket)
       .select(explode(LongPairs.long_pairs(col("ids"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
@@ -115,18 +116,18 @@ object DedupOps {
     * short-circuit to jaccard = 1.0 with no set arithmetic at all — on the
     * corpora dedup actually runs on, MOST candidate pairs are exact copies. */
   private def verifyJaccard(s: SparkSession, d: String, pairs0: DataFrame, threshold: Double): DataFrame = {
-    val pairs = pairs0.localCheckpoint() // consumed by ids + the pair join
+    val pairs = pairs0.sweepCheckpoint() // consumed by ids + the pair join
     val ids = pairs.select(col("a").as("doc_id"))
       .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
     val sh = docs(s, d).join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), md5(col("text")).as("ch"),
-        shingles(col("text")).as("sh")).localCheckpoint()
+        shingles(col("text")).as("sh")).sweepCheckpoint()
     // id pair → (content, content) pair; the 16 B digests are the join and
     // dedup keys from here on, so every exchange sorts fixed-width keys
     val keyed = pairs
       .join(sh.select(col("doc_id").as("a"), col("ch").as("cha")), "a")
       .join(sh.select(col("doc_id").as("b"), col("ch").as("chb")), "b")
-      .localCheckpoint() // feeds the exact split + the verdict join-back
+      .sweepCheckpoint() // feeds the exact split + the verdict join-back
     // identical content ⇒ identical shingle set ⇒ jaccard exactly 1.0
     // (n/n) — the double the full expression would produce
     val exact = keyed.filter(col("cha") === col("chb"))
@@ -234,7 +235,7 @@ object DedupOps {
     * so the agreement count exchanges candidate-pair-bounded rows. */
   val dedupMinhash1bit: Q = (s, d) => {
     val pairs = s.read.parquet(s"${minhashCandPath(s, d)}/pairs")
-      .localCheckpoint()
+      .sweepCheckpoint()
     val scored = verifyJaccard(s, d, pairs, 0.0)
     val ids = pairs.select(col("a").as("doc_id"))
       .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
@@ -337,9 +338,11 @@ object DedupOps {
     * cluster count and total docs covered. Two bounded aggregates over the
     * resolved cluster labels; output is O(distinct sizes). */
   val dedupClusterStats: Q = (s, d) => {
-    val pairs = s.read.parquet(s"${ngramPairsPath(s, d)}/pairs")
+    // resolved labels are the materialized stage output (ngramClustersPath)
+    // — never re-run the CC fixpoint per reporting query
+    val clusters = s.read.parquet(s"${ngramClustersPath(s, d)}/clusters")
     docs(s, d).select(col("doc_id"))
-      .join(resolveClusters(pairs), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
       .select(coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz"))
@@ -362,7 +365,7 @@ object DedupOps {
     val ids = pairs.select(col("a").as("doc_id"))
       .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
     val txt = docs(s, d).join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("text")).localCheckpoint()
+      .select(col("doc_id"), col("text")).sweepCheckpoint()
     // banded-DP threshold: any pair can pass the filter only with
     // dist ≤ 0.3 · max_len ≤ 0.3 · corpusMaxLen, so capping the DP there
     // (Spark's thresholded levenshtein runs the O(thr·len) band and
@@ -436,7 +439,7 @@ object DedupOps {
       // two consumers (self + the bucket-count cut) — materialize the band
       // keys once instead of re-signing the corpus per consumer
       val corpusKeys = bandKeys(docs(s, d).filter(col("source") =!= "src0"))
-        .localCheckpoint()
+        .sweepCheckpoint()
       corpusKeys.join(
         corpusKeys.groupBy(col("bucket")).agg(count(lit(1)).as("cn"))
           .filter(col("cn") <= maxBucket).select(col("bucket")), "bucket")
@@ -493,7 +496,7 @@ object DedupOps {
     val sigs = docs(s, d)
       .select(col("doc_id"),
         graft.functions.SimHash64.simhash64(split(col("text"), " "), SimhashRehash).as("sim"))
-      .localCheckpoint()
+      .sweepCheckpoint()
     // 4 16-bit chunk keys as a plain (codegen'd) array of shift/mask
     // expressions — no lambda, no interpreted HOF
     val chunked = sigs.select(col("doc_id"),
@@ -598,7 +601,7 @@ object DedupOps {
         min_by(col("text"), col("doc_id")).as("text"))
       .select(element_at(col("g._1"), 1).as("rid"), col("g._1").as("ids"),
         col("g._2").as("m"), shingles(col("text")).as("sh"))
-      .localCheckpoint() // feeds postings, sizes, and both pair expansions
+      .sweepCheckpoint() // feeds postings, sizes, and both pair expansions
     val sizes = grp.select(col("rid"), size(col("sh")).as("n"))
     // posting lists over DISTINCT contents; df carries copy multiplicity.
     // df-cut: a shingle in M docs emits M²/2 pairs in ONE task, so a single
@@ -620,7 +623,7 @@ object DedupOps {
       .agg(sort_array(collect_list(struct(col("rid"), col("m")))).as("reps"),
         sum(col("m")).as("df"))
       .filter(col("df").between(2, dfCut))
-      .localCheckpoint() // feeds cross-content pairs + same-content counts
+      .sweepCheckpoint() // feeds cross-content pairs + same-content counts
     // cross-content pairs: native pair expansion (codegen'd, one tight
     // loop) over the ≤ dfCut reps per kept shingle
     val cross = posting
@@ -802,26 +805,48 @@ object DedupOps {
       dedupNgramJaccard(s, d).select(col("a"), col("b")).write.parquet(s"$dir/pairs")
     }
 
-  /** Session conf switch for the CC loop's lineage truncation:
-    * `localCheckpoint` (default — executor-local blocks, right for
-    * `local[N]`) vs reliable `checkpoint()` (HDFS/object storage via
-    * `sc.setCheckpointDir`; survives executor loss on a real cluster, the
-    * mode docs/SCALE.md prescribes for 100×). */
-  val ReliableCheckpointKey = "graft.cc.reliableCheckpoint"
+  /** RESOLVED cluster labels as a pay-once artifact: the min-label CC
+    * fixpoint ([[resolveClusters]]) over the materialized near-dup pair
+    * set, (doc_id, lbl) for every doc appearing in a pair. The round-13
+    * re-derivation audit found three queries (`dedup_clusters`,
+    * `dedup_cluster_stats`, `dedup_keep_best`) each re-running the whole
+    * O(log n) iterative loop — per-round joins, convergence counts,
+    * driver round-trips — over the SAME pair artifact per query (the
+    * r12 `graph_degree` class: re-folding a frame a pipeline stage
+    * already owns). In production the keep-list IS a standing stage
+    * output (written once per dedup epoch, consumed by reporting,
+    * keep-rules, and the join-back); here it rides the same
+    * corpus-fingerprint cache as its input. Stamps [[ngramIdxLogic]]
+    * transitively ([[resolveClusters]] lives in this class, whose code
+    * stamp is in the list). */
+  private[graft] def ngramClustersPath(s: SparkSession, d: String): String =
+    graft.plans.ArtifactCache.getOrBuild("ngram_clusters", d, Seq("documents"),
+      ngramIdxLogic) { dir =>
+      resolveClusters(s.read.parquet(s"${ngramPairsPath(s, d)}/pairs"))
+        .write.parquet(s"$dir/clusters")
+    }
+
+  /** Session conf switch for the CC loop's lineage truncation — since
+    * round 13 an alias for the ENGINE-WIDE switch
+    * ([[graft.plans.Checkpoints.ReliableKey]]): `localCheckpoint`
+    * (default — executor-local blocks, right for `local[N]`) vs reliable
+    * `checkpoint()` (HDFS/object storage via `sc.setCheckpointDir`;
+    * survives executor loss on a real cluster, the mode docs/SCALE.md
+    * prescribes for 100×). Kept so round-12 deployments that set the
+    * dedup-scoped key keep their durability. */
+  val ReliableCheckpointKey: String = graft.plans.Checkpoints.LegacyReliableKey
 
   private def ccCheckpoint(df: DataFrame, eager: Boolean = true): DataFrame =
-    if (df.sparkSession.conf.getOption(ReliableCheckpointKey).contains("true"))
-      df.checkpoint(eager)
-    else df.localCheckpoint(eager)
+    graft.plans.Checkpoints.sweep(df, eager)
 
   val dedupClusters: Q = (s, d) => {
-    // the near-dup pair set is the previous pipeline stage's output;
-    // production materializes it between the dedup pass and cluster
-    // resolution, so it lives in the artifact cache keyed on the corpus
+    // the RESOLVED cluster labels are the previous pipeline stage's output
+    // ([[ngramClustersPath]]); production materializes them once per dedup
+    // epoch, so they live in the artifact cache keyed on the corpus
     // fingerprint (first call builds, later calls — any JVM — reuse)
-    val pairs = s.read.parquet(s"${ngramPairsPath(s, d)}/pairs")
+    val clusters = s.read.parquet(s"${ngramClustersPath(s, d)}/clusters")
     docs(s, d).select(col("doc_id"))
-      .join(resolveClusters(pairs), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("is_kept"))
@@ -838,9 +863,9 @@ object DedupOps {
     * corpus, so the rank's per-key sort is O(cluster size) — one shuffle
     * on cluster_id. */
   val dedupKeepBest: Q = (s, d) => {
-    val pairs = s.read.parquet(s"${ngramPairsPath(s, d)}/pairs")
+    val clusters = s.read.parquet(s"${ngramClustersPath(s, d)}/clusters")
     val clustered = docs(s, d).select(col("doc_id"), col("n_chars"))
-      .join(resolveClusters(pairs), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"),
         coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
     val best = Window.partitionBy(col("cluster_id"))
@@ -984,7 +1009,7 @@ object DedupOps {
       .groupBy(md5(col("text")).as("ch"))
       .agg(min(col("doc_id")).as("rid"), count(lit(1)).as("m"),
         min_by(col("text"), col("doc_id")).as("text"))
-      .localCheckpoint() // feeds the rep pipeline + the membership join
+      .sweepCheckpoint() // feeds the rep pipeline + the membership join
     val membership = docs(s, d)
       .select(col("doc_id"), md5(col("text")).as("ch"))
       .join(grp.select(col("ch"), col("rid")), "ch")
@@ -1012,7 +1037,7 @@ object DedupOps {
       .select(col("rid"), col("m"), col("sp.pos").as("pos"), col("sp.h").as("h"))
       // two consumers (df aggregate + match join) — materialize the
       // fixed-width position frame once instead of re-exploding per consumer
-      .localCheckpoint()
+      .sweepCheckpoint()
     // window-hash document frequency (copies included via m), kept only for
     // cross-doc repeats
     val dfq = sh.select(col("rid"), col("m"), col("h")).distinct()

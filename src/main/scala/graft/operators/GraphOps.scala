@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{Limits, Tables}
+import graft.plans.Checkpoints.SweepSyntax
 
 /** Graph analytics over a co-occurrence graph derived from the fixtures:
   * two parts are connected when some order contains both (the market-basket
@@ -110,7 +111,7 @@ object GraphOps {
       import s.implicits._
       val op = Tables.load(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .localCheckpoint() // feeds pair counts + item counts + order census
+        .sweepCheckpoint() // feeds pair counts + item counts + order census
       val packed = op
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
@@ -228,7 +229,7 @@ object GraphOps {
     * past it, SHUFFLE_HASH (never the SMJ default — sorting the O(m^1.5)
     * wedge stream was the 20×-fixture cliff, 149 s → stream rate). */
   private[graft] def closedWedgesPre(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d).localCheckpoint() // feeds degrees + orientation + probe
+    val e = edges(s, d).sweepCheckpoint() // feeds degrees + orientation + probe
     val nEdges = e.count() // checkpoint materialized — metadata-cheap gate
     val deg = degrees(e)
     val da = deg.select(col("v").as("a"), col("degree").as("da"))
@@ -309,8 +310,6 @@ object GraphOps {
       if (bucketed) s.table(bucketedAdjTable(s, d))
       else s.read.parquet(s"$adjBase/adj")
     val small = !bucketed && vertexBound(s, d) <= maxBcVerts
-    var labels = s.read.parquet(s"$adjBase/deg")
-      .select(col("v"), col("v").as("lbl")).localCheckpoint()
     // min-propagation alone needs DIAMETER rounds; the pointer jump
     // (follow your label's label) doubles the reach per round, so
     // convergence is O(log diameter) and 64 rounds covers any component a
@@ -319,11 +318,16 @@ object GraphOps {
     val maxIters = 64
     var converged = false
     var iter = 0
+    var labels: DataFrame = null
     while (!converged && iter < maxIters) {
       iter += 1
       // propagate: label ← min over self + neighbors' labels, the probe
-      // extracted as [[componentsPropagate]] so PlanSpec can pin its shape
-      val prop = componentsPropagate(adj, labels, small).localCheckpoint()
+      // extracted as [[componentsPropagate]] so PlanSpec can pin its
+      // shape. Round 1 rides the identity-seed collapse
+      // ([[componentsFirstPropagate]] — the labelPropFirstRound algebra):
+      // no seed frame, no state join, no explode.
+      val prop = (if (iter == 1) componentsFirstPropagate(adj)
+        else componentsPropagate(adj, labels, small)).sweepCheckpoint()
       // jump: label ← label's own label (labels are vertex ids, every one
       // has a row, so the self-join resolves one extra hop — the doubling
       // step); lazily checkpointed, materialized by the convergence count
@@ -332,7 +336,7 @@ object GraphOps {
           small), col("lbl") === col("j_id"), "left")
         .select(col("v"), col("old"),
           least(col("lbl"), coalesce(col("j_lbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(false)
+        .sweepCheckpoint(false)
       converged = next.filter(col("lbl") =!= col("old")).count() == 0
       labels = next.select(col("v"), col("lbl"))
     }
@@ -356,6 +360,25 @@ object GraphOps {
       .select(col("v"), col("lbl").as("old"),
         least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
   }
+
+  /** Round 1 of identity-seeded min-propagation, algebraically collapsed
+    * (the [[labelPropFirstRound]] derivation applied to components): with
+    * every vertex carrying its own id, a vertex's neighbour-min IS its
+    * smallest neighbour id, which on the SYMMETRIC packed adjacency is
+    * `min(array_min(dsts))` per src — one map-side-combinable aggregate
+    * over the ~nv chunk rows, no seed frame, no state join, no explode,
+    * no vertex-sized shuffle of neighbour labels. `old` is the identity
+    * seed itself, so the convergence count downstream is unchanged.
+    * Bit-identical to `componentsPropagate(adj, identitySeed)`
+    * (spec-pinned, RoundThirteenSpec); the pointer-jump half of round 1
+    * cannot collapse (it genuinely chases labels across rows) and runs
+    * unchanged. Rounds ≥ 2 carry propagated labels and need the general
+    * probe. */
+  private[graft] def componentsFirstPropagate(adj: DataFrame): DataFrame =
+    adj.groupBy(col("src").as("v"))
+      .agg(min(array_min(col("dsts"))).as("nmin"))
+      .select(col("v"), col("v").as("old"),
+        least(col("v"), col("nmin")).as("lbl"))
 
   /** Wedge centers with degree above this cut are excluded from
     * common-neighbor evidence: a hub co-occurring with everything carries
@@ -650,7 +673,7 @@ object GraphOps {
     val small = vertexBound(s, d) <= maxBcVerts
     for (_ <- 1 to kcoreRounds) {
       val keep = degrees(e).filter(col("degree") >= kcoreK).select(col("v"))
-      e = kcoreRound(e, keep, small).localCheckpoint()
+      e = kcoreRound(e, keep, small).sweepCheckpoint()
     }
     degrees(e)
       .select(col("v"), col("degree").as("core_degree"))
@@ -672,7 +695,7 @@ object GraphOps {
       // the dimension-bounded keep-set keeps each round's plan a single
       // linear chain over the shrinking edge list.
       val keep = degrees(e).filter(col("degree") >= kcoreK).select(col("v"))
-        .localCheckpoint()
+        .sweepCheckpoint()
       // pin the restricted EDGE set too (not just keep): each round's
       // degrees(e) otherwise re-derives the whole shrinking edge chain from
       // scratch — R rounds of plan re-execution over an unpinned lineage
@@ -680,7 +703,7 @@ object GraphOps {
       // measured 4.75 s at sf0.1; the per-round chain is cheap, its
       // R-fold re-derivation was not). The edge set only ever shrinks, so
       // each pin is smaller than the last.
-      e = kcoreRound(e, keep, small).localCheckpoint()
+      e = kcoreRound(e, keep, small).sweepCheckpoint()
     }
     degrees(e)
       .select(col("v"), col("degree").as("core_degree"))
@@ -958,8 +981,8 @@ object GraphOps {
     // the bucket partitioning is exactly what a checkpoint would destroy
     val symd =
       if (bucketed) s.table(bucketedAdjTable(s, d))
-      else s.read.parquet(s"$adjBase/adj").localCheckpoint()
-    var pr = deg.select(col("v"), lit(init).as("pr")).localCheckpoint()
+      else s.read.parquet(s"$adjBase/adj").sweepCheckpoint()
+    var pr = deg.select(col("v"), lit(init).as("pr")).sweepCheckpoint()
     // Sweep in pinned BLOCKS of prBlock sweeps: the rank state is referenced
     // exactly ONCE per sweep (sym/deg/nv are pinned), so unpinned lineage is
     // LINEAR in sweeps — bounded at prBlock, never the 3^R re-expansion the
@@ -987,7 +1010,7 @@ object GraphOps {
         if (bucketed) pagerankSweepBucketed(symd, init, pr)
         else pagerankSweep(symd, init, pr, bcState)
       it += steps
-      pr = pr.localCheckpoint()
+      pr = pr.sweepCheckpoint()
       if (it < pagerankIters && steps == prBlock) {
         val prev = blockStart.withColumnRenamed("pr", "prev")
         converged = pr.join(
@@ -1055,7 +1078,7 @@ object GraphOps {
     val adjBase = packedAdjPath(s, d)
     val deg = s.read.parquet(s"$adjBase/deg")
     var r = deg.select(col("v"), lit(eigenScale).as("r"))
-      .localCheckpoint()
+      .sweepCheckpoint()
     // one bounded driver scalar gates broadcast vs shuffle-hash, as in
     // pagerank (the count rides the already-pinned vertex frame); the
     // bucketed cluster path never consults it, so don't pay the count job
@@ -1065,7 +1088,7 @@ object GraphOps {
     // bucketed mode reads the catalog table (stable pre-hashed scan, no pin)
     val sym =
       if (bucketed) s.table(bucketedAdjTable(s, d))
-      else s.read.parquet(s"$adjBase/adj").localCheckpoint()
+      else s.read.parquet(s"$adjBase/adj").sweepCheckpoint()
     for (_ <- 1 to eigenIters) {
       val state = r.withColumnRenamed("v", "src")
       val sums = (if (bucketed) eigenSweepBucketed(sym, r)
@@ -1074,7 +1097,7 @@ object GraphOps {
           .select(explode(col("dsts")).as("v"), col("r"))
           .groupBy(col("v"))
           .agg(sum(col("r")).as("s")))
-        .localCheckpoint()
+        .sweepCheckpoint()
       val mx = sums.agg(max(col("s"))).head().getLong(0)
       // no second pin: the rescale is a stateless projection over the
       // ALREADY-pinned sums, so lineage depth stays constant without
@@ -1137,7 +1160,7 @@ object GraphOps {
       .select(col("v"),
         when(lit(4L * m) - lit(2L) * col("kv") * col("ktu") > 0,
           col("target")).otherwise(col("v")).as("lbl"))
-      .localCheckpoint() // feeds the move count, intra pass and Σd_c²
+      .sweepCheckpoint() // feeds the move count, intra pass and Σd_c²
     val lblA = labels.select(col("v").as("a"), col("lbl").as("la"))
     val lblB = labels.select(col("v").as("b"), col("lbl").as("lb"))
     val intra = e.join(gatedBc(lblA, small), "a").join(gatedBc(lblB, small), "b")
@@ -1197,11 +1220,11 @@ object GraphOps {
     val seeds = s.read.parquet(s"$adjBase/deg")
       .select(col("v")).orderBy(col("v")).limit(closenessSeedCount)
       .select(col("v").as("s0"), col("v"), lit(0L).as("dist"))
-    var visited = seeds.localCheckpoint()
+    var visited = seeds.sweepCheckpoint()
     var frontier = visited
     for (k <- 1 to bfsDepth) {
-      frontier = closenessRound(adj, frontier, visited, k, small).localCheckpoint()
-      visited = visited.unionAll(frontier).localCheckpoint()
+      frontier = closenessRound(adj, frontier, visited, k, small).sweepCheckpoint()
+      visited = visited.unionAll(frontier).sweepCheckpoint()
     }
     visited.filter(col("dist") > 0)
       .groupBy(col("s0"))
@@ -1277,8 +1300,11 @@ object GraphOps {
         .unionAll(e.select(col("b").as("w"), col("a").as("n")))
       // row-size fail-fast: a count-only max-degree fold (map-side
       // combinable, a sliver of the collect_list below) gates the build
-      val maxDeg = sym.groupBy(col("w")).agg(count(lit(1)).as("deg"))
-        .agg(max(col("deg"))).head().getLong(0)
+      val maxDegRow = sym.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+        .agg(max(col("deg"))).head()
+      // max() over zero groups is null (empty edge set) — that's a valid
+      // degenerate graph, not a ceiling violation; treat as max degree 0
+      val maxDeg = if (maxDegRow.isNullAt(0)) 0L else maxDegRow.getLong(0)
       requireSortedAdjDegree(maxDeg)
       sym.groupBy(col("w"))
         .agg(sort_array(collect_list(col("n"))).as("ns"),
@@ -1336,7 +1362,7 @@ object GraphOps {
     val visited = collection.mutable.ArrayBuffer(frontier)
     for (t <- 0 until walkSteps) {
       frontier = walkHop(adj, frontier, t, small)
-        .localCheckpoint() // constant-depth plan per hop
+        .sweepCheckpoint() // constant-depth plan per hop
       visited += frontier
     }
     visited.map(_.select(col("cur").as("v"))).reduce(_ unionAll _)
@@ -1391,11 +1417,11 @@ object GraphOps {
     val seeds = s.read.parquet(s"$adjBase/deg")
       .select(col("v")).orderBy(col("v")).limit(bfsSeedCount)
       .select(col("v"), lit(0L).as("dist"))
-    var visited = seeds.localCheckpoint()
+    var visited = seeds.sweepCheckpoint()
     var frontier = visited
     for (k <- 1 to bfsDepth) {
-      frontier = bfsRound(adj, frontier, visited, k, small).localCheckpoint()
-      visited = visited.unionAll(frontier).localCheckpoint()
+      frontier = bfsRound(adj, frontier, visited, k, small).sweepCheckpoint()
+      visited = visited.unionAll(frontier).sweepCheckpoint()
     }
     visited.groupBy(col("dist"))
       .agg(count(lit(1)).as("n_vertices"))
@@ -1589,9 +1615,9 @@ object GraphOps {
     // all votes tie — [[labelPropFirstRound]]); the degree table's vertex
     // universe is exactly adj's src set (symmetric adjacency, no isolated
     // vertices), so no seed frame is needed
-    var labels = labelPropFirstRound(adj).localCheckpoint()
+    var labels = labelPropFirstRound(adj).sweepCheckpoint()
     for (_ <- 2 to labelPropRounds)
-      labels = labelPropRound(adj, labels, small).localCheckpoint()
+      labels = labelPropRound(adj, labels, small).sweepCheckpoint()
     labels
       .withColumn("community_size",
         count(lit(1)).over(Window.partitionBy(col("lbl"))))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.plans.Checkpoints.SweepSyntax
 
 /** Multimodal-column handling (SURVEY.md §2C): media as opaque `binary`
   * columns + typed metadata, with decode/feature-extraction as partition-wise
@@ -537,7 +538,7 @@ object MultimodalOps {
         val (w, h, px) = BmpCodec.decodeRaster(synthBlockBmp(r.getAs[Array[Byte]](1)))
         Row(r.getLong(0), blockhash64(w, h, px))
       }
-    }(enc).localCheckpoint() // feeds banding + both verify joins
+    }(enc).sweepCheckpoint() // feeds banding + both verify joins
     val chunked = sigs.select(col("doc_id"),
         posexplode(array((0 until 4).map(c =>
           shiftright(col("phash"), c * 16).bitwiseAND(lit(65535L))): _*))

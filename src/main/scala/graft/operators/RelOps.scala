@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.plans.Checkpoints.SweepSyntax
 
 /** The relational operator surface of the reference (SURVEY.md §2B).
   *
@@ -1159,7 +1160,7 @@ object RelOps {
 
   val aggCmSketch: Q = (s, d) => {
     val est = cmEstimates(s, d)
-      .localCheckpoint() // feeds both the top-10 and the global audit
+      .sweepCheckpoint() // feeds both the top-10 and the global audit
     val worst = est.agg(max($"est_n" - $"true_n").as("max_overest_all"))
     est
       .orderBy($"true_n".desc, $"user_id")
@@ -1178,7 +1179,7 @@ object RelOps {
     val ev = t(s, d, "events")
       .filter($"event_type".isin("view", "purchase"))
       .select($"event_type", (($"user_id" % P) * Mult % P).as("h"))
-      .distinct().localCheckpoint() // feeds sketches, exact counts, both cohorts
+      .distinct().sweepCheckpoint() // feeds sketches, exact counts, both cohorts
     val w = Window.partitionBy($"event_type").orderBy($"h")
     val per = ev.withColumn("rn", row_number().over(w)).filter($"rn" <= kmvK)
       .groupBy($"event_type")
@@ -1194,7 +1195,7 @@ object RelOps {
       max(when($"event_type" === "purchase", est($"n_sk", $"mk"))).as("purchase_est"))
     val inter = ev.filter($"event_type" === "view").select($"h")
       .join(ev.filter($"event_type" === "purchase").select($"h"), Seq("h"), "left_semi")
-      .localCheckpoint() // feeds the exact count and the sketch probe
+      .sweepCheckpoint() // feeds the exact count and the sketch probe
     val ic = inter.agg(count(lit(1)).as("n_intersect"))
     val usk = ev.select($"h").distinct().orderBy($"h").limit(kmvK)
     val ua = usk.agg(count(lit(1)).as("n_usk"), max($"h").as("mu"))

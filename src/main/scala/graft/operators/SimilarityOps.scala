@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.plans.Checkpoints.SweepSyntax
 
 /** Approximate-nearest-neighbor / similarity search over the `embeddings`
   * fixture (SURVEY.md §2C). The embedding column is `array<float>`; all math
@@ -137,7 +138,7 @@ object SimilarityOps {
         (0 until lshHyperplanes).map(p =>
           when(round(col(s"s$p"), 6) >= 0.0d, lit(1L << p)).otherwise(lit(0L)))
           .reduce(_ + _).as("sig"))
-      .localCheckpoint()
+      .sweepCheckpoint()
   }
 
   /** Random-hyperplane LSH ANN (SimHash for vectors, Charikar 2002): each

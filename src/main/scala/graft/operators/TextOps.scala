@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.plans.Checkpoints.SweepSyntax
 
 /** Text-analysis operators for LLM-data pipelines (SURVEY.md §2C) over the
   * `documents` fixture. All are single-pass, codegen-friendly column
@@ -153,7 +154,7 @@ object TextOps {
   val langIdConfusion: Q = (s, d) => {
     val preds = textLangId(s, d)
       .select(col("pred_lang"), col("true_lang"))
-      .localCheckpoint()
+      .sweepCheckpoint()
     val byTrue = preds.groupBy(col("true_lang").as("lang"))
       .agg(count(lit(1)).as("n_true"),
         sum(when(col("pred_lang") === col("true_lang"), 1L).otherwise(0L))

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.plans.Checkpoints.SweepSyntax
 
 /** Dev-only: decompose graph_common_neighbors' QUERY-side cost (the
   * artifact is warm) — raw artifact scan, the broadcast anti-join, the
@@ -36,7 +37,7 @@ object ProfileCn2 {
         .orderBy(col("c").desc, col("p")).limit(20).collect())
       // pre-pinned edge set: is the 12 s the broadcast BUILD (driver-side
       // single-threaded hash of 12M keys) re-paid per query?
-      val epPinned = ep.localCheckpoint()
+      val epPinned = ep.sweepCheckpoint()
       t("anti bc pinned")(pc.join(broadcast(epPinned), Seq("p"), "left_anti")
         .orderBy(col("c").desc, col("p")).limit(20).collect())
       t("anti bc pinned2")(pc.join(broadcast(epPinned), Seq("p"), "left_anti")

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import graft.plans.Checkpoints.SweepSyntax
 
 /** Dev-only profiling harness: times individual queries by name so a perf
   * iteration doesn't pay for the full Bench sweep. Not part of the library
@@ -47,12 +48,12 @@ object ProfileDedup {
             WordShingles.word_shingles(col("text"), 3), 32, 8)).as(Seq("band", "h")))
         .select(struct(col("band"), col("h")).as("bucket"), col("doc_id"))
       t("banded")(banded.count())
-      val bankedC = t("banded_checkpoint")(banded.localCheckpoint())
+      val bankedC = t("banded_checkpoint")(banded.sweepCheckpoint())
       val grouped0 = bankedC.groupBy(col("bucket"))
         .agg(graft.functions.BucketMembersAgg.bucket_members(65, col("doc_id")).as("m"))
         .select(col("bucket"), col("m._1").as("ids"), col("m._2").as("n"))
         .filter(col("n") >= 2)
-      val grouped = t("grouped_udaf_ckpt")(grouped0.localCheckpoint())
+      val grouped = t("grouped_udaf_ckpt")(grouped0.sweepCheckpoint())
       val small = grouped.filter(col("n") <= 64)
         .select(explode(graft.functions.LongPairs.long_pairs(col("ids"))).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
@@ -63,12 +64,12 @@ object ProfileDedup {
         .select(col("anchor").as("a"), col("doc_id").as("b"))
       val pairs0 = small.unionAll(big).distinct()
       println("cand_count=" + t("candidates")(pairs0.count()))
-      val pairs = t("pairs_checkpoint")(pairs0.localCheckpoint())
+      val pairs = t("pairs_checkpoint")(pairs0.sweepCheckpoint())
       val ids = pairs.select(col("a").as("doc_id"))
         .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
       println("ids_count=" + t("ids")(ids.count()))
       val sh = t("verify_shingle_ckpt")(docsF.join(ids, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), WordShingles.word_shingles(col("text"), 3).as("sh")).localCheckpoint())
+        .select(col("doc_id"), WordShingles.word_shingles(col("text"), 3).as("sh")).sweepCheckpoint())
       val ver = pairs
         .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
         .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")

@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.plans.Checkpoints.SweepSyntax
 
 /** Per-stage timing for graph_label_prop (dev aid, same spirit as
   * [[ProfilePr]]): attributes the query across the two LPA rounds and the
@@ -38,9 +39,9 @@ object ProfileLp {
     val seed = spark.read.parquet(s"$adjBase/deg")
       .select(col("v"), col("v").as("lbl"))
     val l1 = t("round 1 (join+vote)")(
-      graft.operators.GraphOps.labelPropRound(adj, seed).localCheckpoint())
+      graft.operators.GraphOps.labelPropRound(adj, seed).sweepCheckpoint())
     val l2 = t("round 2 (join+vote)")(
-      graft.operators.GraphOps.labelPropRound(adj, l1).localCheckpoint())
+      graft.operators.GraphOps.labelPropRound(adj, l1).sweepCheckpoint())
     t("window community_size + sort") {
       l2.withColumn("community_size",
           count(lit(1)).over(Window.partitionBy(col("lbl"))))
@@ -49,14 +50,14 @@ object ProfileLp {
     println("--- round-1 shortcut candidate")
     val l1b = t("round 1 (min array_min)")(
       adj.groupBy(col("src").as("v"))
-        .agg(min(array_min(col("dsts"))).as("lbl")).localCheckpoint())
+        .agg(min(array_min(col("dsts"))).as("lbl")).sweepCheckpoint())
     t("shortcut == current (bit)") {
       val diff = l1.unionAll(l1b).groupBy("v", "lbl").count()
         .filter(col("count") =!= 2).count()
       println(s"[lp]   diff rows: $diff")
     }
     val l2b = t("round 2 after shortcut")(
-      graft.operators.GraphOps.labelPropRound(adj, l1b).localCheckpoint())
+      graft.operators.GraphOps.labelPropRound(adj, l1b).sweepCheckpoint())
     println(s"[lp]   l2 rows ${l2.count()} vs ${l2b.count()}")
     println("--- final stage alternatives")
     t("agg+join community_size") {

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.plans.Checkpoints.SweepSyntax
 
 /** Per-stage timing for the graph_pagerank loop (dev aid, same spirit as
   * [[ProfileCn]]): attributes sweep cost across edge load, sym pin, degree
@@ -34,25 +35,25 @@ object ProfilePr {
     // decomposed loop
     val e = t("load+pin edges")(
       spark.read.parquet(s"${graft.operators.GraphOps.edgesPath(spark, d)}/edges")
-        .localCheckpoint())
+        .sweepCheckpoint())
     val deg = t("pin degrees")(
       e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("degree")).localCheckpoint())
+        .groupBy(col("v")).agg(count(lit(1)).as("degree")).sweepCheckpoint())
     val nv = t("count nv")(deg.count())
     val init = graft.operators.GraphOps.pagerankScale / nv
     val symd = t("pin symd")(
       e.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
         .join(broadcast(deg.withColumnRenamed("v", "src")), "src")
-        .localCheckpoint())
+        .sweepCheckpoint())
     var pr = t("init pr")(
-      deg.select(col("v"), lit(init).as("pr")).localCheckpoint())
+      deg.select(col("v"), lit(init).as("pr")).sweepCheckpoint())
     for (i <- 1 to 4) {
       val prev = pr
       pr = t(s"block $i (3 sweeps)") {
         var x = prev
         for (_ <- 1 to 3) x = graft.operators.GraphOps.pagerankSweep(symd, init, x)
-        x.localCheckpoint()
+        x.sweepCheckpoint()
       }
       if (i < 4) t(s"check $i") {
         pr.join(broadcast(prev.withColumnRenamed("pr", "prev")), "v")

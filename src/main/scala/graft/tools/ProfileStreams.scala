@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.plans.Checkpoints.SweepSyntax
 
 /** Dev-only stage profiler for stream_funnel and stream_sessionize — the
   * [[ProfileSj]] decomposition extended to the two most expensive remaining
@@ -74,7 +75,7 @@ object ProfileStreams {
           .start()
         q.awaitTermination()
         progress(q)
-        spark.table(name).localCheckpoint()
+        spark.table(name).sweepCheckpoint()
       }
       t("f_post_pass") {
         val pv = firsts.groupBy(col("user_id"))

@@ -45,11 +45,15 @@ def _feed_entry(md, path):
 
 
 def data_fingerprint(sf_dir):
+    # Missing/unreadable dir hashes as ZERO entries — the exact Scala-mirror
+    # behavior (ArtifactCache.dataFingerprint's Option(listFiles).getOrElse
+    # (empty)); callers that must distinguish "no such dir" from "empty dir"
+    # check os.path.isdir themselves (check_drift does, and fails closed).
     md = hashlib.md5()
     try:
         entries = sorted(n for n in os.listdir(sf_dir) if n.endswith(".parquet"))
     except OSError:
-        return None
+        entries = []
     for name in entries:
         _feed_entry(md, os.path.join(sf_dir, name))
     return md.hexdigest()[:16]
