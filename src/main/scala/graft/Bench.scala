@@ -123,7 +123,10 @@ object Bench {
       catch { case _: Exception => -1.0 } // non-Linux: gauge absent
     def calibProbeS(): Double = {
       val t0 = System.nanoTime()
-      spark.range(200L * 1000 * 1000).selectExpr("sum(id * id)").collect()
+      // overflow-safe under ANSI: id·2654435761 ≤ 5.3e17 < Long.Max, and
+      // the bit_count sum is ≤ 64·2e8 — pure codegen'd CPU work
+      spark.range(200L * 1000 * 1000)
+        .selectExpr("sum(bit_count(id * 2654435761L))").collect()
       (System.nanoTime() - t0) / 1e9
     }
     val loadPre = loadAvg1m()

@@ -63,6 +63,24 @@ object Limits {
     * SF) stay unconditional. */
   val maxBroadcastDimRows = 16L * 1000 * 1000
 
+  /** Vertex-bound (2m) above which `graph_components` switches its sweep
+    * from the gated broadcast/shuffle-hash probe to the BUCKETED packed
+    * adjacency ([[graft.operators.GraphOps.bucketedAdjTable]]): the
+    * round-13 A/B measured the bucketed spelling consistently faster from
+    * the 4.8M-bound rung up (sf0.2 2.42 → 2.08 s, sf1 3.83 → 3.35/3.09,
+    * sf2 5.76 → 4.84 — default legs are shuffle-hash past the 16M
+    * broadcast gate) and slower below it (sf0.1, 2.39M bound: 1.59 →
+    * 2.12 s — the catalog scan + aligned state shuffle don't pay for
+    * themselves on a small graph). Components alone: the same A/B found
+    * pagerank/eigencentrality a measurement-noise wash across spellings
+    * (docs/SCALE.md round-13 table), so they keep the broadcast/
+    * shuffle-hash gate only. Mid-band (4M..16M) the bucketed path
+    * preempts a still-legal broadcast; past 16M it replaces the
+    * shuffle-hash fallback — both directions measured faster for this
+    * sweep's shape (a per-round explode+re-agg whose state join aligns
+    * with the bucket hash). */
+  val componentsBucketedBound = 4L * 1000 * 1000
+
   /** Max vertex degree the id-sorted WHOLE-ARRAY adjacency artifact
     * ([[graft.operators.GraphOps.sortedAdjPath]]) accepts: one row per
     * vertex means the max row is 8 B × max-degree, and a single row must

@@ -290,7 +290,16 @@ object GraphOps {
     * isolated and not graph members), matching the degree query's
     * universe. Label state joins are size-gated ([[gatedBc]]). */
   val graphComponents: Q = (s, d) =>
-    graphComponentsImpl(s, d, Limits.maxBroadcastVertices)
+    graphComponentsImpl(s, d, Limits.maxBroadcastVertices,
+      bucketed = componentsUseBucketed(s, d))
+
+  /** The round-13 layout gate: big graphs take the bucketed-adjacency
+    * sweep (measured crossover at [[Limits.componentsBucketedBound]] —
+    * see the scaladoc there and docs/SCALE.md's A/B table); results are
+    * bit-identical either way (spec-pinned). One bounded memoized scalar,
+    * the [[vertexBound]] the broadcast gate already reads. */
+  private[graft] def componentsUseBucketed(s: SparkSession, d: String): Boolean =
+    vertexBound(s, d) > Limits.componentsBucketedBound
 
   /** [[graphComponents]] with the broadcast gate injectable — the
     * RoundTenSpec convention (drive both paths, compare bit-identical) —

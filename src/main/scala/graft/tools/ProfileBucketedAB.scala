@@ -31,6 +31,15 @@ object ProfileBucketedAB {
     GraphOps.bucketedAdjTable(spark, d)
 
     val variants: Seq[(String, () => Long)] = Seq(
+      // production default: gated broadcast-vs-shuffle-hash (vertexBound
+      // vs Limits.maxBroadcastVertices) — at sf1+/local the 2m bound is
+      // past 16M, so this IS the shuffle-hash leg
+      "pagerank_default" -> (() =>
+        GraphOps.graphPagerankImpl(spark, d, graft.Limits.maxBroadcastVertices).count()),
+      "eigen_default" -> (() =>
+        GraphOps.graphEigencentralityImpl(spark, d, graft.Limits.maxBroadcastVertices).count()),
+      "components_default" -> (() =>
+        GraphOps.graphComponentsImpl(spark, d, graft.Limits.maxBroadcastVertices).count()),
       "pagerank_broadcast" -> (() =>
         GraphOps.graphPagerankImpl(spark, d, Long.MaxValue).count()),
       "pagerank_bucketed" -> (() =>

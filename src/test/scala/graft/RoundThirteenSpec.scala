@@ -116,6 +116,20 @@ class RoundThirteenSpec extends AnyFunSuite {
     assert(base.nonEmpty)
   }
 
+  // --------------- layout gate: components flips to bucketed past the
+  // measured crossover (Limits.componentsBucketedBound; A/B in SCALE.md)
+
+  test("componentsUseBucketed: small fixtures stay on the broadcast gate; " +
+      "the bound sits between the measured crossover rungs") {
+    assert(!GraphOps.componentsUseBucketed(spark, dir),
+      "sf0.001's vertex bound is far below the crossover")
+    // measured: broadcast wins at a 2.39M bound (sf0.1), bucketed from
+    // 4.78M (sf0.2) up — the gate constant must sit in that window so
+    // both measured regimes keep their winning layout
+    assert(graft.Limits.componentsBucketedBound > 2390000L)
+    assert(graft.Limits.componentsBucketedBound < 4780000L)
+  }
+
   // --------------- 3. re-derivation audit: the resolved-clusters artifact
 
   test("ngram_clusters artifact: scan is bit-identical to a fresh " +
