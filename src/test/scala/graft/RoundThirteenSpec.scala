@@ -147,6 +147,30 @@ class RoundThirteenSpec extends AnyFunSuite {
         "they replaced (dedup_clusters / cluster_stats / keep_best)")
   }
 
+  // --------------- text_bpe_pairs: the word-histogram fold
+
+  test("text_bpe_pairs: distinct-word fold is bit-identical to the " +
+      "per-occurrence spelling (sum(m) == count over occurrences)") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.TextOps.queries("text_bpe_pairs")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // per-occurrence replay, the pre-r13 spelling
+    val occ = graft.Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(graft.functions.BpeTable.bpe_tokens(col("w"),
+        graft.functions.BpeTable.charPairRules).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(ss) - 1), " +
+        "i -> concat(element_at(ss, i), ' ', element_at(ss, i + 1)))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == occ, "the word-histogram fold must reproduce the " +
+      "per-occurrence pair counts exactly (same top-20, same order)")
+    assert(got.nonEmpty)
+  }
+
   // --------------- fingerprint mirrors on the degenerate input
 
   test("dataFingerprint: Scala and tools/fixture_fp.py agree on a MISSING " +
