@@ -1448,9 +1448,11 @@ object GraphOps {
     * vertex-degree-bounded ints, the sums run in DECIMAL(38) (Σjk·M
     * overflows int64 somewhere past 10⁶ edges — certainty at scale), and
     * the single float division happens once on the final row with
-    * identical formula text in the oracle. Scale shape: the vertex-sized
-    * degree table broadcasts to both endpoint probes; the edge set streams
-    * through one map-side-combined aggregate — no edge-keyed shuffle at
+    * identical formula text in the oracle. Scale shape (round-13 moment
+    * re-derivation, see the impl comment): three of the four moments are
+    * vertex sums over the nv-row degree artifact (zero edge probes), the
+    * cross moment streams the packed adjacency through ONE gated degree
+    * probe + a map-side-combined aggregate — no edge-keyed shuffle at
     * all. */
   val graphAssortativity: Q = (s, d) =>
     graphAssortativityImpl(s, d, Limits.maxBroadcastVertices)
@@ -1458,24 +1460,37 @@ object GraphOps {
   private[graft] def graphAssortativityImpl(s: SparkSession, d: String,
       maxBcVerts: Long): DataFrame = {
     val dec = DecimalType(38, 0)
-    val e = edges(s, d)
-    // the degree table is vertex-sized — size-gated ([[gatedBc]])
+    // Round-13 moment re-derivation: over the SYMMETRIC edge list the
+    // source-marginal moments are VERTEX sums — each vertex v is the
+    // source of exactly deg(v) directed edges carrying j = deg(v), so
+    //   m  = Σ_v deg(v),   Σj = Σ_v deg(v)²,   Σj² = Σ_v deg(v)³
+    // — computed map-side over the nv-row artifact degree table with ZERO
+    // probes of the edge stream (the two-endpoint-join spelling paid 2
+    // degree-hash probes per directed edge = 4m DRAM-latency-bound
+    // lookups; the r10 common_neighbors attribution measured exactly this
+    // probe class as the family's dominant cost). Only the cross moment
+    // Σjk needs the edges, and the packed-adjacency chunk rows already
+    // CARRY the source degree, so it is ONE gated probe (dst degree) per
+    // directed edge — a 4× probe reduction overall. Decimal sums are
+    // order-insensitive-exact, so the moments (and the one rounded float)
+    // are bit-identical to the two-probe spelling (spec-pinned;
+    // RoundThirteenSpec). deg³ multiplies in DECIMAL (an int64 cube
+    // overflows past deg ≈ 2×10⁶ — hub territory at 10⁹ vertices).
     val small = vertexBound(s, d) <= maxBcVerts
-    val sym = e.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
     val deg = degTable(s, d)
-    val jd = sym
-      .join(gatedBc(deg.select(col("v").as("src"), col("degree").as("j")), small), "src")
+    val vm = deg.agg(
+      sum(col("degree").cast(dec)).as("m"),
+      sum((col("degree") * col("degree")).cast(dec)).as("sj"),
+      sum(col("degree").cast(dec) * col("degree") * col("degree")).as("sj2"))
+    val sjk = s.read.parquet(s"${packedAdjPath(s, d)}/adj")
+      .select(col("degree").as("j"), explode(col("dsts")).as("dst"))
       .join(gatedBc(deg.select(col("v").as("dst"), col("degree").as("k")), small), "dst")
-    jd.agg(
-        count(lit(1)).as("m"),
-        sum((col("j") * col("k")).cast(dec)).as("sjk"),
-        sum(col("j").cast(dec)).as("sj"),
-        sum((col("j") * col("j")).cast(dec)).as("sj2"))
-      .select(col("m"),
+      .agg(sum((col("j") * col("k")).cast(dec)).as("sjk"))
+    vm.crossJoin(sjk)
+      .select(col("m").cast(LongType).as("m"),
         round(
-          (col("m").cast(dec) * col("sjk") - col("sj") * col("sj")).cast(DoubleType) /
-          (col("m").cast(dec) * col("sj2") - col("sj") * col("sj")).cast(DoubleType),
+          (col("m") * col("sjk") - col("sj") * col("sj")).cast(DoubleType) /
+          (col("m") * col("sj2") - col("sj") * col("sj")).cast(DoubleType),
           6).as("assortativity"))
   }
 

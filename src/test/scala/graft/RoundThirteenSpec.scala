@@ -147,6 +147,38 @@ class RoundThirteenSpec extends AnyFunSuite {
         "they replaced (dedup_clusters / cluster_stats / keep_best)")
   }
 
+  // --------------- assortativity: the vertex-moment re-derivation
+
+  test("graph_assortativity: vertex-moment spelling is bit-identical to " +
+      "the two-endpoint-probe spelling") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dec = DecimalType(38, 0)
+    val got = GraphOps.queries("graph_assortativity")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the pre-r13 spelling: symmetric edge list, both endpoints probed
+    val e = spark.read.parquet(s"${GraphOps.edgesPath(spark, dir)}/edges")
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = spark.read
+      .parquet(s"${GraphOps.packedAdjPath(spark, dir)}/deg")
+    val old = sym
+      .join(broadcast(deg.select(col("v").as("src"), col("degree").as("j"))), "src")
+      .join(broadcast(deg.select(col("v").as("dst"), col("degree").as("k"))), "dst")
+      .agg(count(lit(1)).as("m"),
+        sum((col("j") * col("k")).cast(dec)).as("sjk"),
+        sum(col("j").cast(dec)).as("sj"),
+        sum((col("j") * col("j")).cast(dec)).as("sj2"))
+      .select(col("m"),
+        round((col("m").cast(dec) * col("sjk") - col("sj") * col("sj")).cast(DoubleType) /
+          (col("m").cast(dec) * col("sj2") - col("sj") * col("sj")).cast(DoubleType),
+          6).as("assortativity"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == old,
+      "moment re-derivation must reproduce the probe spelling exactly " +
+        "(decimal sums are order-insensitive)")
+  }
+
   // --------------- text_bpe_pairs: the word-histogram fold
 
   test("text_bpe_pairs: distinct-word fold is bit-identical to the " +
