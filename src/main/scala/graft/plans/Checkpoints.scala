@@ -45,10 +45,26 @@ object Checkpoints {
     * everywhere else, which is strictly what they asked for). */
   val LegacyReliableKey = "graft.cc.reliableCheckpoint"
 
+  /** One-per-JVM flag for the legacy-key scope warning below. */
+  private val legacyWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def reliable(df: DataFrame): Boolean = {
     val c = df.sparkSession.conf
-    c.getOption(ReliableKey).orElse(c.getOption(LegacyReliableKey))
-      .contains("true")
+    val modern = c.getOption(ReliableKey)
+    val legacy = c.getOption(LegacyReliableKey)
+    // A round-12 deployment that set the legacy key asked for durability
+    // on the dedup CC loop only; under this engine-wide switch it now
+    // gains distributed-storage writes on EVERY sweep and multi-consumer
+    // pin — intentional (strictly more of what they asked for) but a
+    // real perf change on upgrade, so say so once instead of silently
+    if (modern.isEmpty && legacy.contains("true") &&
+        legacyWarned.compareAndSet(false, true)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$LegacyReliableKey now flips ALL sweep truncations engine-wide " +
+          s"to reliable checkpoint() (formerly the dedup CC loop only); " +
+          s"set $ReliableKey explicitly to acknowledge the widened scope")
+    }
+    modern.orElse(legacy).contains("true")
   }
 
   /** Truncate `df`'s lineage under the session's configured mode. `eager`

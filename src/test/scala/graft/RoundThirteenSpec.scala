@@ -53,19 +53,42 @@ class RoundThirteenSpec extends AnyFunSuite {
 
   // --------------- 1. engine-wide reliable-checkpoint switch
 
+  /** Raw set/clear of the shared context's checkpoint dir (private[spark]
+    * var, public at bytecode level). The public API can only SET a dir —
+    * never clear one — so without this the no-dir fail-fast test only ran
+    * when it happened to execute first, and the alias test NPE'd when run
+    * alone (the order coupling the r13 ADVICE flagged). Test-only. */
+  private def setRawCheckpointDir(v: Option[String]): Unit =
+    classOf[org.apache.spark.SparkContext]
+      .getMethod("checkpointDir_$eq", classOf[Option[_]])
+      .invoke(spark.sparkContext, v)
+
+  /** Each checkpoint test ensures its own dir instead of relying on a
+    * sibling having set one (order independence). */
+  private def ensureCkDir(): String = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        Files.createTempDirectory("graft-ck-").toFile.getAbsolutePath)
+    spark.sparkContext.getCheckpointDir.get
+  }
+
   test("Checkpoints.sweep: reliable mode without a checkpoint dir fails " +
       "with the deployment message") {
-    // runs before any test sets the shared context's checkpoint dir
-    assume(spark.sparkContext.getCheckpointDir.isEmpty)
-    val s2 = sessionWith(Checkpoints.ReliableKey)
-    val e = intercept[IllegalArgumentException] {
-      Checkpoints.sweep(s2.range(10).toDF("id"))
-    }
-    assert(e.getMessage.contains("setCheckpointDir"), e.getMessage)
+    val saved = spark.sparkContext.getCheckpointDir
+    setRawCheckpointDir(None)
+    try {
+      val s2 = sessionWith(Checkpoints.ReliableKey)
+      val e = intercept[IllegalArgumentException] {
+        Checkpoints.sweep(s2.range(10).toDF("id"))
+      }
+      assert(e.getMessage.contains("setCheckpointDir"), e.getMessage)
+    } finally setRawCheckpointDir(saved)
   }
 
   test("Checkpoints.sweep: default mode stays executor-local (no files), " +
       "reliable mode writes checkpoint blocks; rows identical") {
+    // own a fresh dir for this test (order independence); ensureCkDir is
+    // not enough here because the file-count assertions need an empty dir
     val ckDir = Files.createTempDirectory("graft-ck-").toFile
     spark.sparkContext.setCheckpointDir(ckDir.getAbsolutePath)
     def files(): Int = {
@@ -90,9 +113,9 @@ class RoundThirteenSpec extends AnyFunSuite {
     assert(operators.DedupOps.ReliableCheckpointKey ==
       Checkpoints.LegacyReliableKey)
     // getCheckpointDir is a URI string (file:/…/<uuid>) — strip the scheme
-    // to walk it from the driver side
-    val ckDir = spark.sparkContext.getCheckpointDir.get
-      .stripPrefix("file:")
+    // to walk it from the driver side; ensure our own dir (order
+    // independence — this test formerly NPE'd when run alone)
+    val ckDir = ensureCkDir().stripPrefix("file:")
     def files(): Int = {
       def walk(f: java.io.File): Int =
         if (f.isDirectory) f.listFiles().map(walk).sum else 1
@@ -106,6 +129,7 @@ class RoundThirteenSpec extends AnyFunSuite {
 
   test("graph_components: bit-identical between local and reliable sweep " +
       "modes through the whole multi-round sweep") {
+    ensureCkDir() // reliable mode needs a dir regardless of test order
     val base = GraphOps.queries("graph_components")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val s2 = sessionWith(Checkpoints.ReliableKey)

@@ -97,7 +97,17 @@ if os.path.exists(bench_path):
             # without this check the mismatch below would misread as "driver
             # regenerated the fixture"
             bad.append(f"{bench_path} claims fixture {sf_dir}, which does "
-                       f"not exist — cannot verify the rung's generation")
+                       f"not exist or is not a directory — cannot verify "
+                       f"the rung's generation")
+            qm_stale = True
+        elif not os.access(sf_dir, os.R_OK | os.X_OK):
+            # an EXISTING but unreadable dir also fingerprints as zero
+            # entries (data_fingerprint swallows the OSError by the
+            # Scala-mirror contract) — without this branch a permissions
+            # failure would be misdiagnosed below as fixture regeneration
+            bad.append(f"{bench_path} claims fixture {sf_dir}, which exists "
+                       f"but cannot be read (permissions) — cannot verify "
+                       f"the rung's generation")
             qm_stale = True
         elif (cur_fp := data_fingerprint(sf_dir)) != rung_fp:
             bad.append(
@@ -165,6 +175,19 @@ if g_committed and g_last:
         ends = [v for v in (g.get("probe_pre_s"), g.get("probe_post_s"))
                 if v and v > 0]
         return min(ends) if ends else None
+    # a run whose OWN pre/post probes diverge was measured under load that
+    # shifted mid-run: the min() "steady" probe under-annotates exactly the
+    # mixed-load runs the gauge exists to flag, so call that out per-run
+    for label, g in (("the committed rung", g_committed),
+                     ("BENCH_last.json", g_last)):
+        pre, post = g.get("probe_pre_s"), g.get("probe_post_s")
+        if pre and post and pre > 0 and post > 0 \
+                and max(pre, post) / min(pre, post) > 1.15:
+            print(f"note: {label}'s own probes diverge (pre {pre:.2f}s vs "
+                  f"post {post:.2f}s, x{max(pre, post) / min(pre, post):.2f})"
+                  f" — machine load shifted DURING that run; its per-query "
+                  f"numbers mix two load regimes and the steady-probe "
+                  f"comparison below may under-state the drift.")
     pc, pl = probe(g_committed), probe(g_last)
     if pc and pl and max(pc, pl) / min(pc, pl) > 1.15:
         print(f"note: env gauge differs materially between the committed "
