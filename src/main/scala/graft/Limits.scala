@@ -81,6 +81,25 @@ object Limits {
     * with the bucket hash). */
   val componentsBucketedBound = 4L * 1000 * 1000
 
+  /** `vertexBound` above which `graph_kcore`'s delta peeling probes the
+    * BUCKETED catalog adjacency instead of the gated parquet scan — the
+    * same measured crossover window as components (r14 A/B, medians of
+    * 3 at local[32]: bucketed +27 % at the 2.39M rung, −30/−8/−28 % at
+    * 4.78M/23.9M/47.8M), which is expected: the delta probe is the same
+    * explode+re-agg sweep shape whose state join aligns with the bucket
+    * hash. */
+  val kcoreBucketedBound = 4L * 1000 * 1000
+
+  /** `vertexBound` above which `graph_label_prop` votes over the
+    * BUCKETED catalog adjacency. Its crossover sits LOWER than
+    * components/kcore (r14 A/B: bucketed +17 % at the 0.24M rung, then
+    * −22/−4/−20/−17 % at 2.39M/4.78M/23.9M/47.8M): both LPA rounds group
+    * by the bucketing key itself (round 1's neighbour-min aggregates
+    * directly on src; round 2's vote re-aggregates the probe fan-out),
+    * so the pre-hashed scan removes an exchange even where the state
+    * frame still broadcasts. 1M sits between the measured rungs. */
+  val labelPropBucketedBound = 1L * 1000 * 1000
+
   /** Max vertex degree the id-sorted WHOLE-ARRAY adjacency artifact
     * ([[graft.operators.GraphOps.sortedAdjPath]]) accepts: one row per
     * vertex means the max row is 8 B × max-degree, and a single row must

@@ -652,12 +652,26 @@ object GraphOps {
   /** k-core decomposition (bounded peeling): the maximal-ish subgraph in
     * which every surviving part co-occurs with ≥ k other survivors — the
     * dense-community extraction that precedes motif mining and the graph
-    * analog of the dedup df-cut. Each round is one vertex-sized degree
-    * aggregate plus two vertex-set semi-joins restricting the edge list;
-    * the vertex keep-set is dimension-bounded and broadcasts, the edge set
-    * only ever shrinks, and no round materializes anything edge-quadratic.
-    * At 100 TB: R rounds = R bounded shuffles over a monotonically
-    * shrinking edge set — the standard distributed peeling shape. */
+    * analog of the dedup df-cut.
+    *
+    * Round-14 spelling: DELTA peeling over the pay-once packed adjacency
+    * ([[graphKcoreDeltaImpl]]) instead of re-materializing the surviving
+    * edge set every round. The state is the VERTEX-sized live-degree
+    * table; a round removes the vertices that fell under k, probes the
+    * adjacency by the NEWLY-removed set only, and subtracts the lost
+    * neighbor counts from the survivors. Every edge's endpoints are
+    * removed at most once, so the total adjacency traffic across ALL
+    * rounds is ≤ 2m rows — amortized linear — where the edge-restriction
+    * spelling ([[graphKcorePeelImpl]], kept for the A/B spec) paid a full
+    * edge-stream re-shuffle AND an edge-sized checkpoint per round
+    * (O(R·m), the suite's #1 sf1 cost at 17.4 s committed). The
+    * per-round pin shrinks from edge-sized to vertex-sized, and the probe
+    * rides the same gated broadcast/shuffle-hash convention as the other
+    * sweeps — including the bucketed catalog adjacency for the
+    * 10⁹-vertex regime (zero adjacency-side exchange per round).
+    * Bit-identity between the two spellings is spec-pinned
+    * (RoundFourteenSpec); the DuckDB oracle unrolls the edge-restriction
+    * rounds and both spellings agree with it. */
   /** One peeling round: restrict the edge set to endpoints whose degree
     * survives the cut. Extracted so PlanSpec can pin the round's physical
     * shape (both vertex-set restrictions broadcast; the edge set never
@@ -669,7 +683,65 @@ object GraphOps {
       .join(gatedBc(keep.withColumnRenamed("v", "b"), small), Seq("b"), "left_semi")
 
   val graphKcore: Q = (s, d) =>
-    graphKcoreImpl(s, d, Limits.maxBroadcastVertices)
+    graphKcoreDeltaImpl(s, d, Limits.maxBroadcastVertices,
+      bucketed = kcoreUseBucketed(s, d))
+
+  /** Layout gate for the delta probe — the [[componentsUseBucketed]]
+    * convention at the same measured 4M crossover
+    * ([[Limits.kcoreBucketedBound]]). */
+  private[graft] def kcoreUseBucketed(s: SparkSession, d: String): Boolean =
+    vertexBound(s, d) > Limits.kcoreBucketedBound
+
+  /** Delta peeling (the production spelling — see the operator scaladoc
+    * above). State: (v, degree) over LIVE vertices only, seeded from the
+    * packed-adjacency degree artifact (no isolated vertices by
+    * construction, matching the oracle's d0). Per round: the under-k
+    * vertices leave the state, their ORIGINAL neighbor lists fan out of
+    * the adjacency once (a dead neighbor on the probe output simply finds
+    * no state row to decrement — the left join drops it), and survivors
+    * subtract the lost counts. Equivalence to the edge-restriction
+    * rounds: a survivor's live degree is its original degree minus the
+    * neighbors removed so far, each removed exactly once (a vertex is in
+    * exactly one removal set), so after round t the state equals
+    * degrees(e_t) on the survivor set; vertices at live degree 0 carry a
+    * state row the oracle's d_t lacks, but they can never re-enter a
+    * keep set (k ≥ 1) and the final deg ≥ 1 filter drops them. */
+  private[graft] def graphKcoreDeltaImpl(s: SparkSession, d: String,
+      maxBcVerts: Long, bucketed: Boolean = false): DataFrame = {
+    val adj =
+      if (bucketed) s.table(bucketedAdjTable(s, d))
+      else s.read.parquet(s"${packedAdjPath(s, d)}/adj")
+    val small = !bucketed && vertexBound(s, d) <= maxBcVerts
+    // vertex-sized pin per round (vs the old spelling's edge-sized one):
+    // deg feeds the removal set, the survivor filter AND next round's
+    // state, so unpinned the probe lineage re-expands per round
+    var deg = degTable(s, d).sweepCheckpoint()
+    for (_ <- 1 to kcoreRounds) {
+      val removed = deg.filter(col("degree") < kcoreK).select(col("v"))
+      val alive = deg.filter(col("degree") >= kcoreK)
+      // ≤ 2m probe rows TOTAL across all rounds — each vertex fans its
+      // neighbor list out exactly once, in the round it is removed
+      val lost = adj
+        .join(gatedBc(removed.withColumnRenamed("v", "src"), small), "src")
+        .select(explode(col("dsts")).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("lost"))
+      deg = alive
+        .join(gatedBc(lost, small), Seq("v"), "left")
+        .select(col("v"),
+          (col("degree") - coalesce(col("lost"), lit(0L))).as("degree"))
+        .sweepCheckpoint()
+    }
+    deg.filter(col("degree") >= 1)
+      .select(col("v"), col("degree").as("core_degree"))
+      .orderBy(col("v"))
+  }
+
+  /** The pre-r14 edge-restriction spelling, kept as the A/B + spec
+    * reference for [[graphKcoreDeltaImpl]] (bit-identity pinned in
+    * RoundFourteenSpec, cost comparison in docs/SCALE.md). */
+  private[graft] def graphKcorePeelImpl(s: SparkSession, d: String,
+      maxBcVerts: Long): DataFrame =
+    graphKcoreImpl(s, d, maxBcVerts)
 
   /** The round-11 fusion EXPERIMENT for the verdict's kcore residual: one
     * pin per round instead of two — the keep-set stays unpinned and its
@@ -1107,7 +1179,14 @@ object GraphOps {
           .groupBy(col("v"))
           .agg(sum(col("r")).as("s")))
         .sweepCheckpoint()
-      val mx = sums.agg(max(col("s"))).head().getLong(0)
+      // max() over zero groups is null (edgeless graph): the sweep frame
+      // is empty, so any non-zero divisor keeps the rescale projection
+      // well-formed and the final result is the correct empty landmark
+      // set — same null-safe convention as the sortedAdj max-degree
+      // pre-check, closing the last head().getLong scalar read in
+      // src/main that could NPE on a degenerate graph
+      val mxRow = sums.agg(max(col("s"))).head()
+      val mx = if (mxRow.isNullAt(0)) 1L else mxRow.getLong(0)
       // no second pin: the rescale is a stateless projection over the
       // ALREADY-pinned sums, so lineage depth stays constant without
       // paying a third job per sweep
@@ -1131,9 +1210,11 @@ object GraphOps {
     * round); the report carries exact integer modularity numerators
     * (Q·4m² = 4m·Σe_c − Σd_c²) before and after, float computed once.
     *
-    * 100 TB shape: degrees broadcast onto the symmetric edge stream; the
-    * per-vertex argmin is a (k_u, u)-ordered min_by aggregate keyed by
-    * vertex (map-side partials, never a sort of the edge stream); the
+    * 100 TB shape: the candidate degrees ride the packed-adjacency chunk
+    * rows themselves (the r14 probe reversal — zero degree probes on the
+    * edge stream); the per-vertex argmin is a (k_u, u)-ordered min_by
+    * aggregate keyed by vertex (map-side partials, never a sort of the
+    * edge stream) followed by ONE vertex-sized gated k_v probe; the
     * modularity-after pass is one label join + two bounded aggregates.
     * Everything is vertex- or edge-linear; no pair expansion. */
   val graphLouvainMove: Q = (s, d) =>
@@ -1151,20 +1232,28 @@ object GraphOps {
     val small = 2L * m <= maxBcVerts
     val adjBase = packedAdjPath(s, d)
     val deg = s.read.parquet(s"$adjBase/deg")
-    // (v, kv, u, ku) from the packed adjacency: kv rides the chunk row
-    // (degree is stored alongside src), so only the NEIGHBOR degree needs
-    // a join — one gated vertex-sized probe instead of two edge joins
+    // Round-14 probe reversal (the assortativity vertex-moments trick
+    // applied to the target vote): the chunk row carries the SOURCE
+    // degree, and the adjacency is symmetric, so reading each row as
+    // "u (with its ku) is a neighbor of every v in dsts" yields
+    // (v, u, ku) with ZERO join — the old spelling probed the
+    // vertex-sized degree table once per DIRECTED EDGE (2m hash lookups,
+    // the DRAM-latency probe class the r10 common_neighbors attribution
+    // measured as the family's dominant cost). kv moves to one
+    // vertex-sized gated probe AFTER the argmin, over nv rows instead
+    // of 2m. min_by partial-aggregates map-side, so the vote exchange
+    // carries ~nv rows either way. Bit-identity spec-pinned
+    // (RoundFourteenSpec); oracle untouched.
     val annotated = s.read.parquet(s"$adjBase/adj")
-      .select(col("src").as("v"), col("degree").as("kv"),
-        explode(col("dsts")).as("u"))
-      .join(gatedBc(deg.select(col("v").as("u"), col("degree").as("ku")), small), "u")
+      .select(col("src").as("u"), col("degree").as("ku"),
+        explode(col("dsts")).as("v"))
     // per-vertex best target: min-degree neighbor, smallest id on ties
     val best = annotated
       .groupBy(col("v"))
       .agg(min_by(struct(col("u"), col("ku")),
-          struct(col("ku"), col("u"))).as("b"),
-        first(col("kv")).as("kv"))
-      .select(col("v"), col("b.u").as("target"), col("b.ku").as("ktu"), col("kv"))
+          struct(col("ku"), col("u"))).as("b"))
+      .select(col("v"), col("b.u").as("target"), col("b.ku").as("ktu"))
+      .join(gatedBc(deg.select(col("v"), col("degree").as("kv")), small), "v")
     val labels = best
       .select(col("v"),
         when(lit(4L * m) - lit(2L) * col("kv") * col("ktu") > 0,
@@ -1284,21 +1373,25 @@ object GraphOps {
     * cheap count-only fold BEFORE the collect_list runs, so an
     * over-ceiling hub fails at the artifact boundary with a message
     * naming the fallback — not deep inside a parquet write. Past the
-    * ceiling a sampler needs the POSITIONAL-chunk spelling (chunk c holds
-    * positions [c·K, (c+1)·K); walker joins on (w, idx DIV K) after a
-    * degree annotate) — two gated joins per hop instead of one; not
-    * materialized here because no fixture (and no co-occurrence graph of
-    * bounded basket width) gets near the ceiling, and the declared
-    * [[adjChunkTarget]] artifact already demonstrates the chunking
-    * machinery. */
+    * ceiling the walk rides the POSITIONAL-chunk spelling
+    * ([[sortedAdjChunkedPath]]: chunk c holds positions [c·K, (c+1)·K);
+    * the walker joins on (w, idx DIV K) after a degree annotate — two
+    * gated joins per hop instead of one), selected automatically by
+    * [[graphRandomWalkImpl]]'s [[maxDegree]] gate and bit-identity-pinned
+    * against this layout (RoundFourteenSpec). */
   /** The [[sortedAdjPath]] row-size gate, extracted so the spec can drive
-    * both sides of the ceiling without a 2×10⁸-degree fixture. */
+    * both sides of the ceiling without a 2×10⁸-degree fixture. The walk
+    * query itself can no longer reach this require — [[graphRandomWalkImpl]]
+    * gates on the memoized max degree FIRST and routes over-ceiling graphs
+    * to the positional-chunk artifact ([[sortedAdjChunkedPath]]) — so this
+    * fires only for a direct artifact consumer that skipped the gate. */
   private[graft] def requireSortedAdjDegree(maxDeg: Long): Unit =
     require(maxDeg <= Limits.maxSortedAdjDegree,
       s"graph_adj_sorted: max degree $maxDeg exceeds the whole-array " +
         s"row ceiling ${Limits.maxSortedAdjDegree} (8 B x degree per " +
-        "row vs the 2 GiB single-row limit); this graph needs the " +
-        "positional-chunk adjacency spelling (see sortedAdjPath scaladoc)")
+        "row vs the 2 GiB single-row limit); use the positional-chunk " +
+        "adjacency ([[sortedAdjChunkedPath]]) — graphRandomWalkImpl " +
+        "selects it automatically past the ceiling")
 
   private[graft] def sortedAdjPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("graph_adj_sorted", d, Seq("lineitem"),
@@ -1320,6 +1413,79 @@ object GraphOps {
           count(lit(1)).as("deg"))
         .write.parquet(s"$dir/adj")
     }
+
+  /** Memoized max co-occurrence degree — the walk-layout gate scalar: one
+    * max over the VERTEX-sized degree artifact (never the edge stream),
+    * keyed on the versioned artifact path like [[edgeCount]], so the gate
+    * costs one bounded job per data version, not per query. */
+  private[graft] def maxDegree(s: SparkSession, d: String): Long = {
+    val p = s"${packedAdjPath(s, d)}/deg"
+    memoCount(s"maxdeg:$p") {
+      val r = s.read.parquet(p).agg(max(col("degree"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+  }
+
+  /** Positions per chunk row of the positional-chunk walk adjacency —
+    * the [[adjChunkTarget]] sizing convention (a few KB per row). */
+  val walkChunkK = 8192L
+
+  /** POSITIONAL-chunk id-sorted adjacency — the past-the-ceiling sibling
+    * of [[sortedAdjPath]]: chunk row (w, c, ns) holds positions
+    * [c·K, (c+1)·K) of w's id-sorted neighbor list, so
+    * `element_at(full_list, i)` becomes "chunk i DIV K, element i MOD K"
+    * — index semantics preserved across chunks with every row bounded at
+    * K ids regardless of hub degree (no 2 GiB single-row ceiling). The
+    * build ranks each neighbor by id within its vertex
+    * (`row_number() over (partition by w order by n)`); a 10⁸-degree
+    * hub's rank partition is row-shaped, not row-sized — tens of GB of
+    * (w, n) pairs SPILL in one sort task where the whole-array
+    * collect_list would have to hold them in a single unsplittable 2 GiB+
+    * row. K is an artifact parameter (name-keyed) so the spec can pin
+    * cross-chunk indexing with a tiny K against the fixture while
+    * production uses [[walkChunkK]]. */
+  private[graft] def sortedAdjChunkedPath(s: SparkSession, d: String,
+      k: Long = walkChunkK): String =
+    graft.plans.ArtifactCache.getOrBuild(s"graph_adj_chunked_$k", d,
+      Seq("lineitem"), edgesLogic) { dir =>
+      val e = edges(s, d)
+      val sym = e.select(col("a").as("w"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+      // global position of n in w's id-sorted neighbor list; n ascending
+      // IS pos ascending, so sort_array(collect_list(n)) orders each
+      // chunk without carrying pos into the row
+      sym.withColumn("pos",
+          (row_number().over(Window.partitionBy(col("w"))
+            .orderBy(col("n"))) - 1).cast(LongType))
+        .withColumn("c", expr(s"pos DIV $k"))
+        .groupBy(col("w"), col("c"))
+        .agg(sort_array(collect_list(col("n"))).as("ns"))
+        .write.parquet(s"$dir/adj")
+    }
+
+  /** One walk hop over the positional-chunk adjacency: the degree
+    * annotate (one gated vertex-sized join against the degree artifact)
+    * computes each walker's neighbor index, then the chunk probe joins on
+    * (w, idx DIV K) and picks position idx MOD K — the two gated joins
+    * per hop the whole-array scaladoc promised as the past-the-ceiling
+    * spelling. Same PolyHash index stream as [[walkHop]], so the walk
+    * corpus is bit-identical across layouts (spec-pinned,
+    * RoundFourteenSpec, including a tiny-K cross-chunk pin). */
+  private[graft] def walkHopChunked(adjC: DataFrame, degT: DataFrame,
+      frontier: DataFrame, t: Int, k: Long, small: Boolean): DataFrame = {
+    import graft.functions.PolyHash.{affine, P}
+    val idx = affine(t, (col("start") * 1009L + col("cur")) % lit(P)) %
+      col("degree")
+    val withIdx = degT.withColumnRenamed("v", "cur")
+      .join(gatedBc(frontier, small), "cur")
+      .select(col("start"), col("cur"), idx.as("idx"))
+    adjC.withColumnRenamed("w", "cur")
+      .join(gatedBc(withIdx.withColumn("c", expr(s"idx DIV $k")), small),
+        Seq("cur", "c"))
+      .select(col("start"),
+        element_at(col("ns"), (col("idx") % lit(k) + 1)
+          .cast(IntegerType)).as("cur"))
+  }
 
   /** Deterministic random walks — the node2vec/DeepWalk sampling primitive
     * a graph-embedding pipeline runs, with the engine-neutral determinism
@@ -1360,19 +1526,42 @@ object GraphOps {
   }
 
   private[graft] def graphRandomWalkImpl(s: SparkSession, d: String,
-      maxBcVerts: Long): DataFrame = {
+      maxBcVerts: Long, chunkedOpt: Option[Boolean] = None,
+      k: Long = walkChunkK): DataFrame = {
     // the walker frontier is |V| rows — size-gated ([[gatedBc]]; this site
     // wasn't on the verdict's nine but is the same scale-killer class)
     val small = vertexBound(s, d) <= maxBcVerts
-    // stable artifact scan per hop (the components convention): no pin —
-    // nothing re-derives, and the scan carries parquet statistics
-    val adj = s.read.parquet(s"${sortedAdjPath(s, d)}/adj")
-    var frontier = adj.select(col("w").as("start"), col("w").as("cur"))
-    val visited = collection.mutable.ArrayBuffer(frontier)
-    for (t <- 0 until walkSteps) {
-      frontier = walkHop(adj, frontier, t, small)
-        .sweepCheckpoint() // constant-depth plan per hop
+    // layout gate: past the whole-array row ceiling the walk rides the
+    // positional-chunk artifact (r13 verdict #5 — the fallback the
+    // fail-fast message names is now real and auto-selected); the gate
+    // scalar is the memoized vertex-table max degree, one bounded job
+    // per data version
+    val chunked = chunkedOpt.getOrElse(
+      maxDegree(s, d) > Limits.maxSortedAdjDegree)
+    val visited = collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (chunked) {
+      val adjC = s.read.parquet(s"${sortedAdjChunkedPath(s, d, k)}/adj")
+      val degT = degTable(s, d)
+      // same start universe as the whole-array layout: every vertex with
+      // ≥1 neighbor (the degree artifact's row set)
+      var frontier = degT.select(col("v").as("start"), col("v").as("cur"))
       visited += frontier
+      for (t <- 0 until walkSteps) {
+        frontier = walkHopChunked(adjC, degT, frontier, t, k, small)
+          .sweepCheckpoint() // constant-depth plan per hop
+        visited += frontier
+      }
+    } else {
+      // stable artifact scan per hop (the components convention): no pin —
+      // nothing re-derives, and the scan carries parquet statistics
+      val adj = s.read.parquet(s"${sortedAdjPath(s, d)}/adj")
+      var frontier = adj.select(col("w").as("start"), col("w").as("cur"))
+      visited += frontier
+      for (t <- 0 until walkSteps) {
+        frontier = walkHop(adj, frontier, t, small)
+          .sweepCheckpoint() // constant-depth plan per hop
+        visited += frontier
+      }
     }
     visited.map(_.select(col("cur").as("v"))).reduce(_ unionAll _)
       .groupBy(col("v")).agg(count(lit(1)).as("n_visits"))
@@ -1478,8 +1667,11 @@ object GraphOps {
     // overflows past deg ≈ 2×10⁶ — hub territory at 10⁹ vertices).
     val small = vertexBound(s, d) <= maxBcVerts
     val deg = degTable(s, d)
+    // coalesce keeps the empty-edge-set degenerate identical to the old
+    // count-based spelling (m = 0, not NULL), so a consumer reading
+    // getLong(0) on the single output row never NPEs
     val vm = deg.agg(
-      sum(col("degree").cast(dec)).as("m"),
+      coalesce(sum(col("degree").cast(dec)), lit(0).cast(dec)).as("m"),
       sum((col("degree") * col("degree")).cast(dec)).as("sj"),
       sum(col("degree").cast(dec) * col("degree") * col("degree")).as("sj2"))
     val sjk = s.read.parquet(s"${packedAdjPath(s, d)}/adj")
@@ -1628,13 +1820,27 @@ object GraphOps {
     * keeps the plan constant-depth (the [[graphKcore]] convention), so
     * rounds never compound into a lineage explosion. */
   val graphLabelProp: Q = (s, d) =>
-    graphLabelPropImpl(s, d, Limits.maxBroadcastVertices)
+    graphLabelPropImpl(s, d, Limits.maxBroadcastVertices,
+      bucketed = labelPropUseBucketed(s, d))
+
+  /** Layout gate for the LPA vote — [[componentsUseBucketed]]'s
+    * convention at the lower crossover LPA measures
+    * ([[Limits.labelPropBucketedBound]]: both rounds group by the
+    * bucketing key, so the pre-hashed scan pays off earlier). */
+  private[graft] def labelPropUseBucketed(s: SparkSession, d: String): Boolean =
+    vertexBound(s, d) > Limits.labelPropBucketedBound
 
   private[graft] def graphLabelPropImpl(s: SparkSession, d: String,
-      maxBcVerts: Long): DataFrame = {
+      maxBcVerts: Long, bucketed: Boolean = false): DataFrame = {
     val adjBase = packedAdjPath(s, d)
-    val adj = s.read.parquet(s"$adjBase/adj")
-    val small = vertexBound(s, d) <= maxBcVerts
+    // bucketed mode reads the pre-hashed catalog adjacency (the
+    // graphComponentsImpl convention): the per-round state probe plans
+    // with zero exchange on the adjacency side, and round 1's
+    // neighbour-min aggregate groups by the bucketing key itself
+    val adj =
+      if (bucketed) s.table(bucketedAdjTable(s, d))
+      else s.read.parquet(s"$adjBase/adj")
+    val small = !bucketed && vertexBound(s, d) <= maxBcVerts
     // round 1 collapses to the neighbour-min aggregate (identity seed ⇒
     // all votes tie — [[labelPropFirstRound]]); the degree table's vertex
     // universe is exactly adj's src set (symmetric adjacency, no isolated

@@ -52,8 +52,61 @@ object ProfileBucketedAB {
         GraphOps.graphComponentsImpl(spark, d, Long.MaxValue).count()),
       "components_bucketed" -> (() =>
         GraphOps.graphComponentsImpl(spark, d, Long.MaxValue, bucketed = true).count()),
+      // r14: kcore delta-peeling vs the old edge-restriction spelling,
+      // and the bucketed-adjacency leg for delta
+      "kcore_peel_old" -> (() =>
+        GraphOps.graphKcorePeelImpl(spark, d, graft.Limits.maxBroadcastVertices).count()),
+      "kcore_delta_default" -> (() =>
+        GraphOps.graphKcoreDeltaImpl(spark, d, graft.Limits.maxBroadcastVertices).count()),
+      "kcore_delta_bucketed" -> (() =>
+        GraphOps.graphKcoreDeltaImpl(spark, d, Long.MaxValue, bucketed = true).count()),
+      // r14: label_prop gated default vs bucketed adjacency
+      "labelprop_default" -> (() =>
+        GraphOps.graphLabelPropImpl(spark, d, graft.Limits.maxBroadcastVertices).count()),
+      "labelprop_bucketed" -> (() =>
+        GraphOps.graphLabelPropImpl(spark, d, Long.MaxValue, bucketed = true).count()),
+      // r14: louvain probe-reversal spelling (the shipped default)
+      "louvain_default" -> (() =>
+        GraphOps.graphLouvainMoveImpl(spark, d, graft.Limits.maxBroadcastVertices).count()),
+      // the pre-r14 vote in isolation vs the reversed one: explode +
+      // per-edge ku probe + argmin (old) against chunk-row ku + argmin +
+      // one vertex-sized kv probe (new) — the full-query A/B would dilute
+      // the delta with the shared intra/modularity passes
+      "louvain_vote_old" -> (() => {
+        import org.apache.spark.sql.functions._
+        val adjBase = GraphOps.packedAdjPath(spark, d)
+        val deg = spark.read.parquet(s"$adjBase/deg")
+        spark.read.parquet(s"$adjBase/adj")
+          .select(col("src").as("v"), col("degree").as("kv"),
+            explode(col("dsts")).as("u"))
+          .join(deg.select(col("v").as("u"), col("degree").as("ku"))
+            .hint("shuffle_hash"), "u")
+          .groupBy(col("v"))
+          .agg(min_by(struct(col("u"), col("ku")),
+              struct(col("ku"), col("u"))).as("b"),
+            first(col("kv")).as("kv"))
+          .count()
+      }),
+      "louvain_vote_new" -> (() => {
+        import org.apache.spark.sql.functions._
+        val adjBase = GraphOps.packedAdjPath(spark, d)
+        val deg = spark.read.parquet(s"$adjBase/deg")
+        spark.read.parquet(s"$adjBase/adj")
+          .select(col("src").as("u"), col("degree").as("ku"),
+            explode(col("dsts")).as("v"))
+          .groupBy(col("v"))
+          .agg(min_by(struct(col("u"), col("ku")),
+              struct(col("ku"), col("u"))).as("b"))
+          .join(deg.hint("shuffle_hash"), "v")
+          .count()
+      }),
     )
-    val out = variants.map { case (name, run) =>
+    // optional args(2): comma-separated variant-name filter, so a session
+    // can re-measure one family without paying the whole table
+    val only = if (args.length > 2) args(2).split(",").map(_.trim).toSet
+      else Set.empty[String]
+    val out = variants.filter(v => only.isEmpty || only(v._1))
+      .map { case (name, run) =>
       val times = (1 to runs).map { _ =>
         System.gc()
         val t0 = System.nanoTime()

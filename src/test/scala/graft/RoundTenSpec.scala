@@ -42,15 +42,20 @@ class RoundTenSpec extends AnyFunSuite {
       GraphOps.graphComponentsImpl(s, d, m)),
     "graph_jaccard" -> (GraphOps.graphJaccardImpl _),
     "graph_weak_ties" -> (GraphOps.graphWeakTiesImpl _),
-    "graph_kcore" -> (GraphOps.graphKcoreImpl _),
+    // the shipped r14 delta-peeling spelling (the old edge-restriction
+    // impl keeps its own bit-identity pin in RoundFourteenSpec)
+    "graph_kcore" -> ((s: org.apache.spark.sql.SparkSession, d: String, m: Long) =>
+      GraphOps.graphKcoreDeltaImpl(s, d, m)),
     "basket_rules" -> (GraphOps.basketRulesImpl _),
     "graph_louvain_move" -> (GraphOps.graphLouvainMoveImpl _),
     "graph_closeness" -> (GraphOps.graphClosenessImpl _),
     "graph_bfs" -> (GraphOps.graphBfsImpl _),
     "graph_assortativity" -> (GraphOps.graphAssortativityImpl _),
     "graph_modularity" -> (GraphOps.graphModularityImpl _),
-    "graph_random_walk" -> (GraphOps.graphRandomWalkImpl _),
-    "graph_label_prop" -> (GraphOps.graphLabelPropImpl _),
+    "graph_random_walk" -> ((s: org.apache.spark.sql.SparkSession, d: String, m: Long) =>
+      GraphOps.graphRandomWalkImpl(s, d, m)),
+    "graph_label_prop" -> ((s: org.apache.spark.sql.SparkSession, d: String, m: Long) =>
+      GraphOps.graphLabelPropImpl(s, d, m)),
   )
 
   gated.foreach { case (name, impl) =>
