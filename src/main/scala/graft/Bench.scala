@@ -46,6 +46,12 @@ object Bench {
     "graph_edges" -> ((s, d) => operators.GraphOps.edgesPath(s, d)),
     "graph_pair_counts" -> ((s, d) => operators.GraphOps.pairCountsPath(s, d)),
     "graph_adj_packed" -> ((s, d) => operators.GraphOps.packedAdjPath(s, d)),
+    // the catalog-bucketed adjacency copy: consumed by label_prop from the
+    // 1M vertex bound up (so at sf0.1, the canonical rung) and by
+    // components/kcore past 4M — without this entry it lands as a stray
+    // build on whichever of those runs first
+    "graph_adj_bucketed" -> ((s, d) =>
+      operators.GraphOps.bucketedAdjTable(s, d)),
     "graph_adj_sorted" -> ((s, d) => operators.GraphOps.sortedAdjPath(s, d)),
     "graph_closed_wedges" -> ((s, d) => operators.GraphOps.closedWedgesPath(s, d)),
   )

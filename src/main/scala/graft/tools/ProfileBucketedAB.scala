@@ -100,6 +100,22 @@ object ProfileBucketedAB {
           .join(deg.hint("shuffle_hash"), "v")
           .count()
       }),
+      // structural-negative check: the vote fans out BY the bucketing key
+      // (src) but aggregates by the other endpoint, so the pre-hash cannot
+      // survive into the argmin exchange — expect a wash/loss
+      "louvain_vote_bucketed" -> (() => {
+        import org.apache.spark.sql.functions._
+        val deg = spark.read
+          .parquet(s"${GraphOps.packedAdjPath(spark, d)}/deg")
+        spark.table(GraphOps.bucketedAdjTable(spark, d))
+          .select(col("src").as("u"), col("degree").as("ku"),
+            explode(col("dsts")).as("v"))
+          .groupBy(col("v"))
+          .agg(min_by(struct(col("u"), col("ku")),
+              struct(col("ku"), col("u"))).as("b"))
+          .join(deg.hint("shuffle_hash"), "v")
+          .count()
+      }),
     )
     // optional args(2): comma-separated variant-name filter, so a session
     // can re-measure one family without paying the whole table
