@@ -328,6 +328,8 @@ object GraphOps {
     var converged = false
     var iter = 0
     var labels: DataFrame = null
+    // the pinned frame backing `labels` (labels is a projection over it)
+    var labelsBacking: DataFrame = null
     while (!converged && iter < maxIters) {
       iter += 1
       // propagate: label ← min over self + neighbors' labels, the probe
@@ -347,6 +349,11 @@ object GraphOps {
           least(col("lbl"), coalesce(col("j_lbl"), col("lbl"))).as("lbl"))
         .sweepCheckpoint(false)
       converged = next.filter(col("lbl") =!= col("old")).count() == 0
+      // the count materialized `next`, so this round's propagate pin and
+      // the previous round's state pin are both dead — release them
+      graft.plans.Checkpoints.release(prop)
+      if (labelsBacking != null) graft.plans.Checkpoints.release(labelsBacking)
+      labelsBacking = next
       labels = next.select(col("v"), col("lbl"))
     }
     require(converged, s"graph_components did not converge within $maxIters rounds")
@@ -725,11 +732,14 @@ object GraphOps {
         .join(gatedBc(removed.withColumnRenamed("v", "src"), small), "src")
         .select(explode(col("dsts")).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("lost"))
-      deg = alive
+      val next = alive
         .join(gatedBc(lost, small), Seq("v"), "left")
         .select(col("v"),
           (col("degree") - coalesce(col("lost"), lit(0L))).as("degree"))
         .sweepCheckpoint()
+      // previous round's state is dead once the new pin materializes
+      graft.plans.Checkpoints.release(deg)
+      deg = next
     }
     deg.filter(col("degree") >= 1)
       .select(col("v"), col("degree").as("core_degree"))
@@ -1098,6 +1108,12 @@ object GraphOps {
             if (bcState) broadcast(prev) else prev.hint("shuffle_hash"), "v")
           .filter(col("pr") =!= col("prev")).isEmpty
       }
+      // the previous block boundary is dead: the new pin is materialized
+      // and the convergence check above has read it — release its blocks
+      // now instead of waiting out driver GC + the async ContextCleaner
+      // ([[graft.plans.Checkpoints.release]]; live pins stay O(1) in the
+      // sweep count)
+      graft.plans.Checkpoints.release(blockStart)
     }
     pr.select(col("v"), col("pr").as("pr_scaled"),
         // round to 6 (the repo-wide float-output convention): at 15 places
@@ -1170,6 +1186,9 @@ object GraphOps {
     val sym =
       if (bucketed) s.table(bucketedAdjTable(s, d))
       else s.read.parquet(s"$adjBase/adj").sweepCheckpoint()
+    // the pinned frame backing the current rank state (r is a stateless
+    // projection over it); dead as soon as the next sums pin materializes
+    var rBacking = r
     for (_ <- 1 to eigenIters) {
       val state = r.withColumnRenamed("v", "src")
       val sums = (if (bucketed) eigenSweepBucketed(sym, r)
@@ -1179,6 +1198,8 @@ object GraphOps {
           .groupBy(col("v"))
           .agg(sum(col("r")).as("s")))
         .sweepCheckpoint()
+      graft.plans.Checkpoints.release(rBacking)
+      rBacking = sums
       // max() over zero groups is null (edgeless graph): the sweep frame
       // is empty, so any non-zero divisor keeps the rescale projection
       // well-formed and the final result is the correct empty landmark
@@ -1846,8 +1867,11 @@ object GraphOps {
     // universe is exactly adj's src set (symmetric adjacency, no isolated
     // vertices), so no seed frame is needed
     var labels = labelPropFirstRound(adj).sweepCheckpoint()
-    for (_ <- 2 to labelPropRounds)
-      labels = labelPropRound(adj, labels, small).sweepCheckpoint()
+    for (_ <- 2 to labelPropRounds) {
+      val next = labelPropRound(adj, labels, small).sweepCheckpoint()
+      graft.plans.Checkpoints.release(labels)
+      labels = next
+    }
     labels
       .withColumn("community_size",
         count(lit(1)).over(Window.partitionBy(col("lbl"))))

@@ -84,4 +84,31 @@ object Checkpoints {
     def sweepCheckpoint(eager: Boolean = true): DataFrame =
       Checkpoints.sweep(df, eager)
   }
+
+  /** Free the block-manager copies behind a DEAD sweep pin. An R-round
+    * sweep leaves R pinned RDDs whose blocks are reclaimed only when the
+    * driver GCs AND the async ContextCleaner catches up — at the
+    * memory-tight rungs that lag is real debt (measured: the sf2
+    * CPUS=4 full-suite run inverts pagerank's repeat triple 26 → 56 s
+    * while the isolated triple is flat at 25 s). Releasing the previous
+    * round's state deterministically, as soon as the new round's pin has
+    * materialized, bounds a sweep's live blocks at O(1) rounds instead
+    * of O(R).
+    *
+    * SAFETY CONTRACT: a localCheckpoint pin has NO lineage to rebuild
+    * from — a released frame must never be scanned again. Callers
+    * release only the previous round's state, after the new pin is
+    * materialized AND any convergence check that read the old frame has
+    * run. (In reliable-checkpoint mode the data lives in checkpoint
+    * FILES and a re-scan re-reads them, so release only drops the
+    * block-manager copies — recoverability is unaffected; the contract
+    * is still honored so both modes stay plan- and result-identical.)
+    * A frame that is not a materialized pin (no LogicalRDD at the root)
+    * is left untouched. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -167,6 +167,31 @@ class RoundFourteenSpec extends AnyFunSuite {
     assert(graft.Limits.labelPropBucketedBound < 2390000L)
   }
 
+  // --------------- sweep-pin release (r14: bounded live blocks)
+
+  test("graph_pagerank / eigencentrality: dead sweep pins are released " +
+      "eagerly — live pinned RDDs stay O(1) in the round count") {
+    val sc = spark.sparkContext
+    def pinned(): Int = sc.getPersistentRDDs.size
+    // pagerank: 12 sweeps in blocks of 4 → without release the run leaves
+    // init + 3 block pins (+ the adjacency pin); with release only the
+    // adjacency and the final state may remain
+    val before = pinned()
+    val pr = GraphOps.queries("graph_pagerank")(spark, dir)
+    assert(pr.collect().nonEmpty)
+    val afterPr = pinned()
+    assert(afterPr - before <= 2,
+      s"pagerank left ${afterPr - before} pins (adjacency + final state " +
+        "are the only live ones allowed — dead block boundaries must be " +
+        "released inside the loop)")
+    val eig = GraphOps.queries("graph_eigencentrality")(spark, dir)
+    assert(eig.collect().nonEmpty)
+    val afterEig = pinned()
+    assert(afterEig - afterPr <= 2,
+      s"eigen left ${afterEig - afterPr} pins (6 sweeps must not " +
+        "accumulate 6 live sums pins)")
+  }
+
   // --------------- random-walk positional-chunk fallback (r13 verdict #5)
 
   test("graph_random_walk: the positional-chunk layout is bit-identical " +
