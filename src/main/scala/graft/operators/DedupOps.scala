@@ -925,6 +925,10 @@ object DedupOps {
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"))))
     var labels = ccCheckpoint(edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lbl")))
+    // the pinned frame backing `labels` (after round 1, labels is a
+    // projection over the round's `next` pin) — the graphComponentsImpl
+    // release convention
+    var labelsBacking = labels
     var converged = false
     var iter = 0
     // min-propagation alone needs DIAMETER rounds (a 64-hop dup chain = 64
@@ -952,11 +956,23 @@ object DedupOps {
           least(col("lbl"), coalesce(col("j_lbl"), col("lbl"))).as("lbl")),
         eager = false)
       converged = next.filter(col("lbl") =!= col("old")).count() == 0 // materializes the checkpoint
+      // the FULL count above materialized every partition of the lazy
+      // `next` pin (and its local-checkpoint truncation completed inside
+      // the count's runJob), so this round's propagate pin and the
+      // previous round's state pin are both dead — release them
+      // ([[graft.plans.Checkpoints.release]]; live pins stay O(1) in the
+      // round count instead of O(rounds))
+      graft.plans.Checkpoints.release(prop)
+      graft.plans.Checkpoints.release(labelsBacking)
+      labelsBacking = next
       labels = next.select(col("doc_id"), col("lbl"))
     }
     // wrong clusters are worse than no clusters: never return unconverged
     // labels silently
     require(converged, s"dedup_clusters did not converge within $maxIters rounds")
+    // the returned projection reads only the final round's pin — the
+    // edge pin fed its last probe in the round that just converged
+    graft.plans.Checkpoints.release(edges)
     labels.select(col("doc_id"), col("lbl"))
   }
 

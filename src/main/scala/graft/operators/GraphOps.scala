@@ -763,8 +763,13 @@ object GraphOps {
     var e = edges(s, d)
     val small = vertexBound(s, d) <= maxBcVerts
     for (_ <- 1 to kcoreRounds) {
+      val pe = e
       val keep = degrees(e).filter(col("degree") >= kcoreK).select(col("v"))
       e = kcoreRound(e, keep, small).sweepCheckpoint()
+      // the new pin re-derived keep's subplan from the old edge pin; both
+      // are dead now (round 1's `pe` is the unpinned artifact scan —
+      // release() leaves non-pin frames untouched)
+      graft.plans.Checkpoints.release(pe)
     }
     degrees(e)
       .select(col("v"), col("degree").as("core_degree"))
@@ -785,6 +790,7 @@ object GraphOps {
       // chain — measured 11.7 s vs 1.3 s at sf0.1 for R=4). Checkpointing
       // the dimension-bounded keep-set keeps each round's plan a single
       // linear chain over the shrinking edge list.
+      val pe = e
       val keep = degrees(e).filter(col("degree") >= kcoreK).select(col("v"))
         .sweepCheckpoint()
       // pin the restricted EDGE set too (not just keep): each round's
@@ -795,6 +801,10 @@ object GraphOps {
       // R-fold re-derivation was not). The edge set only ever shrinks, so
       // each pin is smaller than the last.
       e = kcoreRound(e, keep, small).sweepCheckpoint()
+      // keep fed only this round's two semi-joins, and the old edge pin
+      // only this round's probe — both dead once the new pin materializes
+      graft.plans.Checkpoints.release(keep)
+      graft.plans.Checkpoints.release(pe)
     }
     degrees(e)
       .select(col("v"), col("degree").as("core_degree"))
@@ -1342,9 +1352,20 @@ object GraphOps {
     var visited = seeds.sweepCheckpoint()
     var frontier = visited
     for (k <- 1 to bfsDepth) {
+      val pf = frontier
+      val pv = visited
       frontier = closenessRound(adj, frontier, visited, k, small).sweepCheckpoint()
-      visited = visited.unionAll(frontier).sweepCheckpoint()
+      visited = pv.unionAll(frontier).sweepCheckpoint()
+      // both new pins are eagerly materialized, so the previous round's
+      // frontier and visited pins are dead ([[graft.plans.Checkpoints
+      // .release]]; live pins stay O(1) in the depth, not O(depth) —
+      // round 1's two vars share the seeds pin, released once)
+      graft.plans.Checkpoints.release(pf)
+      if (pv ne pf) graft.plans.Checkpoints.release(pv)
     }
+    // the final union pin carries everything the aggregate below reads;
+    // the last frontier pin is dead too
+    graft.plans.Checkpoints.release(frontier)
     visited.filter(col("dist") > 0)
       .groupBy(col("s0"))
       .agg(count(lit(1)).as("n_reached"),
@@ -1639,9 +1660,16 @@ object GraphOps {
     var visited = seeds.sweepCheckpoint()
     var frontier = visited
     for (k <- 1 to bfsDepth) {
+      val pf = frontier
+      val pv = visited
       frontier = bfsRound(adj, frontier, visited, k, small).sweepCheckpoint()
-      visited = visited.unionAll(frontier).sweepCheckpoint()
+      visited = pv.unionAll(frontier).sweepCheckpoint()
+      // dead previous-round pins released eagerly (the closeness loop's
+      // pattern — live pins O(1) in depth; round 1 shares the seeds pin)
+      graft.plans.Checkpoints.release(pf)
+      if (pv ne pf) graft.plans.Checkpoints.release(pv)
     }
+    graft.plans.Checkpoints.release(frontier)
     visited.groupBy(col("dist"))
       .agg(count(lit(1)).as("n_vertices"))
       .orderBy(col("dist"))

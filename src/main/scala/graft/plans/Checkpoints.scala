@@ -104,11 +104,92 @@ object Checkpoints {
     * block-manager copies — recoverability is unaffected; the contract
     * is still honored so both modes stay plan- and result-identical.)
     * A frame that is not a materialized pin (no LogicalRDD at the root)
-    * is left untouched. */
+    * is left untouched.
+    *
+    * ENFORCEMENT (round 15 — the contract above used to rest on nothing
+    * but the call sites' code shape): with [[ParanoidKey]] = true,
+    * release() records the pin's RDD id and installs (once per JVM) a
+    * SparkListener that inspects every subsequent job's stage RDD
+    * lineage — any job that scans a released id is a contract violation,
+    * recorded in [[paranoidViolations]] for specs to assert empty.
+    * Production leaves the conf off (zero per-job overhead); every spec
+    * that drives an iterative sweep turns it on, so a future edit that
+    * re-scans a released frame fails its spec deterministically instead
+    * of failing at runtime only under local-mode memory pressure (block
+    * eviction timing — the WARN `Block rdd_N_M not found` in test logs
+    * was exactly this class before release became deterministic).
+    * release() also warns (always, not just paranoid) when asked to
+    * release a local-mode pin whose storage level is NONE — that frame
+    * was never pinned, so the call site is mislabeled; in reliable mode
+    * storage NONE is normal (the data lives in checkpoint FILES) and the
+    * unpersist is the intended no-op. */
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
+        val rdd = l.rdd
+        val paranoid =
+          df.sparkSession.conf.getOption(ParanoidKey).contains("true")
+        if (!reliable(df) &&
+            rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+          // paranoid (spec) mode: fail AT the misbehaving release site,
+          // not rounds later with a missing-block error far from the cause
+          if (paranoid) throw new IllegalStateException(
+            s"Checkpoints.release(rdd_${rdd.id}): storage level NONE — " +
+              "the frame was never pinned (or already released); the " +
+              "call site is violating the release discipline")
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"Checkpoints.release called on rdd_${rdd.id} with storage " +
+              "NONE — the frame was never pinned (or already released); " +
+              "the call site is violating the release discipline")
+        }
+        if (paranoid) {
+          installParanoidListener(df.sparkSession.sparkContext)
+          releasedIds.add(rdd.id)
+        }
+        rdd.unpersist(blocking = false)
       case _ => ()
+    }
+
+  /** Debug conf: "true" ⇒ every release() registers the RDD id and a
+    * listener flags any later job that scans it. Spec-only — see the
+    * release() scaladoc. */
+  val ParanoidKey = "graft.sweep.paranoidRelease"
+
+  private val releasedIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private val violations =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int)]()
+  private val listenerInstalled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** (jobId, releasedRddId) pairs for every job that scanned a released
+    * pin since the last [[resetParanoid]] — a correct engine keeps this
+    * empty under any query. */
+  def paranoidViolations: Seq[(Int, Int)] = {
+    import scala.jdk.CollectionConverters._
+    violations.asScala.toSeq
+  }
+
+  /** Clear recorded ids + violations (spec isolation). The listener stays
+    * installed — it is a no-op while the released-id set is empty. */
+  def resetParanoid(): Unit = { releasedIds.clear(); violations.clear() }
+
+  private def installParanoidListener(
+      sc: org.apache.spark.SparkContext): Unit =
+    if (listenerInstalled.compareAndSet(false, true)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (!releasedIds.isEmpty) {
+            val it = js.stageInfos.iterator
+            while (it.hasNext) {
+              val ri = it.next().rddInfos.iterator
+              while (ri.hasNext) {
+                val id = ri.next().id
+                if (releasedIds.contains(id)) violations.add((js.jobId, id))
+              }
+            }
+          }
+      })
     }
 }

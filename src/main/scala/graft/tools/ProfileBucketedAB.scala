@@ -121,6 +121,16 @@ object ProfileBucketedAB {
     // can re-measure one family without paying the whole table
     val only = if (args.length > 2) args(2).split(",").map(_.trim).toSet
       else Set.empty[String]
+    // a typo'd name would silently produce an empty A/B table that reads
+    // as a measurement problem — fail with the valid names instead
+    val unknown = only.diff(variants.map(_._1).toSet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[ab] unknown variant(s): ${unknown.mkString(", ")}\n" +
+          s"[ab] valid names: ${variants.map(_._1).mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     val out = variants.filter(v => only.isEmpty || only(v._1))
       .map { case (name, run) =>
       val times = (1 to runs).map { _ =>

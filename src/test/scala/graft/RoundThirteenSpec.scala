@@ -58,10 +58,23 @@ class RoundThirteenSpec extends AnyFunSuite {
     * never clear one — so without this the no-dir fail-fast test only ran
     * when it happened to execute first, and the alias test NPE'd when run
     * alone (the order coupling the r13 ADVICE flagged). Test-only. */
-  private def setRawCheckpointDir(v: Option[String]): Unit =
-    classOf[org.apache.spark.SparkContext]
+  private def setRawCheckpointDir(v: Option[String]): Unit = {
+    // Spark-version coupling, stated plainly on failure: the lookup
+    // targets the bytecode setter of SparkContext's `private[spark] var
+    // checkpointDir` (public at bytecode level in Spark 4.1). A Spark
+    // upgrade that renames or encapsulates the field lands here, not in
+    // an opaque NoSuchMethodException ten frames deep.
+    val m = try classOf[org.apache.spark.SparkContext]
       .getMethod("checkpointDir_$eq", classOf[Option[_]])
-      .invoke(spark.sparkContext, v)
+    catch {
+      case e: NoSuchMethodException => fail(
+        "SparkContext no longer exposes the bytecode setter " +
+          "`checkpointDir_$eq(Option)` this test-only helper reflects on " +
+          "(present through Spark 4.1). Update setRawCheckpointDir for " +
+          "the new SparkContext internals or drop the clear-dir tests.", e)
+    }
+    m.invoke(spark.sparkContext, v)
+  }
 
   /** Each checkpoint test ensures its own dir instead of relying on a
     * sibling having set one (order independence). */
