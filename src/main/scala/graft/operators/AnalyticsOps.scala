@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
-import graft.Tables
+import graft.{Limits, Tables}
 import graft.plans.Checkpoints.SweepSyntax
 
 /** Product-analytics + language-model-statistics operators: the query
@@ -905,22 +905,59 @@ object AnalyticsOps {
                                'wb', element_at(w, i + 1)))""")).as("p"))
       .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
       .agg(count(lit(1)).as("c"))
-      // pin the bigram table: every decode step probes it, and the final
-      // union references every step — unpinned, the corpus-sized bigram
-      // aggregate re-executes O(steps²) times (measured 2.5 s at sf0.1;
-      // one aggregate + 8 one-row probes after pinning). The table is
-      // distinct-bigram-bounded (vocabulary-shaped), not corpus-sized.
+    // Greedy decode reads ONLY each word's best continuation, so fold the
+    // bigram table to its per-word argmax ONCE (min_by over (−c, wb) ≡ the
+    // old per-step TakeOrdered's (c DESC, wb) — ties break to the
+    // lexicographically first continuation) instead of probing the full
+    // vocabulary²-bounded bigram table once per step: 10 full scans
+    // collapse to one vocabulary-sized aggregate. Pinned: the gate count
+    // and the decode both read it.
+    val best = bi.groupBy(col("wa"))
+      .agg(min_by(col("wb"), struct((-col("c")).as("nc"), col("wb"))).as("wb"))
       .sweepCheckpoint()
     val s0 = uni.orderBy(col("c").desc, col("word")).limit(1)
-      .select(lit(0L).as("step"), col("word"))
-      .sweepCheckpoint()
-    val steps = (1 to greedyDecodeSteps).scanLeft(s0) { (prev, i) =>
-      bi.join(broadcast(prev.select(col("word").as("wa"))), "wa")
-        .orderBy(col("c").desc, col("wb")).limit(1)
-        .select(lit(i.toLong).as("step"), col("wb").as("word"))
-        .sweepCheckpoint() // one row; keeps step k from replaying steps 0..k-1
+      .select(col("word").as("w0"))
+    // one bounded driver scalar gates the broadcast (the DimGates posture):
+    // `best` is vocabulary-sized, fine to broadcast far past any real
+    // tokenizer vocabulary, but a pathological corpus could exceed reach
+    if (best.count() <= Limits.maxBroadcastDimRows) {
+      // ONE linear plan: the argmax table broadcasts once (the 10 joins
+      // reuse the same exchange) and the single seed row flows through 10
+      // chained hash probes — no per-step action, no per-step pin, no
+      // O(steps) job barriers (the old spelling ran ~13 serial jobs; this
+      // runs the decode inside one). A word with no continuation leaves
+      // the rest of the chain NULL (left join), which unpivots to "chain
+      // ended" exactly like the old empty per-step frames.
+      // one broadcast, renamed AFTER each join — per-step aliases inside
+      // the broadcast subtree would defeat exchange reuse and build the
+      // same hash relation ten times
+      val bcBest = broadcast(best)
+      val chain = (1 to greedyDecodeSteps).foldLeft(s0) { (cur, i) =>
+        cur.join(bcBest, cur(s"w${i - 1}") === bcBest("wa"), "left")
+          .drop("wa").withColumnRenamed("wb", s"w$i")
+      }
+      val stepCols = (0 to greedyDecodeSteps).map(i => col(s"w$i"))
+      val out = chain.select(posexplode(array(stepCols: _*))
+          .as(Seq("step", "word")))
+        .filter(col("word").isNotNull)
+        .select(col("step").cast(LongType).as("step"), col("word"))
+      // `best` stays pinned: the returned (lazy) plan broadcasts it at
+      // action time — releasing here would unpersist blocks the caller's
+      // action still scans (the Checkpoints.release contract)
+      out.orderBy(col("step"))
+    } else {
+      // past broadcast reach: per-step keyed probes of the pinned argmax
+      // table (key-unique, so no TakeOrdered needed) — the old loop shape
+      // with a vocabulary-sized probe target instead of vocabulary²
+      val first = s0.select(lit(0L).as("step"), col("w0").as("word"))
+        .sweepCheckpoint()
+      val steps = (1 to greedyDecodeSteps).scanLeft(first) { (prev, i) =>
+        best.join(broadcast(prev.select(col("word").as("wa"))), "wa")
+          .select(lit(i.toLong).as("step"), col("wb").as("word"))
+          .sweepCheckpoint() // one row; keeps step k from replaying 0..k-1
+      }
+      steps.reduce(_ unionAll _).orderBy(col("step"))
     }
-    steps.reduce(_ unionAll _).orderBy(col("step"))
   }
 
   /** Longest consecutive-day activity streak per user (the engagement
@@ -1650,12 +1687,12 @@ object AnalyticsOps {
     * trigram key (vocabulary-sized, shuffles once); novelty is one rounded
     * division of exact integers. */
   val textNovelty: Q = (s, d) => {
-    // the trigram string never leaves the map side: every shuffle (the
-    // dedup distinct, the df aggregate, the tally join) is keyed on the
-    // trigram's PolyHash int64 — ~8 bytes per row in the Exchange instead
-    // of a 20-40 byte string, a several-fold shuffle-byte cut at corpus
-    // scale. The DuckDB oracle replays the identical hash, so even a hash
-    // collision merges the same df groups in both engines.
+    // the trigram string never leaves the map side: both shuffles (the
+    // per-doc fold, the df window) key on the trigram's PolyHash int64 —
+    // ~8 bytes per row in the Exchange instead of a 20-40 byte string, a
+    // several-fold shuffle-byte cut at corpus scale. The DuckDB oracle
+    // replays the identical hash, so even a hash collision merges the
+    // same df groups in both engines.
     val tri = docs(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
@@ -1664,12 +1701,21 @@ object AnalyticsOps {
              i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
                             element_at(w, i + 2)))""")).as("tri"))
       .select(col("doc_id"), graft.functions.PolyHash.poly_hash(col("tri")).as("th"))
-    val df = tri.select(col("doc_id"), col("th")).distinct()
-      .groupBy(col("th")).agg(count(lit(1)).as("tri_df"))
-    tri.join(df, "th")
+    // One pass, no instance-sized join: fold the instance stream to
+    // (doc_id, th, c) once (map-side partials shrink it to
+    // distinct-pairs-sized in the exchange), read tri_df as a count window
+    // over th on that deduped frame (rows per th = distinct docs, exactly
+    // the old distinct+groupBy), and weight by c. The old spelling
+    // exploded the trigram stream twice and shuffled the RAW instance
+    // stream through the tally join — corpus-sized bytes; this one's
+    // largest exchange is the deduped pair frame.
+    val perDoc = tri.groupBy(col("doc_id"), col("th"))
+      .agg(count(lit(1)).as("c"))
+    val wTh = Window.partitionBy(col("th"))
+    perDoc.withColumn("tri_df", count(lit(1)).over(wTh))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tri"),
-        sum(when(col("tri_df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .agg(sum(col("c")).as("n_tri"),
+        sum(when(col("tri_df") >= 2, col("c")).otherwise(0L)).as("n_shared"))
       .select(col("doc_id"), col("n_tri"), col("n_shared"),
         round(lit(1.0) - col("n_shared").cast(DoubleType) / col("n_tri"), 6)
           .as("novelty"))

@@ -1349,23 +1349,20 @@ object GraphOps {
     val seeds = s.read.parquet(s"$adjBase/deg")
       .select(col("v")).orderBy(col("v")).limit(closenessSeedCount)
       .select(col("v").as("s0"), col("v"), lit(0L).as("dist"))
-    var visited = seeds.sweepCheckpoint()
-    var frontier = visited
+    // `visited` is a LAZY union of the per-round frontier pins — every
+    // visited row is already materialized in exactly one frontier pin, so
+    // re-pinning the union each round was a second full barrier + block
+    // rewrite of all previous rounds' rows (O(depth²) block writes across
+    // the loop) for data the union spelling reads identically. One eager
+    // pin per round instead of two; the depth+1 frontier pins all stay
+    // live (the returned plan reads their union), which is O(1) in data
+    // size — bfsDepth is an algorithm constant, not a scale variable.
+    var frontier = seeds.sweepCheckpoint()
+    var visited = frontier
     for (k <- 1 to bfsDepth) {
-      val pf = frontier
-      val pv = visited
       frontier = closenessRound(adj, frontier, visited, k, small).sweepCheckpoint()
-      visited = pv.unionAll(frontier).sweepCheckpoint()
-      // both new pins are eagerly materialized, so the previous round's
-      // frontier and visited pins are dead ([[graft.plans.Checkpoints
-      // .release]]; live pins stay O(1) in the depth, not O(depth) —
-      // round 1's two vars share the seeds pin, released once)
-      graft.plans.Checkpoints.release(pf)
-      if (pv ne pf) graft.plans.Checkpoints.release(pv)
+      visited = visited.unionAll(frontier)
     }
-    // the final union pin carries everything the aggregate below reads;
-    // the last frontier pin is dead too
-    graft.plans.Checkpoints.release(frontier)
     visited.filter(col("dist") > 0)
       .groupBy(col("s0"))
       .agg(count(lit(1)).as("n_reached"),
@@ -1657,19 +1654,16 @@ object GraphOps {
     val seeds = s.read.parquet(s"$adjBase/deg")
       .select(col("v")).orderBy(col("v")).limit(bfsSeedCount)
       .select(col("v"), lit(0L).as("dist"))
-    var visited = seeds.sweepCheckpoint()
-    var frontier = visited
+    // visited = lazy union of the per-round frontier pins (the closeness
+    // loop's shape — see [[graphClosenessImpl]]): one eager pin per round
+    // instead of two, no O(depth²) union re-pin traffic; the depth+1 live
+    // pins are an algorithm constant
+    var frontier = seeds.sweepCheckpoint()
+    var visited = frontier
     for (k <- 1 to bfsDepth) {
-      val pf = frontier
-      val pv = visited
       frontier = bfsRound(adj, frontier, visited, k, small).sweepCheckpoint()
-      visited = pv.unionAll(frontier).sweepCheckpoint()
-      // dead previous-round pins released eagerly (the closeness loop's
-      // pattern — live pins O(1) in depth; round 1 shares the seeds pin)
-      graft.plans.Checkpoints.release(pf)
-      if (pv ne pf) graft.plans.Checkpoints.release(pv)
+      visited = visited.unionAll(frontier)
     }
-    graft.plans.Checkpoints.release(frontier)
     visited.groupBy(col("dist"))
       .agg(count(lit(1)).as("n_vertices"))
       .orderBy(col("dist"))
