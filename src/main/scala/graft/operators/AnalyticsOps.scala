@@ -914,7 +914,7 @@ object AnalyticsOps {
     // and the decode both read it.
     val best = bi.groupBy(col("wa"))
       .agg(min_by(col("wb"), struct((-col("c")).as("nc"), col("wb"))).as("wb"))
-      .sweepCheckpoint()
+      .sweepPin()
     val s0 = uni.orderBy(col("c").desc, col("word")).limit(1)
       .select(col("word").as("w0"))
     // one bounded driver scalar gates the broadcast (the DimGates posture):
@@ -1099,7 +1099,7 @@ object AnalyticsOps {
     val dur = sess.select(col("n_events"),
       expr("(unix_micros(session_end) - unix_micros(session_start)) DIV 1000000")
         .as("dur_s"))
-      .sweepCheckpoint()
+      .sweepPin()
     val census = dur.agg(count(lit(1)).as("n_sessions"),
       sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_single"),
       sum(col("n_events")).as("tot_events"), max(col("dur_s")).as("max_duration_s"))
@@ -1208,7 +1208,7 @@ object AnalyticsOps {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"),
         countDistinct(expr("CAST(ts AS DATE)")).as("n_days"))
-      .sweepCheckpoint()
+      .sweepPin()
     val census = perUser.agg(count(lit(1)).as("n_users"),
       sum(col("n")).as("sn"), sum(col("n").cast(dec38) * col("n")).as("snn"))
     val z = (col("n").cast(DoubleType) -
@@ -1246,7 +1246,7 @@ object AnalyticsOps {
         (weekday(col("ts")) + lit(1)).cast(LongType).as("isodow"),
         expr("CAST(floor(value / 10.0D) AS BIGINT)").as("value_decade"))
       .agg(count(lit(1)).as("k"))
-      .sweepCheckpoint()
+      .sweepPin()
     val byType = Window.partitionBy(col("event_type"))
       .orderBy(col("k"), col("isodow"), col("value_decade"))
     val med = g.withColumn("rn", row_number().over(byType))
@@ -1387,7 +1387,7 @@ object AnalyticsOps {
       .filter(col("t_cnt") === 7)
       .withColumn("det7", lit(7L) * col("y") - col("t_sum"))
       .withColumn("isodow", (weekday(col("day")) + lit(1)).cast(LongType))
-      .sweepCheckpoint()
+      .sweepPin()
     val seas = interior.groupBy(col("event_type"), col("isodow"))
       .agg(sum(col("det7")).as("s_num"), count(lit(1)).as("n_dow"))
     interior.join(broadcast(seas), Seq("event_type", "isodow"))
@@ -1434,7 +1434,7 @@ object AnalyticsOps {
           .as("n_retained"),
         sum(when(col("state") === "resurrected", 1L).otherwise(0L))
           .as("n_resurrected"))
-      .sweepCheckpoint()
+      .sweepPin()
     sizes
       .join(broadcast(sizes.select(date_add(col("week"), 7).as("week"),
         col("n_active").as("prev_active"))), Seq("week"), "left")
@@ -1526,7 +1526,7 @@ object AnalyticsOps {
     val daily = events(s, d)
       .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("day"))
       .agg(count(lit(1)).as("n"))
-      .sweepCheckpoint()
+      .sweepPin()
     def lowerMedian(df: DataFrame, value: String, out: String): DataFrame = {
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col(value), col("day"))
@@ -1577,7 +1577,7 @@ object AnalyticsOps {
       .groupBy(col("lang"), col("w"))
       .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("c_tr"),
         sum(when(col("is_train"), 0L).otherwise(1L)).as("c_h"))
-      .sweepCheckpoint()
+      .sweepPin()
     val trainTot = wc.filter(col("c_tr") > 0L).groupBy(col("lang"))
       .agg(sum(col("c_tr")).as("n_train"), count(lit(1)).as("v_train"))
     wc.filter(col("c_h") > 0L)
@@ -1614,7 +1614,7 @@ object AnalyticsOps {
     val daily = events(s, d)
       .groupBy(expr("CAST(ts AS DATE)").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .sweepCheckpoint()
+      .sweepPin()
     val a = daily.select(col("day"), col("event_type").as("type_a"),
       col("n").as("x"))
     val b = daily.select(col("day"), col("event_type").as("type_b"),
@@ -1659,7 +1659,7 @@ object AnalyticsOps {
       .withColumn("rn", row_number().over(byDay))
       .filter(col("rn") <= 20)
       .select(col("day"), col("user_id"))
-      .sweepCheckpoint()
+      .sweepPin()
     val sizes = top.groupBy(col("day")).agg(count(lit(1)).as("k"))
     val common = top.as("t")
       .join(top.select(date_add(col("day"), 1).as("day"),
@@ -1805,7 +1805,7 @@ object AnalyticsOps {
   val profileKeySkew: Q = (s, d) => {
     val counts = Tables.load(s, d, "lineitem")
       .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
-      .sweepCheckpoint()
+      .sweepPin()
     val census = counts.agg(count(lit(1)).as("n_keys"),
       sum(col("n")).as("n_rows"), max(col("n")).as("max_n"))
     counts
@@ -1884,20 +1884,56 @@ object AnalyticsOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Global-rank helper: the [[RelOps.sortGlobalIndex]] spelling factored
-    * for reuse — range-partitioned sort + `zipWithIndex` (one
-    * count-per-partition job + offset add), appending a 0-based `rankName`
-    * column in the given sort order. Fully parallel at any size; the
+  /** Global-rank helper: the [[RelOps.sortGlobalIndex]] two-phase prefix
+    * spelling factored for reuse — range partition + per-partition
+    * row_number + broadcast offset table — appending a 0-based `rankName`
+    * column in the given sort order. Fully parallel at any size (the
+    * offset window touches #partitions rows, never data rows); the
     * empty-PARTITION-BY window alternative funnels the frame through one
     * task. */
-  private def withGlobalRank(s: SparkSession, df: DataFrame,
-      sortCols: Seq[org.apache.spark.sql.Column], rankName: String): DataFrame = {
-    val sorted = df.orderBy(sortCols: _*)
-    val schema = sorted.schema.add(StructField(rankName, LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-    }
-    s.createDataFrame(indexed, schema)
+  /** Rows per range partition in [[withGlobalRank]] — partition count
+    * derives from the caller-known row count, so the rank scales out with
+    * data instead of pinning a constant: 1 partition at fixture scale
+    * (skipping the range sampler entirely), thousands at 10⁹ rows. */
+  private val rankRowsPerPart = 2L * 1000 * 1000
+
+  private[graft] def withGlobalRank(s: SparkSession, df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column], rankName: String,
+      nRows: Long): DataFrame = {
+    // range-partition on the sort key (partition ids follow the global
+    // order), row_number per partition in parallel, then a
+    // #partitions-row offset table broadcast back: pos = offset + rn − 1.
+    // The old rdd.zipWithIndex spelling deserialized every row to
+    // GenericRow, exited whole-stage codegen, and paid zipWithIndex's
+    // extra count job per rank — ×3 in rfm_segment (RelOps.sortGlobalIndex
+    // measured the same swap at 5.7 s → ~1 s for one rank at sf0.1). The
+    // ranged frame is PINNED (barrier-free) so the offset aggregate and
+    // the join-back read the SAME materialized boundaries — range
+    // boundaries are sampled per exchange, and two independent
+    // evaluations could otherwise disagree (the watermark_audit
+    // evaluation-order note).
+    val parts = ((nRows + rankRowsPerPart - 1) / rankRowsPerPart)
+      .max(1L).min(100000L).toInt
+    // one partition's worth of rows: a single-task global window IS the
+    // cheapest spelling (one exchange, no sampler, no offset join) — the
+    // single-task trap the scaladoc warns about only exists when the
+    // frame EXCEEDS a partition, which is exactly what `parts` gates on
+    if (parts <= 1)
+      return df.withColumn(rankName,
+        row_number().over(Window.orderBy(sortCols: _*)).cast(LongType) - 1L)
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__part", spark_partition_id())
+      .sweepPin()
+    val wIn = Window.partitionBy(col("__part")).orderBy(sortCols: _*)
+    val local = ranged.withColumn("__rn", row_number().over(wIn).cast(LongType))
+    val wOff = Window.orderBy(col("__part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__part")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__part"), col("__off"))
+    local.join(broadcast(offsets), "__part")
+      .withColumn(rankName, col("__off") + col("__rn") - 1L)
+      .drop("__part", "__rn", "__off")
   }
 
   /** RFM customer segmentation — the classic lifecycle-marketing cut of the
@@ -1922,14 +1958,17 @@ object AnalyticsOps {
       .select(col("o_custkey").as("c_custkey"),
         datediff(col("maxd"), col("last_order")).cast(LongType).as("recency_days"),
         col("frequency"), col("monetary_dec"))
-    val n = base.agg(count(lit(1)).as("n"))
+      .sweepPin() // three rank passes + the count read the same fold
+    // one bounded driver scalar (customer-grain count): sizes the rank
+    // range partitions AND replaces the former one-row crossJoin broadcast
+    val nRows = base.count()
     val ranked = withGlobalRank(s,
       withGlobalRank(s,
         withGlobalRank(s, base,
-          Seq(col("recency_days"), col("c_custkey")), "r_rank"),
-        Seq(col("frequency").desc, col("c_custkey")), "f_rank"),
-      Seq(col("monetary_dec").desc, col("c_custkey")), "m_rank")
-    ranked.crossJoin(broadcast(n))
+          Seq(col("recency_days"), col("c_custkey")), "r_rank", nRows),
+        Seq(col("frequency").desc, col("c_custkey")), "f_rank", nRows),
+      Seq(col("monetary_dec").desc, col("c_custkey")), "m_rank", nRows)
+    ranked.withColumn("n", lit(nRows))
       .select(col("c_custkey"), col("recency_days"), col("frequency"),
         round(col("monetary_dec").cast(DoubleType), 6).as("monetary"),
         expr("r_rank * 4 DIV n + 1").as("r_score"),

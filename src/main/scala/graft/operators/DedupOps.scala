@@ -64,7 +64,7 @@ object DedupOps {
     // The bucket frame feeds two consumers (the membership aggregation and
     // the big-bucket join-back); without materializing it once, Spark
     // recomputes the whole upstream signature pipeline per consumer.
-    val buckets = buckets0.sweepCheckpoint()
+    val buckets = buckets0.sweepPin()
     // ONE bounded aggregation pass: per bucket, the (maxBucket+1) smallest
     // member ids — complete whenever the bucket is small enough to expand —
     // plus the exact count. O(cap) state per bucket (a mega-bucket never
@@ -75,7 +75,7 @@ object DedupOps {
       .agg(BucketMembersAgg.bucket_members(maxBucket + 1, col("doc_id")).as("m"))
       .select(col("bucket"), col("m._1").as("ids"), col("m._2").as("n"))
       .filter(col("n") >= 2)
-      .sweepCheckpoint() // feeds the small expansion + the big broadcast
+      .sweepPin() // feeds the small expansion + the big broadcast
     val small = grouped.filter(col("n") <= maxBucket)
       .select(explode(LongPairs.long_pairs(col("ids"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
@@ -116,18 +116,18 @@ object DedupOps {
     * short-circuit to jaccard = 1.0 with no set arithmetic at all — on the
     * corpora dedup actually runs on, MOST candidate pairs are exact copies. */
   private def verifyJaccard(s: SparkSession, d: String, pairs0: DataFrame, threshold: Double): DataFrame = {
-    val pairs = pairs0.sweepCheckpoint() // consumed by ids + the pair join
+    val pairs = pairs0.sweepPin() // consumed by ids + the pair join
     val ids = pairs.select(col("a").as("doc_id"))
       .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
     val sh = docs(s, d).join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), md5(col("text")).as("ch"),
-        shingles(col("text")).as("sh")).sweepCheckpoint()
+        shingles(col("text")).as("sh")).sweepPin()
     // id pair → (content, content) pair; the 16 B digests are the join and
     // dedup keys from here on, so every exchange sorts fixed-width keys
     val keyed = pairs
       .join(sh.select(col("doc_id").as("a"), col("ch").as("cha")), "a")
       .join(sh.select(col("doc_id").as("b"), col("ch").as("chb")), "b")
-      .sweepCheckpoint() // feeds the exact split + the verdict join-back
+      .sweepPin() // feeds the exact split + the verdict join-back
     // identical content ⇒ identical shingle set ⇒ jaccard exactly 1.0
     // (n/n) — the double the full expression would produce
     val exact = keyed.filter(col("cha") === col("chb"))
@@ -235,7 +235,7 @@ object DedupOps {
     * so the agreement count exchanges candidate-pair-bounded rows. */
   val dedupMinhash1bit: Q = (s, d) => {
     val pairs = s.read.parquet(s"${minhashCandPath(s, d)}/pairs")
-      .sweepCheckpoint()
+      .sweepPin()
     val scored = verifyJaccard(s, d, pairs, 0.0)
     val ids = pairs.select(col("a").as("doc_id"))
       .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
@@ -365,7 +365,7 @@ object DedupOps {
     val ids = pairs.select(col("a").as("doc_id"))
       .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
     val txt = docs(s, d).join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("text")).sweepCheckpoint()
+      .select(col("doc_id"), col("text")).sweepPin()
     // banded-DP threshold: any pair can pass the filter only with
     // dist ≤ 0.3 · max_len ≤ 0.3 · corpusMaxLen, so capping the DP there
     // (Spark's thresholded levenshtein runs the O(thr·len) band and
@@ -496,7 +496,7 @@ object DedupOps {
     val sigs = docs(s, d)
       .select(col("doc_id"),
         graft.functions.SimHash64.simhash64(split(col("text"), " "), SimhashRehash).as("sim"))
-      .sweepCheckpoint()
+      .sweepPin()
     // 4 16-bit chunk keys as a plain (codegen'd) array of shift/mask
     // expressions — no lambda, no interpreted HOF
     val chunked = sigs.select(col("doc_id"),
@@ -601,7 +601,7 @@ object DedupOps {
         min_by(col("text"), col("doc_id")).as("text"))
       .select(element_at(col("g._1"), 1).as("rid"), col("g._1").as("ids"),
         col("g._2").as("m"), shingles(col("text")).as("sh"))
-      .sweepCheckpoint() // feeds postings, sizes, and both pair expansions
+      .sweepPin() // feeds postings, sizes, and both pair expansions
     val sizes = grp.select(col("rid"), size(col("sh")).as("n"))
     // posting lists over DISTINCT contents; df carries copy multiplicity.
     // df-cut: a shingle in M docs emits M²/2 pairs in ONE task, so a single
@@ -623,7 +623,7 @@ object DedupOps {
       .agg(sort_array(collect_list(struct(col("rid"), col("m")))).as("reps"),
         sum(col("m")).as("df"))
       .filter(col("df").between(2, dfCut))
-      .sweepCheckpoint() // feeds cross-content pairs + same-content counts
+      .sweepPin() // feeds cross-content pairs + same-content counts
     // cross-content pairs: native pair expansion (codegen'd, one tight
     // loop) over the ≤ dfCut reps per kept shingle
     val cross = posting
@@ -1025,7 +1025,7 @@ object DedupOps {
       .groupBy(md5(col("text")).as("ch"))
       .agg(min(col("doc_id")).as("rid"), count(lit(1)).as("m"),
         min_by(col("text"), col("doc_id")).as("text"))
-      .sweepCheckpoint() // feeds the rep pipeline + the membership join
+      .sweepPin() // feeds the rep pipeline + the membership join
     val membership = docs(s, d)
       .select(col("doc_id"), md5(col("text")).as("ch"))
       .join(grp.select(col("ch"), col("rid")), "ch")
@@ -1053,7 +1053,7 @@ object DedupOps {
       .select(col("rid"), col("m"), col("sp.pos").as("pos"), col("sp.h").as("h"))
       // two consumers (df aggregate + match join) — materialize the
       // fixed-width position frame once instead of re-exploding per consumer
-      .sweepCheckpoint()
+      .sweepPin()
     // window-hash document frequency (copies included via m), kept only for
     // cross-doc repeats
     val dfq = sh.select(col("rid"), col("m"), col("h")).distinct()

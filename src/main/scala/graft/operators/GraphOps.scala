@@ -229,8 +229,8 @@ object GraphOps {
     * past it, SHUFFLE_HASH (never the SMJ default — sorting the O(m^1.5)
     * wedge stream was the 20×-fixture cliff, 149 s → stream rate). */
   private[graft] def closedWedgesPre(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d).sweepCheckpoint() // feeds degrees + orientation + probe
-    val nEdges = e.count() // checkpoint materialized — metadata-cheap gate
+    val e = edges(s, d).sweepPin() // feeds degrees + orientation + probe
+    val nEdges = e.count() // materializes the lazy pin; also the size gate
     val deg = degrees(e)
     val da = deg.select(col("v").as("a"), col("degree").as("da"))
     val db = deg.select(col("v").as("b"), col("degree").as("db"))
@@ -1082,7 +1082,7 @@ object GraphOps {
     // the bucket partitioning is exactly what a checkpoint would destroy
     val symd =
       if (bucketed) s.table(bucketedAdjTable(s, d))
-      else s.read.parquet(s"$adjBase/adj").sweepCheckpoint()
+      else s.read.parquet(s"$adjBase/adj").sweepPin()
     var pr = deg.select(col("v"), lit(init).as("pr")).sweepCheckpoint()
     // Sweep in pinned BLOCKS of prBlock sweeps: the rank state is referenced
     // exactly ONCE per sweep (sym/deg/nv are pinned), so unpinned lineage is
@@ -1195,7 +1195,7 @@ object GraphOps {
     // bucketed mode reads the catalog table (stable pre-hashed scan, no pin)
     val sym =
       if (bucketed) s.table(bucketedAdjTable(s, d))
-      else s.read.parquet(s"$adjBase/adj").sweepCheckpoint()
+      else s.read.parquet(s"$adjBase/adj").sweepPin()
     // the pinned frame backing the current rank state (r is a stateless
     // projection over it); dead as soon as the next sums pin materializes
     var rBacking = r
@@ -1210,18 +1210,21 @@ object GraphOps {
         .sweepCheckpoint()
       graft.plans.Checkpoints.release(rBacking)
       rBacking = sums
-      // max() over zero groups is null (edgeless graph): the sweep frame
-      // is empty, so any non-zero divisor keeps the rescale projection
-      // well-formed and the final result is the correct empty landmark
-      // set — same null-safe convention as the sortedAdj max-degree
-      // pre-check, closing the last head().getLong scalar read in
-      // src/main that could NPE on a degenerate graph
-      val mxRow = sums.agg(max(col("s"))).head()
-      val mx = if (mxRow.isNullAt(0)) 1L else mxRow.getLong(0)
+      // The L∞ divisor rides as a ONE-ROW BROADCAST over the pinned sums
+      // instead of a per-sweep head() driver scalar: the old spelling
+      // paid a synchronous driver job per sweep just to embed the max as
+      // a literal (6 extra jobs/run); as a broadcast scalar the max
+      // evaluates inside the NEXT sweep's materialization, pipelined.
+      // coalesce(…, 1) keeps the edgeless degenerate well-formed (empty
+      // sums → empty result either way — the null-safe convention the
+      // old head() guard implemented). Arithmetic is unchanged: the same
+      // exact int64 (s·scale) DIV max.
+      val mxF = sums.agg(coalesce(max(col("s")), lit(1L)).as("mx"))
       // no second pin: the rescale is a stateless projection over the
       // ALREADY-pinned sums, so lineage depth stays constant without
       // paying a third job per sweep
-      r = sums.select(col("v"), expr(s"(s * $eigenScale) DIV $mx").as("r"))
+      r = sums.crossJoin(broadcast(mxF))
+        .select(col("v"), expr(s"(s * $eigenScale) DIV mx").as("r"))
     }
     r.select(col("v"), col("r").as("centrality_scaled"),
         round(col("r").cast(DoubleType) / lit(eigenScale.toDouble), 6)
@@ -1289,7 +1292,7 @@ object GraphOps {
       .select(col("v"),
         when(lit(4L * m) - lit(2L) * col("kv") * col("ktu") > 0,
           col("target")).otherwise(col("v")).as("lbl"))
-      .sweepCheckpoint() // feeds the move count, intra pass and Σd_c²
+      .sweepPin() // feeds the move count, intra pass and Σd_c²
     val lblA = labels.select(col("v").as("a"), col("lbl").as("la"))
     val lblB = labels.select(col("v").as("b"), col("lbl").as("lb"))
     val intra = e.join(gatedBc(lblA, small), "a").join(gatedBc(lblB, small), "b")

@@ -538,7 +538,7 @@ object MultimodalOps {
         val (w, h, px) = BmpCodec.decodeRaster(synthBlockBmp(r.getAs[Array[Byte]](1)))
         Row(r.getLong(0), blockhash64(w, h, px))
       }
-    }(enc).sweepCheckpoint() // feeds banding + both verify joins
+    }(enc).sweepPin() // feeds banding + both verify joins
     val chunked = sigs.select(col("doc_id"),
         posexplode(array((0 until 4).map(c =>
           shiftright(col("phash"), c * 16).bitwiseAND(lit(65535L))): _*))

@@ -1143,16 +1143,18 @@ object RelOps {
       (lit((2L * i + 1) * Mult % P) * (key % P) +
         lit(i * 1000003L + 12345L)) % P % cmWidth
     val ev = t(s, d, "events").select($"user_id")
-    val rows = (0 until cmDepth).map(i =>
-      ev.select(lit(i).as("row"), bucket(i, $"user_id").as("bucket")))
-      .reduce(_ unionAll _)
+    // ONE scan for all depth rows: the union-of-depth spelling re-read the
+    // events column cmDepth times (and re-ran the trueCounts aggregate
+    // cmDepth times on the probe side); posexplode over the per-row bucket
+    // array emits the same (row, bucket) stream from a single pass
+    val rows = ev.select(posexplode(array(
+      (0 until cmDepth).map(i => bucket(i, $"user_id")): _*)).as(Seq("row", "bucket")))
     val sketch = rows.groupBy($"row", $"bucket")
       .agg(count(lit(1)).as("counter"))
     val trueCounts = ev.groupBy($"user_id").agg(count(lit(1)).as("true_n"))
-    (0 until cmDepth).map(i =>
-        trueCounts.select($"user_id", $"true_n",
-          lit(i).as("row"), bucket(i, $"user_id").as("bucket")))
-      .reduce(_ unionAll _)
+    trueCounts
+      .select($"user_id", $"true_n", posexplode(array(
+        (0 until cmDepth).map(i => bucket(i, $"user_id")): _*)).as(Seq("row", "bucket")))
       .join(broadcast(sketch), Seq("row", "bucket"))
       .groupBy($"user_id")
       .agg(first($"true_n").as("true_n"), min($"counter").as("est_n"))
@@ -1160,7 +1162,7 @@ object RelOps {
 
   val aggCmSketch: Q = (s, d) => {
     val est = cmEstimates(s, d)
-      .sweepCheckpoint() // feeds both the top-10 and the global audit
+      .sweepPin() // feeds both the top-10 and the global audit
     val worst = est.agg(max($"est_n" - $"true_n").as("max_overest_all"))
     est
       .orderBy($"true_n".desc, $"user_id")
@@ -1179,7 +1181,7 @@ object RelOps {
     val ev = t(s, d, "events")
       .filter($"event_type".isin("view", "purchase"))
       .select($"event_type", (($"user_id" % P) * Mult % P).as("h"))
-      .distinct().sweepCheckpoint() // feeds sketches, exact counts, both cohorts
+      .distinct().sweepPin() // feeds sketches, exact counts, both cohorts
     val w = Window.partitionBy($"event_type").orderBy($"h")
     val per = ev.withColumn("rn", row_number().over(w)).filter($"rn" <= kmvK)
       .groupBy($"event_type")
@@ -1195,7 +1197,7 @@ object RelOps {
       max(when($"event_type" === "purchase", est($"n_sk", $"mk"))).as("purchase_est"))
     val inter = ev.filter($"event_type" === "view").select($"h")
       .join(ev.filter($"event_type" === "purchase").select($"h"), Seq("h"), "left_semi")
-      .sweepCheckpoint() // feeds the exact count and the sketch probe
+      .sweepPin() // feeds the exact count and the sketch probe
     val ic = inter.agg(count(lit(1)).as("n_intersect"))
     val usk = ev.select($"h").distinct().orderBy($"h").limit(kmvK)
     val ua = usk.agg(count(lit(1)).as("n_usk"), max($"h").as("mu"))

@@ -138,7 +138,7 @@ object SimilarityOps {
         (0 until lshHyperplanes).map(p =>
           when(round(col(s"s$p"), 6) >= 0.0d, lit(1L << p)).otherwise(lit(0L)))
           .reduce(_ + _).as("sig"))
-      .sweepCheckpoint()
+      .sweepPin()
   }
 
   /** Random-hyperplane LSH ANN (SimHash for vectors, Charikar 2002): each

@@ -168,7 +168,7 @@ object TextOps {
   val langIdConfusion: Q = (s, d) => {
     val preds = textLangId(s, d)
       .select(col("pred_lang"), col("true_lang"))
-      .sweepCheckpoint()
+      .sweepPin()
     val byTrue = preds.groupBy(col("true_lang").as("lang"))
       .agg(count(lit(1)).as("n_true"),
         sum(when(col("pred_lang") === col("true_lang"), 1L).otherwise(0L))

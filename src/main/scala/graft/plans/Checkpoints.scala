@@ -78,11 +78,37 @@ object Checkpoints {
       df.checkpoint(eager)
     } else df.localCheckpoint(eager)
 
+  /** Multi-consumer pin WITHOUT a scheduling barrier — for STRAIGHT-LINE
+    * pipelines whose pin exists only so several consumers inside one final
+    * plan share a materialization (signature tables, candidate pairs,
+    * per-doc folds), never for iterative sweeps (those need the eager
+    * round barrier so [[release]] can free the previous round).
+    *
+    *   - local mode: `localCheckpoint(eager = false)` — blocks are saved
+    *     while the FIRST consuming job computes them, so the pin costs
+    *     zero extra jobs (an eager pin is one full extra job + barrier per
+    *     pin; measured at sf0.1 the dedup pipelines spend more wall in
+    *     those barriers than in their tasks). Later consumers read the
+    *     saved blocks exactly as with an eager pin.
+    *   - reliable mode: EAGER `checkpoint()` — a lazy reliable checkpoint
+    *     re-computes its whole lineage in the post-action checkpoint-write
+    *     job (Spark's documented non-eager checkpoint behavior), which at
+    *     cluster scale is a full duplicate pass; the eager spelling pays
+    *     one pass exactly as before.
+    *
+    * Results and plan shapes are identical across modes and eagerness —
+    * only WHEN the blocks materialize changes. */
+  def pin(df: DataFrame): DataFrame =
+    if (reliable(df)) sweep(df, eager = true)
+    else df.localCheckpoint(eager = false)
+
   /** `.sweepCheckpoint()` in method-chain position — the drop-in spelling
-    * for the former bare `.localCheckpoint()` sites. */
+    * for the former bare `.localCheckpoint()` sites. `.sweepPin()` is the
+    * barrier-free pipeline variant ([[pin]]). */
   implicit class SweepSyntax(private val df: DataFrame) extends AnyVal {
     def sweepCheckpoint(eager: Boolean = true): DataFrame =
       Checkpoints.sweep(df, eager)
+    def sweepPin(): DataFrame = Checkpoints.pin(df)
   }
 
   /** Free the block-manager copies behind a DEAD sweep pin. An R-round

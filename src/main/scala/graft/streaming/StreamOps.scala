@@ -248,7 +248,12 @@ object StreamOps {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
     runToCompletion(s, agg, s"graft_stream_tumbling_${System.nanoTime()}",
-        inputBytes = eventsBytes(d))
+        inputBytes = eventsBytes(d),
+        // complete-mode output re-emits the full table every batch and
+        // complete mode never applies watermark eviction, so the trailing
+        // no-data batch is pure commit overhead on a finite replay —
+        // result identity measured per mode (ProfileNoData)
+        skipNoDataBatch = true)
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
@@ -267,7 +272,8 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val counts = runToCompletion(s, agg,
-      s"graft_stream_topk_${System.nanoTime()}", inputBytes = eventsBytes(d))
+      s"graft_stream_topk_${System.nanoTime()}", inputBytes = eventsBytes(d),
+      skipNoDataBatch = true) // complete mode: see streamTumbling
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("hour_start"))
       .orderBy(col("n").desc, col("event_type"))
@@ -294,7 +300,8 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val daily = runToCompletion(s, agg,
-      s"graft_stream_anomaly_${System.nanoTime()}", inputBytes = eventsBytes(d))
+      s"graft_stream_anomaly_${System.nanoTime()}", inputBytes = eventsBytes(d),
+      skipNoDataBatch = true) // complete mode: see streamTumbling
       .select(col("window.start").cast(DateType).as("day"),
         col("event_type"), col("n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -323,7 +330,8 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour", "30 minutes"))
       .agg(count(lit(1)).as("n"))
     runToCompletion(s, agg, s"graft_stream_sliding_${System.nanoTime()}",
-        inputBytes = eventsBytes(d))
+        inputBytes = eventsBytes(d),
+        skipNoDataBatch = true) // complete mode: see streamTumbling
       .select(col("window.start").as("win_start"), col("n"))
       .orderBy(col("win_start"))
   }
@@ -353,7 +361,13 @@ object StreamOps {
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
     runToCompletion(s, dd, s"graft_stream_dedup_${System.nanoTime()}", outputMode = "append",
-        inputBytes = eventsBytes(d))
+        inputBytes = eventsBytes(d),
+        // dropDuplicates emits each key's first row in the batch that saw
+        // it, and watermark eviction only applies when the event-time
+        // column is part of the KEY (it is not here) — the trailing
+        // no-data batch neither emits nor evicts; identity measured
+        // per mode (ProfileNoData)
+        skipNoDataBatch = true)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_distinct_users"))
       .orderBy(col("event_type"))

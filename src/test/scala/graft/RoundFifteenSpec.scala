@@ -168,4 +168,30 @@ class RoundFifteenSpec extends AnyFunSuite {
     assert(afterFused - afterPeel <= 1,
       s"kcore fused left ${afterFused - afterPeel} pins")
   }
+
+  // --------------- 4. the global-rank gate: both spellings, same ranks
+
+  test("withGlobalRank: the two-phase prefix branch (parts > 1) assigns " +
+      "the same 0-based ranks as the single-window branch") {
+    import org.apache.spark.sql.functions._
+    // 10k rows with heavy ties on the value column; the id tiebreak makes
+    // the order total. nRows = 10_000 with the 2M-rows-per-partition gate
+    // stays single-window; lying nRows = 10M forces the range spelling —
+    // both must produce identical (value, id) → rank assignments.
+    val df = spark.range(10000)
+      .selectExpr("id", "id % 7 AS value", "CAST(id % 3 AS STRING) AS tag")
+      .toDF()
+    val cols = Seq(col("value"), col("id"))
+    val single = graft.operators.AnalyticsOps
+      .withGlobalRank(spark, df, cols, "rk", nRows = 10000L)
+      .select(col("id"), col("rk")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ranged = graft.operators.AnalyticsOps
+      .withGlobalRank(spark, df, cols, "rk", nRows = 10L * 1000 * 1000)
+      .select(col("id"), col("rk")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranged.size == 10000 && single.size == 10000)
+    assert(single == ranged, "rank assignment differs between the gated spellings")
+    // 0-based and dense: the rank set is exactly 0..n-1
+    assert(ranged.values.min == 0L && ranged.values.max == 9999L &&
+      ranged.values.toSet.size == 10000)
+  }
 }
