@@ -31,6 +31,17 @@ object Tables {
     planCache.computeIfAbsent(key, _ => loadUncached(spark, sfDir, table))
   }
 
+  /** The RAW (un-normalized) parquet frame for a table, memoized like
+    * [[load]] — for consumers that need the file's own schema (the stream
+    * sources derive their declared schema from it) rather than the
+    * canonicalized one. Parquet only: the callers are the streaming legs. */
+  private[graft] def loadRawParquet(spark: SparkSession, sfDir: String,
+      table: String): DataFrame = {
+    val f = new java.io.File(s"$sfDir/$table.parquet")
+    val key = s"raw:${System.identityHashCode(spark)}:${f.getCanonicalPath}:${f.length}:${f.lastModified}"
+    planCache.computeIfAbsent(key, _ => spark.read.parquet(f.getPath))
+  }
+
   private def loadUncached(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     if (table == "events" && exists(sfDir, table, "parquet")) {
       // Fixture generations have shipped events.ts as TIMESTAMP(NANOS),

@@ -234,7 +234,7 @@ object DedupOps {
     * sketch table semi-joins down to candidate ids BEFORE any pair join,
     * so the agreement count exchanges candidate-pair-bounded rows. */
   val dedupMinhash1bit: Q = (s, d) => {
-    val pairs = s.read.parquet(s"${minhashCandPath(s, d)}/pairs")
+    val pairs = graft.plans.ArtifactCache.readParquet(s, s"${minhashCandPath(s, d)}/pairs")
       .sweepPin()
     val scored = verifyJaccard(s, d, pairs, 0.0)
     val ids = pairs.select(col("a").as("doc_id"))
@@ -318,7 +318,7 @@ object DedupOps {
     * thresholds still emit a row (spine left-join): a disappearing curve
     * point is signal, not absence. */
   val dedupThresholdCurve: Q = (s, d) => {
-    val pairs = s.read.parquet(s"${minhashCandPath(s, d)}/pairs")
+    val pairs = graft.plans.ArtifactCache.readParquet(s, s"${minhashCandPath(s, d)}/pairs")
     val scored = verifyJaccard(s, d, pairs, curveThresholds.min)
     val spine = s.range(1)
       .select(explode(array(curveThresholds.map(lit(_)): _*)).as("threshold"))
@@ -340,7 +340,7 @@ object DedupOps {
   val dedupClusterStats: Q = (s, d) => {
     // resolved labels are the materialized stage output (ngramClustersPath)
     // — never re-run the CC fixpoint per reporting query
-    val clusters = s.read.parquet(s"${ngramClustersPath(s, d)}/clusters")
+    val clusters = graft.plans.ArtifactCache.readParquet(s, s"${ngramClustersPath(s, d)}/clusters")
     docs(s, d).select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
@@ -361,7 +361,7 @@ object DedupOps {
     * from the materialized [[minhashCandPath]] artifact — the second
     * verifier of a signed corpus must not pay the signature stage again. */
   val dedupFuzzy: Q = (s, d) => {
-    val pairs = s.read.parquet(s"${minhashCandPath(s, d)}/pairs")
+    val pairs = graft.plans.ArtifactCache.readParquet(s, s"${minhashCandPath(s, d)}/pairs")
     val ids = pairs.select(col("a").as("doc_id"))
       .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
     val txt = docs(s, d).join(ids, Seq("doc_id"), "left_semi")
@@ -457,7 +457,7 @@ object DedupOps {
     // the corpus side is the PERSISTED index ([[corpusIndexPath]], built
     // once per ingest epoch) — a steady-state ingest run signs ONLY the
     // batch; the standing corpus is never re-shingled per batch
-    val keptCorpus = s.read.parquet(s"${corpusIndexPath(s, d)}/keys")
+    val keptCorpus = graft.plans.ArtifactCache.readParquet(s, s"${corpusIndexPath(s, d)}/keys")
     val batchKeys = bandKeys(docs(s, d).filter(col("source") === "src0"))
     val cand = batchKeys.join(keptCorpus.withColumnRenamed("doc_id", "corpus_id"), "bucket")
       .select(col("doc_id").as("a"), col("corpus_id").as("b"))
@@ -691,7 +691,8 @@ object DedupOps {
       if (direct) ngramIndexStats(s, d)
       else {
         val base = ngramIndexStatsPath(s, d)
-        (s.read.parquet(s"$base/cross"), s.read.parquet(s"$base/groups"))
+        (graft.plans.ArtifactCache.readParquet(s, s"$base/cross"),
+          graft.plans.ArtifactCache.readParquet(s, s"$base/groups"))
       }
     val cross = crossStats
       .select(col("ra"), col("rb"),
@@ -822,7 +823,7 @@ object DedupOps {
   private[graft] def ngramClustersPath(s: SparkSession, d: String): String =
     graft.plans.ArtifactCache.getOrBuild("ngram_clusters", d, Seq("documents"),
       ngramIdxLogic) { dir =>
-      resolveClusters(s.read.parquet(s"${ngramPairsPath(s, d)}/pairs"))
+      resolveClusters(graft.plans.ArtifactCache.readParquet(s, s"${ngramPairsPath(s, d)}/pairs"))
         .write.parquet(s"$dir/clusters")
     }
 
@@ -844,7 +845,7 @@ object DedupOps {
     // ([[ngramClustersPath]]); production materializes them once per dedup
     // epoch, so they live in the artifact cache keyed on the corpus
     // fingerprint (first call builds, later calls — any JVM — reuse)
-    val clusters = s.read.parquet(s"${ngramClustersPath(s, d)}/clusters")
+    val clusters = graft.plans.ArtifactCache.readParquet(s, s"${ngramClustersPath(s, d)}/clusters")
     docs(s, d).select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
@@ -863,7 +864,7 @@ object DedupOps {
     * corpus, so the rank's per-key sort is O(cluster size) — one shuffle
     * on cluster_id. */
   val dedupKeepBest: Q = (s, d) => {
-    val clusters = s.read.parquet(s"${ngramClustersPath(s, d)}/clusters")
+    val clusters = graft.plans.ArtifactCache.readParquet(s, s"${ngramClustersPath(s, d)}/clusters")
     val clustered = docs(s, d).select(col("doc_id"), col("n_chars"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"),
@@ -885,8 +886,8 @@ object DedupOps {
     * a sampled stratum, but its shape is unchanged. Output: one row,
     * exact/LSH/overlap counts and the recall fraction (one division). */
   val dedupLshRecall: Q = (s, d) => {
-    val exact = s.read.parquet(s"${ngramPairsPath(s, d)}/pairs")
-    val cand = s.read.parquet(s"${minhashCandPath(s, d)}/pairs")
+    val exact = graft.plans.ArtifactCache.readParquet(s, s"${ngramPairsPath(s, d)}/pairs")
+    val cand = graft.plans.ArtifactCache.readParquet(s, s"${minhashCandPath(s, d)}/pairs")
     val found = exact.join(cand, Seq("a", "b"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact")).crossJoin(
         cand.agg(count(lit(1)).as("n_lsh_cand")).crossJoin(
@@ -903,7 +904,7 @@ object DedupOps {
     * sources ordered within the pair so (x,y) and (y,x) accumulate in one
     * cell. */
   val dedupSourceMatrix: Q = (s, d) => {
-    val pairs = s.read.parquet(s"${ngramPairsPath(s, d)}/pairs")
+    val pairs = graft.plans.ArtifactCache.readParquet(s, s"${ngramPairsPath(s, d)}/pairs")
     val src = docs(s, d).select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")

@@ -56,7 +56,7 @@ object GraphOps {
     * spelling, one extra shuffle at build, nothing else changes. Also
     * stated in docs/SCALE.md's graph section. */
   private def edges(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"${edgesPath(s, d)}/edges")
+    graft.plans.ArtifactCache.readParquet(s, s"${edgesPath(s, d)}/edges")
 
   /** The graph_edges artifact's logic stamp list — and, by the
     * transitive-staleness rule, the MINIMUM stamp list of every artifact
@@ -87,7 +87,7 @@ object GraphOps {
       // the two artifacts' only difference is whether the per-pair count
       // survives, so deriving edges as "the counted pairs' keys" removes
       // one full pair-stream shuffle from the combined build.
-      s.read.parquet(s"${basketPairsPath(s, d)}/pairs")
+      graft.plans.ArtifactCache.readParquet(s, s"${basketPairsPath(s, d)}/pairs")
         .select(shiftright(col("p"), 32).as("a"),
           col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("b"))
         .write.parquet(s"$dir/edges")
@@ -196,7 +196,7 @@ object GraphOps {
     * a 2m-row explode + exchange per query; the scan is ~nv rows with
     * column stats. */
   private[graft] def degTable(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"${packedAdjPath(s, d)}/deg")
+    graft.plans.ArtifactCache.readParquet(s, s"${packedAdjPath(s, d)}/deg")
 
   /** Co-occurrence degree per part: how many distinct parts each part was
     * ever ordered together with. */
@@ -266,7 +266,7 @@ object GraphOps {
   val graphTriangles: Q = (s, d) => {
     val e = edges(s, d)
     val deg = degTable(s, d)
-    val tri = s.read.parquet(s"${closedWedgesPath(s, d)}/wedges")
+    val tri = graft.plans.ArtifactCache.readParquet(s, s"${closedWedgesPath(s, d)}/wedges")
       .agg(count(lit(1)).as("n_triangles"))
     val nv = deg.agg(count(lit(1)).as("n_vertices"))
     val ne = e.agg(count(lit(1)).as("n_edges"))
@@ -317,7 +317,7 @@ object GraphOps {
     // pre-hashed catalog table, everything downstream is unchanged
     val adj =
       if (bucketed) s.table(bucketedAdjTable(s, d))
-      else s.read.parquet(s"$adjBase/adj")
+      else graft.plans.ArtifactCache.readParquet(s, s"$adjBase/adj")
     val small = !bucketed && vertexBound(s, d) <= maxBcVerts
     // min-propagation alone needs DIAMETER rounds; the pointer jump
     // (follow your label's label) doubles the reach per round, so
@@ -337,8 +337,13 @@ object GraphOps {
       // shape. Round 1 rides the identity-seed collapse
       // ([[componentsFirstPropagate]] — the labelPropFirstRound algebra):
       // no seed frame, no state join, no explode.
+      // BARRIER-FREE pin: prop is consumed only inside `next`'s plan (the
+      // jump join's both legs), so the convergence count's job
+      // materializes prop and next together — one job per round instead
+      // of two; release() below still sees a materialized pin because the
+      // count has run by then (paranoid-release suite covers this loop)
       val prop = (if (iter == 1) componentsFirstPropagate(adj)
-        else componentsPropagate(adj, labels, small)).sweepCheckpoint()
+        else componentsPropagate(adj, labels, small)).sweepPin()
       // jump: label ← label's own label (labels are vertex ids, every one
       // has a row, so the self-join resolves one extra hop — the doubling
       // step); lazily checkpointed, materialized by the convergence count
@@ -485,12 +490,12 @@ object GraphOps {
   /** Pair counts restricted to EXISTING edges — pre-classified at artifact
     * build (tie strength / weak ties side of the split). */
   private def pairCountsEdge(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"${pairCountsPath(s, d)}/pairs_edge")
+    graft.plans.ArtifactCache.readParquet(s, s"${pairCountsPath(s, d)}/pairs_edge")
 
   /** Pair counts restricted to NON-edges — pre-classified at artifact
     * build (link prediction side of the split). */
   private def pairCountsNonEdge(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"${pairCountsPath(s, d)}/pairs_nonedge")
+    graft.plans.ArtifactCache.readParquet(s, s"${pairCountsPath(s, d)}/pairs_nonedge")
 
   /** Common-neighbor link prediction: the 20 strongest NOT-yet-connected
     * part pairs by shared-neighbor count. Reads the NON-EDGE side of the
@@ -577,7 +582,7 @@ object GraphOps {
     val small = vertexBound(s, d) <= maxBcVerts
     // both sides pre-classified at artifact build
     val onE = pairCountsEdge(s, d)
-    val zero = s.read.parquet(s"${pairCountsPath(s, d)}/edges_unsupported")
+    val zero = graft.plans.ArtifactCache.readParquet(s, s"${pairCountsPath(s, d)}/edges_unsupported")
       .select(col("p"), lit(0L).as("c"))
     // every edge is supported or a bridge — the census is the count of the
     // precomputed bridge set (one-row aggregate over an edge-bounded scan)
@@ -717,7 +722,7 @@ object GraphOps {
       maxBcVerts: Long, bucketed: Boolean = false): DataFrame = {
     val adj =
       if (bucketed) s.table(bucketedAdjTable(s, d))
-      else s.read.parquet(s"${packedAdjPath(s, d)}/adj")
+      else graft.plans.ArtifactCache.readParquet(s, s"${packedAdjPath(s, d)}/adj")
     val small = !bucketed && vertexBound(s, d) <= maxBcVerts
     // vertex-sized pin per round (vs the old spelling's edge-sized one):
     // deg feeds the removal set, the survivor filter AND next round's
@@ -838,10 +843,10 @@ object GraphOps {
     // joins (size-gated — the item dim scales with the part dimension,
     // [[gatedBc]]), a one-row broadcast, and a TakeOrdered top-20.
     val base = basketPairsPath(s, d)
-    val nOrders = s.read.parquet(s"$base/meta")
-    val itemN = s.read.parquet(s"$base/items")
+    val nOrders = graft.plans.ArtifactCache.readParquet(s, s"$base/meta")
+    val itemN = graft.plans.ArtifactCache.readParquet(s, s"$base/items")
     val small = partDimCount(s, d) <= maxBcVerts
-    val pairN = s.read.parquet(s"$base/pairs")
+    val pairN = graft.plans.ArtifactCache.readParquet(s, s"$base/pairs")
       .filter(col("n_ab") >= minRuleSupport)
       .select(shiftright(col("p"), 32).as("a"),
         (col("p").bitwiseAND(lit(0xFFFFFFFFL))).as("b"), col("n_ab"))
@@ -1059,7 +1064,7 @@ object GraphOps {
   private[graft] def graphPagerankImpl(s: SparkSession, d: String,
       maxBcVerts: Long, bucketed: Boolean = false): DataFrame = {
     val adjBase = packedAdjPath(s, d)
-    val deg = s.read.parquet(s"$adjBase/deg") // (v, degree): out-degree = degree
+    val deg = graft.plans.ArtifactCache.readParquet(s, s"$adjBase/deg") // (v, degree): out-degree = degree
     // ONE bounded driver scalar — the vertex count — gates the integer
     // init/damping literals (the same bounded-scalar posture as
     // graphTriangles' edge-count broadcast gate); the arithmetic is
@@ -1082,7 +1087,7 @@ object GraphOps {
     // the bucket partitioning is exactly what a checkpoint would destroy
     val symd =
       if (bucketed) s.table(bucketedAdjTable(s, d))
-      else s.read.parquet(s"$adjBase/adj").sweepPin()
+      else graft.plans.ArtifactCache.readParquet(s, s"$adjBase/adj").sweepCheckpoint()
     var pr = deg.select(col("v"), lit(init).as("pr")).sweepCheckpoint()
     // Sweep in pinned BLOCKS of prBlock sweeps: the rank state is referenced
     // exactly ONCE per sweep (sym/deg/nv are pinned), so unpinned lineage is
@@ -1183,7 +1188,7 @@ object GraphOps {
   private[graft] def graphEigencentralityImpl(s: SparkSession, d: String,
       maxBcVerts: Long, bucketed: Boolean = false): DataFrame = {
     val adjBase = packedAdjPath(s, d)
-    val deg = s.read.parquet(s"$adjBase/deg")
+    val deg = graft.plans.ArtifactCache.readParquet(s, s"$adjBase/deg")
     var r = deg.select(col("v"), lit(eigenScale).as("r"))
       .sweepCheckpoint()
     // one bounded driver scalar gates broadcast vs shuffle-hash, as in
@@ -1195,7 +1200,7 @@ object GraphOps {
     // bucketed mode reads the catalog table (stable pre-hashed scan, no pin)
     val sym =
       if (bucketed) s.table(bucketedAdjTable(s, d))
-      else s.read.parquet(s"$adjBase/adj").sweepPin()
+      else graft.plans.ArtifactCache.readParquet(s, s"$adjBase/adj").sweepCheckpoint()
     // the pinned frame backing the current rank state (r is a stateless
     // projection over it); dead as soon as the next sums pin materializes
     var rBacking = r
@@ -1210,21 +1215,22 @@ object GraphOps {
         .sweepCheckpoint()
       graft.plans.Checkpoints.release(rBacking)
       rBacking = sums
-      // The L∞ divisor rides as a ONE-ROW BROADCAST over the pinned sums
-      // instead of a per-sweep head() driver scalar: the old spelling
-      // paid a synchronous driver job per sweep just to embed the max as
-      // a literal (6 extra jobs/run); as a broadcast scalar the max
-      // evaluates inside the NEXT sweep's materialization, pipelined.
-      // coalesce(…, 1) keeps the edgeless degenerate well-formed (empty
-      // sums → empty result either way — the null-safe convention the
-      // old head() guard implemented). Arithmetic is unchanged: the same
-      // exact int64 (s·scale) DIV max.
-      val mxF = sums.agg(coalesce(max(col("s")), lit(1L)).as("mx"))
+      // max() over zero groups is null (edgeless graph): the sweep frame
+      // is empty, so any non-zero divisor keeps the rescale projection
+      // well-formed and the final result is the correct empty landmark
+      // set — same null-safe convention as the sortedAdj max-degree
+      // pre-check. NOTE (r15): a broadcast-scalar spelling of this
+      // divisor (crossJoin(broadcast(max-frame)) evaluated inside the
+      // next sweep's plan) was A/B-measured STRICTLY WORSE — 2.2 → 3.8 s
+      // at sf0.1, interleaved runs with an in-family control — the
+      // per-sweep broadcast stage costs more than the bounded head()
+      // job it replaces. Keep the driver scalar.
+      val mxRow = sums.agg(max(col("s"))).head()
+      val mx = if (mxRow.isNullAt(0)) 1L else mxRow.getLong(0)
       // no second pin: the rescale is a stateless projection over the
       // ALREADY-pinned sums, so lineage depth stays constant without
       // paying a third job per sweep
-      r = sums.crossJoin(broadcast(mxF))
-        .select(col("v"), expr(s"(s * $eigenScale) DIV mx").as("r"))
+      r = sums.select(col("v"), expr(s"(s * $eigenScale) DIV $mx").as("r"))
     }
     r.select(col("v"), col("r").as("centrality_scaled"),
         round(col("r").cast(DoubleType) / lit(eigenScale.toDouble), 6)
@@ -1265,7 +1271,7 @@ object GraphOps {
     // degree and label tables are vertex-sized — size-gated ([[gatedBc]])
     val small = 2L * m <= maxBcVerts
     val adjBase = packedAdjPath(s, d)
-    val deg = s.read.parquet(s"$adjBase/deg")
+    val deg = graft.plans.ArtifactCache.readParquet(s, s"$adjBase/deg")
     // Round-14 probe reversal (the assortativity vertex-moments trick
     // applied to the target vote): the chunk row carries the SOURCE
     // degree, and the adjacency is symmetric, so reading each row as
@@ -1278,7 +1284,7 @@ object GraphOps {
     // of 2m. min_by partial-aggregates map-side, so the vote exchange
     // carries ~nv rows either way. Bit-identity spec-pinned
     // (RoundFourteenSpec); oracle untouched.
-    val annotated = s.read.parquet(s"$adjBase/adj")
+    val annotated = graft.plans.ArtifactCache.readParquet(s, s"$adjBase/adj")
       .select(col("src").as("u"), col("degree").as("ku"),
         explode(col("dsts")).as("v"))
     // per-vertex best target: min-degree neighbor, smallest id on ties
@@ -1344,12 +1350,12 @@ object GraphOps {
   private[graft] def graphClosenessImpl(s: SparkSession, d: String,
       maxBcVerts: Long): DataFrame = {
     val adjBase = packedAdjPath(s, d)
-    val adj = s.read.parquet(s"$adjBase/adj") // stable parquet scan per round
+    val adj = graft.plans.ArtifactCache.readParquet(s, s"$adjBase/adj") // stable parquet scan per round
     // frontier/visited are (seeds × vertex)-bounded — size-gated with the
     // seed multiplier folded into the bound ([[gatedBc]])
     val small = closenessSeedCount * vertexBound(s, d) <= maxBcVerts
     // the artifact's degree table IS the vertex universe (edge endpoints)
-    val seeds = s.read.parquet(s"$adjBase/deg")
+    val seeds = graft.plans.ArtifactCache.readParquet(s, s"$adjBase/deg")
       .select(col("v")).orderBy(col("v")).limit(closenessSeedCount)
       .select(col("v").as("s0"), col("v"), lit(0L).as("dist"))
     // `visited` is a LAZY union of the per-round frontier pins — every
@@ -1463,7 +1469,7 @@ object GraphOps {
   private[graft] def maxDegree(s: SparkSession, d: String): Long = {
     val p = s"${packedAdjPath(s, d)}/deg"
     memoCount(s"maxdeg:$p") {
-      val r = s.read.parquet(p).agg(max(col("degree"))).head()
+      val r = graft.plans.ArtifactCache.readParquet(s, p).agg(max(col("degree"))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
   }
@@ -1582,7 +1588,7 @@ object GraphOps {
       maxDegree(s, d) > Limits.maxSortedAdjDegree)
     val visited = collection.mutable.ArrayBuffer.empty[DataFrame]
     if (chunked) {
-      val adjC = s.read.parquet(s"${sortedAdjChunkedPath(s, d, k)}/adj")
+      val adjC = graft.plans.ArtifactCache.readParquet(s, s"${sortedAdjChunkedPath(s, d, k)}/adj")
       val degT = degTable(s, d)
       // same start universe as the whole-array layout: every vertex with
       // ≥1 neighbor (the degree artifact's row set)
@@ -1596,7 +1602,7 @@ object GraphOps {
     } else {
       // stable artifact scan per hop (the components convention): no pin —
       // nothing re-derives, and the scan carries parquet statistics
-      val adj = s.read.parquet(s"${sortedAdjPath(s, d)}/adj")
+      val adj = graft.plans.ArtifactCache.readParquet(s, s"${sortedAdjPath(s, d)}/adj")
       var frontier = adj.select(col("w").as("start"), col("w").as("cur"))
       visited += frontier
       for (t <- 0 until walkSteps) {
@@ -1651,10 +1657,10 @@ object GraphOps {
     // [[graphComponentsImpl]] shape; the artifact's degree table is the
     // vertex universe the seeds draw from
     val adjBase = packedAdjPath(s, d)
-    val adj = s.read.parquet(s"$adjBase/adj")
+    val adj = graft.plans.ArtifactCache.readParquet(s, s"$adjBase/adj")
     // frontier/visited are vertex-bounded — size-gated ([[gatedBc]])
     val small = vertexBound(s, d) <= maxBcVerts
-    val seeds = s.read.parquet(s"$adjBase/deg")
+    val seeds = graft.plans.ArtifactCache.readParquet(s, s"$adjBase/deg")
       .select(col("v")).orderBy(col("v")).limit(bfsSeedCount)
       .select(col("v"), lit(0L).as("dist"))
     // visited = lazy union of the per-round frontier pins (the closeness
@@ -1720,7 +1726,7 @@ object GraphOps {
       coalesce(sum(col("degree").cast(dec)), lit(0).cast(dec)).as("m"),
       sum((col("degree") * col("degree")).cast(dec)).as("sj"),
       sum(col("degree").cast(dec) * col("degree") * col("degree")).as("sj2"))
-    val sjk = s.read.parquet(s"${packedAdjPath(s, d)}/adj")
+    val sjk = graft.plans.ArtifactCache.readParquet(s, s"${packedAdjPath(s, d)}/adj")
       .select(col("degree").as("j"), explode(col("dsts")).as("dst"))
       .join(gatedBc(deg.select(col("v").as("dst"), col("degree").as("k")), small), "dst")
       .agg(sum((col("j") * col("k")).cast(dec)).as("sjk"))
@@ -1749,7 +1755,7 @@ object GraphOps {
     * aggregate + top-20 are vertex-sized then TakeOrdered. */
   val graphClusteringCoeff: Q = (s, d) => {
     val deg = degTable(s, d)
-    val closed = s.read.parquet(s"${closedWedgesPath(s, d)}/wedges")
+    val closed = graft.plans.ArtifactCache.readParquet(s, s"${closedWedgesPath(s, d)}/wedges")
     // explode-3 in ONE pass over the closed wedges — the union-of-three
     // spelling re-derived the whole wedge expansion + probe per branch
     // (3× the census cost; measured 14.0 vs 9.7 s for the census at sf1)
@@ -1885,7 +1891,7 @@ object GraphOps {
     // neighbour-min aggregate groups by the bucketing key itself
     val adj =
       if (bucketed) s.table(bucketedAdjTable(s, d))
-      else s.read.parquet(s"$adjBase/adj")
+      else graft.plans.ArtifactCache.readParquet(s, s"$adjBase/adj")
     val small = !bucketed && vertexBound(s, d) <= maxBcVerts
     // round 1 collapses to the neighbour-min aggregate (identity seed ⇒
     // all votes tie — [[labelPropFirstRound]]); the degree table's vertex

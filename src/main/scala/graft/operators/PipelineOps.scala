@@ -288,7 +288,7 @@ object PipelineOps {
     * and that a date filter on the clustered layout prunes files. */
   val compactCluster: Q = (s, d) => {
     val dir = clusteredLayout(s, d)
-    s.read.parquet(dir)
+    graft.plans.ArtifactCache.readParquet(s, dir)
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
   }
 

@@ -239,7 +239,7 @@ object RelOps {
 
   val scanPartitionPrune: Q = (s, d) => {
     val root = eventsPartLayout(s, d)
-    s.read.parquet(root)
+    graft.plans.ArtifactCache.readParquet(s, root)
       .filter($"event_type" === "purchase")
       .groupBy($"ts".cast(DateType).as("day"))
       .agg(count(lit(1)).as("n"), sumd($"value").as("total"))
@@ -321,9 +321,9 @@ object RelOps {
     // register (any session; metadata-only) with the schema read back from
     // the artifact itself, so the DDL can never drift from the data
     BucketedJoin.registerBucketed(s, tOrders,
-      s.read.parquet(s"$wh/orders").schema.toDDL, "o_custkey", 8, s"$wh/orders")
+      graft.plans.ArtifactCache.readParquet(s, s"$wh/orders").schema.toDDL, "o_custkey", 8, s"$wh/orders")
     BucketedJoin.registerBucketed(s, tCust,
-      s.read.parquet(s"$wh/customer").schema.toDDL, "c_custkey", 8, s"$wh/customer")
+      graft.plans.ArtifactCache.readParquet(s, s"$wh/customer").schema.toDDL, "c_custkey", 8, s"$wh/customer")
     (tOrders, tCust)
   }
 

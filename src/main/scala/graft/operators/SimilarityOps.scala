@@ -342,6 +342,12 @@ object SimilarityOps {
       val qs = qv.slice(m * sub, (m + 1) * sub)
       cb(m).map(cw => qs.zip(cw).map { case (x, y) => (x - y) * (x - y) }.sum)
     }
+    // NOTE (r15): an unrolled non-HOF spelling of this argmin (K×sub
+    // literal-expanded squared diffs per subvector, ~4k expression nodes)
+    // was measured STRICTLY WORSE — the interpreted-HOF per-row cost is
+    // small at any row count that fits one index shard, while the
+    // unrolled tree cost ~3 s of optimizer time per construction. Keep
+    // the lambda spelling.
     def codeCol(m: Int): Column = {
       val d2s = transform(sequence(lit(0), lit(K - 1)), kk =>
         aggregate(

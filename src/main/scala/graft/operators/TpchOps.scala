@@ -390,13 +390,24 @@ object TpchOps {
       .select($"l_orderkey", $"l_suppkey",
         when($"l_receiptdate" > $"l_commitdate", 1)
           .otherwise(0).as("late"))
-    val perOrder = l.groupBy($"l_orderkey")
-      .agg(countDistinct($"l_suppkey").as("n_supp"),
-        countDistinct(when($"late" === 1, $"l_suppkey")).as("n_late"))
+    // two-level aggregate instead of countDistinct×2: the dual distinct
+    // compiles to an Expand that doubles every line-grain row before the
+    // first exchange; grouping to (order, supplier) grain first shrinks
+    // map-side (lines → distinct pairs) and needs no Expand. Identical
+    // result: n_supp = COUNT of distinct suppliers, n_late = suppliers
+    // with ≥1 late line = SUM(max(late)).
+    val perOrder = l.groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"late").as("late_any"))
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum($"late_any").as("n_late"))
       .filter($"n_supp" >= 2 && $"n_late" === 1)
       .select($"l_orderkey".as("ok"))
     l.filter($"late" === 1)
-      .join(perOrder, $"l_orderkey" === $"ok")
+      // hash-probe the filtered per-order verdicts instead of sorting both
+      // legs (guide §3.1: SMJ is the default, SHUFFLE_HASH is right when
+      // one side is per-partition-small — the verdict side is a selective
+      // filter over orders, and partition counts scale it down further)
+      .join(perOrder.hint("shuffle_hash"), $"l_orderkey" === $"ok")
       .groupBy($"l_suppkey")
       .agg(count(lit(1)).as("numwait"))
       .join(DimGates.gated(s, d, "supplier")(

@@ -34,6 +34,26 @@ object ArtifactCache {
     r
   }
 
+  /** Memoized parquet reader for PUBLISHED artifact paths — the
+    * [[graft.Tables.load]] plan-cache posture applied to artifact
+    * consumers: constructing a reader DataFrame pays a driver-side file
+    * listing plus a schema-inference footer job (~100–200 ms measured at
+    * local[32]), and the query registry re-reads the same handful of
+    * immutable artifact dirs hundreds of times per Bench/Verify run.
+    * Valid because a published artifact dir is IMMUTABLE — its path embeds
+    * the (data, logic) fingerprint, so changed inputs resolve to a NEW
+    * path and stale entries simply stop being requested. Keyed per session
+    * (a DataFrame is session-bound). Do NOT route mutable result/output
+    * dirs through this. */
+  private val readCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  def readParquet(s: org.apache.spark.sql.SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame =
+    readCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}:${new File(path).getCanonicalPath}",
+      _ => s.read.parquet(path))
+
   /** Identity stamp of the class that encodes the build logic: an MD5 of
     * the classfile BYTES. Content-based on purpose — launchers repackage
     * the same classes into fresh jars per invocation (sbt's forked `run`

@@ -56,14 +56,14 @@ object IvfIndex {
     // become a literal IN-list for file-level partition pruning) — k-bounded
     require(nprobe <= graft.Limits.maxDriverCentroids,
       s"nprobe=$nprobe exceeds driver-collect cap ${graft.Limits.maxDriverCentroids}")
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = ArtifactCache.readParquet(spark, s"$path/centroids")
     val probeIds = cents.crossJoin(broadcast(queryVec))
       .orderBy(dot(asD(col("cvec")), col("qv")).desc, col("cent_id"))
       .limit(nprobe)
       .select(col("cent_id"))
       .collect().map(_.getAs[Number]("cent_id").longValue())
     // literal IN-list so the partition filter prunes at file listing
-    val probed = spark.read.parquet(s"$path/index")
+    val probed = ArtifactCache.readParquet(spark, s"$path/index")
       .filter(col("cluster_id").isin(probeIds.toIndexedSeq.map(x => x: Any): _*))
     val cos = graft.functions.CosineSimilarity.cosine_similarity _
     probed

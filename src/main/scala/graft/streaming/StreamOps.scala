@@ -48,8 +48,9 @@ object StreamOps {
     * a NANOS fixture load at all; no-op otherwise. */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val f = new java.io.File(d, "events.parquet")
-    val batch = s.read.parquet(f.getPath)
+    // memoized raw read (Tables plan-cache): the schema-derivation footer
+    // job otherwise re-runs per stream leg per query (~0.1 s each)
+    val batch = graft.Tables.loadRawParquet(s, d, "events")
     graft.Tables.normalizeTs(streamSource(s, d, "events", batch.schema), batch)
   }
 
