@@ -54,6 +54,22 @@ object ArtifactCache {
       s"${System.identityHashCode(s)}:${new File(path).getCanonicalPath}",
       _ => s.read.parquet(path))
 
+  /** Drop memoized readers under `dir` — called when [[getOrBuild]] actually
+    * REBUILDS an artifact at a fingerprint path this JVM may have read
+    * before (possible when a sibling process evicted the dir via
+    * [[evictStale]] and the rebuild produced new part-file names: a cached
+    * reader's frozen file listing would then scan deleted files). The key's
+    * path part is everything after the session-id prefix. */
+  private def invalidateReaders(dir: File): Unit = {
+    val canon = dir.getCanonicalPath
+    val it = readCache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      val p = k.substring(k.indexOf(':') + 1)
+      if (p == canon || p.startsWith(canon + File.separator)) it.remove()
+    }
+  }
+
   /** Identity stamp of the class that encodes the build logic: an MD5 of
     * the classfile BYTES. Content-based on purpose — launchers repackage
     * the same classes into fresh jars per invocation (sbt's forked `run`
@@ -238,6 +254,9 @@ object ArtifactCache {
             // another process published first — its artifact is equivalent
             case _: java.nio.file.FileSystemException if dir.isDirectory => ()
           }
+          // this fingerprint existed before (evicted + rebuilt): any reader
+          // this JVM memoized over the OLD directory contents is stale
+          invalidateReaders(dir)
           evictStale(kind, dir)
         } finally graft.FsUtil.deleteRecursive(tmp) // no-op if moved
       }

@@ -97,7 +97,14 @@ object Checkpoints {
     *     one pass exactly as before.
     *
     * Results and plan shapes are identical across modes and eagerness —
-    * only WHEN the blocks materialize changes. */
+    * only WHEN the blocks materialize changes — PROVIDED the pinned frame's
+    * lineage is content-DETERMINISTIC: with a lazy local checkpoint, two
+    * consumers inside one job can race-compute the same partition before
+    * its block persists, so a nondeterministic frame (unordered limit,
+    * first() without a total order, rand()) could hand different contents
+    * to different consumers — exactly the divergence the eager barrier
+    * rules out. Call sites with nondeterministic lineage must use
+    * [[sweep]] (eager) instead. */
   def pin(df: DataFrame): DataFrame =
     if (reliable(df)) sweep(df, eager = true)
     else df.localCheckpoint(eager = false)

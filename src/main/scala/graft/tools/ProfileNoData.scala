@@ -45,7 +45,12 @@ object ProfileNoData {
       println(s"--- rep $rep")
       for (q <- qs) {
         System.gc()
+        // 'on' arm: force the trailing no-data batch even for queries that
+        // already opted into skipNoDataBatch (the ForceNoDataKey test hook —
+        // without it both arms skip and identical=true is vacuous)
+        spark.conf.set(graft.streaming.StreamOps.ForceNoDataKey, "true")
         val (tOn, rOn) = run(q)
+        spark.conf.unset(graft.streaming.StreamOps.ForceNoDataKey)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         System.gc()
         val (tOff, rOff) = run(q)
