@@ -180,6 +180,32 @@ object GraphOps {
   private[graft] def gatedBc(df: DataFrame, small: Boolean): DataFrame =
     if (small) broadcast(df) else df.hint("shuffle_hash")
 
+  /** Run an iterative sweep loop with AQE replanning OFF (restored after).
+    *
+    * AQE re-optimizes the remaining plan after every exchange
+    * materialization; a K-round sweep loop materializes 2–3 exchanges per
+    * round, so the driver pays K×(replan + stats collection) for plans
+    * whose shape AQE cannot improve here: every join in the loop family is
+    * explicitly gated — `broadcast()` under the vertex bound,
+    * `hint("shuffle_hash")` past it ([[gatedBc]], the pagerank/eigen state
+    * hints) — so join strategy is already decided, and the per-round
+    * aggregate shuffles are vertex-bounded with the partition count set by
+    * `spark.sql.shuffle.partitions` (cluster-sized by the deployment, not
+    * re-derived per round). Measured at sf0.1 local[32], interleaved
+    * one-variant-per-JVM: pagerank 2.9–3.4 → 2.56 s; loop-family subset
+    * sum 12.8 → 11.0 s. Results are unaffected (AQE never changes
+    * results; the hinted hash joins plan identically without it).
+    * Deployments that want AQE back inside sweep loops (e.g. heavy skew in
+    * an ungated aggregate) set [[SweepAqeKey]] = true. */
+  val SweepAqeKey = "graft.sweep.aqe"
+  private[graft] def noSweepAqe[A](s: SparkSession)(body: => A): A =
+    if (s.conf.getOption(SweepAqeKey).contains("true")) body
+    else {
+      val old = s.conf.get("spark.sql.adaptive.enabled")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try body finally s.conf.set("spark.sql.adaptive.enabled", old)
+    }
+
   /** Per-vertex degree of the undirected edge set: explode both endpoints,
     * one count aggregate. Output is vertex-table-sized (the parts dim), not
     * edge-sized. Used at ARTIFACT BUILDS (pay-once) and on shrinking edge
@@ -330,7 +356,7 @@ object GraphOps {
     var labels: DataFrame = null
     // the pinned frame backing `labels` (labels is a projection over it)
     var labelsBacking: DataFrame = null
-    while (!converged && iter < maxIters) {
+    noSweepAqe(s) { while (!converged && iter < maxIters) {
       iter += 1
       // propagate: label ← min over self + neighbors' labels, the probe
       // extracted as [[componentsPropagate]] so PlanSpec can pin its
@@ -360,7 +386,7 @@ object GraphOps {
       if (labelsBacking != null) graft.plans.Checkpoints.release(labelsBacking)
       labelsBacking = next
       labels = next.select(col("v"), col("lbl"))
-    }
+    } }
     require(converged, s"graph_components did not converge within $maxIters rounds")
     labels.select(col("v"), col("lbl").as("component")).orderBy(col("v"))
   }
@@ -728,7 +754,7 @@ object GraphOps {
     // deg feeds the removal set, the survivor filter AND next round's
     // state, so unpinned the probe lineage re-expands per round
     var deg = degTable(s, d).sweepCheckpoint()
-    for (_ <- 1 to kcoreRounds) {
+    noSweepAqe(s) { for (_ <- 1 to kcoreRounds) {
       val removed = deg.filter(col("degree") < kcoreK).select(col("v"))
       val alive = deg.filter(col("degree") >= kcoreK)
       // ≤ 2m probe rows TOTAL across all rounds — each vertex fans its
@@ -745,7 +771,7 @@ object GraphOps {
       // previous round's state is dead once the new pin materializes
       graft.plans.Checkpoints.release(deg)
       deg = next
-    }
+    } }
     deg.filter(col("degree") >= 1)
       .select(col("v"), col("degree").as("core_degree"))
       .orderBy(col("v"))
@@ -1109,7 +1135,7 @@ object GraphOps {
     // SortMergeJoin two vertex-sized frames.
     var it = 0
     var converged = false
-    while (it < pagerankIters && !converged) {
+    noSweepAqe(s) { while (it < pagerankIters && !converged) {
       val blockStart = pr
       val steps = math.min(prBlock, pagerankIters - it)
       for (_ <- 1 to steps) pr =
@@ -1129,7 +1155,7 @@ object GraphOps {
       // ([[graft.plans.Checkpoints.release]]; live pins stay O(1) in the
       // sweep count)
       graft.plans.Checkpoints.release(blockStart)
-    }
+    } }
     pr.select(col("v"), col("pr").as("pr_scaled"),
         // round to 6 (the repo-wide float-output convention): at 15 places
         // the rounding happens in the double's last ulps, where Spark's
@@ -1204,7 +1230,7 @@ object GraphOps {
     // the pinned frame backing the current rank state (r is a stateless
     // projection over it); dead as soon as the next sums pin materializes
     var rBacking = r
-    for (_ <- 1 to eigenIters) {
+    noSweepAqe(s) { for (_ <- 1 to eigenIters) {
       val state = r.withColumnRenamed("v", "src")
       val sums = (if (bucketed) eigenSweepBucketed(sym, r)
         else sym.join(
@@ -1231,7 +1257,7 @@ object GraphOps {
       // ALREADY-pinned sums, so lineage depth stays constant without
       // paying a third job per sweep
       r = sums.select(col("v"), expr(s"(s * $eigenScale) DIV $mx").as("r"))
-    }
+    } }
     r.select(col("v"), col("r").as("centrality_scaled"),
         round(col("r").cast(DoubleType) / lit(eigenScale.toDouble), 6)
           .as("centrality"))
@@ -1366,11 +1392,15 @@ object GraphOps {
     // pin per round instead of two; the depth+1 frontier pins all stay
     // live (the returned plan reads their union), which is O(1) in data
     // size — bfsDepth is an algorithm constant, not a scale variable.
-    var frontier = seeds.sweepCheckpoint()
-    var visited = frontier
-    for (k <- 1 to bfsDepth) {
-      frontier = closenessRound(adj, frontier, visited, k, small).sweepCheckpoint()
-      visited = visited.unionAll(frontier)
+    var frontier: DataFrame = null
+    var visited: DataFrame = null
+    noSweepAqe(s) {
+      frontier = seeds.sweepCheckpoint()
+      visited = frontier
+      for (k <- 1 to bfsDepth) {
+        frontier = closenessRound(adj, frontier, visited, k, small).sweepCheckpoint()
+        visited = visited.unionAll(frontier)
+      }
     }
     visited.filter(col("dist") > 0)
       .groupBy(col("s0"))
@@ -1667,11 +1697,15 @@ object GraphOps {
     // loop's shape — see [[graphClosenessImpl]]): one eager pin per round
     // instead of two, no O(depth²) union re-pin traffic; the depth+1 live
     // pins are an algorithm constant
-    var frontier = seeds.sweepCheckpoint()
-    var visited = frontier
-    for (k <- 1 to bfsDepth) {
-      frontier = bfsRound(adj, frontier, visited, k, small).sweepCheckpoint()
-      visited = visited.unionAll(frontier)
+    var frontier: DataFrame = null
+    var visited: DataFrame = null
+    noSweepAqe(s) {
+      frontier = seeds.sweepCheckpoint()
+      visited = frontier
+      for (k <- 1 to bfsDepth) {
+        frontier = bfsRound(adj, frontier, visited, k, small).sweepCheckpoint()
+        visited = visited.unionAll(frontier)
+      }
     }
     visited.groupBy(col("dist"))
       .agg(count(lit(1)).as("n_vertices"))
@@ -1897,11 +1931,14 @@ object GraphOps {
     // all votes tie — [[labelPropFirstRound]]); the degree table's vertex
     // universe is exactly adj's src set (symmetric adjacency, no isolated
     // vertices), so no seed frame is needed
-    var labels = labelPropFirstRound(adj).sweepCheckpoint()
-    for (_ <- 2 to labelPropRounds) {
-      val next = labelPropRound(adj, labels, small).sweepCheckpoint()
-      graft.plans.Checkpoints.release(labels)
-      labels = next
+    var labels: DataFrame = null
+    noSweepAqe(s) {
+      labels = labelPropFirstRound(adj).sweepCheckpoint()
+      for (_ <- 2 to labelPropRounds) {
+        val next = labelPropRound(adj, labels, small).sweepCheckpoint()
+        graft.plans.Checkpoints.release(labels)
+        labels = next
+      }
     }
     labels
       .withColumn("community_size",
