@@ -70,7 +70,11 @@ object AnalyticsOps {
     * distinct trigrams (vocabulary-bounded, a sliver of the token volume).
     * Probability is a single double division rounded to 6, identical in
     * both engines. */
-  val lmTrigram: Q = (s, d) => {
+  /** The distinct-trigram count fold — extracted so PlanSpec can pin its
+    * physical shape (the pin in [[lmTrigram]] truncates it out of the final
+    * explain): one explode pass, map-side partials, the count exchange on
+    * the three int64 PolyHash keys. */
+  private[graft] def lmTrigramCounts(s: SparkSession, d: String): DataFrame = {
     val tri = docs(s, d)
       .select(split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
@@ -93,14 +97,31 @@ object AnalyticsOps {
       .groupBy(col("h1"), col("h2"), col("h3"))
       .agg(min(col("w1")).as("w1"), min(col("w2")).as("w2"),
         min(col("w3")).as("w3"), count(lit(1)).as("c3"))
-    // context sums ride an (h1,h2)-partitioned window (parallel, hash-keyed);
-    // the global top-20 is orderBy+limit — TakeOrderedAndProject keeps a
-    // 20-row heap per partition instead of a single-partition sort of the
-    // whole vocabulary — and only the 20 survivors enter the rank window.
     tri
-      .withColumn("ctx", sum(col("c3")).over(Window.partitionBy(col("h1"), col("h2"))))
+  }
+
+  val lmTrigram: Q = (s, d) => {
+    // Top-20 FIRST, context sums only for the 20 surviving (h1,h2) pairs
+    // (round 16, guide §1.2 — don't compute what you throw away): the old
+    // spelling annotated EVERY distinct trigram with an (h1,h2)-window
+    // context sum (a full vocabulary³-sized exchange + sort) to keep 20
+    // rows. Now the distinct-trigram fold pins once, the global top-20 is
+    // a TakeOrdered heap over the pin, and ctx is a pin rescan filtered
+    // map-side by the 20 winners' contexts (a 20-row broadcast semi-join)
+    // into a ≤20-group aggregate — the filtered sum over all trigrams
+    // sharing a winner's (h1,h2) is by definition the window value those
+    // rows carried. No vocabulary-sized exchange after the count fold.
+    val triP = lmTrigramCounts(s, d).sweepPin()
+    val top = triP
       .orderBy(col("c3").desc, col("w1"), col("w2"), col("w3"))
       .limit(20)
+      .sweepPin()
+    val ctx = triP
+      .join(broadcast(top.select(col("h1"), col("h2")).distinct()),
+        Seq("h1", "h2"), "left_semi")
+      .groupBy(col("h1"), col("h2")).agg(sum(col("c3")).as("ctx"))
+    top
+      .join(broadcast(ctx), Seq("h1", "h2"))
       .withColumn("rn", row_number().over(
         Window.orderBy(col("c3").desc, col("w1"), col("w2"), col("w3"))))
       .select(col("rn").cast(LongType).as("rn"), col("w1"), col("w2"), col("w3"),
@@ -211,9 +232,11 @@ object AnalyticsOps {
     * a global window); T is a one-row aggregate broadcast in; the global
     * top-20 is TakeOrderedAndProject, so only 20 rows reach the rank
     * window. */
-  val lmKneserNey: Q = (s, d) => {
-    val dec = DecimalType(38, 0)
-    val bi = docs(s, d)
+  /** The distinct-bigram count fold — extracted so PlanSpec can pin its
+    * shape (the pin in [[lmKneserNey]] truncates it out of the final
+    * explain). */
+  private[graft] def lmKneserCounts(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
       .select(split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
       .select(explode(expr(
@@ -222,21 +245,43 @@ object AnalyticsOps {
                                'w2', element_at(w, i + 1)))""")).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
-    val byW1 = Window.partitionBy(col("w1"))
-    val byW2 = Window.partitionBy(col("w2"))
-    val ann = bi
-      .withColumn("c1", sum(col("c12")).over(byW1))
-      .withColumn("n1_cont", count(lit(1)).over(byW1))
-      .withColumn("n_ctx", count(lit(1)).over(byW2))
-    val totals = bi.agg(count(lit(1)).as("t_bigrams"))
+
+  val lmKneserNey: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    // Top-20 FIRST, marginals only for the 20 winners (round 16, guide
+    // §1.2 — the lmTrigram rewrite applied to BOTH window keys): the old
+    // spelling annotated every distinct bigram with w1-keyed (c1, n1_cont)
+    // and w2-keyed (n_ctx) window values — two vocabulary²-sized
+    // exchange+sort passes — to keep 20 rows. Now the distinct-bigram fold
+    // pins once; the top-20 is a TakeOrdered heap over the pin; each
+    // marginal is a pin rescan filtered map-side by the winners' w1
+    // (resp. w2) values — 20-row broadcast semi-joins — into ≤20-group
+    // aggregates, identical by definition to the window values the
+    // winning rows carried. T rides the same pin (one count, no second
+    // derivation of the fold).
+    val biP = lmKneserCounts(s, d).sweepPin()
+    val top = biP
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(20)
+      .sweepPin()
+    val m1 = biP
+      .join(broadcast(top.select(col("w1")).distinct()), Seq("w1"), "left_semi")
+      .groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1_cont"))
+    val m2 = biP
+      .join(broadcast(top.select(col("w2")).distinct()), Seq("w2"), "left_semi")
+      .groupBy(col("w2"))
+      .agg(count(lit(1)).as("n_ctx"))
+    val totals = biP.agg(count(lit(1)).as("t_bigrams"))
     val num = greatest(lit(4L) * col("c12") - 3L, lit(0L)).cast(dec) *
       col("t_bigrams").cast(dec) +
       lit(3L).cast(dec) * col("n1_cont").cast(dec) * col("n_ctx").cast(dec)
     val den = lit(4L).cast(dec) * col("c1").cast(dec) *
       col("t_bigrams").cast(dec)
-    ann.crossJoin(broadcast(totals))
-      .orderBy(col("c12").desc, col("w1"), col("w2"))
-      .limit(20)
+    top
+      .join(broadcast(m1), Seq("w1"))
+      .join(broadcast(m2), Seq("w2"))
+      .crossJoin(broadcast(totals))
       .withColumn("rn", row_number().over(
         Window.orderBy(col("c12").desc, col("w1"), col("w2"))))
       .select(col("rn").cast(LongType).as("rn"), col("w1"), col("w2"),

@@ -325,13 +325,26 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("lm_trigram: count aggregate exchanges on the h1/h2/h3 long keys") {
-    val df = SparkEntry.queries("lm_trigram")(spark, sf)
-    val ex = df.queryExecution.executedPlan.toString.linesIterator
+    // the count fold is pinned in the query (r16 window removal), so its
+    // exchange is asserted on the extracted pre-pin frame
+    val counts = graft.operators.AnalyticsOps.lmTrigramCounts(spark, sf)
+    val ex = counts.queryExecution.executedPlan.toString.linesIterator
       .filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(ex.exists(e => e.contains("h1#") && e.contains("h3#")),
       s"no hashed-key exchange found:\n${ex.mkString("\n")}")
     assert(!ex.exists(e => e.contains("w1#") && e.contains("w3#")),
       s"word strings still key an exchange:\n${ex.mkString("\n")}")
+    // r16 pin: the final plan carries NO vocabulary-sized window — ctx is
+    // a ≤20-context filtered re-aggregate of the pin (its exchange keys on
+    // the h1/h2 hashes), and the only window is the rank over 20 rows
+    val finalPlan = SparkEntry.queries("lm_trigram")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val finalEx = finalPlan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(finalEx.forall(e => !(e.contains("w1#") || e.contains("w2#"))),
+      s"word strings key a post-fold exchange:\n${finalEx.mkString("\n")}")
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"ctx must attach by broadcast, not a sorted join:\n$finalPlan")
   }
 
   test("split_dataset / quality_score_linear: zero exchanges before the output sort") {
@@ -568,18 +581,32 @@ class PlanSpec extends AnyFunSuite {
       assert(!b.contains("text#"), s"document text crosses an exchange:\n$b"))
   }
 
-  test("lm_kneser_ney: keyed windows only, scalar broadcast, top-20 TakeOrdered") {
+  test("lm_kneser_ney: broadcast marginals, scalar broadcast, top-20 TakeOrdered") {
+    // r16: the c1/n1/nc word-keyed WINDOWS over the full bigram table are
+    // gone — marginals are ≤20-group filtered re-aggregates of the pinned
+    // fold, attached to the 20 winners by broadcast joins; the only
+    // remaining window is the rank over the 20-row result
     val plan = formatted("lm_kneser_ney")
-    // c1/n1/nc are windows PARTITIONED by a word — a global (empty-spec)
-    // window would single-partition the bigram table
-    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(winLines.nonEmpty, plan)
-    winLines.foreach(l =>
-      assert(l.contains("w1#") || l.contains("w2#"), s"unkeyed window: $l"))
+    val nWindows = plan.linesIterator.count(_.trim.startsWith("+- Window"))
+    assert(nWindows == 1,
+      s"expected only the 20-row rank window, found $nWindows:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") &&
+          (l.contains("w1#") || l.contains("w2#"))),
+      s"a word-keyed exchange survived the window removal:\n$plan")
     // the bigram-type total T joins in as a one-row broadcast
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
-    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBhj >= 2, s"both marginals must attach by broadcast:\n$plan")
+    // the top-20 heap runs over the pinned fold — assert it on the
+    // pre-pin construction the query actually executes
+    import org.apache.spark.sql.functions.col
+    val top = graft.operators.AnalyticsOps.lmKneserCounts(spark, sf)
+      .orderBy(col("c12").desc, col("w1"), col("w2")).limit(20)
+    assert(top.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+      "kneser-ney's top-20 should TakeOrderedAndProject")
   }
 
   test("events_seasonality: one scan, two-phase aggregate, no join") {
