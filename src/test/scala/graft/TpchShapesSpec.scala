@@ -103,6 +103,20 @@ class TpchShapesSpec extends AnyFunSuite {
     assert(got == expectedTop, s"got $got expected $expectedTop")
   }
 
+  test("q21 plan: no Expand (two-level aggregate), verdict join hash-probes") {
+    // the r15 rewrite: dual countDistinct compiled to an Expand doubling
+    // every line-grain row before the first exchange; the two-level
+    // aggregate needs none, and the verdict join is a SHUFFLE_HASH probe
+    // instead of sorting both legs (plans/r15/tpch_q21_{before,after}.txt)
+    val plan = TpchOps.tpchQ21(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"dual-distinct Expand crept back into q21:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"verdict join must hash-probe, not sort-merge:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"a q21 leg sort-merges:\n$plan")
+  }
+
   test("q22: dormancy anti-join and above-average threshold both bind") {
     val rows = TpchOps.tpchQ22(spark, dir).collect()
     // group keys restricted to the declared code set
