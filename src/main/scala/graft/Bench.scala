@@ -187,6 +187,46 @@ object Bench {
     }
     val firstGcMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val preShmMb = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // Parallelism attribution (round-16 verdict #8): the c8-vs-c32 result
+    // (8 cores ≥ 32 cores suite-wide at sf0.1) means wall seconds alone
+    // cannot separate barrier wins from throughput wins. Record, for each
+    // query's FIRST run: job count, summed executor task seconds, and the
+    // union of stage windows ("stage-live" seconds — wall with ≥1 stage
+    // running). task/stageLive ≈ achieved parallelism; wall − stageLive ≈
+    // driver gap (planning + barriers). Listener is async; counters are
+    // read after the timed region, behind a bus flush.
+    object qListener extends org.apache.spark.scheduler.SparkListener {
+      @volatile var jobs = 0L
+      @volatile var taskTimeMs = 0L
+      val windows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        taskTimeMs += si.taskMetrics.executorRunTime
+        for (s <- si.submissionTime; e <- si.completionTime) windows.add((s, e))
+      }
+      def reset(): Unit = { jobs = 0; taskTimeMs = 0; windows.clear() }
+      def stageLiveMs: Long = {
+        import scala.jdk.CollectionConverters._
+        windows.asScala.toSeq.sortBy(_._1)
+          .foldLeft(List.empty[(Long, Long)]) {
+            case ((s0, e0) :: t, (s, e)) if s <= e0 => (s0, math.max(e0, e)) :: t
+            case (acc, w) => w :: acc
+          }.map { case (s, e) => e - s }.sum
+      }
+    }
+    spark.sparkContext.addSparkListener(qListener)
+    def flushBus(): Unit =
+      try {
+        val bus = spark.sparkContext.getClass
+          .getMethod("listenerBus").invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: ReflectiveOperationException => Thread.sleep(300) }
+    val firstJobs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val firstTaskS = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val firstStageLiveS = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = picked.map { case (name, fn) =>
       // Reclaim the PREVIOUS query's unreferenced state before timing this
       // one: localCheckpoint blocks and shuffle dependencies are only
@@ -209,10 +249,17 @@ object Bench {
         System.gc()
         run += 1
         val g0 = if (run == 1) { preShmMb(name) = shuffleDirMb(); gcMs() } else 0L
+        if (run == 1) { flushBus(); qListener.reset() }
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
         val sec = (System.nanoTime() - t0) / 1e9
-        if (run == 1) firstGcMs(name) = gcMs() - g0
+        if (run == 1) {
+          firstGcMs(name) = gcMs() - g0
+          flushBus()
+          firstJobs(name) = qListener.jobs
+          firstTaskS(name) = qListener.taskTimeMs / 1e3
+          firstStageLiveS(name) = qListener.stageLiveMs / 1e3
+        }
         sec
       }
       val b0 = graft.plans.ArtifactCache.builds.get()
@@ -272,6 +319,12 @@ object Bench {
         .mkString("{", ",", "}")},""" +
       s""""queries_pre_shm_mb":${preShmMb.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")},""" +
+      s""""queries_first_jobs":${firstJobs.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")},""" +
+      s""""queries_first_task_s":${firstTaskS.map { case (k, v) =>
+        s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")},""" +
+      s""""queries_first_stage_live_s":${firstStageLiveS.map { case (k, v) =>
+        s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")},""" +
       s""""n_queries":${results.size},"sf":"$sfDir",""" +
       s""""env_gauge":{"load_pre":${fmt(loadPre)},"load_post":${fmt(loadPost)},""" +
       s""""probe_pre_s":${fmt(probePreS)},"probe_post_s":${fmt(probePostS)}},""" +
