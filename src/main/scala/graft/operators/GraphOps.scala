@@ -1396,11 +1396,21 @@ object GraphOps {
     var visited: DataFrame = null
     noSweepAqe(s) {
       frontier = seeds.sweepCheckpoint()
+      val pins = scala.collection.mutable.ListBuffer(frontier)
       visited = frontier
       for (k <- 1 to bfsDepth) {
         frontier = closenessRound(adj, frontier, visited, k, small).sweepCheckpoint()
+        pins += frontier
         visited = visited.unionAll(frontier)
       }
+      // collapse the depth+1 frontier pins into ONE (seeds × reach)-bounded
+      // union pin and release them deterministically (round 16, the ADVICE
+      // item): the loop otherwise leaks depth+1 pins per invocation until
+      // driver GC + ContextCleaner catch up — the exact debt the release
+      // contract exists for. One extra bounded job; the union pin scans
+      // the frontier pins BEFORE they are released (eager checkpoint).
+      visited = visited.sweepCheckpoint()
+      pins.foreach(graft.plans.Checkpoints.release)
     }
     visited.filter(col("dist") > 0)
       .groupBy(col("s0"))
@@ -1701,11 +1711,17 @@ object GraphOps {
     var visited: DataFrame = null
     noSweepAqe(s) {
       frontier = seeds.sweepCheckpoint()
+      val pins = scala.collection.mutable.ListBuffer(frontier)
       visited = frontier
       for (k <- 1 to bfsDepth) {
         frontier = bfsRound(adj, frontier, visited, k, small).sweepCheckpoint()
+        pins += frontier
         visited = visited.unionAll(frontier)
       }
+      // one vertex-bounded union pin, per-round frontier pins released —
+      // the closeness convention (see [[graphClosenessImpl]])
+      visited = visited.sweepCheckpoint()
+      pins.foreach(graft.plans.Checkpoints.release)
     }
     visited.groupBy(col("dist"))
       .agg(count(lit(1)).as("n_vertices"))

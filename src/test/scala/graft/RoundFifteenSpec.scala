@@ -123,11 +123,12 @@ class RoundFifteenSpec extends AnyFunSuite {
       "else — live pins stay O(1) in the depth constant") {
     // warm run pays any artifact build; the measured run's delta is pure
     // sweep pins. Round 15 dropped the per-round visited union pin
-    // (visited is a lazy union of the frontier pins), so the allowed
-    // residue is the seeds pin + one frontier pin per depth round —
-    // bfsDepth is an algorithm constant, so this is O(1) in data size;
-    // a regression back to per-round union pins would read ~2× this.
-    val cap = GraphOps.bfsDepth + 1
+    // (visited is a lazy union of the frontier pins); round 16 collapses
+    // the loop's depth+1 frontier pins into ONE bounded union pin at the
+    // end and releases them deterministically — so the allowed residue is
+    // exactly that union pin. A regression to leaked per-round frontier
+    // pins would read (bfsDepth + 1)× this.
+    val cap = 1
     GraphOps.queries("graph_closeness")(spark, dir).collect()
     GraphOps.queries("graph_bfs")(spark, dir).collect()
     val before = pinned()
