@@ -1232,15 +1232,19 @@ object GraphOps {
     var rBacking = r
     noSweepAqe(s) { for (_ <- 1 to eigenIters) {
       val state = r.withColumnRenamed("v", "src")
+      // LAZY pin (round 16): the sweep aggregate is materialized by the
+      // rescale-divisor max job below — one job per sweep instead of two
+      // (the eager pin was a full extra job + barrier per sweep; the
+      // aggregate is deterministic, satisfying pin()'s prerequisite).
+      // rBacking is released only AFTER that job runs: the sweep's probe
+      // scans it, and a lazy pin has nothing materialized before the job.
       val sums = (if (bucketed) eigenSweepBucketed(sym, r)
         else sym.join(
             if (bcState) broadcast(state) else state.hint("shuffle_hash"), "src")
           .select(explode(col("dsts")).as("v"), col("r"))
           .groupBy(col("v"))
           .agg(sum(col("r")).as("s")))
-        .sweepCheckpoint()
-      graft.plans.Checkpoints.release(rBacking)
-      rBacking = sums
+        .sweepPin()
       // max() over zero groups is null (edgeless graph): the sweep frame
       // is empty, so any non-zero divisor keeps the rescale projection
       // well-formed and the final result is the correct empty landmark
@@ -1253,6 +1257,10 @@ object GraphOps {
       // job it replaces. Keep the driver scalar.
       val mxRow = sums.agg(max(col("s"))).head()
       val mx = if (mxRow.isNullAt(0)) 1L else mxRow.getLong(0)
+      // the max job above materialized the lazy sums pin and is the last
+      // reader of the previous state — release it now
+      graft.plans.Checkpoints.release(rBacking)
+      rBacking = sums
       // no second pin: the rescale is a stateless projection over the
       // ALREADY-pinned sums, so lineage depth stays constant without
       // paying a third job per sweep
