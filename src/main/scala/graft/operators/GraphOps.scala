@@ -198,13 +198,30 @@ object GraphOps {
     * Deployments that want AQE back inside sweep loops (e.g. heavy skew in
     * an ungated aggregate) set [[SweepAqeKey]] = true. */
   val SweepAqeKey = "graft.sweep.aqe"
-  private[graft] def noSweepAqe[A](s: SparkSession)(body: => A): A =
-    if (s.conf.getOption(SweepAqeKey).contains("true")) body
-    else {
-      val old = s.conf.get("spark.sql.adaptive.enabled")
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      try body finally s.conf.set("spark.sql.adaptive.enabled", old)
-    }
+
+  /** A/B switch for [[graphComponentsImpl]]'s per-round propagate pin:
+    * true = the r14 eager `sweepCheckpoint` (own job + barrier per
+    * round), false (default) = the r15 barrier-free `sweepPin`. Env var
+    * so each bench JVM runs exactly one variant. */
+  private[graft] def componentsEagerProp: Boolean =
+    sys.env.get("GRAFT_COMPONENTS_EAGER_PROP").contains("true")
+  private[graft] def noSweepAqe[A](s: SparkSession)(body: => A): A = {
+    // Name the loop's jobs. Iterative queries materialize DECLARED sweeps
+    // at construction; with AQE off their convergence actions would
+    // surface raw count()/isEmpty callsites, indistinguishable from the
+    // eager-construction bug class RoundFiveOpsSpec rejects (with AQE on
+    // they hid under AQE's withThreadLocalCaptured submission thread).
+    val sc = s.sparkContext
+    sc.setCallSite("sweep at GraphOps (declared loop materialization)")
+    try {
+      if (s.conf.getOption(SweepAqeKey).contains("true")) body
+      else {
+        val old = s.conf.get("spark.sql.adaptive.enabled")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try body finally s.conf.set("spark.sql.adaptive.enabled", old)
+      }
+    } finally sc.clearCallSite()
+  }
 
   /** Per-vertex degree of the undirected edge set: explode both endpoints,
     * one count aggregate. Output is vertex-table-sized (the parts dim), not
@@ -368,8 +385,15 @@ object GraphOps {
       // materializes prop and next together — one job per round instead
       // of two; release() below still sees a materialized pin because the
       // count has run by then (paranoid-release suite covers this loop)
-      val prop = (if (iter == 1) componentsFirstPropagate(adj)
-        else componentsPropagate(adj, labels, small)).sweepPin()
+      val propRaw = if (iter == 1) componentsFirstPropagate(adj)
+        else componentsPropagate(adj, labels, small)
+      // r16 A/B hook (r15 verdict #2): GRAFT_COMPONENTS_EAGER_PROP=true
+      // restores the r14 eager spelling so the pin-vs-checkpoint choice
+      // can be measured one-variant-per-JVM. Result-identical either way
+      // (eagerness only moves materialization timing); the measured
+      // decision lives in OPTIMIZATION_r16.md.
+      val prop = if (componentsEagerProp) propRaw.sweepCheckpoint()
+        else propRaw.sweepPin()
       // jump: label ← label's own label (labels are vertex ids, every one
       // has a row, so the self-join resolves one extra hop — the doubling
       // step); lazily checkpointed, materialized by the convergence count

@@ -60,10 +60,14 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     //    the kmeans-class BOUNDED driver round-trip (#chunks × d²/2 longs,
     //    require()d against Limits.maxDriverCentroids); the d×d power
     //    iteration that follows is driver-side by design.
+    //  - "sweep at GraphOps": the loop-family convergence/materialization
+    //    actions — iterative queries execute their DECLARED sweeps at
+    //    construction; noSweepAqe names those jobs explicitly (before the
+    //    r16 AQE change they hid under withThreadLocalCaptured)
     val allowed = Seq("parquet at ", "csv at ", "json at ", "orc at ",
       "localCheckpoint at ", "start at ", "saveAsTable at ",
       "jdbc at SourceFormatOps", "collect at SimilarityOps",
-      "$anonfun$withThreadLocalCaptured")
+      "sweep at GraphOps", "$anonfun$withThreadLocalCaptured")
     val (_, jobs) = jobsDuring {
       SparkEntry.queries.foreach { case (_, fn) => fn(spark, sf) }
     }
