@@ -474,10 +474,10 @@ object GraphOps {
     * `pairs_nonedge`, one exact membership join paid once per data
     * version) so each query is a pre-filtered parquet scan with no
     * edge-membership probe at all. The classified outputs are NARROW
-    * (int32 `a`, `b`, `c`, partition-sorted, zstd — r16): the scan is the
-    * query-time cost, and the narrow layout is −71 % bytes on the
-    * non-edge side at sf0.1 with bit-identical results (consumers
-    * re-widen to long at the scan edge).
+    * (int32 `a`, `b`, `c`, partition-sorted — r16): −48 % bytes on the
+    * non-edge side at sf0.1 (468 → 242 MB snappy; codec trade measured
+    * and parameterised, see [[pairsCodec]]) with bit-identical results
+    * (consumers re-widen to long at the scan edge).
     *
     * Build plan (the one-time cost): each qualifying center's sorted
     * neighbor set expands through the native
@@ -490,8 +490,29 @@ object GraphOps {
     * per-element allocation). Partition count 2×parallelism bounds the
     * per-task map (~0.9 M keys at sf0.1, presized past it) and scales
     * with the cluster. */
-  private[graft] def pairCountsPath(s: SparkSession, d: String): String =
-    graft.plans.ArtifactCache.getOrBuild("graph_pair_counts", d, Seq("lineitem"),
+  /** Codec for the classified pair-count outputs. Parameterised
+    * (`graft.graph.pairsCodec`) because the right answer is regime-dependent
+    * and was MEASURED both ways on the sf2 non-edge side (1.1 B rows):
+    * zstd is 1.9x smaller (2.5 vs 4.7 GB) but its decode CPU inverts the
+    * low-parallelism rung — warm top-20 at 4 cores 33.9 s (zstd) vs 26.2 s
+    * (snappy) vs 28.2 s (the old wide layout), i.e. zstd gave back MORE
+    * than the narrow layout won; at 32 cores all three tie (~7.5 s,
+    * decode amortized). Default snappy: it wins or ties every locally
+    * measurable regime (and the sf0.1 first-touch scan, 1.8 vs 5.6 s).
+    * Deployments whose scans are genuinely I/O-bound (object storage,
+    * disks slower than ~1 GB/s per 4 cores) should set zstd — there the
+    * byte ratio is the whole bill. The codec participates in the artifact
+    * key (kind suffix) so differently-encoded builds cannot alias. */
+  private def pairsCodec(s: SparkSession): String = {
+    val c = s.conf.get("graft.graph.pairsCodec", "snappy")
+    require(c == "snappy" || c == "zstd", s"graft.graph.pairsCodec: $c")
+    c
+  }
+
+  private[graft] def pairCountsPath(s: SparkSession, d: String): String = {
+    val codec = pairsCodec(s)
+    graft.plans.ArtifactCache.getOrBuild(s"graph_pair_counts_$codec", d,
+      Seq("lineitem"),
       // consumes edges() ⇒ stamps [[edgesLogic]] (transitive-staleness rule)
       edgesLogic) { dir =>
       import s.implicits._
@@ -519,19 +540,20 @@ object GraphOps {
       // same invariant the packing relies on; c < 2^31 because a pair
       // cannot share more neighbors than the 31-bit vertex space holds),
       // sort within the hash partitions (no shuffle — dictionary/RLE
-      // pages + runs for the codec) and compress with zstd. Measured at
-      // sf0.1 on the 58.9 M-row non-edge side: 468 MB → 134 MB (−71 %),
-      // cold top-20 scan 1.30 → 0.84/0.93 s, warm decode unchanged,
-      // top-20 bit-identical ((c desc, p) ≡ (c desc, a, b) for packed
-      // non-negative fixed-width fields). Consumers re-widen to long at
-      // the scan edge so every downstream plan and result is unchanged.
+      // pages + runs for the codec). Measured at sf0.1 on the 58.9 M-row
+      // non-edge side: 468 → 242 MB snappy / 134 MB zstd (codec trade
+      // measured at 4/8/32 cores, see [[pairsCodec]]), cold top-20 scan
+      // 1.30 → 0.84/0.93 s, top-20 bit-identical ((c desc, p) ≡
+      // (c desc, a, b) for packed non-negative fixed-width fields).
+      // Consumers re-widen to long at the scan edge so every downstream
+      // plan and result is unchanged.
       def unpacked(df: DataFrame): DataFrame = df.select(
         shiftright(col("p"), 32).cast("int").as("a"),
         col("p").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("b"),
         col("c").cast("int").as("c"))
       def writeNarrow(df: DataFrame, path: String): Unit =
         df.sortWithinPartitions(col("a"), col("b"))
-          .write.option("compression", "zstd").parquet(path)
+          .write.option("compression", codec).parquet(path)
       writeNarrow(unpacked(counts.join(edgeSide, Seq("p"), "left_semi")),
         s"$dir/pairs_edge")
       writeNarrow(unpacked(counts.join(edgeSide, Seq("p"), "left_anti")),
@@ -547,12 +569,13 @@ object GraphOps {
         .select(shiftright(col("p"), 32).cast("int").as("a"),
           col("p").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("b"))
         .sortWithinPartitions(col("a"), col("b"))
-        .write.option("compression", "zstd").parquet(s"$dir/edges_unsupported")
+        .write.option("compression", codec).parquet(s"$dir/edges_unsupported")
       // the raw (p, c) stream was only the classification input — queries
       // never read it; dropping it halves the artifact's disk (477 MB of
       // the 955 MB at sf0.1)
       graft.FsUtil.deleteRecursive(new java.io.File(dir, "pairs"))
     }
+  }
 
   /** The artifact build's input frame — the hash-repartitioned packed wedge
     * stream. Extracted so PlanSpec can pin its plan (the `toRdd` boundary in

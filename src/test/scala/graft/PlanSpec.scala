@@ -214,7 +214,7 @@ class PlanSpec extends AnyFunSuite {
       s"membership classification belongs to the artifact build:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), plan)
     // r16 layout: the classified pair scan decodes int32 (a, b, c) — the
-    // narrow layout is the query's I/O bill (468 → 134 MB at sf0.1);
+    // narrow layout is the query's I/O bill (468 → 242 MB at sf0.1);
     // consumers re-widen to long at the scan edge, results unchanged
     assert(plan.contains("ReadSchema: struct<a:int,b:int,c:int>"),
       s"pair scan must stay int32-narrow:\n$plan")
